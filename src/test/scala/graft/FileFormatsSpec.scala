@@ -1,0 +1,110 @@
+package graft
+
+import graft.sinks.CsvSink
+import graft.sources.{CsvSource, LineSource}
+import java.nio.file.{Files, Paths}
+
+/** CSV/line quirk coverage per FIXTURES.md §A.2 (fixtures regenerated
+  * here to the reference spec — unicode, embedded newlines, quotes,
+  * BOM, `sep=` prolog; reference `tests/FileTest.php:29-45,136-190`). */
+class FileFormatsSpec extends SparkSuite {
+
+  private val bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+  private def write(path: String, content: String, withBom: Boolean = false): Unit = {
+    val out = Files.newOutputStream(Paths.get(path))
+    if (withBom) out.write(bom)
+    out.write(content.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private val headerCsv =
+    "id,name,given_name,city,garbage\n" +
+    "1,Doe,约翰,\"San\nCelestio\",\"a\"\"6\\nA'R`à1,;h\"\n" +
+    "2,Smith,夏洛特,Paris,plain\n"
+
+  test("CSV with header, unicode, embedded newline, quotes") {
+    val dir = tmpDir("csv_basic")
+    write(s"$dir/data_header.csv", headerCsv)
+    val df = CsvSource(s"$dir/data_header.csv", escape = "\"").load(spark)
+    assert(df.columns.toSeq == Seq("id", "name", "given_name", "city", "garbage"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(2) == "约翰")
+    assert(rows(0).getString(3) == "San\nCelestio")
+    assert(rows(0).getString(4) == "a\"6\\nA'R`à1,;h")
+  }
+
+  test("CSV with UTF-8 BOM: detected, first column name clean") {
+    val dir = tmpDir("csv_bom")
+    write(s"$dir/data_bom.csv", "id,name\n1,a\n2,b\n", withBom = true)
+    val df = CsvSource(s"$dir/data_bom.csv").load(spark)
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.count() == 2)
+  }
+
+  test("CSV with Excel sep=; prolog: delimiter auto-detected, prolog dropped") {
+    val dir = tmpDir("csv_sep")
+    write(s"$dir/data_sep.csv", "sep=;\nid;name\n1;a\n2;b\n")
+    val df = CsvSource(s"$dir/data_sep.csv").load(spark)
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.count() == 2)
+    assert(df.orderBy("id").head().getString(1) == "a")
+  }
+
+  test("CSV sep= + BOM together") {
+    val dir = tmpDir("csv_sep_bom")
+    write(s"$dir/d.csv", "sep=;\nid;name\n1;x\n", withBom = true)
+    val df = CsvSource(s"$dir/d.csv").load(spark)
+    assert(df.columns.toSeq == Seq("id", "name"))
+    assert(df.head().getString(1) == "x")
+  }
+
+  test("CSV without header: positional columns") {
+    val dir = tmpDir("csv_nohdr")
+    write(s"$dir/d.csv", "1,a\n2,b\n")
+    val df = CsvSource(s"$dir/d.csv", header = false).load(spark)
+    assert(df.count() == 2)
+    assert(df.columns.length == 2)
+  }
+
+  test("CSV round-trip: sink with BOM + sep= + header re-reads identically") {
+    val dir = tmpDir("csv_rt")
+    import spark.implicits._
+    val in = Seq((1L, "a,b", "x\"y"), (2L, "über", "ok")).toDF("id", "v1", "v2")
+    CsvSink(s"$dir/out.csv", header = true, sep = ";",
+      writeBom = true, writeSepLine = true, singleFile = true).write(in)
+    // prolog bytes present
+    val bytes = Files.readAllBytes(Paths.get(s"$dir/out.csv"))
+    assert(bytes.take(3).sameElements(bom))
+    assert(new String(bytes.drop(3).take(6), "UTF-8") == "sep=;\n")
+    val back = CsvSource(s"$dir/out.csv").load(spark)
+      .selectExpr("cast(id as long) id", "v1", "v2")
+    assert(back.orderBy("id").collect().toSeq == in.orderBy("id").collect().toSeq)
+  }
+
+  test("CSV round-trip distributed (multi-part, prolog per part)") {
+    val dir = tmpDir("csv_rt_dist")
+    import spark.implicits._
+    val in = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(4)
+    CsvSink(s"$dir/out", header = true, sep = ",", writeBom = true, writeSepLine = false).write(in)
+    val back = CsvSource(s"$dir/out").load(spark).selectExpr("cast(id as long) id", "v")
+    assert(back.count() == 100)
+    assert(back.orderBy("id").collect().map(_.getString(1)).take(3).toSeq == Seq("v1", "v2", "v3"))
+  }
+
+  test("LineSource: trims, drops empty lines, BOM-aware (LineExtractor)") {
+    val dir = tmpDir("lines")
+    write(s"$dir/lines.txt", "1\n2\n\n  3  \n\n4\n", withBom = true)
+    val vals = LineSource(s"$dir/lines.txt").load(spark)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(vals == Seq("1", "2", "3", "4"))
+  }
+
+  test("JdbcUpsertSink SQL builder (no DB in env — pure check)") {
+    import graft.sinks.JdbcUpsertSink
+    val pg = JdbcUpsertSink.upsertSql("postgresql", "t", Seq("id", "a", "b"), Seq("id"))
+    assert(pg == "INSERT INTO t (id, a, b) VALUES (?, ?, ?) ON CONFLICT (id) DO UPDATE SET a = excluded.a, b = excluded.b")
+    val my = JdbcUpsertSink.upsertSql("mysql", "t", Seq("id", "a"), Seq("id"))
+    assert(my == "INSERT INTO t (id, a) VALUES (?, ?) ON DUPLICATE KEY UPDATE a = VALUES(a)")
+  }
+}

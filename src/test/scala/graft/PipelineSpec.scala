@@ -1,0 +1,131 @@
+package graft
+
+import graft.core.{JoinSpec, Pipeline, PipelineStatus}
+import graft.operators.{Qualifiers, Transformers}
+import graft.sinks.ParquetSink
+import graft.sources.{ParquetSource, RangeSource}
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSuite {
+
+  test("from → qualify → transform → to: end-to-end with counters") {
+    val out = tmpDir("pipe_basic")
+    val report = Pipeline
+      .from(ParquetSource(sf("customer")))
+      .qualify(col("c_acctbal") > 0)
+      .transform(Transformers.KeyRename(Map("c_name" -> "customer_name")))
+      .transform(Transformers.KeyUnset(Seq("c_mktsegment")))
+      .to(ParquetSink(s"$out/res"))
+      .exec(spark)
+
+    assert(report.status == PipelineStatus.Clean)
+    val res = spark.read.parquet(s"$out/res")
+    assert(res.columns.contains("customer_name"))
+    assert(!res.columns.contains("c_mktsegment"))
+    val expected = spark.read.parquet(sf("customer")).filter(col("c_acctbal") > 0).count()
+    assert(res.count() == expected)
+    assert(report.counters.exists { case (k, v) => k.startsWith("extract_") && v == 150 })
+    assert(report.counters.exists { case (k, v) => k.startsWith("load_") && v == expected })
+  }
+
+  test("aggregate from = ordered concat (unionByName)") {
+    val df = Pipeline
+      .from(ParquetSource(sf("nation")))
+      .from(ParquetSource(sf("nation")), aggregate = true)
+      .toDF(spark)
+    assert(df.count() == 50)
+  }
+
+  test("inner join skips misses; left join fills defaults") {
+    // customer ⋈ nation (m:1, unique right key) — reference join mode
+    val inner = Pipeline
+      .from(ParquetSource(sf("customer")))
+      .join(JoinSpec(ParquetSource(sf("nation")), "c_nationkey", "n_nationkey"))
+      .toDF(spark)
+    assert(inner.columns.contains("n_name"))
+    assert(inner.count() == 150) // all nations present → no skips
+
+    // restrict the dim side → misses; inner drops them, left fills default
+    val dimFiltered = graft.sources.CallableSource(s =>
+      s.read.parquet(sf("nation")).filter(col("n_regionkey") === 0))
+    val innerMiss = Pipeline.from(ParquetSource(sf("customer")))
+      .join(JoinSpec(dimFiltered, "c_nationkey", "n_nationkey"))
+      .toDF(spark)
+    val leftMiss = Pipeline.from(ParquetSource(sf("customer")))
+      .join(JoinSpec(dimFiltered, "c_nationkey", "n_nationkey",
+        leftJoin = true, defaults = Map("n_name" -> "unknown")))
+      .toDF(spark)
+    assert(innerMiss.count() < 150)
+    assert(leftMiss.count() == 150)
+    assert(leftMiss.filter(col("n_name") === "unknown").count() == 150 - innerMiss.count())
+  }
+
+  test("fromPerRecord: keyed = join, unkeyed = cross product") {
+    val keyed = Pipeline
+      .from(ParquetSource(sf("nation")))
+      .fromPerRecord(ParquetSource(sf("region")), on = Some(("n_regionkey", "r_regionkey")))
+      .toDF(spark)
+    assert(keyed.count() == 25)
+
+    // 25 nations × 5 regions = 125 (tests/QualifierTest.php:292-296 cardinality)
+    val cross = Pipeline
+      .from(ParquetSource(sf("nation")))
+      .fromPerRecord(ParquetSource(sf("region")))
+      .toDF(spark)
+    assert(cross.count() == 125)
+  }
+
+  test("branch fan-out: per-branch filters, both sinks written, head shared") {
+    val out = tmpDir("pipe_branch")
+    val report = Pipeline
+      .from(ParquetSource(sf("orders")))
+      .branch(_.qualify(col("o_orderstatus") === "F")
+        .to(ParquetSink(s"$out/f")))
+      .branch(_.qualify(col("o_orderstatus") =!= "F")
+        .transform(Transformers.Replace(overrides = Map("flag" -> "open")))
+        .to(ParquetSink(s"$out/o")))
+      .exec(spark)
+    assert(report.status == PipelineStatus.Clean)
+    val f = spark.read.parquet(s"$out/f").count()
+    val o = spark.read.parquet(s"$out/o").count()
+    assert(f + o == 1500)
+    assert(spark.read.parquet(s"$out/o").columns.contains("flag"))
+  }
+
+  test("BreakAfter truncates and reports dirty status") {
+    val report = Pipeline
+      .from(ParquetSource(sf("orders")))
+      .qualify(Qualifiers.BreakAfter(100))
+      .exec(spark)
+    assert(report.status == PipelineStatus.Dirty)
+    assert(report.counters.exists { case (k, v) => k.startsWith("load_") && v == 100 })
+  }
+
+  test("TakeWhileOrdered: exact reference break-at semantics (4 of 10 pass)") {
+    // reference tests/QualifierTest.php:49-80 — break when record 5 seen,
+    // records 1..4 reach downstream
+    val df = Pipeline
+      .from(RangeSource(10))
+      .transform(Transformers.Callable(d => d.withColumn("id", col("id") + 1)))
+      .qualify(Qualifiers.TakeWhileOrdered(col("id") < 5, Seq(col("id"))))
+      .toDF(spark)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("failed flow reports Failed status") {
+    val report = Pipeline
+      .from(ParquetSource("/nonexistent/nope.parquet"))
+      .exec(spark)
+    assert(report.status.isInstanceOf[PipelineStatus.Failed])
+  }
+
+  test("source limit/offset with required ordering") {
+    val df = Pipeline
+      .from(ParquetSource(sf("orders"), limit = Some(20), offset = 10, orderedBy = Seq("o_orderkey")))
+      .toDF(spark)
+    val keys = df.collect().map(_.getLong(0)).sorted
+    val all = spark.read.parquet(sf("orders")).orderBy("o_orderkey")
+      .collect().map(_.getLong(0)).slice(10, 30)
+    assert(keys.toSeq == all.toSeq)
+  }
+}

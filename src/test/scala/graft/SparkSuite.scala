@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM via Test/fork). */
+object SparkSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+trait SparkSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSuite.spark
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  def sf(name: String): String = s"/root/testdata/sf0.001/$name.parquet"
+  def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+}
