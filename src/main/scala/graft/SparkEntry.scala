@@ -26,8 +26,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** All registered query modules (one QueryDef per operator). */
+  private def allDefs: Seq[graft.queries.QueryDef] =
+    graft.queries.RelationalQueries.defs ++
+      graft.queries.EventQueries.defs
+
   /** One per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(d => d.name -> d.fn).toMap ++ Map(
     // §2.8 extension: hash aggregation (TPC-H Q1 shape). Reference has no
     // group-by node (SURVEY §2.8) — users push aggregation to source SQL;
     // here it is native: partial (map-side) agg + single shuffle on the
@@ -48,7 +54,8 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    allDefs.flatMap(d => d.oracle.map(d.name -> _)).toMap ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,

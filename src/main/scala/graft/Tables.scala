@@ -16,4 +16,15 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table is written with nanosecond timestamps, which
+    * Spark's parquet reader rejects by default. Read `ts` as raw nanos
+    * (`nanosAsLong`) and truncate to a microsecond TimestampType — the
+    * DuckDB-side equivalent is `CAST(ts AS TIMESTAMP)`. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    apply(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

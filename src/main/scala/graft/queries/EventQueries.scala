@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table — batch expressions of
+  * the streaming semantics in [[graft.streaming]] (the reference is
+  * batch-only, SURVEY §2.8; these are engine extensions). Every query
+  * formats timestamps to strings/epochs for oracle parity (ns parquet —
+  * see [[QueryDef]] scaladoc).
+  */
+object EventQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // tumbling-window aggregation (1h), the batch shape of a streaming
+    // windowed agg: one shuffle on (hour, event_type), partial aggs
+    // map-side
+    QueryDef("events_hourly",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users")),
+      Some("""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+             |  event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value,
+             |  COUNT(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // sessionization with a 30-minute inactivity gap: lag → new-session
+    // flag → running sum = session id → per-session rollup. The batch
+    // twin of streaming session windows; one shuffle on user_id, window
+    // work stays within the user partition.
+    QueryDef("sessionize",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_seq", sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").as("session_value"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+             |      OR epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+             |    THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             |), sessions AS (
+             |  SELECT user_id, ts, value,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             |  FROM flagged)
+             |SELECT user_id, session_seq, COUNT(*) AS n_events,
+             |  strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS session_value
+             |FROM sessions GROUP BY user_id, session_seq""".stripMargin)),
+
+    // semi-structured extraction from the JSON props column (regexp on
+    // both sides so the oracle needs no JSON extension)
+    QueryDef("props_extract",
+      (s, dir) => Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k")),
+      Some("""SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k FROM events""".stripMargin))
+  )
+}

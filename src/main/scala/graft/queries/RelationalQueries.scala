@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.Tables
+import graft.core.{JoinSpec, Pipeline}
+import graft.operators.Transformers
+import graft.sources.ParquetSource
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 operator inventory, relational half. Each query exercises
+  * one reference operator re-expressed Spark-first; several run through
+  * the [[graft.core.Pipeline]] builder to prove the fluent API compiles
+  * to the same Catalyst plans as raw DataFrame code.
+  */
+object RelationalQueries {
+
+  private def src(dir: String, t: String) = ParquetSource(s"$dir/$t.parquet")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // §2.1 scan + projection + predicate (pushed to the parquet reader:
+    // the reference's "write your WHERE in the source SQL",
+    // docs/laravel.md:22-29, is Catalyst pushdown here)
+    QueryDef("scan_project_filter",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45.0 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem WHERE l_quantity > 45.0 AND l_returnflag = 'R'""".stripMargin)),
+
+    // §2.1.7 AggregateExtractor: ordered multi-source concat = UNION ALL
+    // (src/Extractors/AggregateExtractor.php:22-63). Order preservation is
+    // relaxed to set semantics per SURVEY §7.4.1.
+    QueryDef("union_concat",
+      (s, dir) => {
+        val half1 = Tables(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+        val half2 = Tables(s, dir, "orders").filter(col("o_orderkey") % 2 === 1)
+        half1.unionByName(half2).select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)),
+
+    // §2.1 limit/offset on a source (ExtractorLimitAbstract/
+    // ExtractorBatchLimitAbstract) — requires explicit order, as the
+    // reference's own pagination docs demand (docs/laravel.md:19-21)
+    QueryDef("limit_offset",
+      (s, dir) => Pipeline
+        .from(ParquetSource(s"$dir/orders.parquet",
+          limit = Some(20), offset = 10, orderedBy = Seq("o_orderkey")))
+        .toDF(s)
+        .select(col("o_orderkey"), col("o_custkey")),
+      Some("SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 10")),
+
+    // §2.2 join mode: inner equi-join against unique key, misses skipped
+    // (UniqueKeyExtractorAbstract.php:274-279) — broadcast the dim side
+    QueryDef("join_inner",
+      (s, dir) => Pipeline
+        .from(src(dir, "orders"))
+        .join(JoinSpec(src(dir, "customer"), "o_custkey", "c_custkey"))
+        .toDF(s)
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"), col("c_mktsegment")),
+      Some("""SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+             |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
+    // §2.2 left join with default record (OnClause.php:80-83): dim side
+    // restricted so misses exist; defaults fill them
+    QueryDef("join_left_default",
+      (s, dir) => Pipeline
+        .from(src(dir, "customer"))
+        .join(JoinSpec(
+          graft.sources.CallableSource(sp =>
+            sp.read.parquet(s"$dir/nation.parquet").filter(col("n_regionkey") < 2)),
+          "c_nationkey", "n_nationkey",
+          leftJoin = true, defaults = Map("n_name" -> "unknown")))
+        .toDF(s)
+        .select(col("c_custkey"), col("c_name"), col("n_name")),
+      Some("""SELECT c_custkey, c_name, COALESCE(n_name, 'unknown') AS n_name
+             |FROM customer LEFT JOIN (SELECT * FROM nation WHERE n_regionkey < 2) n
+             |ON c_nationkey = n_nationkey""".stripMargin)),
+
+    // §2.2 chained joins (join-on-join, tests/YaEtlTest.php:194-218) +
+    // aggregation: fact⋈fact⋈dim with both dims broadcast
+    QueryDef("join_chained",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            sum((col("l_extendedprice").cast("decimal(12,2)")) *
+              (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+              .cast("decimal(38,4)").as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT c_mktsegment,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS revenue,
+             |  COUNT(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin)),
+
+    // §2.3 qualifier = per-record predicate with continue semantics
+    QueryDef("qualify_filter",
+      (s, dir) => Pipeline
+        .from(src(dir, "orders"))
+        .qualify(col("o_orderstatus") === "O" && col("o_totalprice") > 200000.0)
+        .toDF(s)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0""".stripMargin)),
+
+    // §2.4 transformer stack: rename + drop + defaults + overrides
+    // (KeyRename/KeyUnset/ArrayReplace)
+    QueryDef("transform_fields",
+      (s, dir) => Pipeline
+        .from(src(dir, "customer"))
+        .transform(Transformers.KeyRename(Map("c_name" -> "customer_name")))
+        .transform(Transformers.KeyUnset(Seq("c_acctbal")))
+        .transform(Transformers.Replace(
+          defaults = Map("c_mktsegment" -> "UNKNOWN"),
+          overrides = Map("source" -> "crm")))
+        .toDF(s),
+      Some("""SELECT c_custkey, c_name AS customer_name, c_nationkey,
+             |  COALESCE(c_mktsegment, 'UNKNOWN') AS c_mktsegment, 'crm' AS source
+             |FROM customer""".stripMargin)),
+
+    // §2.4 ArrayMap/ArrayWalk: one function over every (string) field
+    QueryDef("per_column_map",
+      (s, dir) => Pipeline
+        .from(src(dir, "nation"))
+        .transform(Transformers.PerColumn((c, _) => upper(trim(c)), only = Some(Set("n_name"))))
+        .toDF(s),
+      Some("SELECT n_nationkey, UPPER(TRIM(n_name)) AS n_name, n_regionkey FROM nation")),
+
+    // §2.1.8 categorized extract (per-upstream-record extraction,
+    // README.md:140-168) — relational rewrite: keyed cross-apply = join
+    QueryDef("cross_apply",
+      (s, dir) => Pipeline
+        .from(src(dir, "nation"))
+        .fromPerRecord(src(dir, "region"), on = Some(("n_regionkey", "r_regionkey")))
+        .toDF(s)
+        .select(col("n_name"), col("r_name")),
+      Some("SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey")),
+
+    // §2.8 extensions the reference lacks natively (aggregation, window,
+    // distinct) — exposed as first-class engine operators
+    QueryDef("window_topk",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables(s, dir, "orders")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             |  FROM orders) t WHERE rk <= 3""".stripMargin)),
+
+    QueryDef("distinct_values",
+      (s, dir) => Tables(s, dir, "customer").select(col("c_mktsegment")).distinct(),
+      Some("SELECT DISTINCT c_mktsegment FROM customer")),
+
+    // semi/anti join (reference emulates semi via qualifier+join,
+    // SURVEY §2.2 intro; native here)
+    QueryDef("join_semi_anti",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .withColumn("has_orders", lit(true))
+        val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .withColumn("has_orders", lit(false))
+        withOrders.unionByName(withoutOrders).select(col("c_custkey"), col("has_orders"))
+      },
+      Some("""SELECT c_custkey, TRUE AS has_orders FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |UNION ALL
+             |SELECT c_custkey, FALSE AS has_orders FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin))
+  )
+}
