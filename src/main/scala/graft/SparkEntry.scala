@@ -29,7 +29,10 @@ object SparkEntry {
   /** All registered query modules (one QueryDef per operator). */
   private def allDefs: Seq[graft.queries.QueryDef] =
     graft.queries.RelationalQueries.defs ++
-      graft.queries.EventQueries.defs
+      graft.queries.EventQueries.defs ++
+      graft.queries.TextQueries.defs ++
+      graft.queries.DedupQueries.defs ++
+      graft.queries.SimilarityQueries.defs
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,234 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` corpus (and
+  * embedding-space near-dup over `embeddings`) — the core of any
+  * large-scale training-data pipeline. Five algorithms, cheapest to most
+  * semantic:
+  *
+  *  1. exact: hash-groupBy on normalized text — one shuffle on the text
+  *     hash, map-side combinable, the 100 TB workhorse.
+  *  2. n-gram Jaccard: shingle → inverted-index self-join → exact
+  *     Jaccard. Correct but the shingle join is quadratic in docs
+  *     sharing hot shingles; at scale it exists as the *verifier* for
+  *     LSH candidates, not the discovery path.
+  *  3. MinHash + LSH: k=16 signatures, 4 bands × 4 rows (catches
+  *     J ≥ ~0.8 w.h.p.), band-bucket join for candidates, exact-Jaccard
+  *     verification of candidates only — the subquadratic scale path.
+  *  4. SimHash: 32-bit fingerprint via per-bit token votes; one
+  *     aggregation pass, near-dups = small Hamming distance, discovered
+  *     via byte-band pigeonhole join (distance ≤ 3 guaranteed by 4
+  *     bands).
+  *  5. embedding cosine: brute-force pair threshold here (baseline /
+  *     verifier); the subquadratic discovery path is the sign-LSH
+  *     bucketing in [[SimilarityQueries]].
+  *
+  * All hashing is [[graft.functions.TextFunctions.portableHash]] so the
+  * DuckDB oracles reproduce results exactly.
+  */
+object DedupQueries {
+
+  /** Oracle-side shingle view (word 3-grams, distinct per doc). */
+  private val shCte =
+    """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 1))]) AS s FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** Spark-side distinct (doc_id, shingle) pairs. */
+  private def shingleSet(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
+      .distinct()
+
+  private def jaccard(inter: Column, na: Column, nb: Column): Column =
+    round(inter.cast("double") / (na + nb - inter).cast("double"), 6)
+
+  /** Exact-Jaccard pairs for a given candidate-pair set (or all pairs
+    * sharing ≥1 shingle when `cand` is None). */
+  private def jaccardPairs(s: SparkSession, dir: String, cand: Option[DataFrame]): DataFrame = {
+    val sh = shingleSet(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val base = cand match {
+      case Some(c) =>
+        c.join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+          .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+      case None =>
+        sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .withColumn("doc_a", col("a.doc_id"))
+          .withColumn("doc_b", col("b.doc_id"))
+    }
+    base.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("inter"), col("sa.n"), col("sb.n")).as("jaccard"))
+  }
+
+  private val K = 16 // minhash functions
+  private val Bands = 4 // × 4 rows per band
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // exact dedup: one representative (min doc_id) per normalized text.
+    // At 100 TB: groupBy on md5(norm_text) instead of the text itself so
+    // the shuffle key is 16 bytes, not the document.
+    QueryDef("dedup_exact",
+      (s, dir) => Tables(s, dir, "documents")
+        .groupBy(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+        .select(col("doc_id"), col("n_dups")),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents
+             |GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))""".stripMargin)),
+
+    // n-gram Jaccard near-dup pairs (threshold 0.8)
+    QueryDef("dedup_ngram_jaccard",
+      (s, dir) => jaccardPairs(s, dir, None).filter(col("jaccard") >= 0.8),
+      Some(s"""$shCte,
+              |inter AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+              |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+              |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+              |WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.8""".stripMargin)),
+
+    // MinHash + LSH dedup: retained doc_ids after dropping every doc
+    // with a verified (J ≥ 0.8) LSH-candidate partner of smaller id
+    QueryDef("dedup_minhash_lsh",
+      (s, dir) => {
+        val sh = shingleSet(s, dir)
+        val minCols = (0 until K).map(i => min(portableHash(col("s"), i)).as(s"h$i"))
+        val mh = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        val bandStructs = (0 until Bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws("|", (0 until K / Bands).map(r => col(s"h${b * (K / Bands) + r}")): _*).as("sig"))
+        }
+        val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+          .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        val cand = bands.as("x").join(bands.as("y"), Seq("band", "sig"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val dupped = jaccardPairs(s, dir, Some(cand))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("doc_b").as("doc_id")).distinct()
+        Tables(s, dir, "documents").select(col("doc_id"))
+          .join(dupped, Seq("doc_id"), "left_anti")
+      },
+      Some {
+        val minSql = (0 until K).map(i => s"min(${portableHashSql("s", i)}) AS h$i").mkString(",\n    ")
+        val bandSql = (0 until Bands).map { b =>
+          val cols = (0 until K / Bands).map(r => s"h${b * (K / Bands) + r}").mkString(", ")
+          s"SELECT doc_id, $b AS band, concat_ws('|', $cols) AS sig FROM mh"
+        }.mkString("\n  UNION ALL ")
+        s"""$shCte,
+           |mh AS (SELECT doc_id,
+           |    $minSql
+           |  FROM sh GROUP BY doc_id),
+           |bands AS (
+           |  $bandSql),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+           |inter AS (
+           |  SELECT doc_a, doc_b, count(*) AS i
+           |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
+           |  GROUP BY doc_a, doc_b),
+           |verified AS (
+           |  SELECT doc_a, doc_b FROM inter
+           |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+           |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.8)
+           |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM verified)""".stripMargin
+      }),
+
+    // SimHash fingerprints: 32-bit, one aggregation pass over token
+    // occurrences (map-side combinable — scales like a word count)
+    QueryDef("dedup_simhash",
+      (s, dir) => {
+        val tok = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+          .withColumn("h", portableHash(col("tk"), 0))
+        val voteCols = simhashVotes(col("h"))
+        tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+          .select(col("doc_id"), simhashFromVotes(n => col(n)).as("simhash"))
+      },
+      Some {
+        val votes = (0 until 32)
+          .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+          .mkString(",\n    ")
+        val assemble = (0 until 32)
+          .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk FROM documents),
+           |hashed AS (SELECT doc_id, ${portableHashSql("tk", 0)} AS h FROM toks),
+           |votes AS (SELECT doc_id,
+           |    $votes
+           |  FROM hashed GROUP BY doc_id)
+           |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes""".stripMargin
+      }),
+
+    // SimHash near-dup pairs: byte-band pigeonhole join (any doc pair
+    // with Hamming ≤ 3 shares at least one of the 4 bytes), exact
+    // Hamming check on candidates
+    QueryDef("simhash_pairs",
+      (s, dir) => {
+        val simhash = queriesByName("dedup_simhash")(s, dir)
+        val bandStructs = (0 until 4).map(k =>
+          struct(lit(k).as("band"), shiftright(col("simhash"), k * 8).bitwiseAND(lit(255L)).as("byte")))
+        val bands = simhash.select(col("doc_id"), col("simhash"),
+          explode(array(bandStructs: _*)).as("bs"))
+          .select(col("doc_id"), col("simhash"), col("bs.band").as("band"), col("bs.byte").as("byte"))
+        bands.as("x").join(bands.as("y"), Seq("band", "byte"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+      },
+      Some {
+        val bandSql = (0 until 4)
+          .map(k => s"SELECT doc_id, simhash, $k AS band, (simhash >> ${k * 8}) & 255 AS byte FROM sim")
+          .mkString("\n  UNION ALL ")
+        val votes = (0 until 32)
+          .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+          .mkString(",\n    ")
+        val assemble = (0 until 32)
+          .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk FROM documents),
+           |hashed AS (SELECT doc_id, ${portableHashSql("tk", 0)} AS h FROM toks),
+           |votes AS (SELECT doc_id,
+           |    $votes
+           |  FROM hashed GROUP BY doc_id),
+           |sim AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes),
+           |bands AS (
+           |  $bandSql)
+           |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+           |FROM bands x JOIN bands y ON x.band = y.band AND x.byte = y.byte AND x.doc_id < y.doc_id
+           |WHERE CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) <= 3""".stripMargin
+      }),
+
+    // embedding-cosine near-dup pairs, brute force (baseline/verifier;
+    // sign-LSH in SimilarityQueries is the discovery path at scale)
+    QueryDef("dedup_embedding",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+            cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+          .filter(col("cos") >= 0.4)
+      },
+      Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |  ${cosineSql("a.embedding", "b.embedding")} AS cos
+              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin))
+  )
+
+  private lazy val queriesByName: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(d => d.name -> d.fn).toMap
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`).
+  *
+  * Two strategies:
+  *  - brute force: query-set × corpus cross join, exact cosine, window
+  *    top-k. Exact; cost = |Q|·|C|. The right answer when |Q| is small
+  *    (the broadcast side) — at 100 TB the corpus scan is
+  *    embarrassingly parallel and the top-k is a per-partition heap
+  *    (Spark's WindowExec after a hash partition on q_id).
+  *  - sign-LSH buckets: an 8-bit random-hyperplane signature (here: the
+  *    signs of the first 8 dimensions — deterministic, and for unit-ish
+  *    random embeddings equivalent to 8 fixed axis-aligned hyperplanes).
+  *    Bucket join reduces candidates ~256×; recall trades off with
+  *    bucket count. The IVF analog: signature = coarse quantizer cell.
+  *
+  * Cosine arithmetic is the strict left fold from
+  * [[graft.functions.TextFunctions]] so DuckDB oracles match exactly.
+  */
+object SimilarityQueries {
+
+  private val NQueries = 8
+  private val TopK = 5
+
+  /** Spark/DuckDB-identical 8-bit sign signature over dims 1..8. */
+  private def sigCol = (0 until 8).map { i =>
+    when(element_at(col("embedding"), i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+  }.reduce(_ + _)
+
+  private val sigSql = (0 until 8)
+    .map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+    .mkString(" + ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("ann_bruteforce",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val q = e.filter(col("vec_id") < NQueries)
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        q.as("q").join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+          .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+            cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TopK)
+      },
+      Some(s"""SELECT * FROM (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+              |    ${cosineSql("q.embedding", "c.embedding")} AS cos,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < $NQueries) t
+              |WHERE rank <= $TopK""".stripMargin)),
+
+    QueryDef("ann_lsh",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), sigCol.as("bucket"))
+        val q = e.filter(col("vec_id") < NQueries)
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        q.as("q").join(e.as("c"),
+            col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+          .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+            col("q.bucket").as("bucket"),
+            cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TopK)
+      },
+      Some(s"""WITH sig AS (
+              |  SELECT vec_id, embedding, CAST($sigSql AS BIGINT) AS bucket FROM embeddings)
+              |SELECT * FROM (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.bucket AS bucket,
+              |    ${cosineSql("q.embedding", "c.embedding")} AS cos,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+              |  FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < $NQueries) t
+              |WHERE rank <= $TopK""".stripMargin))
+  )
+}

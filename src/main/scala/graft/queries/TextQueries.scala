@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` corpus — the
+  * training-data-pipeline extensions (language-ID, quality scoring,
+  * token counting, fingerprinting). All pure column expressions: one
+  * narrow scan, no shuffle except where an aggregation is the point,
+  * everything whole-stage-codegen'd — at 100 TB these run at scan speed.
+  *
+  * Every query has a DuckDB oracle; the shared contract (token regex,
+  * portable md5 hash, fold order, rounding) lives in
+  * [[graft.functions.TextFunctions]].
+  */
+object TextQueries {
+
+  /** Oracle-side tokenized view of documents. */
+  private val toksCte =
+    "WITH toks AS (SELECT doc_id, text, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // token counting: whitespace-ish word tokens + BPE-ish sub-word
+    // segmentation + mean token length
+    QueryDef("text_tokens",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          size(bpeTokens(col("text"))).cast("long").as("n_bpe_tokens"),
+          round(
+            foldSum(transform(tokens(col("text")), t => length(t).cast("double"))) /
+              greatest(size(tokens(col("text"))), lit(1)).cast("double"), 6)
+            .as("avg_token_len")),
+      Some(s"""$toksCte
+              |SELECT doc_id,
+              |  len(t) AS n_tokens,
+              |  len(regexp_extract_all(lower(text), '$bpeTokenPattern')) AS n_bpe_tokens,
+              |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(t, x -> CAST(length(x) AS DOUBLE))), (a, b) -> a + b)
+              |    / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS avg_token_len
+              |FROM toks""".stripMargin)),
+
+    // quality scoring: length + punctuation + stopword-density features
+    // composed into one bounded score
+    QueryDef("text_quality",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        val nTok = size(t).cast("long")
+        val nChars = length(col("text")).cast("long")
+        val nPunct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
+        val punctRatio = nPunct.cast("double") / greatest(nChars, lit(1L)).cast("double")
+        val stopRatio = stopwordHits(t, stopwords.head._2).cast("double") /
+          greatest(nTok, lit(1L)).cast("double")
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          round(punctRatio, 6).as("punct_ratio"),
+          round(stopRatio, 6).as("stop_ratio"),
+          round(
+            least(nTok.cast("double") / 50.0, lit(1.0)) * 0.3 +
+              (lit(1.0) - punctRatio) * 0.3 +
+              least(stopRatio * 5.0, lit(1.0)) * 0.4, 6).as("quality"))
+      },
+      Some(s"""$toksCte
+              |SELECT doc_id, len(t) AS n_tokens,
+              |  round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+              |  round(CAST(${stopwordHitsSql("t", stopwords.head._2)} AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS stop_ratio,
+              |  round(least(CAST(len(t) AS DOUBLE) / 50.0, 1.0) * 0.3
+              |    + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3
+              |    + least(CAST(${stopwordHitsSql("t", stopwords.head._2)} AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE) * 5.0, 1.0) * 0.4, 6) AS quality
+              |FROM toks""".stripMargin)),
+
+    // language identification: stopword-list hit counts per language,
+    // argmax with a fixed tie-break order (list order in
+    // TextFunctions.stopwords)
+    QueryDef("lang_id",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        val scores = stopwords.map { case (l, ws) => l -> stopwordHits(t, ws).cast("long") }
+        val pred = scores.zipWithIndex.foldRight(lit(stopwords.last._1)) {
+          case (((l, sc), i), els) =>
+            if (i == scores.size - 1) els
+            else when(scores.drop(i + 1).map(o => sc >= o._2).reduce(_ && _), lit(l)).otherwise(els)
+        }
+        Tables(s, dir, "documents").select(
+          col("doc_id") +: scores.map { case (l, sc) => sc.as(s"s_$l") } :+ pred.as("lang_pred"): _*)
+      },
+      Some {
+        val scoreSql = stopwords.map { case (l, ws) => l -> stopwordHitsSql("t", ws) }
+        val cases = scoreSql.zipWithIndex.dropRight(1).map { case ((l, sc), i) =>
+          val cond = scoreSql.drop(i + 1).map { case (_, o) => s"$sc >= $o" }.mkString(" AND ")
+          s"WHEN $cond THEN '$l'"
+        }.mkString(" ")
+        s"""$toksCte
+           |SELECT doc_id,
+           |  ${scoreSql.map { case (l, sc) => s"$sc AS s_$l" }.mkString(",\n  ")},
+           |  CASE $cases ELSE '${stopwords.last._1}' END AS lang_pred
+           |FROM toks""".stripMargin
+      }),
+
+    // document fingerprinting: md5 of whitespace-normalized text (exact
+    // content identity) + order-sensitive polynomial rolling hash over
+    // the token stream
+    QueryDef("doc_fingerprint",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp_md5"),
+          rollingHash(tokens(col("text"))).as("fp_roll")),
+      Some(s"""$toksCte
+              |SELECT doc_id,
+              |  md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_md5,
+              |  ${rollingHashSql("t")} AS fp_roll
+              |FROM toks""".stripMargin))
+  )
+}
