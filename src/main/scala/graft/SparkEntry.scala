@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.EventQueries.defs ++
       graft.queries.TextQueries.defs ++
       graft.queries.DedupQueries.defs ++
-      graft.queries.SimilarityQueries.defs
+      graft.queries.SimilarityQueries.defs ++
+      graft.queries.MultimodalQueries.defs
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface of the engine — a deliberate extension:
+  * the reference is strictly batch/pull-based (SURVEY §2.8, `exec()`
+  * runs to completion). The batch queries in
+  * [[graft.queries.EventQueries]] are the oracle-checked twins of these
+  * streaming plans; the transformations are the same Catalyst operators,
+  * so a pipeline can move batch → streaming without rewriting logic.
+  *
+  * Scale notes: all stateful operators here key their state by
+  * `user_id`/window — state is hash-partitioned across executors and
+  * bounded by the watermark (late data beyond it is dropped and state
+  * evicted), which is what keeps 100 TB/day streams from accreting
+  * unbounded state.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream over an events directory (new parquet files are
+    * discovered per micro-batch). `maxFilesPerTrigger` bounds batch
+    * size — the streaming analog of the reference's extract batchSize. */
+  def readEventStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Watermarked tumbling-window aggregation — the streaming twin of
+    * the batch `events_hourly` query. Late events beyond the watermark
+    * are dropped; window state is evicted once the watermark passes. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+
+  /** Session windows via the built-in `session_window` (30-minute gap)
+    * — the declarative path, preferred when the semantics fit. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, total_value: Double)
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState` — the
+    * escape hatch for state logic `session_window` cannot express
+    * (custom counters, conditional emission, cross-session features).
+    *
+    * A session closes either when a later event for the same user
+    * arrives more than `gapMs` after the previous one (emitted
+    * immediately) or when the event-time watermark passes
+    * `last + gapMs` (timeout path — this is what bounds state). */
+  def sessionizeStateful(events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def us(t: java.sql.Timestamp): Long = t.getTime
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.startUs, s.lastUs, s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              cur match {
+                case Some(s) if t - s.lastUs > gapMs =>
+                  closed += SessionOut(userId, s.startUs, s.lastUs, s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.startUs, t, s.n + 1, s.total + e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSuite {
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("watermarked tumbling-window aggregation over a memory stream") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = EventStreams.hourlyCounts(ms.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("update").start()
+    try {
+      ms.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(20), 2, "click", 2.0),
+        Event(3, ts(70), 1, "view", 3.0))
+      q.processAllAvailable()
+      val res = spark.table("hourly")
+        .select(col("window.start").cast("string").as("w"), col("event_type"), col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(res.contains(("2024-01-01 00:00:00", "click", 2L, 3.0)))
+      assert(res.contains(("2024-01-01 01:00:00", "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("session_window groups events by 30-minute inactivity gap") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    // session_window aggregations only support append mode: rows emit
+    // once the watermark passes session end + gap
+    val q = EventStreams.sessionWindows(ms.toDF())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then one 60 min later
+      ms.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(70), 1, "click", 4.0))
+      q.processAllAvailable()
+      // advance the watermark (2h) far past both sessions to flush them
+      ms.addData(Event(4, ts(600), 2, "click", 0.0))
+      q.processAllAvailable()
+      val res = spark.table("sessions")
+        .select("user_id", "n_events", "session_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(res.contains((1L, 2L, 3.0)))
+      assert(res.contains((1L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = EventStreams.sessionizeStateful(ms.toDS())
+      .writeStream.format("memory").queryName("stateful").outputMode("append").start()
+    try {
+      // batch 1: an open session for user 7
+      ms.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("stateful").isEmpty) // session still open
+      // batch 2: an event past the gap closes the first session inline
+      ms.addData(Event(3, ts(120), 7, "click", 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("stateful")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("total_value")))
+      assert(closed.toSeq == Seq((7L, 2L, 3.0)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.queries.{DedupQueries, SimilarityQueries, TextQueries}
+import org.apache.spark.sql.functions._
+
+/** Semantic sanity checks for the text/dedup/similarity operators —
+  * cross-engine value equality is covered by the DuckDB oracle gate;
+  * these assert the *properties* the operators promise. */
+class TextDedupSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    (TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs)
+      .find(_.name == name).get.fn(spark, dir)
+
+  test("tokens/shingles column functions") {
+    val df = spark.range(1).select(
+      tokens(lit("The quick  brown fox!")).as("t"),
+      shingles(tokens(lit("a b c d")), 3).as("sh"),
+      shingles(tokens(lit("a b")), 3).as("short"))
+    val r = df.head()
+    assert(r.getSeq[String](0) == Seq("the", "quick", "brown", "fox"))
+    assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(r.getSeq[String](2).isEmpty)
+  }
+
+  test("portableHash is stable and non-negative") {
+    val vals = spark.range(2).select(
+      portableHash(lit("the fast key"), 0).as("h0"),
+      portableHash(lit("the fast key"), 1).as("h1")).distinct().collect()
+    assert(vals.length == 1)
+    assert(vals(0).getLong(0) >= 0 && vals(0).getLong(1) >= 0)
+    assert(vals(0).getLong(0) != vals(0).getLong(1)) // salt changes the hash
+  }
+
+  test("lang_id predicts a language from stopword evidence") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "the cat and the dog of the house is you", "x", "t", 1L),
+      (2L, "el que la de los una el la", "x", "t", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.createOrReplaceTempView("ignored")
+    val toks = tokens(col("text"))
+    val en = stopwordHits(toks, stopwords.head._2)
+    val es = stopwordHits(toks, stopwords(1)._2)
+    val r = df.select(col("doc_id"), en.as("en"), es.as("es")).collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getInt(2))).toMap
+    assert(r(1L)._1 > r(1L)._2)
+    assert(r(2L)._2 > r(2L)._1)
+  }
+
+  test("dedup family agrees on planted near-duplicates") {
+    val jaccardPairs = q("dedup_ngram_jaccard")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jaccardPairs.nonEmpty) // testdata plants near-dups
+
+    // minhash-LSH retains exactly: all docs minus verified dup partners
+    val retained = q("dedup_minhash_lsh").collect().map(_.getLong(0)).toSet
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val droppable = jaccardPairs.map(_._2)
+    assert(retained.subsetOf(all))
+    // LSH with 4×4 bands at J≥0.8 should find (nearly) all Jaccard dups;
+    // every dropped doc must be a genuine dup partner
+    assert((all -- retained).subsetOf(droppable))
+    assert((all -- retained).nonEmpty)
+
+    // identical-token docs have identical simhash → hamming 0 pairs exist
+    val sim = q("dedup_simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val zeroHamming = jaccardPairs.filter { case (a, b) => sim(a) == sim(b) }
+    assert(zeroHamming.nonEmpty)
+  }
+
+  test("ann_bruteforce returns k ranked neighbors; lsh is a subset of corpus") {
+    val bf = q("ann_bruteforce").collect()
+    val byQ = bf.groupBy(_.getLong(0))
+    assert(byQ.forall(_._2.length == 5))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(3)) // rank
+      val cosines = sorted.map(_.getDouble(2))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+    // lsh bucket neighbors: same top order as brute force restricted to bucket
+    val lsh = q("ann_lsh")
+    assert(lsh.filter(col("rank") === 1).count() > 0)
+  }
+}
