@@ -74,6 +74,32 @@ object TextFunctions {
     s"round(${d(a, b)} / sqrt(${d(a, a)}) / sqrt(${d(b, b)}), 6)"
   }
 
+  /** Derived minhash family: h_i = h0 XOR (i · low32(h1)) from two base
+    * [[portableHash]] values — 2 md5 evaluations instead of k, with no
+    * overflow on either engine (i·low32 < 2^36). Standard
+    * Carter-Wegman-style derivation; the family only needs pairwise
+    * near-uniformity for minhash. DuckDB: `xor(h0, i * (h1 & 4294967295))`. */
+  def minhashDerived(h0: Column, h1: Column, i: Int): Column =
+    h0.bitwiseXOR(lit(i.toLong) * h1.bitwiseAND(lit(4294967295L)))
+
+  def minhashDerivedSql(h0: String, h1: String, i: Int): String =
+    s"xor($h0, $i * ($h1 & 4294967295))"
+
+  /** Fast dot product: the native codegen'd
+    * [[graft.functions.DotProductExpr]] — same strict left fold in
+    * double as [[dot]] (bit-identical result, oracle parity unchanged)
+    * but zero allocation per row instead of an interpreted
+    * higher-order function. */
+  def dotFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.dotNative(a, b)
+
+  /** Cosine from precomputed norms (`nrm = sqrt(dotFast(e, e))`
+    * projected once per vector before the pairwise join): identical
+    * double arithmetic to [[cosine]] — dot / sqrt(na2) / sqrt(nb2) —
+    * but norms are computed |V| times instead of |V|² times. */
+  def cosineFast(a: Column, b: Column, aNorm: Column, bNorm: Column): Column =
+    round(dotFast(a, b) / aNorm / bNorm, 6)
+
   /** Stopword marker lists per language for the n-gram/stopword
     * language-ID heuristic. Deliberately small and fixed: they are part
     * of the cross-engine contract (the oracle embeds the same lists). */

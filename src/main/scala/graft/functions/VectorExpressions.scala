@@ -1,0 +1,78 @@
+/* Lives in an org.apache.spark.sql subpackage on purpose: Catalyst's
+ * expression-authoring surface (AbstractDataType, ExpressionUtils) is
+ * private[sql], and the established pattern for Spark extension
+ * libraries that ship native expressions is to compile into the sql
+ * namespace. Only this file does so; the engine's public API re-exports
+ * it from graft.functions. */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the embedding hot path.
+  *
+  * Preference order for scalar compute (per the engine's design rules):
+  * built-in codegen'd functions > custom native `Expression` > Scala UDF
+  * > interpreted higher-order functions. The dot product over
+  * `array<float>` has no built-in: `aggregate`/`zip_with` are
+  * interpreted per element, and a Scala UDF pays Seq[Float] conversion
+  * (boxing ~2·dim objects per call — GC-bound at millions of pairs).
+  * This expression participates in whole-stage codegen and reads the
+  * float array out of Tungsten's `ArrayData` directly: zero allocation
+  * per row.
+  *
+  * Semantics are the strict left fold in double shared by every cosine
+  * path in this engine (see `graft.functions.TextFunctions.dot`) —
+  * bit-identical to the DuckDB oracle's `list_reduce` fold.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Column API for [[DotProductExpr]]. */
+  def dotNative(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProductExpr(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -48,9 +48,11 @@ object DedupQueries {
     round(inter.cast("double") / (na + nb - inter).cast("double"), 6)
 
   /** Exact-Jaccard pairs for a given candidate-pair set (or all pairs
-    * sharing ≥1 shingle when `cand` is None). */
-  private def jaccardPairs(s: SparkSession, dir: String, cand: Option[DataFrame]): DataFrame = {
-    val sh = shingleSet(s, dir)
+    * sharing ≥1 shingle when `cand` is None). Callers pass an already
+    * persisted `sh` — the plan consumes it 3-4× (sizes + both join
+    * sides) and recomputing the tokenize/shingle/distinct chain per
+    * branch dominates runtime otherwise. */
+  private def jaccardPairs(sh: DataFrame, cand: Option[DataFrame]): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val base = cand match {
       case Some(c) =>
@@ -87,7 +89,8 @@ object DedupQueries {
 
     // n-gram Jaccard near-dup pairs (threshold 0.8)
     QueryDef("dedup_ngram_jaccard",
-      (s, dir) => jaccardPairs(s, dir, None).filter(col("jaccard") >= 0.8),
+      (s, dir) => jaccardPairs(shingleSet(s, dir).persist(), None)
+        .filter(col("jaccard") >= 0.8),
       Some(s"""$shCte,
               |inter AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -100,12 +103,19 @@ object DedupQueries {
     // with a verified (J ≥ 0.8) LSH-candidate partner of smaller id
     QueryDef("dedup_minhash_lsh",
       (s, dir) => {
-        val sh = shingleSet(s, dir)
-        val minCols = (0 until K).map(i => min(portableHash(col("s"), i)).as(s"h$i"))
-        val mh = sh.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        // persisted: consumed by the signature build AND both sides of
+        // the candidate-verification join
+        val sh = shingleSet(s, dir).persist()
+        // 2 md5 evaluations per shingle, k derived hash functions
+        val hashed = sh
+          .withColumn("h0", portableHash(col("s"), 0))
+          .withColumn("h1", portableHash(col("s"), 1))
+        val minCols = (0 until K).map(i =>
+          min(minhashDerived(col("h0"), col("h1"), i)).as(s"m$i"))
+        val mh = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
         val bandStructs = (0 until Bands).map { b =>
           struct(lit(b).as("band"),
-            concat_ws("|", (0 until K / Bands).map(r => col(s"h${b * (K / Bands) + r}")): _*).as("sig"))
+            concat_ws("|", (0 until K / Bands).map(r => col(s"m${b * (K / Bands) + r}")): _*).as("sig"))
         }
         val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
           .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
@@ -113,22 +123,27 @@ object DedupQueries {
           .filter(col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        val dupped = jaccardPairs(s, dir, Some(cand))
+        val dupped = jaccardPairs(sh, Some(cand))
           .filter(col("jaccard") >= 0.8)
           .select(col("doc_b").as("doc_id")).distinct()
         Tables(s, dir, "documents").select(col("doc_id"))
           .join(dupped, Seq("doc_id"), "left_anti")
       },
       Some {
-        val minSql = (0 until K).map(i => s"min(${portableHashSql("s", i)}) AS h$i").mkString(",\n    ")
+        val minSql = (0 until K)
+          .map(i => s"min(${minhashDerivedSql("h0", "h1", i)}) AS m$i").mkString(",\n    ")
         val bandSql = (0 until Bands).map { b =>
-          val cols = (0 until K / Bands).map(r => s"h${b * (K / Bands) + r}").mkString(", ")
+          val cols = (0 until K / Bands).map(r => s"m${b * (K / Bands) + r}").mkString(", ")
           s"SELECT doc_id, $b AS band, concat_ws('|', $cols) AS sig FROM mh"
         }.mkString("\n  UNION ALL ")
         s"""$shCte,
+           |hashed AS (SELECT doc_id, s,
+           |    ${portableHashSql("s", 0)} AS h0,
+           |    ${portableHashSql("s", 1)} AS h1
+           |  FROM sh),
            |mh AS (SELECT doc_id,
            |    $minSql
-           |  FROM sh GROUP BY doc_id),
+           |  FROM hashed GROUP BY doc_id),
            |bands AS (
            |  $bandSql),
            |cand AS (
@@ -217,10 +232,15 @@ object DedupQueries {
     // sign-LSH in SimilarityQueries is the discovery path at scale)
     QueryDef("dedup_embedding",
       (s, dir) => {
-        val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        // norm projected once per vector (|V| sqrt's, not |V|²), dot via
+        // the compiled UDF — same double arithmetic as the HOF form
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"))
         e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-            cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+            cosineFast(col("a.embedding"), col("b.embedding"),
+              col("a.nrm"), col("b.nrm")).as("cos"))
           .filter(col("cos") >= 0.4)
       },
       Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -41,12 +41,18 @@ object SimilarityQueries {
 
     QueryDef("ann_bruteforce",
       (s, dir) => {
-        val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        // norms projected once per vector; the small query set is the
+        // broadcast side, the corpus scan streams — per-partition top-k
+        // after one hash partition on q_id
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"))
         val q = e.filter(col("vec_id") < NQueries)
         val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-        q.as("q").join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+        broadcast(q.as("q")).join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
           .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
-            cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+            cosineFast(col("q.embedding"), col("c.embedding"),
+              col("q.nrm"), col("c.nrm")).as("cos"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= TopK)
       },
@@ -62,14 +68,16 @@ object SimilarityQueries {
     QueryDef("ann_lsh",
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"), sigCol.as("bucket"))
+          .select(col("vec_id"), col("embedding"), sigCol.as("bucket"),
+            sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"))
         val q = e.filter(col("vec_id") < NQueries)
         val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-        q.as("q").join(e.as("c"),
+        broadcast(q.as("q")).join(e.as("c"),
             col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
           .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
             col("q.bucket").as("bucket"),
-            cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+            cosineFast(col("q.embedding"), col("c.embedding"),
+              col("q.nrm"), col("c.nrm")).as("cos"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= TopK)
       },
