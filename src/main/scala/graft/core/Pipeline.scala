@@ -25,7 +25,23 @@ object PipelineStatus {
 final case class PipelineReport(
     status: PipelineStatus,
     counters: Map[String, Long],
-    durationMs: Long)
+    durationMs: Long) {
+
+  /** Formatted stats line — the reference's `getStats()` report
+    * (`src/YaEtl.php:250-281`, template at `:254-258`; sample output
+    * `docs/events.md:171-175`). */
+  def pretty: String = {
+    def total(prefix: String) =
+      counters.collect { case (k, v) if k.startsWith(prefix) => v }.sum
+    val state = status match {
+      case PipelineStatus.Clean     => "clean"
+      case PipelineStatus.Dirty     => "dirty"
+      case PipelineStatus.Failed(_) => "exception"
+    }
+    s"[graft](${state}) ${total("extract")} extracted - " +
+      s"${total("load")} loaded - ${counters.size} observation points - ${durationMs} ms"
+  }
+}
 
 /** Spark-native analog of the reference's fluent flow builder
   * (`YaEtl extends NodalFlow`, verbs at `src/YaEtl.php:89-229`):
@@ -92,30 +108,40 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
   def toDF(spark: SparkSession): DataFrame = compile(spark)._1
 
   /** Run the flow: execute every sink write, gather counters, report —
-    * `exec()` in the reference (`tests/YaEtlTest.php:40`), repeatable. */
-  def exec(spark: SparkSession): PipelineReport = {
+    * `exec()` in the reference (`tests/YaEtlTest.php:40`), repeatable.
+    * `events` receives the reference's flow-lifecycle notifications
+    * (start/progress/flush/success/fail — SURVEY §2.7). */
+  def exec(spark: SparkSession,
+      events: PipelineEvents = PipelineEvents.Silent): PipelineReport = {
     val t0 = System.nanoTime()
+    val progress = new TaskProgressListener(events)
+    spark.sparkContext.addSparkListener(progress)
+    events.onStart()
     try {
       val (_, effective, observations, truncated) = compile(spark)
       val shared = effective.size > 1
       val persisted = ListBuffer.empty[DataFrame]
       try {
-        effective.foreach { case (d, sink) =>
+        effective.zipWithIndex.foreach { case ((d, sink), i) =>
           val toWrite = if (shared) { val p = d.persist(); persisted += p; p } else d
           sink.write(toWrite)
+          events.onFlush(i)
         }
       } finally persisted.foreach(_.unpersist(blocking = false))
       val counters = observations.flatMap { case (name, obs) =>
         obs.get.map { case (k, v) =>
           s"$name.$k" -> v.asInstanceOf[Number].longValue() }
       }.toMap
-      PipelineReport(
+      val report = PipelineReport(
         if (truncated) PipelineStatus.Dirty else PipelineStatus.Clean,
         counters, (System.nanoTime() - t0) / 1000000)
+      events.onSuccess(report)
+      report
     } catch {
       case e: Throwable =>
+        events.onFail(e)
         PipelineReport(PipelineStatus.Failed(e), Map.empty, (System.nanoTime() - t0) / 1000000)
-    }
+    } finally spark.sparkContext.removeSparkListener(progress)
   }
 
   /** Fold the step list into lineage. Returns (final df, sink writes in
