@@ -33,7 +33,8 @@ object SparkEntry {
       graft.queries.TextQueries.defs ++
       graft.queries.DedupQueries.defs ++
       graft.queries.SimilarityQueries.defs ++
-      graft.queries.MultimodalQueries.defs
+      graft.queries.MultimodalQueries.defs ++
+      graft.queries.SetRollupQueries.defs
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

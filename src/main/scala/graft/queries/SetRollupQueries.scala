@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Set operations, multi-level aggregation, and the salted-join skew
+  * pattern — engine extensions the reference lacks natively (SURVEY
+  * §2.8: only UNION-ALL-style concat exists there; no intersect/except,
+  * no grouping sets).
+  */
+object SetRollupQueries {
+
+  /** Salt fan-out for the skew-join demo. */
+  private val SaltN = 8
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // INTERSECT / EXCEPT (distinct set semantics, like SQL)
+    QueryDef("set_intersect_except",
+      (s, dir) => {
+        val may = Tables(s, dir, "orders")
+          .filter(month(col("o_orderdate")) === 5).select(col("o_custkey"))
+        val june = Tables(s, dir, "orders")
+          .filter(month(col("o_orderdate")) === 6).select(col("o_custkey"))
+        may.intersect(june).withColumn("set_op", lit("both"))
+          .unionByName(may.except(june).withColumn("set_op", lit("may_only")))
+      },
+      Some("""SELECT o_custkey, 'both' AS set_op FROM (
+             |  SELECT o_custkey FROM orders WHERE month(o_orderdate) = 5
+             |  INTERSECT
+             |  SELECT o_custkey FROM orders WHERE month(o_orderdate) = 6)
+             |UNION ALL
+             |SELECT o_custkey, 'may_only' AS set_op FROM (
+             |  SELECT o_custkey FROM orders WHERE month(o_orderdate) = 5
+             |  EXCEPT
+             |  SELECT o_custkey FROM orders WHERE month(o_orderdate) = 6)""".stripMargin)),
+
+    // ROLLUP: hierarchical subtotals in one pass (Expand + single
+    // shuffle — Catalyst's grouping-sets execution)
+    QueryDef("rollup_agg",
+      (s, dir) => Tables(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(38,2)").as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total")),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // Salted skew join: when one join key dominates (a hot customer, a
+    // null-heavy foreign key), a plain shuffle join puts the hot key's
+    // entire fact partition on one executor. The salted rewrite spreads
+    // each key over SaltN sub-keys: fact rows get a deterministic salt,
+    // the dim side is replicated SaltN× — same result set, no straggler
+    // partition. The oracle is the UNSALTED join: salting must be
+    // invisible in the output.
+    QueryDef("join_salted_skew",
+      (s, dir) => {
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+          // deterministic salt derived from row content (not random —
+          // repeatable, and spreads uniformly)
+          .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_quantity")), lit(SaltN)))
+        val supp = Tables(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            explode(sequence(lit(0), lit(SaltN - 1))).as("salt"))
+        li.join(supp,
+            li("l_suppkey") === supp("s_suppkey") && li("salt") === supp("salt"))
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").as("qty"))
+      },
+      Some("""SELECT s_nationkey, COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey""".stripMargin)),
+
+    // global ordered top-k: TakeOrderedAndProject (per-partition heaps +
+    // driver merge of k rows — never a full sort at scale)
+    QueryDef("topk_global",
+      (s, dir) => Tables(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(20),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin))
+  )
+}
