@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Custom typed aggregators (`Aggregator[IN, BUF, OUT]`) — the engine's
+  * sketch/custom-aggregation machinery (SURVEY §7 step 9; the reference
+  * has no UDAF surface at all, §2.8, so these are pure extensions).
+  *
+  * Each is algebraic (associative + commutative merge), which is what
+  * makes it map-side combinable: Spark runs `reduce` inside each
+  * partition and `merge` across partitions — the same contract a
+  * 1000-executor shuffle needs.
+  */
+object Aggregators {
+
+  /** Bounded top-k of (score, tag) pairs per group — a per-group heap
+    * that never materializes the group. The scalable alternative to
+    * `row_number().over(window)` when k ≪ group size: state is O(k),
+    * not O(group), and combines map-side before the shuffle.
+    *
+    * Ties break toward the smaller tag (deterministic output). */
+  final class TopK(k: Int) extends Aggregator[(Double, Long), List[(Double, Long)], Seq[Long]] {
+    private def trim(l: List[(Double, Long)]): List[(Double, Long)] =
+      l.sortBy { case (s, t) => (-s, t) }.take(k)
+    def zero: List[(Double, Long)] = Nil
+    def reduce(b: List[(Double, Long)], a: (Double, Long)): List[(Double, Long)] =
+      trim(a :: b)
+    def merge(b1: List[(Double, Long)], b2: List[(Double, Long)]): List[(Double, Long)] =
+      trim(b1 ++ b2)
+    def finish(r: List[(Double, Long)]): Seq[Long] = r.map(_._2)
+    def bufferEncoder: Encoder[List[(Double, Long)]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  /** Deterministic reservoir-style sample of up to n tags per group:
+    * keeps the n smallest md5-ranks, so the "random" subset is stable
+    * across runs, partitionings, and engines (the property a resumable
+    * 100 TB pipeline needs from sampling). */
+  final class StableSample(n: Int) extends Aggregator[(Long, Long), List[(Long, Long)], Seq[Long]] {
+    private def trim(l: List[(Long, Long)]): List[(Long, Long)] = l.sortBy(identity).take(n)
+    def zero: List[(Long, Long)] = Nil
+    def reduce(b: List[(Long, Long)], a: (Long, Long)): List[(Long, Long)] = trim(a :: b)
+    def merge(a: List[(Long, Long)], b: List[(Long, Long)]): List[(Long, Long)] = trim(a ++ b)
+    def finish(r: List[(Long, Long)]): Seq[Long] = r.map(_._2)
+    def bufferEncoder: Encoder[List[(Long, Long)]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
+  import org.apache.spark.sql.functions.udaf
+  /** Column form of [[TopK]] for untyped DataFrames (a tuple-input
+    * aggregator takes its fields as separate argument columns). */
+  def topK(k: Int, score: Column, tag: Column): Column =
+    udaf(new TopK(k)).apply(score, tag)
+
+  def stableSample(n: Int, rank: Column, tag: Column): Column =
+    udaf(new StableSample(n)).apply(rank, tag)
+}

@@ -37,7 +37,60 @@ object SimilarityQueries {
     .map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
     .mkString(" + ")
 
+  private val NCentroids = 16
+
   val defs: Seq[QueryDef] = Seq(
+
+    // IVF-style ANN: assign every vector to its nearest coarse-quantizer
+    // cell, probe only the query's cell. Here the "trained" centroids
+    // are a fixed deterministic subset (vec_id < NCentroids) — a real
+    // pipeline would k-means them; assignment, cell-restricted search,
+    // and the nprobe knob (1 here) are the actual IVF machinery. At
+    // scale: centroids broadcast, one corpus pass to assign (linear),
+    // search touches |corpus|/cells candidates per query.
+    QueryDef("ann_ivf",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"))
+        val cents = e.filter(col("vec_id") < NCentroids)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+            col("nrm").as("c_nrm"))
+        val aw = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_c").desc, col("c_id"))
+        val cells = e.crossJoin(broadcast(cents))
+          .withColumn("cos_c",
+            cosineFast(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+          .withColumn("rk", row_number().over(aw))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cell"))
+        val q = cells.filter(col("vec_id") < NQueries)
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        broadcast(q.as("q")).join(cells.as("c"),
+            col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+          .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+            col("q.cell").as("cell"),
+            cosineFast(col("q.embedding"), col("c.embedding"),
+              col("q.nrm"), col("c.nrm")).as("cos"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TopK)
+      },
+      Some(s"""WITH cents AS (
+              |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NCentroids),
+              |assign AS (
+              |  SELECT vec_id, embedding, c_id,
+              |    row_number() OVER (PARTITION BY vec_id
+              |      ORDER BY ${cosineSql("e.embedding", "c_emb")} DESC, c_id) AS rk
+              |  FROM embeddings e CROSS JOIN cents),
+              |cells AS (SELECT vec_id, embedding, c_id AS cell FROM assign WHERE rk = 1)
+              |SELECT * FROM (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.cell AS cell,
+              |    ${cosineSql("q.embedding", "c.embedding")} AS cos,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+              |  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < $NQueries) t
+              |WHERE rank <= $TopK""".stripMargin)),
 
     QueryDef("ann_bruteforce",
       (s, dir) => {

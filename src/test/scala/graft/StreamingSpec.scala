@@ -56,6 +56,24 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("file-source stream: micro-batches discover parquet files, windowed agg") {
+    import spark.implicits._
+    val dir = tmpDir("evstream")
+    val out = "file_hourly"
+    // two "arrivals" of event files
+    Seq(Event(1, ts(5), 1, "click", 1.0), Event(2, ts(20), 2, "click", 2.0))
+      .toDF().withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.parquet(s"$dir/batch1")
+    val stream = graft.streaming.EventStreams.readEventStream(spark, s"$dir/batch1")
+    val q = graft.streaming.EventStreams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName(out).outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val res = spark.table(out).select("event_type", "n_events").collect()
+      assert(res.map(r => (r.getString(0), r.getLong(1))).toSet == Set(("click", 2L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
