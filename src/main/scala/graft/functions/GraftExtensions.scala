@@ -1,0 +1,45 @@
+/* In the sql namespace for the same reason as VectorExpressions.scala:
+ * function-registry registration types are private[sql]. */
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions integration — the production path for making
+  * the engine's native expressions available to plain SQL users on a
+  * cluster:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions
+  *   ...
+  *   SELECT graft_dot(a.embedding, b.embedding) FROM ...
+  * }}}
+  *
+  * [[GraftExtensions.register]] does the same for an already-running
+  * session (tests, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.dotFunction)
+}
+
+object GraftExtensions {
+
+  private val dotInfo = new ExpressionInfo(
+    classOf[DotProductExpr].getCanonicalName, "graft_dot")
+
+  private def build(children: Seq[Expression]): Expression = {
+    require(children.size == 2, s"graft_dot expects 2 arguments, got ${children.size}")
+    DotProductExpr(children.head, children(1))
+  }
+
+  private[graft] val dotFunction =
+    (FunctionIdentifier("graft_dot"), dotInfo, (children: Seq[Expression]) => build(children))
+
+  /** Register the engine's SQL functions into an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_dot", build, "built-in")
+}

@@ -81,6 +81,24 @@ object SetRollupQueries {
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |GROUP BY s_nationkey""".stripMargin)),
 
+    // PIVOT: long → wide reshape (explicit value list, so the plan is a
+    // single aggregation pass — never let pivot infer values at scale,
+    // that's an extra distinct scan)
+    QueryDef("pivot_status",
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p")),
+      Some("""SELECT o_orderpriority,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
     // global ordered top-k: TakeOrderedAndProject (per-partition heaps +
     // driver merge of k rows — never a full sort at scale)
     QueryDef("topk_global",

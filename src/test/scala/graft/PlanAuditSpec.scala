@@ -76,6 +76,16 @@ class PlanAuditSpec extends SparkSuite {
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("graft_dot is SQL-callable after extensions registration") {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("emb_v")
+    val r = spark.sql(
+      "SELECT vec_id, graft_dot(embedding, embedding) AS n2 FROM emb_v WHERE vec_id < 3")
+      .collect()
+    assert(r.length == 3)
+    assert(r.forall(_.getDouble(1) > 0.0))
+  }
+
   test("limit_offset: global limit, no full materialization") {
     val p = plan(SparkEntry.queries("limit_offset")(spark, dir))
     assert(p.contains("GlobalLimit") || p.contains("TakeOrderedAndProject"), p)
