@@ -34,7 +34,8 @@ object SparkEntry {
       graft.queries.DedupQueries.defs ++
       graft.queries.SimilarityQueries.defs ++
       graft.queries.MultimodalQueries.defs ++
-      graft.queries.SetRollupQueries.defs
+      graft.queries.SetRollupQueries.defs ++
+      graft.queries.TpchQueries.defs
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

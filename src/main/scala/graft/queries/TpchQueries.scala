@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** TPC-H-shaped analytical queries over the star schema — breadth
+  * proof for multi-join + aggregation plans (Q3/Q5/Q10/Q14 shapes,
+  * adapted to the driver testdata's columns). Decimal-parity rules per
+  * [[QueryDef]]; dates are formatted to strings at the output boundary.
+  *
+  * Plan shapes to note at scale: the fact table (lineitem) is never on
+  * a broadcast side; dimensions (customer/supplier/nation/region/part
+  * at m:1 cardinality) broadcast; aggregations are partial before their
+  * single shuffle. AQE handles runtime re-planning.
+  */
+object TpchQueries {
+
+  private def revenue = sum(
+    col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
+    .cast("decimal(38,4)")
+  private val revenueSql =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Q3 shape: shipping-priority — segment-filtered customer ⋈ orders
+    // ⋈ lineitem, top-10 open orders by revenue
+    QueryDef("tpch_q3",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+        val l = Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_orderpriority"))
+          .agg(revenue.as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+              |  o_orderpriority, $revenueSql AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+              |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+              |GROUP BY 1, 2, 3
+              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // Q5 shape: local-supplier volume — 6-table join, revenue per
+    // nation within one region, customer and supplier in the SAME
+    // nation (the classic cyclic join condition)
+    QueryDef("tpch_q5",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders")
+        val l = Tables(s, dir, "lineitem")
+        val sup = Tables(s, dir, "supplier")
+        val n = Tables(s, dir, "nation")
+        val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(sup),
+            l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT n_name, $revenueSql AS revenue, COUNT(*) AS n_items
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |GROUP BY n_name""".stripMargin)),
+
+    // Q10 shape: returned-item losses per customer, top 20
+    QueryDef("tpch_q10",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders")
+        val l = Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        val n = Tables(s, dir, "nation")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(revenue.as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, n_name, $revenueSql AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |WHERE l_returnflag = 'R'
+              |GROUP BY 1, 2, 3
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    // Q14-ish shape: revenue share per part brand (fact ⋈ part dim)
+    QueryDef("tpch_brand_share",
+      (s, dir) => {
+        val l = Tables(s, dir, "lineitem")
+        val p = Tables(s, dir, "part")
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(revenue.as("revenue"), count(lit(1)).as("n_items"),
+            round(avg(col("p_retailprice").cast("decimal(12,2)")), 4)
+              .cast("decimal(20,4)").as("avg_retail"))
+      },
+      Some(s"""SELECT p_brand, $revenueSql AS revenue, COUNT(*) AS n_items,
+              |  CAST(round(AVG(CAST(p_retailprice AS DECIMAL(12,2))), 4) AS DECIMAL(20,4)) AS avg_retail
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |GROUP BY p_brand""".stripMargin))
+  )
+}

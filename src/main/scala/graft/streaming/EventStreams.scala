@@ -61,6 +61,37 @@ object EventStreams {
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
 
+  /** Streaming exactly-once-per-key dedup: drops events whose `event_id`
+    * was already seen, keeping state only within the watermark horizon
+    * (the streaming twin of the batch `dedup_exact` operator — and the
+    * ingest-side guard every training-data pipeline needs against
+    * at-least-once sources). */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream inner join: clicks enriched with the purchase that
+    * followed within an hour, both sides watermarked so join state is
+    * evicted (unbounded state = the classic stream-join failure at
+    * scale; the time-range condition is what bounds it). */
+  def clickToPurchase(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      expr("""user_id = p_user_id AND
+              purchase_ts >= click_ts AND
+              purchase_ts <= click_ts + INTERVAL 1 HOUR"""))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   final case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
       n_events: Long, total_value: Double)

@@ -74,6 +74,69 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark: at-least-once source deduped") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = graft.streaming.EventStreams.dedupStream(
+        ms.toDF().withColumn("props", org.apache.spark.sql.functions.lit("{}")))
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      ms.addData(Event(1, ts(0), 1, "click", 1.0), Event(1, ts(0), 1, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L)) // duplicate event_id 1 dropped across batches
+    } finally q.stop()
+  }
+
+  test("stream-stream join: purchase within an hour of a click") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = graft.streaming.EventStreams.clickToPurchase(ms.toDF())
+      .writeStream.format("memory").queryName("attributed").outputMode("append").start()
+    try {
+      ms.addData(
+        Event(1, ts(0), 1, "click", 0.0),
+        Event(2, ts(30), 1, "purchase", 9.99),   // within the hour → joins
+        Event(3, ts(0), 2, "click", 0.0),
+        Event(4, ts(90), 2, "purchase", 5.0))    // past the hour → no join
+      q.processAllAvailable()
+      ms.addData(Event(5, ts(600), 3, "click", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("attributed")
+        .select("user_id", "click_id", "purchase_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq((1L, 1L, 9.99)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch: per-micro-batch idempotent sink (upsert pattern)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val out = tmpDir("febatch")
+    // foreachBatch is the bridge to batch-only sinks (JDBC upsert,
+    // MERGE): batchId enables idempotent retries
+    val q = ms.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("append").parquet(s"$out/events")
+      }
+      .start()
+    try {
+      ms.addData(Event(1, ts(0), 1, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(Event(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$out/events")
+      assert(got.count() == 2)
+      assert(got.select("batch_id").distinct().count() == 2)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
