@@ -110,14 +110,17 @@ object TpchQueries {
       (s, dir) => {
         val l = Tables(s, dir, "lineitem")
         val p = Tables(s, dir, "part")
+        // exact decimal SUM, not AVG: DuckDB's AVG over decimal returns
+        // a double and rounds differently by 1 ulp at scale (bit us at
+        // sf0.1); sums in pinned decimal are engine-independent
         l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
           .groupBy(col("p_brand"))
           .agg(revenue.as("revenue"), count(lit(1)).as("n_items"),
-            round(avg(col("p_retailprice").cast("decimal(12,2)")), 4)
-              .cast("decimal(20,4)").as("avg_retail"))
+            sum(col("p_retailprice").cast("decimal(12,2)"))
+              .cast("decimal(38,2)").as("sum_retail"))
       },
       Some(s"""SELECT p_brand, $revenueSql AS revenue, COUNT(*) AS n_items,
-              |  CAST(round(AVG(CAST(p_retailprice AS DECIMAL(12,2))), 4) AS DECIMAL(20,4)) AS avg_retail
+              |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_retail
               |FROM lineitem JOIN part ON l_partkey = p_partkey
               |GROUP BY p_brand""".stripMargin))
   )
