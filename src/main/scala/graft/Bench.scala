@@ -27,6 +27,10 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
+      } finally {
+        // some queries persist intermediates (documented in
+        // DedupQueries); drop them so no query's cache skews the next
+        spark.catalog.clearCache()
       }
       (System.nanoTime() - t0) / 1e9
     }

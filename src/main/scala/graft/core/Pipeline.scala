@@ -105,7 +105,7 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
 
   /** Compile the flow to a DataFrame without running it (the reference's
     * documented standalone/partial-flow reuse, `docs/reusability.md:3-34`). */
-  def toDF(spark: SparkSession): DataFrame = compile(spark)._1
+  def toDF(spark: SparkSession): DataFrame = compile(spark, forExec = false).df
 
   /** Run the flow: execute every sink write, gather counters, report —
     * `exec()` in the reference (`tests/YaEtlTest.php:40`), repeatable.
@@ -118,22 +118,19 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
     spark.sparkContext.addSparkListener(progress)
     events.onStart()
     try {
-      val (_, effective, observations, truncated) = compile(spark)
-      val shared = effective.size > 1
-      val persisted = ListBuffer.empty[DataFrame]
+      val c = compile(spark, forExec = true)
       try {
-        effective.zipWithIndex.foreach { case ((d, sink), i) =>
-          val toWrite = if (shared) { val p = d.persist(); persisted += p; p } else d
-          sink.write(toWrite)
+        c.writes.zipWithIndex.foreach { case ((d, sink), i) =>
+          sink.write(d)
           events.onFlush(i)
         }
-      } finally persisted.foreach(_.unpersist(blocking = false))
-      val counters = observations.flatMap { case (name, obs) =>
+      } finally c.persisted.foreach(_.unpersist(blocking = false))
+      val counters = c.observations.flatMap { case (name, obs) =>
         obs.get.map { case (k, v) =>
           s"$name.$k" -> v.asInstanceOf[Number].longValue() }
       }.toMap
       val report = PipelineReport(
-        if (truncated) PipelineStatus.Dirty else PipelineStatus.Clean,
+        if (c.truncated) PipelineStatus.Dirty else PipelineStatus.Clean,
         counters, (System.nanoTime() - t0) / 1000000)
       events.onSuccess(report)
       report
@@ -144,23 +141,46 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
     } finally spark.sparkContext.removeSparkListener(progress)
   }
 
-  /** Fold the step list into lineage. Returns (final df, sink writes in
-    * declaration order, observation points, truncated?). */
-  private def compile(spark: SparkSession)
-    : (DataFrame, Seq[(DataFrame, Sink)], Seq[(String, Observation)], Boolean) = {
+  /** Fold the step list into lineage.
+    *
+    * Fan-out handling (`forExec` only): when a `to`/`branch` is not the
+    * last step, the DataFrame at that point is consumed more than once
+    * (this sink AND the continuation), so it is persisted there — the
+    * shared *prefix* is cached exactly once and every consumer's plan
+    * contains the same cached node. (Persisting each sink's final
+    * DataFrame instead would cache rows nothing ever re-reads.)
+    *
+    * Every observation is guaranteed to sit inside some executed write:
+    * if steps after the last sink changed the stream (`dirtyTail`), a
+    * terminal NoOp write drives them — otherwise `Observation.get`
+    * would block forever on a plan that never ran. */
+  private def compile(spark: SparkSession, forExec: Boolean): Compiled = {
     var df: DataFrame = null
     val writes = ListBuffer.empty[(DataFrame, Sink)]
     val observations = ListBuffer.empty[(String, Observation)]
+    val persisted = ListBuffer.empty[DataFrame]
     var truncated = false
+    var dirtyTail = false // df changed since the last sink/branch
     var i = 0
 
     def observed(d: DataFrame, name: String): DataFrame = {
-      val obs = new Observation(s"graft_${name}_$i")
-      observations += name -> obs
+      // globally unique observation AND report key: branch sub-flows
+      // reuse step indices, so a bare "load_3" would collide both in
+      // Spark's observed-metrics registry and in the counters map
+      val uid = Pipeline.obsCounter.incrementAndGet()
+      val obs = new Observation(s"graft_${name}_$uid")
+      observations += s"${name}_$uid" -> obs
       d.observe(obs, count(lit(1)).as("records"))
     }
 
-    steps.foreach { step =>
+    def persistIfShared(last: Boolean): Unit =
+      if (forExec && !last && df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        df = df.persist()
+        persisted += df
+      }
+
+    val n = steps.length
+    steps.zipWithIndex.foreach { case (step, idx) =>
       i += 1
       step match {
         case BaseDf(base) => df = base
@@ -170,6 +190,7 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
           else if (agg) df.unionByName(loaded, allowMissingColumns = false)
           else throw new IllegalStateException(
             "second non-aggregated from(): use fromPerRecord (per-record semantics) or aggregate = true (concat)")
+          dirtyTail = true
         case FromPerRecord(src, on) =>
           require(df != null, "fromPerRecord needs an upstream source")
           val right = src.load(spark)
@@ -179,22 +200,31 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
               if (l == r) joined.drop(right(r)) else joined
             case None => df.crossJoin(right)
           }
-        case Join(spec)    => df = spec(spark, df)
-        case Qualify(q)    => df = q(df); truncated ||= q.truncates
-        case Transform(t)  => df = t(df)
-        case To(sink)      => writes += ((observed(df, s"load_$i"), sink))
-        case Branch(sub)   =>
-          val (_, bwrites, bobs, btrunc) = sub.withBase(df).compile(spark)
-          writes ++= bwrites
-          observations ++= bobs
-          truncated ||= btrunc
+          dirtyTail = true
+        case Join(spec)    => df = spec(spark, df); dirtyTail = true
+        case Qualify(q)    => df = q(df); truncated ||= q.truncates; dirtyTail = true
+        case Transform(t)  => df = t(df); dirtyTail = true
+        case To(sink) =>
+          persistIfShared(last = idx == n - 1)
+          writes += ((observed(df, s"load_$i"), sink))
+          dirtyTail = false
+        case Branch(sub) =>
+          persistIfShared(last = idx == n - 1)
+          val b = sub.withBase(df).compile(spark, forExec)
+          writes ++= b.writes
+          observations ++= b.observations
+          persisted ++= b.persisted
+          truncated ||= b.truncated
+          dirtyTail = false
       }
     }
     require(df != null, "pipeline has no source (from)")
-    // a flow without an explicit sink still executes (reference exec()
-    // semantics) — drive it through a NoOp write so counters materialize
-    if (writes.isEmpty) writes += ((observed(df, s"load_${i + 1}"), NoOpSink))
-    (df, writes.toSeq, observations.toSeq, truncated)
+    // a flow without an explicit sink — or with nodes after the last
+    // sink — still executes fully (reference exec() semantics): drive
+    // the tail through a NoOp write so counters materialize
+    if (writes.isEmpty || dirtyTail)
+      writes += ((observed(df, s"load_${i + 1}"), NoOpSink))
+    Compiled(df, writes.toSeq, observations.toSeq, truncated, persisted.toSeq)
   }
 
   private def withBase(base: DataFrame): Pipeline =
@@ -204,6 +234,15 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
 object Pipeline {
   def apply(): Pipeline = new Pipeline(Vector.empty)
   def from(src: Source): Pipeline = Pipeline().from(src)
+
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private final case class Compiled(
+      df: DataFrame,
+      writes: Seq[(DataFrame, Sink)],
+      observations: Seq[(String, Observation)],
+      truncated: Boolean,
+      persisted: Seq[DataFrame])
 
   sealed private trait Step
   private final case class From(src: Source, aggregate: Boolean) extends Step

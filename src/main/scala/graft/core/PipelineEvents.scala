@@ -44,14 +44,18 @@ object PipelineEvents {
 }
 
 /** SparkListener translating task completions into progress events.
-  * Registered for the duration of one [[Pipeline.exec]]. */
+  * Registered for the duration of one [[Pipeline.exec]]. Counts records
+  * READ by finished tasks — the distributed analog of the reference's
+  * per-record iteration counter at extractors (mixing in shuffle or
+  * output rows would double-count a record per stage it crosses).
+  * Scope note: the listener sees every job on the SparkContext, so a
+  * concurrently running foreign job would also tick this counter. */
 private[core] final class TaskProgressListener(events: PipelineEvents) extends SparkListener {
   private val records = new AtomicLong(0)
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
     val m = taskEnd.taskMetrics
-    if (m != null) {
-      val n = records.addAndGet(m.outputMetrics.recordsWritten + m.shuffleWriteMetrics.recordsWritten)
-      events.onProgress(n)
+    if (m != null && m.inputMetrics.recordsRead > 0) {
+      events.onProgress(records.addAndGet(m.inputMetrics.recordsRead))
     }
   }
 }

@@ -39,6 +39,8 @@ object Qualifiers {
 
   /** Break after N records: scalable declarative cutoff. */
   final case class BreakAfter(n: Long) extends Qualifier {
+    require(n >= 0 && n <= Int.MaxValue,
+      s"BreakAfter($n) out of Int range (Dataset.limit takes Int) — use Keep(pred) for larger cutoffs")
     override def truncates: Boolean = true
     def apply(df: DataFrame): DataFrame = df.limit(n.toInt)
   }

@@ -76,6 +76,9 @@ object EventQueries {
         .select(
           col("event_id"),
           regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k")),
-      Some("""SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k FROM events""".stripMargin))
+      // TRY_CAST: on a props row without a "k" match Spark yields NULL
+      // ('' cast to int), while a DuckDB CAST would abort the whole
+      // oracle query — TRY_CAST gives NULL like Spark
+      Some("""SELECT event_id, TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k FROM events""".stripMargin))
   )
 }

@@ -30,6 +30,12 @@ trait Source {
   protected def scan(spark: SparkSession): DataFrame
 
   final def load(spark: SparkSession): DataFrame = {
+    // Dataset.limit/offset take Int; a silent .toInt would wrap and
+    // truncate billion-row cutoffs to garbage — refuse loudly instead
+    limit.foreach(n => require(n <= Int.MaxValue && n >= 0,
+      s"source limit $n out of Int range — use a filter/qualifier for larger cutoffs"))
+    require(offset <= Int.MaxValue && offset >= 0,
+      s"source offset $offset out of Int range")
     var df = scan(spark)
     if (offset > 0 || (limit.isDefined && orderedBy.nonEmpty)) {
       require(orderedBy.nonEmpty, "offset on a source requires orderedBy columns (unordered offset is nondeterministic)")
@@ -62,8 +68,11 @@ final case class ParquetSource(
   * bytes (one small read, independent of file count/size — scale-safe).
   * When a `sep=` prolog exists we read distributed text, drop prolog lines
   * by exact value, and parse via `csv(Dataset[String])`; that route cannot
-  * support embedded newlines (documented divergence — the reference's own
-  * fixtures never combine the two).
+  * support embedded newlines, and a data LINE whose entire raw text
+  * equals the prolog (e.g. a one-column file containing the literal
+  * string `sep=;`) is also dropped — dropping "the first line of each
+  * file" has no order-safe distributed expression. Both are documented
+  * divergences; the reference's own fixtures exhibit neither.
   */
 final case class CsvSource(
     path: String,
@@ -112,16 +121,22 @@ object CsvSource {
   private[sources] def stripBom(s: String): String = s.stripPrefix("﻿")
 
   /** Read the first bytes of (one file under) `path` through the Hadoop
-    * FS API — works for local paths and any DFS, costs one tiny read. */
+    * FS API — works for local paths, globs, and any DFS; costs one tiny
+    * read. Any pre-scan failure (glob with no direct status, permission
+    * quirk) degrades to "no prolog detected" and lets `spark.read.csv`
+    * handle the path itself. */
   def preScan(spark: SparkSession, path: String): PreScan = {
     val none = PreScan(utf8Bom = false, None, None)
-    val p = new HPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fileOpt =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath).sortBy(_.getName).headOption
-      else Some(p)
-    fileOpt.fold(none) { file =>
+    try {
+      val p = new HPath(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // globStatus resolves plain paths, directories and glob patterns
+      val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      val fileOpt = statuses.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath)
+        else Array(st.getPath)
+      }.sortBy(_.getName).headOption
+      fileOpt.fold(none) { file =>
       val in = fs.open(file)
       val buf = new Array[Byte](4096)
       val n = try in.read(buf) finally in.close()
@@ -138,6 +153,9 @@ object CsvSource {
           case _        => PreScan(bom, None, None)
         }
       }
+      }
+    } catch {
+      case _: Exception => none
     }
   }
 }

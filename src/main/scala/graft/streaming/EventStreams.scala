@@ -92,8 +92,8 @@ object EventStreams {
         col("purchase_ts"), col("purchase_value"))
   }
 
-  final case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
-  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+  final case class SessionState(startMs: Long, lastMs: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Long, total_value: Double)
 
   /** Custom stateful sessionization via `flatMapGroupsWithState` — the
@@ -108,7 +108,8 @@ object EventStreams {
       gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
 
-    def us(t: java.sql.Timestamp): Long = t.getTime
+    // epoch MILLIseconds (Timestamp.getTime) — field names say so
+    def ms(t: java.sql.Timestamp): Long = t.getTime
 
     events
       .withWatermark("ts", "2 hours")
@@ -119,26 +120,26 @@ object EventStreams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(userId, s.startUs, s.lastUs, s.n, s.total))
+            Iterator.single(SessionOut(userId, s.startMs, s.lastMs, s.n, s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (ms(e.ts), e.event_id))
             val closed = Seq.newBuilder[SessionOut]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = us(e.ts)
+              val t = ms(e.ts)
               cur match {
-                case Some(s) if t - s.lastUs > gapMs =>
-                  closed += SessionOut(userId, s.startUs, s.lastUs, s.n, s.total)
+                case Some(s) if t - s.lastMs > gapMs =>
+                  closed += SessionOut(userId, s.startMs, s.lastMs, s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case Some(s) =>
-                  cur = Some(SessionState(s.startUs, t, s.n + 1, s.total + e.value))
+                  cur = Some(SessionState(s.startMs, t, s.n + 1, s.total + e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastUs + gapMs)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
             }
             closed.result().iterator
           }

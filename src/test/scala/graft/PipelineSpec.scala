@@ -112,6 +112,56 @@ class PipelineSpec extends SparkSuite {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("steps after the last sink still execute (loader mid-flow tail)") {
+    // regression: the tail's observation must belong to an executed
+    // plan, or exec() blocks forever on Observation.get
+    val out = tmpDir("midflow")
+    val report = Pipeline
+      .from(ParquetSource(sf("nation")))
+      .to(ParquetSink(s"$out/mid"))
+      .from(ParquetSource(sf("region")), aggregate = false)
+      .exec(spark)
+    // note: aggregate=false second from throws by design — use the report
+    assert(report.status.isInstanceOf[PipelineStatus.Failed])
+    val report2 = Pipeline
+      .from(ParquetSource(sf("nation")))
+      .to(ParquetSink(s"$out/mid2"))
+      .transform(Transformers.KeyUnset(Seq("n_comment_missing_ok")))
+      .qualify(col("n_regionkey") === 0)
+      .exec(spark)
+    assert(report2.status == PipelineStatus.Clean)
+    // tail counters materialized via the terminal NoOp write
+    assert(report2.counters.exists { case (k, v) => k.startsWith("load_") && v == 5 })
+  }
+
+  test("branches with their own sources get distinct observation names") {
+    // regression: observation names collided between parent and branch
+    val report = Pipeline
+      .from(ParquetSource(sf("nation")))
+      .branch(_.from(ParquetSource(sf("nation")), aggregate = true))
+      .branch(_.from(ParquetSource(sf("nation")), aggregate = true))
+      .exec(spark)
+    assert(report.status == PipelineStatus.Clean, report.status.toString)
+    // 50 = 25 parent nations + 25 branch-local flowing through each
+    // branch's NoOp write
+    assert(report.counters.count { case (k, v) => k.startsWith("load_") && v == 50 } == 2)
+  }
+
+  test("multi-sink exec persists the shared prefix exactly once") {
+    val out = tmpDir("fanout2")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val report = Pipeline
+      .from(ParquetSource(sf("customer")))
+      .qualify(col("c_acctbal") > 0)
+      .to(ParquetSink(s"$out/a"))
+      .to(ParquetSink(s"$out/b"))
+      .exec(spark)
+    assert(report.status == PipelineStatus.Clean)
+    assert(spark.read.parquet(s"$out/a").count() == spark.read.parquet(s"$out/b").count())
+    // exec unpersists its own prefix caches (other suites may cache)
+    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore)
+  }
+
   test("failed flow reports Failed status") {
     val report = Pipeline
       .from(ParquetSource("/nonexistent/nope.parquet"))
