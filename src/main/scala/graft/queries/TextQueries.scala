@@ -100,6 +100,45 @@ object TextQueries {
            |FROM toks""".stripMargin
       }),
 
+    // document chunking: fixed-size token windows with overlap (chunk =
+    // 16 tokens, stride 12 → 4-token overlap) — the standard prep step
+    // before embedding/tokenizing long documents. Pure narrow ops
+    // (sequence + explode + slice): no shuffle, scales at scan speed;
+    // chunk row count ≈ tokens/stride.
+    QueryDef("chunk_documents",
+      (s, dir) => {
+        val chunk = 16
+        val stride = 12
+        Tables(s, dir, "documents")
+          .withColumn("t", tokens(col("text")))
+          .withColumn("s",
+            explode(sequence(lit(1), greatest(size(col("t")), lit(1)), lit(stride))))
+          .select(
+            col("doc_id"),
+            ((col("s") - 1) / stride).cast("long").as("chunk_idx"),
+            concat_ws(" ", slice(col("t"), col("s"), lit(chunk))).as("chunk_text"),
+            least(size(col("t")) - col("s") + 1, lit(chunk)).cast("long").as("n_tokens"))
+      },
+      Some(s"""$toksCte,
+              |starts AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1) + 1, 12)) AS s FROM toks)
+              |SELECT doc_id, CAST((s - 1) / 12 AS BIGINT) AS chunk_idx,
+              |  array_to_string(t[s:s+15], ' ') AS chunk_text,
+              |  CAST(least(len(t) - s + 1, 16) AS BIGINT) AS n_tokens
+              |FROM starts""".stripMargin)),
+
+    // vocabulary building: corpus-wide token frequencies, top 100 —
+    // one shuffle on the token, map-side combined (a word count)
+    QueryDef("vocab_top",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tk"))
+        .groupBy(col("tk"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("tk"))
+        .limit(100),
+      Some("""SELECT tk, count(*) AS freq
+             |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk FROM documents)
+             |GROUP BY tk ORDER BY freq DESC, tk LIMIT 100""".stripMargin)),
+
     // document fingerprinting: md5 of whitespace-normalized text (exact
     // content identity) + order-sensitive polynomial rolling hash over
     // the token stream
