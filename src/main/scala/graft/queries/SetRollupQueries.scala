@@ -99,6 +99,23 @@ object SetRollupQueries {
              |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
+    // custom typed aggregator: per-group top-k via a bounded heap
+    // (graft.operators.Aggregators.TopK) — O(k) state per group and
+    // map-side combinable, vs the window form's full sort per group.
+    // The oracle is the window row_number formulation: the aggregator
+    // must be result-identical to it.
+    QueryDef("topk_agg",
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(graft.operators.Aggregators.topK(3, col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rank"), col("col").as("o_orderkey")),
+      Some("""SELECT o_custkey, rank, o_orderkey FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+             |  FROM orders) t WHERE rank <= 3""".stripMargin)),
+
     // global ordered top-k: TakeOrderedAndProject (per-partition heaps +
     // driver merge of k rows — never a full sort at scale)
     QueryDef("topk_global",
