@@ -53,6 +53,36 @@ object SetRollupQueries {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)),
 
+    // CUBE: all grouping-set combinations in one pass (Expand + one
+    // shuffle), same execution as rollup with 4 grouping sets not 3
+    QueryDef("cube_agg",
+      (s, dir) => Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders")),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  COUNT(*) AS n_orders
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // correlated scalar subquery through the engine's SQL entry path —
+    // Catalyst decorrelates it into an aggregate + left join (SURVEY
+    // §2.8: subqueries/decorrelation are engine-native extensions)
+    QueryDef("sql_correlated",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT o_orderkey, o_totalprice,
+                |  (SELECT count(*) FROM lineitem_v l WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+                |FROM orders_v o WHERE o_totalprice > 400000""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+             |FROM orders o WHERE o_totalprice > 400000""".stripMargin)),
+
     // Salted skew join: when one join key dominates (a hot customer, a
     // null-heavy foreign key), a plain shuffle join puts the hot key's
     // entire fact partition on one executor. The salted rewrite spreads

@@ -86,6 +86,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(r.forall(_.getDouble(1) > 0.0))
   }
 
+  test("correlated scalar subquery is decorrelated to aggregate + join") {
+    val p = plan(SparkEntry.queries("sql_correlated")(spark, dir))
+    // no per-row subquery execution: Catalyst rewrites to agg + join
+    assert(!p.contains("ScalarSubquery"), p)
+    assert(p.contains("HashAggregate") || p.contains("Aggregate"), p)
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("limit_offset: global limit, no full materialization") {
     val p = plan(SparkEntry.queries("limit_offset")(spark, dir))
     assert(p.contains("GlobalLimit") || p.contains("TakeOrderedAndProject"), p)
