@@ -69,6 +69,27 @@ object EventQueries {
              |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS session_value
              |FROM sessions GROUP BY user_id, session_seq""".stripMargin)),
 
+    // calendar dimension derivation — the enrich step before
+    // time-partitioned writes/aggregations. Convention trap: Spark
+    // dayofweek is 1=Sunday, DuckDB's is 0=Sunday; normalized to
+    // 0=Sunday on both sides. weekofyear is ISO on both.
+    QueryDef("time_dims",
+      (s, dir) => Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          hour(col("ts")).cast("long").as("hr"),
+          (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+          weekofyear(col("ts")).cast("long").as("week"),
+          quarter(col("ts")).cast("long").as("qtr")),
+      Some("""SELECT event_id,
+             |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             |  CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+             |  CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+             |  CAST(weekofyear(CAST(ts AS TIMESTAMP)) AS BIGINT) AS week,
+             |  CAST(quarter(CAST(ts AS TIMESTAMP)) AS BIGINT) AS qtr
+             |FROM events""".stripMargin)),
+
     // semi-structured extraction from the JSON props column (regexp on
     // both sides so the oracle needs no JSON extension)
     QueryDef("props_extract",
