@@ -20,6 +20,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // never leave a previous run's output where a failed query's
+        // should be — the compare would silently pass on stale results
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists()) {
+          stale.listFiles().foreach(_.delete())
+          stale.delete()
+        }
       } finally spark.catalog.clearCache() // per-query persists don't leak
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

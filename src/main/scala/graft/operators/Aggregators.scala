@@ -22,11 +22,16 @@ object Aggregators {
     *
     * Ties break toward the smaller tag (deterministic output). */
   final class TopK(k: Int) extends Aggregator[(Double, Long), List[(Double, Long)], Seq[Long]] {
+    // buffer invariant: sorted by (-score, tag), length <= k — so the
+    // common case in reduce (full buffer, uncompetitive row) is O(1)
+    // instead of a sort per input row
+    private def worse(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 >= b._2)
     private def trim(l: List[(Double, Long)]): List[(Double, Long)] =
       l.sortBy { case (s, t) => (-s, t) }.take(k)
     def zero: List[(Double, Long)] = Nil
     def reduce(b: List[(Double, Long)], a: (Double, Long)): List[(Double, Long)] =
-      trim(a :: b)
+      if (b.lengthCompare(k) >= 0 && worse(a, b.last)) b else trim(a :: b)
     def merge(b1: List[(Double, Long)], b2: List[(Double, Long)]): List[(Double, Long)] =
       trim(b1 ++ b2)
     def finish(r: List[(Double, Long)]): Seq[Long] = r.map(_._2)
@@ -41,7 +46,9 @@ object Aggregators {
   final class StableSample(n: Int) extends Aggregator[(Long, Long), List[(Long, Long)], Seq[Long]] {
     private def trim(l: List[(Long, Long)]): List[(Long, Long)] = l.sortBy(identity).take(n)
     def zero: List[(Long, Long)] = Nil
-    def reduce(b: List[(Long, Long)], a: (Long, Long)): List[(Long, Long)] = trim(a :: b)
+    def reduce(b: List[(Long, Long)], a: (Long, Long)): List[(Long, Long)] =
+      if (b.lengthCompare(n) >= 0 && Ordering[(Long, Long)].gteq(a, b.last)) b
+      else trim(a :: b)
     def merge(a: List[(Long, Long)], b: List[(Long, Long)]): List[(Long, Long)] = trim(a ++ b)
     def finish(r: List[(Long, Long)]): Seq[Long] = r.map(_._2)
     def bufferEncoder: Encoder[List[(Long, Long)]] = ExpressionEncoder()

@@ -36,19 +36,24 @@ object SetRollupQueries {
              |  SELECT o_custkey FROM orders WHERE month(o_orderdate) = 6)""".stripMargin)),
 
     // ROLLUP: hierarchical subtotals in one pass (Expand + single
-    // shuffle — Catalyst's grouping-sets execution)
+    // shuffle — Catalyst's grouping-sets execution). Subtotal rows are
+    // labeled via grouping(), NOT coalesce: a genuine NULL group value
+    // must not masquerade as the 'ALL' subtotal.
     QueryDef("rollup_agg",
       (s, dir) => Tables(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        // grouping() is only valid inside the aggregate list
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(38,2)").as("total"))
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(38,2)").as("total"),
+          grouping(col("o_orderstatus")).as("g_s"),
+          grouping(col("o_orderpriority")).as("g_p"))
         .select(
-          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          when(col("g_s") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("status"),
+          when(col("g_p") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("priority"),
           col("n_orders"), col("total")),
-      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
-             |  coalesce(o_orderpriority, 'ALL') AS priority,
+      Some("""SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+             |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
              |  COUNT(*) AS n_orders,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)),
@@ -58,13 +63,15 @@ object SetRollupQueries {
     QueryDef("cube_agg",
       (s, dir) => Tables(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_orders"))
+        .agg(count(lit(1)).as("n_orders"),
+          grouping(col("o_orderstatus")).as("g_s"),
+          grouping(col("o_orderpriority")).as("g_p"))
         .select(
-          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
-          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          when(col("g_s") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("status"),
+          when(col("g_p") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("priority"),
           col("n_orders")),
-      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
-             |  coalesce(o_orderpriority, 'ALL') AS priority,
+      Some("""SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+             |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
              |  COUNT(*) AS n_orders
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
 

@@ -33,12 +33,32 @@ object EventStreams {
 
   /** File-based stream over an events directory (new parquet files are
     * discovered per micro-batch). `maxFilesPerTrigger` bounds batch
-    * size — the streaming analog of the reference's extract batchSize. */
-  def readEventStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 4): DataFrame =
-    spark.readStream
-      .schema(eventSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
+    * size — the streaming analog of the reference's extract batchSize.
+    *
+    * `nanosTs = true` (default) handles the driver testdata's
+    * nanosecond-precision `ts` the same way the batch path
+    * ([[graft.Tables.events]]) does: read raw nanos as long, truncate
+    * to a microsecond timestamp. Pass false for ordinary
+    * microsecond-timestamp parquet. */
+  def readEventStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 4, nanosTs: Boolean = true): DataFrame =
+    if (nanosTs) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = StructType(eventSchema.map {
+        case f if f.name == "ts" => f.copy(dataType = LongType)
+        case f => f
+      })
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.readStream
+        .schema(eventSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir)
+    }
 
   /** Watermarked tumbling-window aggregation — the streaming twin of
     * the batch `events_hourly` query. Late events beyond the watermark
@@ -49,7 +69,9 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"),
+        // decimal before summing, per the engine-wide numeric policy: a
+        // double sum's low bits vary with micro-batch/partition order
+        sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_value"),
         approx_count_distinct(col("user_id")).as("approx_users"))
 
   /** Session windows via the built-in `session_window` (30-minute gap)
@@ -76,7 +98,6 @@ object EventStreams {
     * evicted (unbounded state = the classic stream-join failure at
     * scale; the time-range condition is what bounds it). */
   def clickToPurchase(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
       .withWatermark("click_ts", watermark)
@@ -105,14 +126,15 @@ object EventStreams {
     * immediately) or when the event-time watermark passes
     * `last + gapMs` (timeout path — this is what bounds state). */
   def sessionizeStateful(events: Dataset[Event],
-      gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+      gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "2 hours"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
 
     // epoch MILLIseconds (Timestamp.getTime) — field names say so
     def ms(t: java.sql.Timestamp): Long = t.getTime
 
     events
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -132,7 +154,11 @@ object EventStreams {
                   closed += SessionOut(userId, s.startMs, s.lastMs, s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case Some(s) =>
-                  cur = Some(SessionState(s.startMs, t, s.n + 1, s.total + e.value))
+                  // min/max, not overwrite: a late-but-in-watermark
+                  // event from a previous micro-batch may precede the
+                  // session's current bounds — never regress them
+                  cur = Some(SessionState(math.min(s.startMs, t),
+                    math.max(s.lastMs, t), s.n + 1, s.total + e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }

@@ -23,7 +23,8 @@ class StreamingSpec extends SparkSuite {
         Event(3, ts(70), 1, "view", 3.0))
       q.processAllAvailable()
       val res = spark.table("hourly")
-        .select(col("window.start").cast("string").as("w"), col("event_type"), col("n_events"), col("sum_value"))
+        .select(col("window.start").cast("string").as("w"), col("event_type"),
+          col("n_events"), col("sum_value").cast("double"))
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
       assert(res.contains(("2024-01-01 00:00:00", "click", 2L, 3.0)))
       assert(res.contains(("2024-01-01 01:00:00", "view", 1L, 3.0)))
@@ -64,13 +65,30 @@ class StreamingSpec extends SparkSuite {
     Seq(Event(1, ts(5), 1, "click", 1.0), Event(2, ts(20), 2, "click", 2.0))
       .toDF().withColumn("props", org.apache.spark.sql.functions.lit("{}"))
       .write.parquet(s"$dir/batch1")
-    val stream = graft.streaming.EventStreams.readEventStream(spark, s"$dir/batch1")
+    val stream = graft.streaming.EventStreams.readEventStream(
+      spark, s"$dir/batch1", nanosTs = false)
     val q = graft.streaming.EventStreams.hourlyCounts(stream)
       .writeStream.format("memory").queryName(out).outputMode("update").start()
     try {
       q.processAllAvailable()
       val res = spark.table(out).select("event_type", "n_events").collect()
       assert(res.map(r => (r.getString(0), r.getLong(1))).toSet == Set(("click", 2L)))
+    } finally q.stop()
+  }
+
+  test("readEventStream handles the real nanosecond-ts events table") {
+    // file stream sources need a directory: stage the ns-ts testdata
+    val dir = java.nio.file.Paths.get(tmpDir("nsev"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = graft.streaming.EventStreams
+      .readEventStream(spark, dir.toString)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("ns_events").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ns_events").head().getLong(0) == 1000L)
     } finally q.stop()
   }
 
