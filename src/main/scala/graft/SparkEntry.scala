@@ -10,15 +10,15 @@ import org.apache.spark.sql.functions._
   * [[oracleSql]] is the ANSI-SQL equivalent the driver runs in DuckDB on
   * the same parquet tables; column names/aliases match exactly.
   *
-  * Numeric-parity policy: aggregates over `double` columns are cast to
-  * DECIMAL **before** summation in both engines, so the arithmetic is
-  * exact and order-insensitive (a double sum would differ in low-order
-  * bits between Spark's partition-ordered sum and DuckDB's sequential
-  * one). Final aggregates are cast to a pinned DECIMAL type so the
-  * output scale matches on both sides — and that cast must NEVER reduce
-  * the scale: DuckDB truncates on decimal downscale while Spark rounds
-  * HALF_UP, so a scale-reducing cast diverges by one ulp on ~half the
-  * groups.
+  * Numeric-parity policy: aggregates over `double` columns are rounded
+  * to integer cents — `floor(x * 100 + 0.5)` as BIGINT, see
+  * [[graft.queries.QueryDef.cents]] — and the BIGINTs summed. Every op
+  * is a single IEEE-754 double operation, so results are bit-identical
+  * across engines AND engine versions; the BIGINT sum is exact and
+  * order-insensitive. (Round 1 used `CAST(double AS DECIMAL)` before
+  * summing — exact, but its boundary rounding is a DuckDB-version
+  * implementation detail and the driver's DuckDB disagreed with the
+  * local 1.0.0 on 8 queries. Doubles never meet DECIMAL now.)
   */
 object SparkEntry {
 
@@ -45,15 +45,15 @@ object SparkEntry {
     // here it is native: partial (map-side) agg + single shuffle on the
     // 6-value grouping key, filter pushed to the parquet scan.
     "q1_agg" -> ((s, dir) => {
+      import graft.queries.QueryDef.cents
       Tables(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_base_price"),
-          sum(col("l_extendedprice").cast("decimal(12,2)") *
-            (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
-            .cast("decimal(18,4)").as("sum_disc_price"),
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_price_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("sum_disc_price_cents"),
           count(lit(1)).as("count_order"))
     })
   )
@@ -62,14 +62,16 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allDefs.flatMap(d => d.oracle.map(d.name -> _)).toMap ++ Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+    "q1_agg" -> {
+      import graft.queries.QueryDef.centsSql
+      s"""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS sum_qty_cents,
+        |  CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_price_cents,
+        |  CAST(SUM(${centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS sum_disc_price_cents,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin
+    }
   )
 }

@@ -24,11 +24,11 @@ object EventQueries {
           col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_value"),
+          sum(QueryDef.cents(col("value"))).as("sum_value_cents"),
           countDistinct(col("user_id")).as("n_users")),
-      Some("""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+      Some(s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
              |  event_type, COUNT(*) AS n_events,
-             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value,
+             |  CAST(SUM(${QueryDef.centsSql("value")}) AS BIGINT) AS sum_value_cents,
              |  COUNT(DISTINCT user_id) AS n_users
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
@@ -50,9 +50,9 @@ object EventQueries {
           .agg(
             count(lit(1)).as("n_events"),
             date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-            sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").as("session_value"))
+            sum(QueryDef.cents(col("value"))).as("session_value_cents"))
       },
-      Some("""WITH flagged AS (
+      Some(s"""WITH flagged AS (
              |  SELECT user_id, event_id, ts, value,
              |    CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
              |      OR epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
@@ -66,7 +66,7 @@ object EventQueries {
              |  FROM flagged)
              |SELECT user_id, session_seq, COUNT(*) AS n_events,
              |  strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
-             |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS session_value
+             |  CAST(SUM(${QueryDef.centsSql("value")}) AS BIGINT) AS session_value_cents
              |FROM sessions GROUP BY user_id, session_seq""".stripMargin)),
 
     // calendar dimension derivation — the enrich step before

@@ -89,13 +89,13 @@ object RelationalQueries {
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(
-            sum((col("l_extendedprice").cast("decimal(12,2)")) *
-              (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
-              .cast("decimal(38,4)").as("revenue"),
+            sum(QueryDef.cents(
+              col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("revenue_cents"),
             count(lit(1)).as("n_items"))
       },
-      Some("""SELECT c_mktsegment,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4)) AS revenue,
+      Some(s"""SELECT c_mktsegment,
+             |  CAST(SUM(${QueryDef.centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS revenue_cents,
              |  COUNT(*) AS n_items
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey

@@ -45,17 +45,17 @@ object SetRollupQueries {
         // grouping() is only valid inside the aggregate list
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(12,2)")).cast("decimal(38,2)").as("total"),
+          sum(QueryDef.cents(col("o_totalprice"))).as("total_cents"),
           grouping(col("o_orderstatus")).as("g_s"),
           grouping(col("o_orderpriority")).as("g_p"))
         .select(
           when(col("g_s") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("status"),
           when(col("g_p") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("priority"),
-          col("n_orders"), col("total")),
-      Some("""SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+          col("n_orders"), col("total_cents")),
+      Some(s"""SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
              |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
              |  COUNT(*) AS n_orders,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS total
+             |  CAST(SUM(${QueryDef.centsSql("o_totalprice")}) AS BIGINT) AS total_cents
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)),
 
     // CUBE: all grouping-set combinations in one pass (Expand + one
@@ -111,10 +111,10 @@ object SetRollupQueries {
             li("l_suppkey") === supp("s_suppkey") && li("salt") === supp("salt"))
           .groupBy(col("s_nationkey"))
           .agg(count(lit(1)).as("n_items"),
-            sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(38,2)").as("qty"))
+            sum(QueryDef.cents(col("l_quantity"))).as("qty_cents"))
       },
-      Some("""SELECT s_nationkey, COUNT(*) AS n_items,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS qty
+      Some(s"""SELECT s_nationkey, COUNT(*) AS n_items,
+             |  CAST(SUM(${QueryDef.centsSql("l_quantity")}) AS BIGINT) AS qty_cents
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |GROUP BY s_nationkey""".stripMargin)),
 

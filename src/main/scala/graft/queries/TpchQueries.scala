@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** TPC-H-shaped analytical queries over the star schema — breadth
   * proof for multi-join + aggregation plans (Q3/Q5/Q10/Q14 shapes,
-  * adapted to the driver testdata's columns). Decimal-parity rules per
-  * [[QueryDef]]; dates are formatted to strings at the output boundary.
+  * adapted to the driver testdata's columns). Numeric parity via
+  * integer cents ([[QueryDef.cents]]); dates are formatted to strings
+  * at the output boundary.
   *
   * Plan shapes to note at scale: the fact table (lineitem) is never on
   * a broadcast side; dimensions (customer/supplier/nation/region/part
@@ -15,12 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object TpchQueries {
 
-  private def revenue = sum(
-    col("l_extendedprice").cast("decimal(12,2)") *
-      (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)")))
-    .cast("decimal(38,4)")
+  /** SUM of IEEE-exact revenue cents (BIGINT both sides — exact,
+    * order-insensitive, oracle-version-independent). */
+  private def revenue = sum(QueryDef.cents(
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
   private val revenueSql =
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(38,4))"
+    s"CAST(SUM(${QueryDef.centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT)"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -38,19 +39,19 @@ object TpchQueries {
           .groupBy(col("l_orderkey"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
             col("o_orderpriority"))
-          .agg(revenue.as("revenue"))
-          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .agg(revenue.as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("l_orderkey"))
           .limit(10)
       },
       Some(s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-              |  o_orderpriority, $revenueSql AS revenue
+              |  o_orderpriority, $revenueSql AS revenue_cents
               |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               |JOIN customer ON o_custkey = c_custkey
               |WHERE c_mktsegment = 'BUILDING'
               |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
               |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
               |GROUP BY 1, 2, 3
-              |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+              |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin)),
 
     // Q5 shape: local-supplier volume — 6-table join, revenue per
     // nation within one region, customer and supplier in the SAME
@@ -70,9 +71,9 @@ object TpchQueries {
           .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(col("n_name"))
-          .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+          .agg(revenue.as("revenue_cents"), count(lit(1)).as("n_items"))
       },
-      Some(s"""SELECT n_name, $revenueSql AS revenue, COUNT(*) AS n_items
+      Some(s"""SELECT n_name, $revenueSql AS revenue_cents, COUNT(*) AS n_items
               |FROM lineitem
               |JOIN orders ON l_orderkey = o_orderkey
               |JOIN customer ON o_custkey = c_custkey
@@ -93,34 +94,33 @@ object TpchQueries {
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-          .agg(revenue.as("revenue"))
-          .orderBy(col("revenue").desc, col("c_custkey"))
+          .agg(revenue.as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("c_custkey"))
           .limit(20)
       },
-      Some(s"""SELECT c_custkey, c_name, n_name, $revenueSql AS revenue
+      Some(s"""SELECT c_custkey, c_name, n_name, $revenueSql AS revenue_cents
               |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               |JOIN customer ON o_custkey = c_custkey
               |JOIN nation ON c_nationkey = n_nationkey
               |WHERE l_returnflag = 'R'
               |GROUP BY 1, 2, 3
-              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+              |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin)),
 
     // Q14-ish shape: revenue share per part brand (fact ⋈ part dim)
     QueryDef("tpch_brand_share",
       (s, dir) => {
         val l = Tables(s, dir, "lineitem")
         val p = Tables(s, dir, "part")
-        // exact decimal SUM, not AVG: DuckDB's AVG over decimal returns
-        // a double and rounds differently by 1 ulp at scale (bit us at
-        // sf0.1); sums in pinned decimal are engine-independent
+        // exact cents SUM, not AVG: emit SUM + COUNT and let the reader
+        // divide — engine AVG result types/rounding differ across
+        // versions, integer sums never do
         l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
           .groupBy(col("p_brand"))
-          .agg(revenue.as("revenue"), count(lit(1)).as("n_items"),
-            sum(col("p_retailprice").cast("decimal(12,2)"))
-              .cast("decimal(38,2)").as("sum_retail"))
+          .agg(revenue.as("revenue_cents"), count(lit(1)).as("n_items"),
+            sum(QueryDef.cents(col("p_retailprice"))).as("sum_retail_cents"))
       },
-      Some(s"""SELECT p_brand, $revenueSql AS revenue, COUNT(*) AS n_items,
-              |  CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_retail
+      Some(s"""SELECT p_brand, $revenueSql AS revenue_cents, COUNT(*) AS n_items,
+              |  CAST(SUM(${QueryDef.centsSql("p_retailprice")}) AS BIGINT) AS sum_retail_cents
               |FROM lineitem JOIN part ON l_partkey = p_partkey
               |GROUP BY p_brand""".stripMargin))
   )

@@ -69,9 +69,10 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        // decimal before summing, per the engine-wide numeric policy: a
-        // double sum's low bits vary with micro-batch/partition order
-        sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_value"),
+        // integer cents before summing, per the engine-wide numeric
+        // policy (QueryDef.cents): a double sum's low bits vary with
+        // micro-batch/partition order; a BIGINT cents sum never does
+        sum(graft.queries.QueryDef.cents(col("value"))).as("sum_value_cents"),
         approx_count_distinct(col("user_id")).as("approx_users"))
 
   /** Session windows via the built-in `session_window` (30-minute gap)

@@ -24,10 +24,10 @@ class StreamingSpec extends SparkSuite {
       q.processAllAvailable()
       val res = spark.table("hourly")
         .select(col("window.start").cast("string").as("w"), col("event_type"),
-          col("n_events"), col("sum_value").cast("double"))
-        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
-      assert(res.contains(("2024-01-01 00:00:00", "click", 2L, 3.0)))
-      assert(res.contains(("2024-01-01 01:00:00", "view", 1L, 3.0)))
+          col("n_events"), col("sum_value_cents"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(res.contains(("2024-01-01 00:00:00", "click", 2L, 300L)))
+      assert(res.contains(("2024-01-01 01:00:00", "view", 1L, 300L)))
     } finally q.stop()
   }
 
