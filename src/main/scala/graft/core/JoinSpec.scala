@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   * (`UniqueKeyExtractorAbstract.php:237-323`) is Spark's join execution —
   * nothing to port. What remains meaningful at 100 TB:
   *
-  *  - `broadcastRight`: dimension tables that fit in memory skip the
-  *    shuffle entirely (the common case for this API's m:1 joins).
+  *  - `broadcastRight`: `None` (default) lets Catalyst/AQE pick the
+  *    build side from actual sizes — a dimension under the broadcast
+  *    threshold skips the shuffle, one that grew past it (dims scale
+  *    with the data) degrades to a shuffle join instead of OOMing.
+  *    `Some(true)` forces the hint for dims known fixed-size at every
+  *    scale (calendar, country codes); `Some(false)` forbids it.
   *  - `enforceUnique`: the reference *assumes* a unique right key
   *    (`docs/citizens.md:73`); m:n input would silently duplicate flowing
   *    records. Opt-in `dropDuplicates` on the key restores the contract.
@@ -29,7 +33,7 @@ final case class JoinSpec(
     joinKey: String,
     leftJoin: Boolean = false,
     defaults: Map[String, Any] = Map.empty,
-    broadcastRight: Boolean = true,
+    broadcastRight: Option[Boolean] = None,
     enforceUnique: Boolean = false,
     rightCols: Option[Seq[String]] = None) {
 
@@ -40,7 +44,11 @@ final case class JoinSpec(
       dim = dim.select(need.map(col): _*)
     }
     if (enforceUnique) dim = dim.dropDuplicates(joinKey)
-    val dimSide = if (broadcastRight) broadcast(dim) else dim
+    val dimSide = broadcastRight match {
+      case Some(true)  => broadcast(dim)
+      case Some(false) => dim.hint("shuffle_merge")
+      case None        => dim
+    }
     val joined = df.join(dimSide, df(fromKey) === dim(joinKey),
       if (leftJoin) "left_outer" else "inner")
       .drop(dim(joinKey))

@@ -79,14 +79,15 @@ object RelationalQueries {
              |ON c_nationkey = n_nationkey""".stripMargin)),
 
     // §2.2 chained joins (join-on-join, tests/YaEtlTest.php:194-218) +
-    // aggregation: fact⋈fact⋈dim with both dims broadcast
+    // aggregation: fact⋈fact⋈dim; no broadcast hint on customer (grows
+    // with SF) — AQE's size threshold picks the build side at runtime
     QueryDef("join_chained",
       (s, dir) => {
         val li = Tables(s, dir, "lineitem")
         val o = Tables(s, dir, "orders")
         val c = Tables(s, dir, "customer")
         li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(
             sum(QueryDef.cents(

@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * at the output boundary.
   *
   * Plan shapes to note at scale: the fact table (lineitem) is never on
-  * a broadcast side; dimensions (customer/supplier/nation/region/part
-  * at m:1 cardinality) broadcast; aggregations are partial before their
-  * single shuffle. AQE handles runtime re-planning.
+  * a broadcast side; nation/region carry an explicit broadcast hint
+  * (fixed 25/5 rows at every scale factor), while customer/supplier/
+  * part — which grow linearly with SF — carry NO hint: AQE's size
+  * threshold decides at runtime, so the same plan that broadcasts them
+  * at sf0.1 shuffle-joins them at 100 TB instead of OOMing the build
+  * side. Aggregations are partial before their single shuffle.
   */
 object TpchQueries {
 
@@ -35,7 +38,7 @@ object TpchQueries {
         val l = Tables(s, dir, "lineitem")
           .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy(col("l_orderkey"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
             col("o_orderpriority"))
@@ -65,8 +68,8 @@ object TpchQueries {
         val n = Tables(s, dir, "nation")
         val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-          .join(broadcast(sup),
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(sup,
             l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
           .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
@@ -91,7 +94,7 @@ object TpchQueries {
         val l = Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
         val n = Tables(s, dir, "nation")
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
           .agg(revenue.as("revenue_cents"))
@@ -114,7 +117,7 @@ object TpchQueries {
         // exact cents SUM, not AVG: emit SUM + COUNT and let the reader
         // divide — engine AVG result types/rounding differ across
         // versions, integer sums never do
-        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        l.join(p, l("l_partkey") === p("p_partkey"))
           .groupBy(col("p_brand"))
           .agg(revenue.as("revenue_cents"), count(lit(1)).as("n_items"),
             sum(QueryDef.cents(col("p_retailprice"))).as("sum_retail_cents"))
