@@ -89,6 +89,22 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
   def qualify(q: Qualifier): Pipeline = append(Qualify(q))
   def qualify(pred: Column): Pipeline = qualify(graft.operators.Qualifiers.Keep(pred))
 
+  /** Root-targeted break — the reference's `Interrupter(rootFlow, …,
+    * TYPE_BREAK)` fired from inside a branch
+    * (`tests/QualifierTest.php:567-648`): when ANY record of THIS
+    * stream matches `cond`, every ancestor flow's continuation past its
+    * branch point is interrupted — zero records flow downstream of the
+    * enclosing `branch(...)` calls all the way to the root, and the
+    * report's status turns Dirty. Writes declared BEFORE the break
+    * point (in this branch or upstream) still flush, like the
+    * reference's already-processed records.
+    *
+    * Declarative rendition: the firing evidence is a ≤1-row subplan
+    * (`filter(cond).limit(1)`, observed as a `break_*` counter), and
+    * each ancestor continuation is anti-joined against it — a broadcast
+    * of at most one row, no driver-side control flow, still one job. */
+  def interruptRootOn(cond: Column): Pipeline = append(RootBreak(cond))
+
   /** Per-record map — `src/YaEtl.php:187-193`. */
   def transform(t: Transformer): Pipeline = append(Transform(t))
 
@@ -126,11 +142,20 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
         }
       } finally c.persisted.foreach(_.unpersist(blocking = false))
       val counters = c.observations.flatMap { case (name, obs) =>
-        obs.get.map { case (k, v) =>
+        val m = obs.get
+        // a break signal that never fires observes ZERO rows, and Spark
+        // reports an empty metric map for an empty CollectMetrics input
+        // under the broadcast subtree — synthesize the honest 0
+        if (m.isEmpty && name.startsWith("break_")) Seq(s"$name.records" -> 0L)
+        else m.map { case (k, v) =>
           s"$name.$k" -> v.asInstanceOf[Number].longValue() }
       }.toMap
+      // a root-targeted break is dirty only when it actually FIRED
+      // (data-dependent, read off its observed counter) — unlike the
+      // statically truncating qualifiers
+      val breakFired = counters.exists { case (k, v) => k.startsWith("break_") && v > 0 }
       val report = PipelineReport(
-        if (c.truncated) PipelineStatus.Dirty else PipelineStatus.Clean,
+        if (c.truncated || breakFired) PipelineStatus.Dirty else PipelineStatus.Clean,
         counters, (System.nanoTime() - t0) / 1000000)
       events.onSuccess(report)
       report
@@ -159,9 +184,15 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
     val writes = ListBuffer.empty[(DataFrame, Sink)]
     val observations = ListBuffer.empty[(String, Observation)]
     val persisted = ListBuffer.empty[DataFrame]
+    val breakSignals = ListBuffer.empty[DataFrame]
     var truncated = false
     var dirtyTail = false // df changed since the last sink/branch
     var i = 0
+
+    /** Interrupt gate: keep `d`'s rows only while `signal` (≤ 1 row) is
+      * empty — a broadcast anti-join, no driver round-trip. */
+    def gate(d: DataFrame, signal: DataFrame): DataFrame =
+      d.join(broadcast(signal), lit(true), "left_anti")
 
     def observed(d: DataFrame, name: String): DataFrame = {
       // globally unique observation AND report key: branch sub-flows
@@ -204,6 +235,19 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
         case Join(spec)    => df = spec(spark, df); dirtyTail = true
         case Qualify(q)    => df = q(df); truncated ||= q.truncates; dirtyTail = true
         case Transform(t)  => df = t(df); dirtyTail = true
+        case RootBreak(cond) =>
+          require(df != null, "interruptRootOn needs an upstream source")
+          // ≤1-row firing evidence; persisted so the observe node runs
+          // once even though every downstream write's anti-join reads it
+          var signal = observed(
+            df.filter(cond).select(lit(1).as("__graft_break")).limit(1),
+            s"break_$i")
+          if (forExec) { signal = signal.persist(); persisted += signal }
+          breakSignals += signal
+          // this flow's own continuation past the break point is gated
+          // too (the reference stops the current stream as well)
+          df = gate(df, signal)
+          dirtyTail = true
         case To(sink) =>
           persistIfShared(last = idx == n - 1)
           writes += ((observed(df, s"load_$i"), sink))
@@ -215,7 +259,11 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
           observations ++= b.observations
           persisted ++= b.persisted
           truncated ||= b.truncated
-          dirtyTail = false
+          // root-targeted breaks inside the branch gate THIS flow's
+          // continuation and keep propagating to every ancestor
+          b.breakSignals.foreach(sig => df = gate(df, sig))
+          breakSignals ++= b.breakSignals
+          dirtyTail = b.breakSignals.nonEmpty
       }
     }
     require(df != null, "pipeline has no source (from)")
@@ -224,7 +272,8 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
     // the tail through a NoOp write so counters materialize
     if (writes.isEmpty || dirtyTail)
       writes += ((observed(df, s"load_${i + 1}"), NoOpSink))
-    Compiled(df, writes.toSeq, observations.toSeq, truncated, persisted.toSeq)
+    Compiled(df, writes.toSeq, observations.toSeq, truncated, persisted.toSeq,
+      breakSignals.toSeq)
   }
 
   private def withBase(base: DataFrame): Pipeline =
@@ -242,7 +291,8 @@ object Pipeline {
       writes: Seq[(DataFrame, Sink)],
       observations: Seq[(String, Observation)],
       truncated: Boolean,
-      persisted: Seq[DataFrame])
+      persisted: Seq[DataFrame],
+      breakSignals: Seq[DataFrame] = Seq.empty)
 
   sealed private trait Step
   private final case class From(src: Source, aggregate: Boolean) extends Step
@@ -253,4 +303,5 @@ object Pipeline {
   private final case class To(sink: Sink) extends Step
   private final case class Branch(sub: Pipeline) extends Step
   private final case class BaseDf(df: DataFrame) extends Step
+  private final case class RootBreak(cond: Column) extends Step
 }

@@ -50,6 +50,13 @@ object Qualifiers {
     * (`tests/QualifierTest.php:49-80`: break at record 5 of 10 lets 4
     * through downstream).
     *
+    * In targeted-interrupt terms this IS the break aimed at the
+    * outermost source (reference `Interrupter(TARGET_SELF, extractor1,
+    * TYPE_BREAK)`, `tests/QualifierTest.php:409-485`): once the first
+    * failing record appears, every iteration level stops — nothing
+    * later in the joint stream survives. Aim the break at an INNER
+    * per-record source instead with [[TakeWhileGrouped]].
+    *
     * Implemented as one window pass: running count of failures up to and
     * including each row; rows with zero failures so far pass. Global
     * order ⇒ single-partition window; this is the documented cost of
@@ -58,6 +65,33 @@ object Qualifiers {
     override def truncates: Boolean = true
     def apply(df: DataFrame): DataFrame = {
       val w = Window.orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("__graft_breaks", sum(when(pred, 0L).otherwise(1L)).over(w))
+        .filter(col("__graft_breaks") === 0L)
+        .drop("__graft_breaks")
+    }
+  }
+
+  /** Targeted break aimed at an INNER per-record source: the inner
+    * iteration stops at its first failing record *within each outer
+    * group*, while the outer source keeps flowing (next group's inner
+    * iteration starts fresh).
+    *
+    * Spark-first rendition of the reference's targeted interrupts
+    * (`src/NodalFlow Interrupter`, topologies in
+    * `tests/QualifierTest.php:409-485`): in a compiled-lineage engine,
+    * "which extractor does the break target" becomes "at which
+    * iteration level does the cutoff reset" — i.e. the PARTITIONING of
+    * the take-while window. Global window ([[TakeWhileOrdered]]) ≡
+    * break the outermost source; window partitioned by the outer keys
+    * (this class) ≡ break the inner source only. The per-group window
+    * is also the scalable one: work stays within each group's
+    * partition, no global sort boundary. */
+  final case class TakeWhileGrouped(pred: Column, order: Seq[Column],
+      group: Seq[Column]) extends Qualifier {
+    override def truncates: Boolean = true
+    def apply(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(group: _*).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       df.withColumn("__graft_breaks", sum(when(pred, 0L).otherwise(1L)).over(w))
         .filter(col("__graft_breaks") === 0L)

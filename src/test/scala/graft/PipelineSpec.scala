@@ -112,6 +112,73 @@ class PipelineSpec extends SparkSuite {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("targeted break of the OUTER source stops the whole nested iteration (flow7)") {
+    // reference tests/QualifierTest.php:409-485: branch = from(ex1) →
+    // from(ex2, per-record) → qualify(break@5 targeting ex1). The break
+    // fires at the 5th joint record (o=0,i=4); aimed at the OUTER
+    // source, every iteration level stops → exactly the 4 records
+    // strictly before it reach downstream (reference t3 num_exec = 4).
+    val outer = graft.sources.CallableSource(_.range(10).select(col("id").as("o")))
+    val inner = graft.sources.CallableSource(_.range(10).select(col("id").as("i")))
+    val df = Pipeline
+      .from(outer)
+      .fromPerRecord(inner) // unkeyed: inner re-triggered per outer record
+      .qualify(Qualifiers.TakeWhileOrdered(
+        !(col("o") === 0 && col("i") === 4), Seq(col("o"), col("i"))))
+      .toDF(spark)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows == Seq((0L, 0L), (0L, 1L), (0L, 2L), (0L, 3L)))
+  }
+
+  test("targeted break of the INNER source resets per outer record") {
+    // same topology, break aimed at the inner extractor: each inner
+    // iteration stops at its own 5th record, the outer source keeps
+    // flowing — 4 survivors per outer group, 10 groups
+    val outer = graft.sources.CallableSource(_.range(10).select(col("id").as("o")))
+    val inner = graft.sources.CallableSource(_.range(10).select(col("id").as("i")))
+    val df = Pipeline
+      .from(outer)
+      .fromPerRecord(inner)
+      .qualify(Qualifiers.TakeWhileGrouped(
+        col("i") < 4, Seq(col("i")), Seq(col("o"))))
+      .toDF(spark)
+    assert(df.count() == 40)
+    assert(df.select(countDistinct(col("o"))).head().getLong(0) == 10)
+  }
+
+  test("branch→root break: every ancestor continuation stops, status dirty (flow9)") {
+    // reference tests/QualifierTest.php:567-648: a break targeting the
+    // root flow from inside a branch. Branch sinks declared before the
+    // break still flush (t1..t3 processed); the root's continuation
+    // past the branch point sees ZERO records (t5 num_exec = 0) and the
+    // flow reports dirty.
+    val out = tmpDir("root_break")
+    val report = Pipeline
+      .from(graft.sources.CallableSource(_.range(10).select(col("id"))))
+      .branch(_.qualify(col("id") < 5)
+        .to(ParquetSink(s"$out/branch"))
+        .interruptRootOn(col("id") === 3))
+      .transform(Transformers.Replace(overrides = Map("tail" -> "x")))
+      .to(ParquetSink(s"$out/root"))
+      .exec(spark)
+    assert(report.status == PipelineStatus.Dirty)
+    assert(spark.read.parquet(s"$out/branch").count() == 5) // flushed pre-break
+    assert(spark.read.parquet(s"$out/root").count() == 0)   // root interrupted
+    assert(report.counters.exists { case (k, v) => k.startsWith("break_") && v == 1L })
+  }
+
+  test("root-targeted break that never fires leaves the flow clean") {
+    val out = tmpDir("root_break_clean")
+    val report = Pipeline
+      .from(graft.sources.CallableSource(_.range(10).select(col("id"))))
+      .branch(_.interruptRootOn(col("id") === 999))
+      .to(ParquetSink(s"$out/root"))
+      .exec(spark)
+    assert(report.status == PipelineStatus.Clean)
+    assert(spark.read.parquet(s"$out/root").count() == 10)
+    assert(report.counters.exists { case (k, v) => k.startsWith("break_") && v == 0L })
+  }
+
   test("steps after the last sink still execute (loader mid-flow tail)") {
     // regression: the tail's observation must belong to an executed
     // plan, or exec() blocks forever on Observation.get
