@@ -35,7 +35,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.defs ++
       graft.queries.MultimodalQueries.defs ++
       graft.queries.SetRollupQueries.defs ++
-      graft.queries.TpchQueries.defs
+      graft.queries.TpchQueries.defs ++
+      graft.queries.FileQueries.defs
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.core.Pipeline
+import graft.sinks.{CsvSink, ParquetSink}
+import graft.sources.{CsvSource, LineSource, ParquetSource}
+import org.apache.spark.sql.functions._
+
+/** File/sink operators driven through the ORACLE gate, not just unit
+  * tests: each query writes through a graft sink into a scratch
+  * directory, reads back through the matching graft source, and must
+  * reproduce the base table the DuckDB oracle reads directly. A broken
+  * prolog writer, BOM handler or branch plumbing shows up as a hash
+  * mismatch.
+  *
+  * The scratch area lives under java.io.tmpdir, keyed by the input dir
+  * so concurrent SF runs cannot collide; every write is
+  * mode=Overwrite so the queries stay repeatable.
+  */
+object FileQueries {
+
+  private def scratch(dir: String, name: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_fileq/$key/$name"
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // §2.1.4 + §2.5 CSV round-trip with the reference's full first-line
+    // protocol (src/Loaders/File/CsvLoader.php:103-113: BOM, `sep=X`
+    // prolog, header): nation → CsvSink (distributed parts, each with
+    // prolog) → CsvSource (prolog/BOM detection, `sep=` auto-detect) —
+    // must reproduce the parquet table exactly
+    QueryDef("csv_roundtrip",
+      (s, dir) => {
+        val out = scratch(dir, "csv_rt")
+        CsvSink(out, header = true, sep = ";", writeBom = true, writeSepLine = true)
+          .write(s.read.parquet(s"$dir/nation.parquet")
+            .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+        // no explicit sep passed: CsvSource must detect it from the prolog
+        CsvSource(out).load(s)
+          .select(col("n_nationkey").cast("int").as("n_nationkey"),
+            col("n_name"),
+            col("n_regionkey").cast("int").as("n_regionkey"))
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")),
+
+    // §2.1.5 LineExtractor: one string record per non-empty trimmed
+    // line (src/Extractors/File/LineExtractor.php:15-36) — text written
+    // distributed, read back through LineSource
+    QueryDef("line_source",
+      (s, dir) => {
+        val out = scratch(dir, "lines")
+        s.read.parquet(s"$dir/nation.parquet")
+          .select(col("n_name")).write.mode("overwrite").text(out)
+        LineSource(out).load(s)
+      },
+      Some("SELECT n_name AS value FROM nation")),
+
+    // §2.0 branch + multi-sink: one shared scan fans out to two branch
+    // sinks (README.md:38-45); reading both sinks back and re-unioning
+    // must reproduce a partition of the base table
+    QueryDef("branch_multisink",
+      (s, dir) => {
+        val out = scratch(dir, "branch")
+        Pipeline
+          .from(ParquetSource(s"$dir/orders.parquet"))
+          .branch(_.qualify(col("o_orderstatus") === "F")
+            .to(ParquetSink(s"$out/f")))
+          .branch(_.qualify(col("o_orderstatus") =!= "F")
+            .to(ParquetSink(s"$out/rest")))
+          .exec(s)
+        s.read.parquet(s"$out/f")
+          .select(col("o_orderkey"), lit("f").as("branch"))
+          .unionByName(s.read.parquet(s"$out/rest")
+            .select(col("o_orderkey"), lit("rest").as("branch")))
+      },
+      Some("""SELECT o_orderkey, 'f' AS branch FROM orders WHERE o_orderstatus = 'F'
+             |UNION ALL
+             |SELECT o_orderkey, 'rest' AS branch FROM orders WHERE o_orderstatus <> 'F'""".stripMargin))
+  )
+}
