@@ -29,27 +29,33 @@ final case class ParquetSink(path: String, mode: SaveMode = SaveMode.Overwrite,
 }
 
 /** CSV out with the reference's first-line protocol
-  * (`src/Loaders/File/CsvLoader.php:103-113`): optional UTF-8 BOM, then
-  * optional `sep=X` line, then optional header, then data.
+  * (`src/Loaders/File/CsvLoader.php:103-113`): optional BOM (matching
+  * the target `encoding`, like the reference's
+  * `Traits/FileHandlerTrait.php:76-87` prependBom), then optional
+  * `sep=X` line, then optional header, then data.
   *
-  * Spark writes a directory of part files; BOM and `sep=` are a per-file
-  * prolog, so each part file gets the prolog (a re-read through
-  * [[graft.sources.CsvSource]] drops them all). With `singleFile=true`
-  * the parts are concatenated driver-side into one file — only for
-  * results known to be small (golden-file tests, exports). */
+  * Spark's CSV writer encodes the data lines itself (`encoding`
+  * option); BOM and `sep=` are a per-file prolog, so each part file
+  * gets the prolog in the same encoding (a re-read through
+  * [[graft.sources.CsvSource]] detects the BOM and drops the prologs).
+  * With `singleFile=true` the parts are concatenated driver-side into
+  * one file — only for results known to be small (golden-file tests,
+  * exports). */
 final case class CsvSink(
     path: String,
     header: Boolean = true,
     sep: String = ",",
     writeBom: Boolean = false,
     writeSepLine: Boolean = false,
-    singleFile: Boolean = false) extends Sink {
+    singleFile: Boolean = false,
+    encoding: String = "UTF-8") extends Sink {
 
   def write(df: DataFrame): Unit = {
     val spark = df.sparkSession
     val dataPath = if (writeBom || writeSepLine || singleFile) path + "__data" else path
     df.write.mode(SaveMode.Overwrite)
       .option("header", header.toString).option("sep", sep)
+      .option("encoding", encoding)
       .csv(dataPath)
     if (dataPath != path) {
       val conf = spark.sparkContext.hadoopConfiguration
@@ -59,19 +65,21 @@ final case class CsvSink(
       fs.delete(new HPath(path), true)
       val prolog = new StringBuilder
       if (writeSepLine) prolog.append(s"sep=$sep\n")
+      val bomBytes =
+        if (writeBom) graft.sources.Bom.bomFor(encoding) else Array.empty[Byte]
       if (singleFile) {
         val out = fs.create(new HPath(path), true)
         try {
-          if (writeBom) out.write(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
-          out.write(prolog.toString.getBytes("UTF-8"))
+          out.write(bomBytes)
+          out.write(prolog.toString.getBytes(encoding))
           var first = true
           parts.foreach { p =>
             val in = fs.open(p)
             try {
-              val it = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+              val it = scala.io.Source.fromInputStream(in, encoding).getLines()
               // header appears in every part; keep only the first one
               val lines = if (header && !first) it.drop(1) else it
-              lines.foreach { l => out.write((l + "\n").getBytes("UTF-8")) }
+              lines.foreach { l => out.write((l + "\n").getBytes(encoding)) }
             } finally in.close()
             first = false
           }
@@ -82,8 +90,8 @@ final case class CsvSink(
         parts.foreach { p =>
           val out = fs.create(new HPath(path, p.getName), true)
           try {
-            if (writeBom) out.write(Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
-            out.write(prolog.toString.getBytes("UTF-8"))
+            out.write(bomBytes)
+            out.write(prolog.toString.getBytes(encoding))
             val in = fs.open(p)
             try {
               val buf = new Array[Byte](1 << 16)

@@ -57,9 +57,47 @@ final case class ParquetSource(
   protected def scan(spark: SparkSession): DataFrame = spark.read.parquet(path)
 }
 
+/** Unicode byte-order marks — the reference's `fab2s\OpinHelpers\Bom`
+  * used by its file extractors/loaders (`src/Extractors/File/
+  * FileExtractorAbstract.php:53-67` detection, `src/Traits/
+  * FileHandlerTrait.php:76-87` prepend-on-write). */
+object Bom {
+  /** Longest-match order: UTF-32LE's BOM begins with UTF-16LE's. */
+  val boms: Seq[(String, Array[Byte])] = Seq(
+    "UTF-32BE" -> Array(0x00, 0x00, 0xFE, 0xFF).map(_.toByte),
+    "UTF-32LE" -> Array(0xFF, 0xFE, 0x00, 0x00).map(_.toByte),
+    "UTF-8"    -> Array(0xEF, 0xBB, 0xBF).map(_.toByte),
+    "UTF-16BE" -> Array(0xFE, 0xFF).map(_.toByte),
+    "UTF-16LE" -> Array(0xFF, 0xFE).map(_.toByte))
+
+  /** Detect a leading BOM: (encoding, bom length in bytes). */
+  def detect(buf: Array[Byte], n: Int): Option[(String, Int)] =
+    boms.collectFirst {
+      case (enc, b) if n >= b.length && b.indices.forall(i => buf(i) == b(i)) =>
+        (enc, b.length)
+    }
+
+  /** The BOM bytes for an encoding (empty when the encoding has none). */
+  def bomFor(encoding: String): Array[Byte] =
+    boms.collectFirst {
+      case (enc, b) if enc.equalsIgnoreCase(encoding) => b
+    }.getOrElse(Array.empty)
+
+  /** Endianness-agnostic charset name that CONSUMES a leading BOM while
+    * decoding (Java's "UTF-16"/"UTF-32" strip it; the LE/BE-suffixed
+    * names keep it as a character). */
+  def bomConsumingCharset(encoding: String): String =
+    encoding.toUpperCase match {
+      case "UTF-16LE" | "UTF-16BE" => "UTF-16"
+      case "UTF-32LE" | "UTF-32BE" => "UTF-32"
+      case other                   => other
+    }
+}
+
 /** CSV scan with the reference's file-quirk handling
-  * (`src/Extractors/File/CsvExtractor.php:19-140`): UTF BOM detection
-  * (`File/FileExtractorAbstract.php:53-67`), Excel `sep=X` first-line
+  * (`src/Extractors/File/CsvExtractor.php:19-140`): UTF-8/16/32 BOM +
+  * encoding detection (`File/FileExtractorAbstract.php:53-67`,
+  * `Traits/FileHandlerTrait.php:26-87`), Excel `sep=X` first-line
   * auto-detection (`CsvExtractor.php:96-120`), optional header → field
   * names (`:78-91`), blank-line skipping (`:125-139`), embedded newlines.
   *
@@ -81,6 +119,7 @@ final case class CsvSource(
     quote: String = "\"",
     escape: String = "\\",
     multiLine: Boolean = true,
+    encoding: Option[String] = None,
     override val limit: Option[Long] = None,
     override val offset: Long = 0L,
     override val orderedBy: Seq[String] = Nil) extends Source {
@@ -88,22 +127,32 @@ final case class CsvSource(
   protected def scan(spark: SparkSession): DataFrame = {
     val pre = CsvSource.preScan(spark, path)
     val delim = sep.orElse(pre.sepFromProlog).getOrElse(",")
+    val enc = encoding.orElse(pre.bomEncoding).getOrElse("UTF-8")
     val base = Map(
       "header" -> header.toString, "sep" -> delim, "quote" -> quote,
       "escape" -> escape, "mode" -> "PERMISSIVE",
       "ignoreEmptyLines" -> "true")
     val df =
-      if (pre.sepFromProlog.isDefined) {
-        // sep= prolog: distributed text read, drop the prolog line(s).
+      if (pre.sepFromProlog.isDefined || !enc.equalsIgnoreCase("UTF-8")) {
+        // sep= prolog and/or non-UTF-8 encoding: decode per file (BOM
+        // stripped by the endianness-agnostic charset when present),
+        // drop prolog/empty lines by value, parse the line Dataset.
+        // Parallelism is per-file — the shape of multi-encoding legacy
+        // exports; big data arrives as UTF-8/parquet on the other paths.
         import spark.implicits._
-        val prolog = pre.prologLine.get
-        val lines = spark.read.text(path).as[String]
-          .map(CsvSource.stripBom)
-          .filter(l => l != prolog && l.nonEmpty)
+        val prolog = pre.prologLine
+        val charset = if (pre.bomEncoding.isDefined) Bom.bomConsumingCharset(enc) else enc
+        val lines = spark.read.format("binaryFile").load(path)
+          .select(col("content")).as[Array[Byte]]
+          .flatMap { bytes =>
+            val text = new String(bytes, java.nio.charset.Charset.forName(charset))
+            text.linesIterator.map(CsvSource.stripBom)
+          }
+          .filter(l => !prolog.contains(l) && l.nonEmpty)
         spark.read.options(base).csv(lines)
       } else {
-        val enc = if (pre.utf8Bom) Map("encoding" -> "UTF-8") else Map.empty[String, String]
-        spark.read.options(base ++ enc)
+        val bomOpt = if (pre.bomEncoding.isDefined) Map("encoding" -> "UTF-8") else Map.empty[String, String]
+        spark.read.options(base ++ bomOpt)
           .option("multiLine", multiLine.toString).csv(path)
       }
     // A UTF-8 BOM surviving into the first column name is a known CSV-
@@ -116,7 +165,8 @@ final case class CsvSource(
 }
 
 object CsvSource {
-  final case class PreScan(utf8Bom: Boolean, sepFromProlog: Option[String], prologLine: Option[String])
+  final case class PreScan(bomEncoding: Option[String],
+      sepFromProlog: Option[String], prologLine: Option[String])
 
   private[sources] def stripBom(s: String): String = s.stripPrefix("﻿")
 
@@ -126,7 +176,7 @@ object CsvSource {
     * quirk) degrades to "no prolog detected" and lets `spark.read.csv`
     * handle the path itself. */
   def preScan(spark: SparkSession, path: String): PreScan = {
-    val none = PreScan(utf8Bom = false, None, None)
+    val none = PreScan(None, None, None)
     try {
       val p = new HPath(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -142,15 +192,18 @@ object CsvSource {
       val n = try in.read(buf) finally in.close()
       if (n <= 0) none
       else {
-        val bom = n >= 3 && buf(0) == 0xEF.toByte && buf(1) == 0xBB.toByte && buf(2) == 0xBF.toByte
-        val text = new String(buf, if (bom) 3 else 0, n - (if (bom) 3 else 0), "UTF-8")
+        // UTF-8/16/32 BOM → encoding, exactly the reference's
+        // Bom::extract + Bom::getBomEncoding dance
+        val bom = Bom.detect(buf, n)
+        val (enc, skip) = bom.getOrElse(("UTF-8", 0))
+        val text = new String(buf, skip, n - skip, enc)
         val firstLine = text.linesIterator.nextOption().getOrElse("")
         // Excel convention: literal `sep=X` (optionally quoted) as line 1 —
         // reference `src/Extractors/File/CsvExtractor.php:96-120`.
         val sepRe = "^\"?sep=(.)\"?$".r
         firstLine.trim match {
-          case sepRe(d) => PreScan(bom, Some(d), Some(firstLine))
-          case _        => PreScan(bom, None, None)
+          case sepRe(d) => PreScan(bom.map(_._1), Some(d), Some(firstLine))
+          case _        => PreScan(bom.map(_._1), None, None)
         }
       }
       }
@@ -160,21 +213,43 @@ object CsvSource {
   }
 }
 
-/** Line-per-record text scan: trims, drops empty lines, BOM-aware
-  * (reference `src/Extractors/File/LineExtractor.php:15-36`,
-  * `File/FileExtractorAbstract.php:72-83`). Emits a single `value` string
-  * column, the `Dataset[String]` analog of the reference's string record. */
+/** Line-per-record text scan: trims, drops empty lines, BOM-aware with
+  * UTF-8/16/32 detection (reference
+  * `src/Extractors/File/LineExtractor.php:15-36`,
+  * `File/FileExtractorAbstract.php:53-83`). Emits a single `value`
+  * string column, the `Dataset[String]` analog of the reference's
+  * string record.
+  *
+  * UTF-8 input streams line-split distributed (Hadoop line reader).
+  * Non-UTF-8 (explicit `encoding` or BOM-detected) decodes per file —
+  * parallel across files, which is the shape multi-encoding legacy
+  * exports come in. */
 final case class LineSource(
     path: String,
+    encoding: Option[String] = None,
     override val limit: Option[Long] = None,
     override val offset: Long = 0L,
     override val orderedBy: Seq[String] = Nil) extends Source {
   protected def scan(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    spark.read.text(path).as[String]
-      .map(s => CsvSource.stripBom(s).trim)
-      .filter(_.nonEmpty)
-      .toDF("value")
+    val pre = CsvSource.preScan(spark, path)
+    val enc = encoding.orElse(pre.bomEncoding).getOrElse("UTF-8")
+    if (enc.equalsIgnoreCase("UTF-8"))
+      spark.read.text(path).as[String]
+        .map(s => CsvSource.stripBom(s).trim)
+        .filter(_.nonEmpty)
+        .toDF("value")
+    else {
+      val charset =
+        if (pre.bomEncoding.isDefined) Bom.bomConsumingCharset(enc) else enc
+      spark.read.format("binaryFile").load(path)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap { bytes =>
+          val text = new String(bytes, java.nio.charset.Charset.forName(charset))
+          text.linesIterator.map(l => CsvSource.stripBom(l).trim).filter(_.nonEmpty)
+        }
+        .toDF("value")
+    }
   }
 }
 

@@ -100,6 +100,40 @@ class FileFormatsSpec extends SparkSuite {
     assert(vals == Seq("1", "2", "3", "4"))
   }
 
+  test("CSV round-trip in UTF-16LE: sink encodes + BOM, source BOM-detects") {
+    // reference FileHandlerTrait.php:26-87 encoding handling: the sink
+    // writes UTF-16LE with its BOM; the source must detect the BOM,
+    // decode, and still auto-detect the sep= prolog in that encoding
+    val dir = tmpDir("csv_utf16")
+    import spark.implicits._
+    val in = Seq((1L, "über", "约翰"), (2L, "plain", "ok")).toDF("id", "v1", "v2")
+    CsvSink(s"$dir/out.csv", header = true, sep = ";", writeBom = true,
+      writeSepLine = true, singleFile = true, encoding = "UTF-16LE").write(in)
+    val bytes = Files.readAllBytes(Paths.get(s"$dir/out.csv"))
+    assert(bytes.take(2).sameElements(Array(0xFF.toByte, 0xFE.toByte))) // UTF-16LE BOM
+    assert(new String(bytes.drop(2).take(12), "UTF-16LE") == "sep=;\n")
+    val back = CsvSource(s"$dir/out.csv").load(spark) // no encoding passed: BOM-detected
+      .selectExpr("cast(id as long) id", "v1", "v2")
+    assert(back.orderBy("id").collect().toSeq == in.orderBy("id").collect().toSeq)
+  }
+
+  test("LineSource reads UTF-16BE via BOM detection and explicit encoding") {
+    val dir = tmpDir("lines_utf16")
+    // with BOM: auto-detected
+    val withBom = Files.newOutputStream(Paths.get(s"$dir/bom.txt"))
+    withBom.write(Array(0xFE.toByte, 0xFF.toByte))
+    withBom.write("héllo\n\n  wörld  \n".getBytes("UTF-16BE"))
+    withBom.close()
+    val auto = LineSource(s"$dir/bom.txt").load(spark)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(auto == Seq("héllo", "wörld"))
+    // without BOM: explicit encoding parameter
+    Files.write(Paths.get(s"$dir/plain.txt"), "a\nb\n".getBytes("UTF-16LE"))
+    val explicit = LineSource(s"$dir/plain.txt", encoding = Some("UTF-16LE")).load(spark)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(explicit == Seq("a", "b"))
+  }
+
   test("JdbcUpsertSink SQL builder (no DB in env — pure check)") {
     import graft.sinks.JdbcUpsertSink
     val pg = JdbcUpsertSink.upsertSql("postgresql", "t", Seq("id", "a", "b"), Seq("id"))
