@@ -126,7 +126,18 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
   /** Run the flow: execute every sink write, gather counters, report —
     * `exec()` in the reference (`tests/YaEtlTest.php:40`), repeatable.
     * `events` receives the reference's flow-lifecycle notifications
-    * (start/progress/flush/success/fail — SURVEY §2.7). */
+    * (start/progress/flush/success/fail — SURVEY §2.7).
+    *
+    * Flush policy: each sink's write IS its flush (Spark's job-commit
+    * protocol, all-or-nothing per sink), committed sequentially in step
+    * order — equivalent to the reference's default "branches flush when
+    * the root flushes, in node order" (`src/YaEtl.php:129-153,349-393`).
+    * The reference's `forceFlush(true)` (flush a branch mid-flow) has
+    * no analog because nothing buffers before `exec()`; see README
+    * "Flush policy". A failed later sink leaves earlier sinks committed
+    * (same as the reference's sequential `flushNodes`) and the report
+    * carries `Failed`; per-sink `onFlush` events record which sinks
+    * committed. */
   def exec(spark: SparkSession,
       events: PipelineEvents = PipelineEvents.Silent): PipelineReport = {
     val t0 = System.nanoTime()
