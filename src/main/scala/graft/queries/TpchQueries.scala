@@ -109,6 +109,148 @@ object TpchQueries {
               |GROUP BY 1, 2, 3
               |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin)),
 
+    // Q1-complete: the full pricing-summary report. Extends the
+    // flagship q1_agg with the charge term (three chained IEEE
+    // multiplies — identical left-assoc shape both sides) and the
+    // discount sum; averages are deliberately emitted as SUM + COUNT
+    // pairs (engine AVG result types/rounding differ across versions,
+    // integer sums never do — the reader divides). One partial agg +
+    // one shuffle on the 6-value grouping key; filter pushed to scan.
+    QueryDef("tpch_q1_full",
+      (s, dir) => {
+        import QueryDef.cents
+        Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+            sum(cents(col("l_extendedprice"))).as("sum_base_price_cents"),
+            sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("sum_disc_price_cents"),
+            sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax")))).as("sum_charge_cents"),
+            sum(cents(col("l_discount"))).as("sum_disc_cents"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(SUM(${QueryDef.centsSql("l_quantity")}) AS BIGINT) AS sum_qty_cents,
+              |  CAST(SUM(${QueryDef.centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_price_cents,
+              |  CAST(SUM(${QueryDef.centsSql("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS sum_disc_price_cents,
+              |  CAST(SUM(${QueryDef.centsSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")}) AS BIGINT) AS sum_charge_cents,
+              |  CAST(SUM(${QueryDef.centsSql("l_discount")}) AS BIGINT) AS sum_disc_cents,
+              |  COUNT(*) AS count_order
+              |FROM lineitem
+              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Q7 shape: volume shipping between two nations — lineitem joined
+    // to BOTH its supplier's and its customer's nation, filtered to the
+    // unordered pair (N1, N2), revenue per (supp_nation, cust_nation,
+    // ship year). The two 25-row nation dims are pre-projected to
+    // renamed key/name pairs (no post-join ambiguity) and broadcast
+    // (fixed size at every SF); customer/supplier get no hint — AQE
+    // decides. The pair filter lands on the broadcast-joined rows
+    // before the aggregation shuffle.
+    QueryDef("tpch_q7",
+      (s, dir) => {
+        import QueryDef.cents
+        val n1 = Tables(s, dir, "nation")
+          .select(col("n_nationkey").as("supp_nkey"), col("n_name").as("supp_nation"))
+        val n2 = Tables(s, dir, "nation")
+          .select(col("n_nationkey").as("cust_nkey"), col("n_name").as("cust_nation"))
+        val l = Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate").between(
+            lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        val sup = Tables(s, dir, "supplier")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(sup, l("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("supp_nkey"))
+          .join(broadcast(n2), col("c_nationkey") === col("cust_nkey"))
+          .filter(
+            (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_cents"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |  year(l_shipdate) AS l_year, $revenueSql AS revenue_cents
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+              |                     AND TIMESTAMP '1997-12-31 00:00:00'
+              |GROUP BY 1, 2, 3
+              |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // Q8 shape: national market share — the 8-table join. Share of
+    // NATION_7 suppliers in the ASIA customer market for PROMO parts,
+    // per order year. The share division is NOT performed in-engine:
+    // the conditional and total revenue are both exact BIGINT cent
+    // sums (a double division would reintroduce engine-version
+    // rounding into the contract; the reader divides). Fixed-size
+    // nation/region broadcast; SF-scaling part/customer/supplier left
+    // to AQE.
+    QueryDef("tpch_q8",
+      (s, dir) => {
+        import QueryDef.cents
+        val p = Tables(s, dir, "part").filter(col("p_type") === "PROMO")
+        val l = Tables(s, dir, "lineitem")
+        val o = Tables(s, dir, "orders")
+          .filter(col("o_orderdate").between(
+            lit("1995-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+        val c = Tables(s, dir, "customer")
+        val sup = Tables(s, dir, "supplier")
+        val n1 = Tables(s, dir, "nation")
+          .select(col("n_nationkey").as("supp_nkey"), col("n_name").as("supp_nation"))
+        val n2 = Tables(s, dir, "nation")
+          .select(col("n_nationkey").as("cust_nkey"), col("n_regionkey").as("cust_rkey"))
+        val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+        val volume = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(sup, l("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("supp_nkey"))
+          .join(broadcast(n2), col("c_nationkey") === col("cust_nkey"))
+          .join(broadcast(r), col("cust_rkey") === col("r_regionkey"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_7", volume).otherwise(lit(0L)))
+              .as("nation_cents"),
+            sum(volume).as("total_cents"))
+          .orderBy(col("o_year"))
+      },
+      Some(s"""SELECT year(o_orderdate) AS o_year,
+              |  CAST(SUM(CASE WHEN n1.n_name = 'NATION_7'
+              |    THEN ${QueryDef.centsSql("l_extendedprice * (1.0 - l_discount)")}
+              |    ELSE 0 END) AS BIGINT) AS nation_cents,
+              |  $revenueSql AS total_cents
+              |FROM lineitem
+              |JOIN part ON l_partkey = p_partkey
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |JOIN region ON n2.n_regionkey = r_regionkey
+              |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+              |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+              |                      AND TIMESTAMP '1996-12-31 00:00:00'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Q14-ish shape: revenue share per part brand (fact ⋈ part dim)
     QueryDef("tpch_brand_share",
       (s, dir) => {
