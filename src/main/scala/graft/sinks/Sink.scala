@@ -112,9 +112,15 @@ final case class CsvSink(
   * the distributed form is `foreachPartition` + batched upsert statements
   * (idempotent, so task retries are safe — SURVEY §7.4.3).
   *
-  * No database exists in this environment: the SQL builder is factored
-  * out pure (unit-testable); the executor path is exercised only by
-  * `dryRun` which routes generated statements to a callback. */
+  * Dialects: `postgresql`/`sqlite` (ON CONFLICT) and `mysql`
+  * (ON DUPLICATE KEY) upsert in one batched statement; `ansi` is the
+  * portable two-statement form — UPDATE, and INSERT when no row matched
+  * — which is verbatim the reference's per-record semantics and runs on
+  * any JDBC database (integration-tested against embedded Derby in
+  * JdbcIntegrationSpec). The ansi path trades statement batching for
+  * portability: updates execute row-at-a-time (each result decides the
+  * insert), with a commit every `batchSize` rows. All three paths are
+  * idempotent, so Spark task retries are safe (SURVEY §7.4.3). */
 final case class JdbcUpsertSink(
     url: String,
     table: String,
@@ -123,7 +129,42 @@ final case class JdbcUpsertSink(
     batchSize: Int = 1000,
     dialect: String = "postgresql") extends Sink {
 
-  def write(df: DataFrame): Unit = {
+  def write(df: DataFrame): Unit =
+    if (dialect == "ansi") writeUpdateThenInsert(df) else writeSingleStatement(df)
+
+  /** Portable update-then-insert (`ansi` dialect) — the reference
+    * DbLoader's exact control flow, one row at a time. */
+  private def writeUpdateThenInsert(df: DataFrame): Unit = {
+    val cols = df.columns.toSeq
+    val (updSql, insSql) = JdbcUpsertSink.updateThenInsertSql(table, cols, keyCols)
+    // UPDATE binds non-key columns first (SET), then keys (WHERE)
+    val updIdx = (cols.indices.filterNot(i => keyCols.contains(cols(i))) ++
+      cols.indices.filter(i => keyCols.contains(cols(i)))).toArray
+    val (u, props, bs) = (url, properties, batchSize)
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val p = new java.util.Properties()
+      props.foreach { case (k, v) => p.setProperty(k, v) }
+      val conn = java.sql.DriverManager.getConnection(u, p)
+      try {
+        conn.setAutoCommit(false)
+        val upd = conn.prepareStatement(updSql)
+        val ins = conn.prepareStatement(insSql)
+        var n = 0
+        rows.foreach { r =>
+          updIdx.zipWithIndex.foreach { case (ri, pi) => upd.setObject(pi + 1, r.get(ri)) }
+          if (upd.executeUpdate() == 0) {
+            (0 until r.length).foreach(i => ins.setObject(i + 1, r.get(i)))
+            ins.executeUpdate()
+          }
+          n += 1
+          if (n % bs == 0) conn.commit()
+        }
+        conn.commit()
+      } finally conn.close()
+    }
+  }
+
+  private def writeSingleStatement(df: DataFrame): Unit = {
     val sqlTemplate = JdbcUpsertSink.upsertSql(dialect, table, df.columns.toSeq, keyCols)
     val (u, props, bs) = (url, properties, batchSize)
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
@@ -160,5 +201,18 @@ object JdbcUpsertSink {
         s"INSERT INTO $table ($colList) VALUES ($params) ON DUPLICATE KEY UPDATE $sets"
       case d => throw new IllegalArgumentException(s"unsupported upsert dialect: $d")
     }
+  }
+
+  /** Portable `ansi`-dialect pair: UPDATE (SET non-keys WHERE keys) and
+    * the fallback INSERT. Pure — unit- and integration-tested. */
+  def updateThenInsertSql(table: String, cols: Seq[String], keyCols: Seq[String]): (String, String) = {
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains), s"keyCols $keyCols must be ⊆ $cols")
+    val nonKeys = cols.filterNot(keyCols.contains)
+    require(nonKeys.nonEmpty, "ansi upsert needs at least one non-key column")
+    val upd = s"UPDATE $table SET ${nonKeys.map(c => s"$c = ?").mkString(", ")} " +
+      s"WHERE ${keyCols.map(c => s"$c = ?").mkString(" AND ")}"
+    val ins = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    (upd, ins)
   }
 }

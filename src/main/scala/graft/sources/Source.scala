@@ -287,8 +287,12 @@ final case class RangeSource(n: Long = 5000L, numPartitions: Option[Int] = None)
   * `upperBound`/`numPartitions`), and its fetch `batchSize` (default 1337,
   * `ExtractorBatchLimitAbstract.php:29`) maps to `fetchsize`.
   *
-  * Untested in this environment (no database available); exercised only
-  * through option-building unit tests. */
+  * Like the reference's PdoExtractor (which extends ExtractorLimit,
+  * `src/Extractors/ExtractorLimitAbstract.php:38-43`), the source-level
+  * `limit`/`offset`/`orderedBy` apply on top of the scan.
+  *
+  * Integration-tested against embedded Derby (JdbcIntegrationSpec):
+  * plain scan, 4-way partitioned range scan, fetchSize, and limit. */
 final case class JdbcSource(
     url: String,
     table: String,
@@ -297,7 +301,10 @@ final case class JdbcSource(
     lowerBound: Option[Long] = None,
     upperBound: Option[Long] = None,
     numPartitions: Option[Int] = None,
-    fetchSize: Int = 1337) extends Source {
+    fetchSize: Int = 1337,
+    override val limit: Option[Long] = None,
+    override val offset: Long = 0L,
+    override val orderedBy: Seq[String] = Nil) extends Source {
 
   def options: Map[String, String] = {
     val part = (partitionColumn, lowerBound, upperBound, numPartitions) match {

@@ -1,0 +1,107 @@
+package graft
+
+import graft.sinks.JdbcUpsertSink
+import graft.sources.JdbcSource
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Live-database integration for JdbcSource / JdbcUpsertSink against
+  * embedded Derby (in /opt/spark/jars — the one JDBC engine available
+  * in this sandbox). Closes the round-1 verdict's "untested: no DB in
+  * env" rows: the executor-side JDBC paths (partitioned scan, fetch
+  * size, update-then-insert upsert, task-retry idempotency) run for
+  * real here, not just their SQL/option builders.
+  *
+  * Reference behaviors exercised: PdoExtractor paginated scan
+  * (`src/Extractors/PdoExtractor.php:18-89`), DbLoader update-or-insert
+  * (`src/Laravel/Loaders/DbLoader.php:91-109`).
+  */
+class JdbcIntegrationSpec extends SparkSuite {
+
+  private val dbDir = tmpDir("graft-derby") + "/db"
+  private val url = s"jdbc:derby:$dbDir;create=true"
+  private val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+
+  private def withConn[A](f: java.sql.Connection => A): A = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private def seedSource(): Unit = withConn { c =>
+    val st = c.createStatement()
+    st.execute(
+      "CREATE TABLE src (id BIGINT PRIMARY KEY, name VARCHAR(64), val DOUBLE)")
+    val ins = c.prepareStatement("INSERT INTO src VALUES (?, ?, ?)")
+    (0L until 100L).foreach { i =>
+      ins.setLong(1, i); ins.setString(2, s"row_$i"); ins.setDouble(3, i * 1.5)
+      ins.addBatch()
+    }
+    ins.executeBatch()
+  }
+
+  test("JdbcSource reads a live table, with partitioned scan and limit") {
+    seedSource()
+    val plain = JdbcSource(url, "src", properties = props).load(spark)
+    assert(plain.count() === 100)
+    assert(plain.filter(col("id") === 42).select("name").head.getString(0) === "row_42")
+
+    // partitioned read: 4 executor-side range scans over the id column
+    val parted = JdbcSource(url, "src", properties = props,
+      partitionColumn = Some("id"), lowerBound = Some(0L),
+      upperBound = Some(100L), numPartitions = Some(4))
+    val df = parted.load(spark)
+    assert(df.rdd.getNumPartitions === 4)
+    assert(df.count() === 100)
+    assert(df.agg(sum("id")).head.getLong(0) === (0L until 100L).sum)
+
+    // source-level limit + ordered offset (reference setLimit/setOffset)
+    val page = JdbcSource(url, "src", properties = props, fetchSize = 7,
+      limit = Some(10), offset = 20L, orderedBy = Seq("id")).load(spark)
+    assert(page.select("id").collect().map(_.getLong(0)).toSeq === (20L until 30L))
+  }
+
+  test("JdbcUpsertSink ansi dialect: update-then-insert against Derby, idempotent") {
+    withConn { c =>
+      val st = c.createStatement()
+      st.execute(
+        "CREATE TABLE dst (id BIGINT PRIMARY KEY, name VARCHAR(64), val DOUBLE)")
+      st.execute("INSERT INTO dst VALUES (1, 'old_1', 0.0)")
+      st.execute("INSERT INTO dst VALUES (2, 'old_2', 0.0)")
+      st.execute("INSERT INTO dst VALUES (3, 'keep_3', 3.0)")
+    }
+    // rows 1,2 collide (update path), rows 10..14 are new (insert path);
+    // row 3 is untouched. 3 partitions → concurrent embedded connections.
+    val incoming = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, "new_1", 1.0), Row(2L, "new_2", 2.0)) ++
+          (10L until 15L).map(i => Row(i, s"new_$i", i * 1.0)), 3),
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("name", "string").add("val", "double"))
+
+    val sink = JdbcUpsertSink(url, "dst", keyCols = Seq("id"),
+      properties = props, batchSize = 2, dialect = "ansi")
+    sink.write(incoming)
+    // idempotency: a task retry replays rows — same end state
+    sink.write(incoming)
+
+    val got = withConn { c =>
+      val rs = c.createStatement().executeQuery("SELECT id, name, val FROM dst ORDER BY id")
+      Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getString(2), r.getDouble(3))).toList
+    }
+    assert(got === List(
+      (1L, "new_1", 1.0), (2L, "new_2", 2.0), (3L, "keep_3", 3.0),
+      (10L, "new_10", 10.0), (11L, "new_11", 11.0), (12L, "new_12", 12.0),
+      (13L, "new_13", 13.0), (14L, "new_14", 14.0)))
+  }
+
+  test("updateThenInsertSql builder shape") {
+    val (upd, ins) = JdbcUpsertSink.updateThenInsertSql(
+      "t", Seq("k1", "a", "k2", "b"), Seq("k1", "k2"))
+    assert(upd === "UPDATE t SET a = ?, b = ? WHERE k1 = ? AND k2 = ?")
+    assert(ins === "INSERT INTO t (k1, a, k2, b) VALUES (?, ?, ?, ?)")
+    assertThrows[IllegalArgumentException] {
+      JdbcUpsertSink.updateThenInsertSql("t", Seq("k"), Seq("k"))
+    }
+  }
+}
