@@ -119,6 +119,29 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
   def branch(build: Pipeline => Pipeline): Pipeline =
     append(Branch(build(Pipeline())))
 
+  /** Name this position in the flow — the injection point for [[sendTo]]
+    * (the analog of the reference's node ids,
+    * `docs/usage.md:133-135` `$flow->sendTo($node->getId(), $record)`). */
+  def label(name: String): Pipeline = {
+    require(!steps.contains(Label(name)), s"duplicate label '$name'")
+    append(Label(name))
+  }
+
+  /** Inject records at the labeled point, bypassing every node upstream
+    * of it — the reference's `sendTo()` ("executable networks of
+    * flows", `docs/usage.md:133-135`: send a record directly to the
+    * branch's transformer *without passing through the Qualifier*).
+    *
+    * Record-at-a-time injection becomes set-at-a-time: `base` flows
+    * through the steps AFTER the label only. The tail is returned as a
+    * Pipeline — `toDF` it for the transformed records (the reference's
+    * `$result`) or `exec` it to also run the tail's sinks. */
+  def sendTo(name: String, base: DataFrame): Pipeline = {
+    val at = steps.indexOf(Label(name))
+    require(at >= 0, s"no label '$name' in this flow")
+    new Pipeline(BaseDf(base) +: steps.drop(at + 1))
+  }
+
   /** Compile the flow to a DataFrame without running it (the reference's
     * documented standalone/partial-flow reuse, `docs/reusability.md:3-34`). */
   def toDF(spark: SparkSession): DataFrame = compile(spark, forExec = false).df
@@ -225,6 +248,7 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
     steps.zipWithIndex.foreach { case (step, idx) =>
       i += 1
       step match {
+        case Label(_)     => () // position marker for sendTo, no lineage
         case BaseDf(base) => df = base
         case From(src, agg) =>
           val loaded = observed(src.load(spark), s"extract_$i")
@@ -315,4 +339,5 @@ object Pipeline {
   private final case class Branch(sub: Pipeline) extends Step
   private final case class BaseDf(df: DataFrame) extends Step
   private final case class RootBreak(cond: Column) extends Step
+  private final case class Label(name: String) extends Step
 }

@@ -38,6 +38,7 @@ object SimilarityQueries {
     .mkString(" + ")
 
   private val NCentroids = 16
+  private val NProbe = 4
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -90,6 +91,60 @@ object SimilarityQueries {
               |      ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
               |  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
               |  WHERE q.vec_id < $NQueries) t
+              |WHERE rank <= $TopK""".stripMargin)),
+
+    // IVF with nprobe=4: queries probe their 4 nearest cells instead of
+    // 1, trading 4× the candidates for recall — the knob every IVF
+    // index exposes. Corpus vectors stay in exactly one cell (assign
+    // rk = 1); only the probe list fans out, so the join cost is
+    // nprobe·|corpus|/cells candidates per query. Same broadcast-
+    // centroids assignment pass as ann_ivf; the probe side (queries ×
+    // nprobe rows) is the broadcast build side of the cell join.
+    QueryDef("ann_ivf_nprobe",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"))
+        val cents = e.filter(col("vec_id") < NCentroids)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+            col("nrm").as("c_nrm"))
+        val aw = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_c").desc, col("c_id"))
+        val ranked = e.crossJoin(broadcast(cents))
+          .withColumn("cos_c",
+            cosineFast(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+          .withColumn("rk", row_number().over(aw))
+        val cells = ranked.filter(col("rk") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cell"))
+        val probes = ranked.filter(col("vec_id") < NQueries && col("rk") <= NProbe)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"), col("c_id").as("cell"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        broadcast(probes).join(cells.as("c"),
+            probes("cell") === col("c.cell") && col("q_id") =!= col("c.vec_id"))
+          .select(col("q_id"), col("c.vec_id").as("n_id"),
+            cosineFast(col("q_emb"), col("c.embedding"),
+              col("q_nrm"), col("c.nrm")).as("cos"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TopK)
+      },
+      Some(s"""WITH cents AS (
+              |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NCentroids),
+              |ranked AS (
+              |  SELECT vec_id, embedding, c_id,
+              |    row_number() OVER (PARTITION BY vec_id
+              |      ORDER BY ${cosineSql("e.embedding", "c_emb")} DESC, c_id) AS rk
+              |  FROM embeddings e CROSS JOIN cents),
+              |cells AS (SELECT vec_id, embedding, c_id AS cell FROM ranked WHERE rk = 1),
+              |probes AS (
+              |  SELECT vec_id AS q_id, embedding AS q_emb, c_id AS cell
+              |  FROM ranked WHERE vec_id < $NQueries AND rk <= $NProbe)
+              |SELECT * FROM (
+              |  SELECT q.q_id, c.vec_id AS n_id,
+              |    ${cosineSql("q.q_emb", "c.embedding")} AS cos,
+              |    row_number() OVER (PARTITION BY q.q_id
+              |      ORDER BY ${cosineSql("q.q_emb", "c.embedding")} DESC, c.vec_id) AS rank
+              |  FROM probes q JOIN cells c ON q.cell = c.cell AND q.q_id <> c.vec_id) t
               |WHERE rank <= $TopK""".stripMargin)),
 
     QueryDef("ann_bruteforce",

@@ -229,6 +229,37 @@ class PipelineSpec extends SparkSuite {
     assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore)
   }
 
+  test("sendTo injects records at a label, bypassing the upstream qualifier") {
+    // reference docs/usage.md:133-135: send a record directly to the
+    // branch's transformer WITHOUT passing through the Qualifier
+    val out = tmpDir("pipe_sendto")
+    val flow = Pipeline
+      .from(ParquetSource(sf("customer")))
+      .qualify(col("c_acctbal") > 0)
+      .label("after_qualify")
+      .transform(Transformers.KeyRename(Map("c_name" -> "customer_name")))
+      .to(ParquetSink(s"$out/main"))
+
+    // normal exec: qualifier applies
+    flow.exec(spark)
+    val qualified = spark.read.parquet(s"$out/main")
+    assert(qualified.filter(col("c_acctbal") <= 0).count() == 0)
+
+    // injected records skip the qualifier but hit the transformer + sink
+    val negatives = spark.read.parquet(sf("customer")).filter(col("c_acctbal") <= 0)
+    val injected = flow.sendTo("after_qualify", negatives).toDF(spark)
+    assert(injected.columns.contains("customer_name"))
+    assert(injected.count() == negatives.count() && negatives.count() > 0)
+
+    // exec form: the tail's sink runs on the injected records
+    val report = flow.sendTo("after_qualify", negatives).exec(spark)
+    assert(report.status == PipelineStatus.Clean)
+
+    // unknown labels and duplicates are refused loudly
+    assertThrows[IllegalArgumentException](flow.sendTo("nope", negatives))
+    assertThrows[IllegalArgumentException](flow.label("after_qualify").label("after_qualify"))
+  }
+
   test("failed flow reports Failed status") {
     val report = Pipeline
       .from(ParquetSource("/nonexistent/nope.parquet"))

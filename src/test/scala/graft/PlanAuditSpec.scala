@@ -62,7 +62,8 @@ class PlanAuditSpec extends SparkSuite {
     // that grows with SF (customer/supplier/part) OOMs at 100×. Only
     // nation (25 rows) and region (5 rows) may carry a hard hint; the
     // fact table must never sit under a BroadcastExchange.
-    for (q <- Seq("tpch_q3", "tpch_q5", "tpch_q10", "tpch_brand_share", "join_chained")) {
+    for (q <- Seq("tpch_q3", "tpch_q5", "tpch_q10", "tpch_brand_share", "join_chained",
+        "tpch_q7", "tpch_q8")) {
       val df = SparkEntry.queries(q)(spark, dir)
       for (t <- broadcastSubtrees(df))
         assert(!t.contains("lineitem"), s"$q broadcasts the fact side:\n$t")
@@ -80,6 +81,27 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("partial_sum"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert("Exchange".r.findAllIn(plan(SparkEntry.queries("q1_agg")(spark, dir))).size >= 1, p)
+  }
+
+  test("tpch_q1_full: partial aggregation, filter pushed, 10-col scan pruned to 7") {
+    val p = plan(SparkEntry.queries("tpch_q1_full")(spark, dir))
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    for (unused <- Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
+      assert(!readSchema.contains(unused), readSchema)
+  }
+
+  test("tpch_q8: single aggregation exchange on the year key after the joins") {
+    // the 8-table join must not introduce extra aggregate shuffles: one
+    // partial agg under one hashpartitioning(o_year) exchange
+    val p = plan(SparkEntry.queries("tpch_q8")(spark, dir))
+    assert(p.contains("partial_sum"), p)
+    // the year grouping key is a derived expression — Spark names it
+    // _groupingexpression in the exchange; either spelling is the same
+    // single agg shuffle
+    assert("hashpartitioning\\((o_year|_groupingexpression)".r.findAllIn(p).size >= 1, p)
   }
 
   test("join_chained: small dims still broadcast by size, without a forced hint") {

@@ -119,4 +119,20 @@ class TextDedupSpec extends SparkSuite {
     val lsh = q("ann_lsh")
     assert(lsh.filter(col("rank") === 1).count() > 0)
   }
+
+  test("IVF nprobe=4 recall vs brute force is at least nprobe=1's") {
+    def topSets(name: String): Map[Long, Set[Long]] =
+      q(name).collect().groupBy(_.getLong(0))
+        .map { case (k, rows) => k -> rows.map(r => r.getAs[Long]("n_id")).toSet }
+    val truth = topSets("ann_bruteforce")
+    def recall(name: String): Double = {
+      val got = topSets(name)
+      val hits = truth.map { case (qid, t) => (got.getOrElse(qid, Set.empty) & t).size }.sum
+      hits.toDouble / truth.values.map(_.size).sum
+    }
+    val r1 = recall("ann_ivf")
+    val r4 = recall("ann_ivf_nprobe")
+    assert(r4 >= r1, s"nprobe=4 recall $r4 < nprobe=1 recall $r1")
+    assert(r4 > 0.0)
+  }
 }
