@@ -55,11 +55,24 @@ object DedupQueries {
       |sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 1))]) AS s FROM toks),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
-  /** Spark-side distinct (doc_id, shingle) pairs. */
-  private def shingleSet(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+  /** Spark-side distinct (doc_id, shingle) pairs.
+    *
+    * Scan-width guard: tokenize+shingle+explode is the CPU-heavy stage,
+    * and a small corpus parquet arrives as ONE input split (128 MB
+    * `maxPartitionBytes`), serializing it on a single core — measured
+    * 5× slower at sf0.1 than the same work spread over the cluster. A
+    * keyed repartition widens narrow scans; a 100 TB corpus already
+    * scans wider than the core count, so no shuffle is added at scale. */
+  private def shingleSet(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val wide =
+      if (docs.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+        docs.repartition(col("doc_id"))
+      else docs
+    wide
       .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
       .distinct()
+  }
 
   private def jaccard(inter: Column, na: Column, nb: Column): Column =
     round(inter.cast("double") / (na + nb - inter).cast("double"), 6)

@@ -95,6 +95,46 @@ class JdbcIntegrationSpec extends SparkSuite {
       (13L, "new_13", 13.0), (14L, "new_14", 14.0)))
   }
 
+  test("streaming upsert: foreachBatch drives JdbcUpsertSink(ansi) into Derby") {
+    // the batch-only upsert sink becomes a streaming sink through
+    // foreachBatch (update-mode agg emits changed keys per micro-batch;
+    // keyed upsert makes replays idempotent) — the standard pattern for
+    // streaming into a MERGE-less JDBC store
+    import graft.streaming.EventStreams.Event
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    withConn { c =>
+      c.createStatement().execute(
+        "CREATE TABLE stream_agg (user_id BIGINT PRIMARY KEY, n_events BIGINT, total_val DOUBLE)")
+    }
+    val sink = JdbcUpsertSink(url, "stream_agg", keyCols = Seq("user_id"),
+      properties = props, dialect = "ansi")
+    def ts(minute: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+    val ms = MemoryStream[Event]
+    val agg = ms.toDF().groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_val"))
+    val q = agg.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.write(batch)
+      }.start()
+    def table(): Map[Long, (Long, Double)] = withConn { c =>
+      val rs = c.createStatement().executeQuery("SELECT user_id, n_events, total_val FROM stream_agg")
+      Iterator.continually(rs).takeWhile(_.next())
+        .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    }
+    try {
+      ms.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 2.0),
+        Event(3, ts(2), 2, "click", 5.0))
+      q.processAllAvailable()
+      assert(table() === Map(1L -> (2L, 3.0), 2L -> (1L, 5.0)))
+      // second micro-batch UPDATES user 1's row and INSERTS user 3's
+      ms.addData(Event(4, ts(3), 1, "click", 4.0), Event(5, ts(4), 3, "view", 7.0))
+      q.processAllAvailable()
+      assert(table() === Map(1L -> (3L, 7.0), 2L -> (1L, 5.0), 3L -> (1L, 7.0)))
+    } finally q.stop()
+  }
+
   test("updateThenInsertSql builder shape") {
     val (upd, ins) = JdbcUpsertSink.updateThenInsertSql(
       "t", Seq("k1", "a", "k2", "b"), Seq("k1", "k2"))
