@@ -251,6 +251,76 @@ object TpchQueries {
               |                      AND TIMESTAMP '1996-12-31 00:00:00'
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Q18 shape: large-volume orders — a HAVING filter on an exact
+    // cent-sum aggregate, then fact-side joins to orders/customer.
+    // The groupBy(l_orderkey) output (the "big orders" list) is tiny
+    // after the HAVING cut; AQE broadcasts it into the orders join at
+    // runtime — exactly the plan a literal EXISTS-subquery would
+    // decorrelate to. Top-20 by price is TakeOrderedAndProject.
+    QueryDef("tpch_q18",
+      (s, dir) => {
+        import QueryDef.cents
+        val big = Tables(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(cents(col("l_quantity"))).as("sum_qty_cents"))
+          .filter(col("sum_qty_cents") > 15000L)
+        val o = Tables(s, dir, "orders")
+        val c = Tables(s, dir, "customer")
+        big.join(o, big("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            cents(col("o_totalprice")).as("totalprice_cents"),
+            col("sum_qty_cents"))
+          .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, o_orderkey,
+              |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+              |  ${QueryDef.centsSql("o_totalprice")} AS totalprice_cents,
+              |  sum_qty_cents
+              |FROM (SELECT l_orderkey,
+              |        CAST(SUM(${QueryDef.centsSql("l_quantity")}) AS BIGINT) AS sum_qty_cents
+              |      FROM lineitem GROUP BY l_orderkey
+              |      HAVING CAST(SUM(${QueryDef.centsSql("l_quantity")}) AS BIGINT) > 15000) big
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |ORDER BY totalprice_cents DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    // Q22 shape: dormant high-balance customers — global-average scalar
+    // threshold + anti join. The scalar avg is a 1-row aggregate
+    // broadcast into the filter (no driver round-trip, no second pass);
+    // the "no recent orders" condition is a native left_anti against
+    // the date-pruned orders scan. Output is aggregated per segment so
+    // no raw double crosses the oracle boundary. (The threshold compare
+    // itself is double vs double: both engines average the same 2-dec
+    // values, and no acctbal sits within ulp of the mean — pinned by
+    // the row-count match at both SFs.)
+    QueryDef("tpch_q22",
+      (s, dir) => {
+        import QueryDef.cents
+        val c = Tables(s, dir, "customer")
+        val avgBal = c.filter(col("c_acctbal") > 0.0)
+          .agg(avg(col("c_acctbal")).as("avg_bal"))
+        val recent = Tables(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey"))
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_custs"),
+            sum(cents(col("c_acctbal"))).as("sum_acctbal_cents"))
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_custs,
+              |  CAST(SUM(${QueryDef.centsSql("c_acctbal")}) AS BIGINT) AS sum_acctbal_cents
+              |FROM customer c
+              |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              |  AND NOT EXISTS (SELECT 1 FROM orders o
+              |    WHERE o.o_custkey = c.c_custkey
+              |      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+              |GROUP BY c_mktsegment""".stripMargin)),
+
     // Q14-ish shape: revenue share per part brand (fact ⋈ part dim)
     QueryDef("tpch_brand_share",
       (s, dir) => {
