@@ -114,6 +114,31 @@ object EventStreams {
         col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Stream-stream LEFT OUTER join: every click, enriched with its
+    * following purchase when one exists, or NULL purchase columns once
+    * the watermark proves none can arrive. Outer stream joins are the
+    * harder state problem: the engine must hold an unmatched left row
+    * until the watermark passes the end of its join window before it
+    * may emit the NULL-padded result — so the same watermark + time-
+    * range bounds that evict inner-join state are what make the outer
+    * result *correct*, not just space-bounded. */
+  def clickToPurchaseOuter(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      expr("""user_id = p_user_id AND
+              purchase_ts >= click_ts AND
+              purchase_ts <= click_ts + INTERVAL 1 HOUR"""),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   final case class SessionState(startMs: Long, lastMs: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Long, total_value: Double)

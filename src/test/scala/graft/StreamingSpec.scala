@@ -131,6 +131,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: unmatched click emitted with NULLs after watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = graft.streaming.EventStreams.clickToPurchaseOuter(ms.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("attributed_outer").outputMode("append").start()
+    try {
+      ms.addData(
+        Event(1, ts(0), 1, "click", 0.0),
+        Event(2, ts(30), 1, "purchase", 9.99),  // within the hour → matches
+        Event(3, ts(0), 2, "click", 0.0))       // never purchases
+      q.processAllAvailable()
+      // the unmatched click may only surface once the watermark passes
+      // click_ts + 1 hour — prove it is NOT emitted early…
+      val early = spark.table("attributed_outer").collect()
+      assert(!early.exists(_.getLong(0) == 2L), early.mkString(","))
+      // …then advance event time far past the join window + watermark.
+      // The watermark is tracked per input: the purchases side only
+      // moves when a purchase arrives, and the join's NULL emission
+      // waits on the SLOWEST side — so the late batch must advance both
+      ms.addData(Event(4, ts(600), 3, "click", 0.0),
+        Event(5, ts(600), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      ms.addData(Event(6, ts(1200), 3, "view", 0.0),
+        Event(7, ts(1200), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attributed_outer")
+        .select("user_id", "click_id", "purchase_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2))))
+      assert(rows.toSet.contains((1L, 1L, Some(9.99))))
+      assert(rows.toSet.contains((2L, 3L, None)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("foreachBatch: per-micro-batch idempotent sink (upsert pattern)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
