@@ -15,6 +15,29 @@ object SetRollupQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Exact order statistics per group: percentile() in Spark and
+    // quantile_cont() in DuckDB both take the linearly-interpolated
+    // value at p·(n−1) over the sorted group — exact (not a sketch),
+    // one shuffle on the grouping key, per-group sort inside the
+    // aggregate. round(…,6) absorbs last-ulp differences in the two
+    // engines' interpolation arithmetic. At true scale swap in
+    // approx_percentile (t-digest sketch, map-side combinable) when the
+    // per-group sort no longer fits — same query shape.
+    QueryDef("quantile_stats",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
+          count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+             |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+             |  round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // INTERSECT / EXCEPT (distinct set semantics, like SQL)
     QueryDef("set_intersect_except",
       (s, dir) => {
