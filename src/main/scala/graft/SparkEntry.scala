@@ -36,7 +36,8 @@ object SparkEntry {
       graft.queries.MultimodalQueries.defs ++
       graft.queries.SetRollupQueries.defs ++
       graft.queries.TpchQueries.defs ++
-      graft.queries.FileQueries.defs
+      graft.queries.FileQueries.defs ++
+      graft.queries.ProfilingQueries.defs
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

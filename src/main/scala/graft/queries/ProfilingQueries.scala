@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Data profiling and data-quality expectations — the validation layer
+  * every large-scale ingest pipeline runs before (and after) the
+  * expensive stages. The reference's analog is qualifier-based record
+  * rejection (`src/Qualifiers/CallableQualifier.php`); these operators
+  * are the set-at-a-time form: one scan-speed aggregation pass over the
+  * whole table, producing per-column/per-rule summaries instead of a
+  * per-record verdict.
+  *
+  * Both queries are single map-side-combinable aggregations — zero
+  * joins, one tiny shuffle (grouping key = column/rule name), payload a
+  * handful of counters per group. At 100 TB they run at scan speed and
+  * are the cheapest possible gate before dedup/training stages.
+  */
+object ProfilingQueries {
+
+  /** Columns profiled in `profile_stats` (documents corpus). */
+  private val ProfCols = Seq("lang", "source", "n_chars")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // per-column profile: row count, null count, distinct count,
+    // min/max (stringified for a type-uniform summary table). One agg
+    // per column over the same scan; Catalyst shares the scan via
+    // union — at scale, column stats arrive in a single pass each.
+    QueryDef("profile_stats",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        ProfCols.map { c =>
+          docs.agg(
+            count(lit(1)).as("n"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            count_distinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("string").as("min_v"),
+            max(col(c)).cast("string").as("max_v"))
+            .select(lit(c).as("col_name"), col("n"), col("n_null"),
+              col("n_distinct"), col("min_v"), col("max_v"))
+        }.reduce(_.unionByName(_))
+      },
+      Some(ProfCols.map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_v, CAST(MAX($c) AS VARCHAR) AS max_v
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n"))),
+
+    // declarative expectations (dbt-test / Delta-constraint shape):
+    // each rule is a predicate; the result is rule → violation count
+    // over total checked. All rules evaluate in ONE pass (conditional
+    // sums, map-side combined) — adding a rule costs one counter, not
+    // one scan.
+    QueryDef("dq_expectations",
+      (s, dir) => {
+        val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+          "quantity_in_range" -> col("l_quantity").between(1.0, 45.0),
+          "discount_at_most_8pct" -> (col("l_discount") <= 0.08),
+          "tax_nonnegative" -> (col("l_tax") >= 0.0),
+          "shipdate_present" -> col("l_shipdate").isNotNull)
+        val l = Tables(s, dir, "lineitem")
+        val agg = l.agg(
+          count(lit(1)).as("n_checked"),
+          rules.map { case (name, pred) =>
+            sum(when(!pred, 1L).otherwise(0L)).as(s"viol_$name")
+          }: _*)
+        // wide one-row → long (rule, n_violations, n_checked): stack is
+        // a narrow op on a 1-row frame
+        val stackExpr = rules.map { case (name, _) =>
+          s"'$name', viol_$name" }.mkString(", ")
+        agg.selectExpr("n_checked",
+            s"stack(${rules.length}, $stackExpr) AS (rule, n_violations)")
+          .select(col("rule"), col("n_violations"), col("n_checked"))
+      },
+      Some(Seq(
+        "quantity_in_range" -> "NOT (l_quantity BETWEEN 1.0 AND 45.0)",
+        "discount_at_most_8pct" -> "NOT (l_discount <= 0.08)",
+        "tax_nonnegative" -> "NOT (l_tax >= 0.0)",
+        "shipdate_present" -> "l_shipdate IS NULL").map { case (name, viol) =>
+        s"""SELECT '$name' AS rule,
+           |  CAST(SUM(CASE WHEN $viol THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+           |  COUNT(*) AS n_checked FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")))
+  )
+}

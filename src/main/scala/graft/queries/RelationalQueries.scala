@@ -183,6 +183,41 @@ object RelationalQueries {
              |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
              |UNION ALL
              |SELECT c_custkey, FALSE AS has_orders FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin))
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // running/lag window analytics: per-customer cumulative spend,
+    // order sequence number, and days since the previous order — the
+    // frame/lag side of window functions (window_topk covers ranking).
+    // One shuffle on the partition key; the frame is ROWS-bounded
+    // explicitly on BOTH sides (the default RANGE frame treats ties
+    // differently, and determinism demands a total per-partition order
+    // — o_orderdate then o_orderkey). State per group is O(1).
+    QueryDef("window_running",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            sum(QueryDef.cents(col("o_totalprice"))).over(cum).as("run_spend_cents"),
+            row_number().over(w).cast("long").as("order_seq"),
+            datediff(col("o_orderdate"),
+              lag(col("o_orderdate"), 1).over(w)).cast("long").as("gap_days"))
+      },
+      Some(s"""SELECT o_custkey, o_orderkey,
+              |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+              |  CAST(SUM(${QueryDef.centsSql("o_totalprice")}) OVER (
+              |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              |    AS run_spend_cents,
+              |  CAST(row_number() OVER (
+              |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+              |    AS order_seq,
+              |  CAST(datediff('day', lag(o_orderdate, 1) OVER (
+              |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+              |    o_orderdate) AS BIGINT) AS gap_days
+              |FROM orders""".stripMargin))
   )
 }
