@@ -237,6 +237,78 @@ object DedupQueries {
            |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM verified)""".stripMargin
       }),
 
+    // Dedup CLUSTERS: the step after pair discovery — near-dup pairs
+    // form a graph whose connected components are the duplicate
+    // clusters (pair-level dropping under-merges: A~B and B~C must
+    // land A,B,C in ONE cluster even when A~C was never verified).
+    // Spark side: min-label propagation — every node starts labeled
+    // with its own id, and each superstep replaces a node's label with
+    // the min over its neighborhood (a join + groupBy(min) per
+    // iteration, all exact integer ops). The loop is driver-
+    // SYNCHRONIZED but not driver-MATERIALIZED: per iteration one
+    // aggregate (changed-label count) comes back to decide
+    // convergence, the label table itself never leaves the cluster —
+    // the standard superstep shape for iterative graph algorithms on
+    // Spark at any scale. Near-dup clusters have tiny diameters
+    // (duplicates of a doc are near-dups of each other), so the loop
+    // converges in O(log(longest chain)) supersteps — 1-2 here; the
+    // cap guards degenerate chains. Oracle: DuckDB recursive-CTE
+    // reachability closure + per-node min over reached nodes — a
+    // different algorithm computing the same fixpoint, so agreement is
+    // a real cross-check, not an echo.
+    QueryDef("dedup_clusters",
+      (s, dir) => {
+        val sh = shingleSet(s, dir).persist()
+        val pairs = jaccardPairs(sh, Some(lshCandidates(sh)))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("doc_a"), col("doc_b"))
+        // symmetric edge list, persisted: re-joined every superstep
+        val edges = pairs
+          .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .persist()
+        var labels = edges.select(col("doc_a").as("doc_id"))
+          .distinct().withColumn("label", col("doc_id")).persist()
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 20) {
+          val next = edges.join(labels, edges("doc_b") === labels("doc_id"))
+            .groupBy(col("doc_a").as("doc_id2"))
+            .agg(min(col("label")).as("nbr_min"))
+            .join(labels, col("doc_id2") === labels("doc_id"))
+            .select(col("doc_id"), least(col("label"), col("nbr_min")).as("label"))
+            .persist()
+          val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(col("label") =!= col("old")).count()
+          labels.unpersist(blocking = false)
+          labels = next
+          converged = changed == 0
+          iter += 1
+        }
+        edges.unpersist(blocking = false)
+        labels.select(col("doc_id"), col("label").as("cluster_id"))
+      },
+      Some(s"""$shCte,
+              |$candCteSql,
+              |inter AS (
+              |  SELECT doc_a, doc_b, count(*) AS i
+              |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
+              |  GROUP BY doc_a, doc_b),
+              |pairs AS (
+              |  SELECT doc_a, doc_b FROM inter
+              |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+              |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.8),
+              |edges AS (
+              |  SELECT doc_a AS u, doc_b AS v FROM pairs
+              |  UNION SELECT doc_b, doc_a FROM pairs),
+              |reach AS (
+              |  WITH RECURSIVE r(u, v) AS (
+              |    SELECT u, v FROM edges
+              |    UNION
+              |    SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u)
+              |  SELECT u, v FROM r)
+              |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+              |FROM reach GROUP BY u""".stripMargin)),
+
     // SimHash fingerprints: 32-bit, one aggregation pass over token
     // occurrences (map-side combinable — scales like a word count)
     QueryDef("dedup_simhash",
