@@ -146,6 +146,26 @@ class PipelineSpec extends SparkSuite {
     assert(df.select(countDistinct(col("o"))).head().getLong(0) == 10)
   }
 
+  test("break inside a branch truncates ONLY that branch (flow3)") {
+    // reference tests/QualifierTest.php:132-178: a break firing inside
+    // a branch ends the branch's stream (4 of its records reach its
+    // downstream nodes) while the ROOT flow runs to completion; the
+    // whole exec still reports dirty because a break truncated a stream
+    val out = tmpDir("pipe_flow3")
+    val report = Pipeline
+      .from(ParquetSource(sf("nation")))            // root: 25 records
+      .branch(_
+        .from(ParquetSource(sf("nation")), aggregate = true) // branch concats its own source
+        .qualify(Qualifiers.BreakAfter(4))          // break on the 5th
+        .to(ParquetSink(s"$out/branch")))
+      .to(ParquetSink(s"$out/root"))
+      .exec(spark)
+
+    assert(report.status == PipelineStatus.Dirty)
+    assert(spark.read.parquet(s"$out/branch").count() == 4)  // truncated
+    assert(spark.read.parquet(s"$out/root").count() == 25)   // untouched
+  }
+
   test("branch→root break: every ancestor continuation stops, status dirty (flow9)") {
     // reference tests/QualifierTest.php:567-648: a break targeting the
     // root flow from inside a branch. Branch sinks declared before the
