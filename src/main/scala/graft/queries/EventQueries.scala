@@ -32,6 +32,31 @@ object EventQueries {
              |  COUNT(DISTINCT user_id) AS n_users
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // sliding-window aggregation (1 h window, 15 min slide): the
+    // window() generator fans each event into its 4 containing windows
+    // BEFORE the aggregation — batch twin of
+    // [[graft.streaming.EventStreams.slidingCounts]]. Shuffle payload
+    // is 4× events_hourly's (the overlap factor), still partial-agg'd
+    // map-side. Oracle reproduces the fan-out with an explicit
+    // unnest(range(0,4)) over 15-minute epoch buckets (Spark aligns
+    // window starts to the epoch, so bucket arithmetic matches).
+    QueryDef("events_sliding",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(QueryDef.cents(col("value"))).as("sum_value_cents"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value_cents")),
+      Some(s"""SELECT strftime(make_timestamp(
+             |    (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000 - i) * 900000000),
+             |    '%Y-%m-%d %H:%M:%S') AS win_start,
+             |  event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(${QueryDef.centsSql("value")}) AS BIGINT) AS sum_value_cents
+             |FROM events, unnest(range(0, 4)) AS u(i)
+             |GROUP BY 1, 2""".stripMargin)),
+
     // sessionization with a 30-minute inactivity gap: lag → new-session
     // flag → running sum = session id → per-session rollup. The batch
     // twin of streaming session windows; one shuffle on user_id, window

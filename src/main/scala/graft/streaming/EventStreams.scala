@@ -75,6 +75,19 @@ object EventStreams {
         sum(graft.queries.QueryDef.cents(col("value"))).as("sum_value_cents"),
         approx_count_distinct(col("user_id")).as("approx_users"))
 
+  /** Watermarked SLIDING-window aggregation (1 h window every 15 min):
+    * each event contributes to window-length/slide = 4 overlapping
+    * windows — the window() generator fans the row out before the agg,
+    * so state holds 4 open windows per key instead of 1; eviction is
+    * still watermark-driven. Batch twin: `events_sliding`. */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(graft.queries.QueryDef.cents(col("value"))).as("sum_value_cents"))
+
   /** Session windows via the built-in `session_window` (30-minute gap)
     * — the declarative path, preferred when the semantics fit. */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes",

@@ -31,6 +31,26 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("sliding windows: one event lands in window-length/slide = 4 windows") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = graft.streaming.EventStreams.slidingCounts(
+        ms.toDF().select(col("ts"), col("event_type"), col("value")))
+      .writeStream.format("memory").queryName("sliding").outputMode("complete").start()
+    try {
+      ms.addData(Event(1, ts(30), 1, "click", 2.0)) // 00:30 → 4 windows
+      q.processAllAvailable()
+      val rows = spark.table("sliding").collect()
+      assert(rows.length == 4, rows.mkString(","))
+      assert(rows.forall(_.getAs[Long]("n_events") == 1L))
+      val starts = rows.map(_.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[java.sql.Timestamp]("start").toString).sorted
+      // windows start every 15 min from 23:45 through the event's 00:30
+      assert(starts.head.contains("23:45:00") && starts.last.contains("00:30:00"), starts.mkString(","))
+    } finally q.stop()
+  }
+
   test("session_window groups events by 30-minute inactivity gap") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
