@@ -21,8 +21,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session (tests, notebooks).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.nfcFunction)
+  }
 }
 
 object GraftExtensions {
@@ -38,8 +40,22 @@ object GraftExtensions {
   private[graft] val dotFunction =
     (FunctionIdentifier("graft_dot"), dotInfo, (children: Seq[Expression]) => build(children))
 
+  private val nfcInfo = new ExpressionInfo(
+    classOf[NfcNormalizeExpr].getCanonicalName, "graft_nfc")
+
+  private def buildNfc(children: Seq[Expression]): Expression = {
+    require(children.size == 1, s"graft_nfc expects 1 argument, got ${children.size}")
+    NfcNormalizeExpr(children.head)
+  }
+
+  private[graft] val nfcFunction =
+    (FunctionIdentifier("graft_nfc"), nfcInfo, (children: Seq[Expression]) => buildNfc(children))
+
   /** Register the engine's SQL functions into an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_dot", build, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_nfc", buildNfc, "built-in")
+  }
 }

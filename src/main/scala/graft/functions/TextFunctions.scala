@@ -93,6 +93,14 @@ object TextFunctions {
   def dotFast(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.dotNative(a, b)
 
+  /** Unicode NFC canonicalization (native codegen'd
+    * [[org.apache.spark.sql.graft.NfcNormalizeExpr]]) — run before any
+    * text hashing: composed and decomposed accent sequences render
+    * identically but hash differently without it. DuckDB twin:
+    * `nfc_normalize`. */
+  def nfcNormalize(c: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.nfcNative(c)
+
   /** Cosine from precomputed norms (`nrm = sqrt(dotFast(e, e))`
     * projected once per vector before the pairwise join): identical
     * double arithmetic to [[cosine]] — dot / sqrt(na2) / sqrt(nb2) —

@@ -7,11 +7,12 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the embedding hot path.
   *
@@ -70,9 +71,52 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Unicode NFC normalization — the canonicalization step a text
+  * dedup pipeline must run BEFORE hashing (the composed "é" U+00E9 and
+  * the decomposed "e"+U+0301 render identically but hash differently;
+  * without NFC, exact dedup silently misses such pairs). No Spark
+  * built-in exists; a Scala UDF would pay String boxing per row. The
+  * static helper takes the zero-copy fast path (`isNormalized` on the
+  * cheap ASCII-dominant case allocates nothing and returns the input
+  * UTF8String as-is) and only materializes a java.lang.String for rows
+  * that actually need recomposition. DuckDB twin: `nfc_normalize` —
+  * both implement Unicode NFC, so oracle parity holds by spec.
+  */
+case class NfcNormalizeExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override protected def nullSafeEval(s: Any): Any =
+    NfcNormalizeExpr.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.NfcNormalizeExpr.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+}
+
+object NfcNormalizeExpr {
+  /** Static so generated code can call it without capturing `this`. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object VectorExpressions {
   /** Column API for [[DotProductExpr]]. */
   def dotNative(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column API for [[NfcNormalizeExpr]]. */
+  def nfcNative(c: Column): Column =
+    ExpressionUtils.column(NfcNormalizeExpr(ExpressionUtils.expression(c)))
 }

@@ -179,15 +179,17 @@ object DedupQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // exact dedup: one representative (min doc_id) per normalized text.
-    // At 100 TB: groupBy on md5(norm_text) instead of the text itself so
-    // the shuffle key is 16 bytes, not the document.
+    // Normalization = Unicode NFC (native graft_nfc — composed and
+    // decomposed accents must hash identically) → lower → whitespace
+    // collapse. At 100 TB: groupBy on md5(norm_text) instead of the
+    // text itself so the shuffle key is 16 bytes, not the document.
     QueryDef("dedup_exact",
       (s, dir) => Tables(s, dir, "documents")
-        .groupBy(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+        .groupBy(md5(regexp_replace(lower(nfcNormalize(col("text"))), "\\s+", " ")).as("fp"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
         .select(col("doc_id"), col("n_dups")),
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents
-             |GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))""".stripMargin)),
+             |GROUP BY md5(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))""".stripMargin)),
 
     // n-gram Jaccard near-dup pairs (threshold 0.8): MinHash-LSH
     // candidate discovery, exact Jaccard computed ONLY on candidates.

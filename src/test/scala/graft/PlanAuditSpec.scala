@@ -135,6 +135,25 @@ class PlanAuditSpec extends SparkSuite {
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("graft_nfc: composed and decomposed accents hash identically after normalize") {
+    import spark.implicits._
+    // "café" with a precomposed é vs a decomposed e + COMBINING ACUTE
+    val df = Seq(("café", "café")).toDF("composed", "decomposed")
+    val r = df.select(
+      graft.functions.TextFunctions.nfcNormalize(col("composed")).as("a"),
+      graft.functions.TextFunctions.nfcNormalize(col("decomposed")).as("b"),
+      (md5(col("composed")) === md5(col("decomposed"))).as("raw_same"))
+      .withColumn("norm_same", md5(col("a")) === md5(col("b"))).head
+    assert(!r.getBoolean(2))  // without NFC the hashes differ…
+    assert(r.getBoolean(3))   // …after NFC they agree
+    assert(r.getString(0) == "café" && r.getString(1) == "café")
+
+    // and it is SQL-callable + codegen'd like graft_dot
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT graft_nfc('café') AS n").head.getString(0)
+    assert(viaSql == "café")
+  }
+
   test("graft_dot is SQL-callable after extensions registration") {
     org.apache.spark.sql.graft.GraftExtensions.register(spark)
     spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("emb_v")
