@@ -279,8 +279,12 @@ object DedupQueries {
             .join(labels, col("doc_id2") === labels("doc_id"))
             .select(col("doc_id"), least(col("label"), col("nbr_min")).as("label"))
             .persist()
-          val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .filter(col("label") =!= col("old")).count()
+          // superstep 0 always changes labels (every edge endpoint sees
+          // a neighbor) — skip its convergence job outright
+          val changed =
+            if (iter == 0) 1L
+            else next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+              .filter(col("label") =!= col("old")).count()
           labels.unpersist(blocking = false)
           labels = next
           converged = changed == 0
