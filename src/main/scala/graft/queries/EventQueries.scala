@@ -57,6 +57,39 @@ object EventQueries {
              |FROM events, unnest(range(0, 4)) AS u(i)
              |GROUP BY 1, 2""".stripMargin)),
 
+    // funnel analysis: how many users reached each ordered step
+    // (click → view → purchase, each step's first occurrence strictly
+    // after the previous step's). One conditional-min aggregation per
+    // user — a single shuffle on user_id, no joins, no explosion; the
+    // step ordering is resolved per user from the three min-timestamps.
+    QueryDef("funnel_steps",
+      (s, dir) => {
+        def stepMin(t: String) =
+          min(when(col("event_type") === t, unix_micros(col("ts")))).as(s"${t}_us")
+        val perUser = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(stepMin("click"), stepMin("view"), stepMin("purchase"))
+        perUser.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("click_us").isNotNull, 1L).otherwise(0L)).as("step1_click"),
+          sum(when(col("click_us").isNotNull && col("view_us") > col("click_us"), 1L)
+            .otherwise(0L)).as("step2_view_after_click"),
+          sum(when(col("click_us").isNotNull && col("view_us") > col("click_us")
+            && col("purchase_us") > col("view_us"), 1L)
+            .otherwise(0L)).as("step3_purchase_after_view"))
+      },
+      Some("""WITH per_user AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'click' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS click_us,
+             |    min(CASE WHEN event_type = 'view' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS view_us,
+             |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS purchase_us
+             |  FROM events GROUP BY user_id)
+             |SELECT COUNT(*) AS n_users,
+             |  CAST(SUM(CASE WHEN click_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step1_click,
+             |  CAST(SUM(CASE WHEN click_us IS NOT NULL AND view_us > click_us THEN 1 ELSE 0 END) AS BIGINT) AS step2_view_after_click,
+             |  CAST(SUM(CASE WHEN click_us IS NOT NULL AND view_us > click_us AND purchase_us > view_us THEN 1 ELSE 0 END) AS BIGINT) AS step3_purchase_after_view
+             |FROM per_user""".stripMargin)),
+
     // sessionization with a 30-minute inactivity gap: lag → new-session
     // flag → running sum = session id → per-session rollup. The batch
     // twin of streaming session windows; one shuffle on user_id, window

@@ -34,6 +34,21 @@ class FileFormatsSpec extends SparkSuite {
     assert(rows(0).getString(4) == "a\"6\\nA'R`à1,;h")
   }
 
+  test("CSV malformed rows: PERMISSIVE null-fill, no job failure (bad-record tolerance)") {
+    // a short row (missing column) and a long row (extra column) must
+    // not abort a 100 TB ingest; PERMISSIVE parses what it can —
+    // missing fields null-filled, extras dropped — and good rows are
+    // untouched
+    val dir = tmpDir("csv_malformed")
+    write(s"$dir/bad.csv", "id,name,val\n1,alice,10\n2,bob\n3,carol,30,EXTRA\n4,dan,40\n")
+    val df = CsvSource(s"$dir/bad.csv").load(spark)
+    assert(df.count() == 4) // every row surfaced
+    val byId = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(byId("2").isNullAt(2))            // short row null-filled
+    assert(byId("3").getString(1) == "carol") // long row keeps known cols
+    assert(byId("4").getString(2) == "40")    // good rows untouched
+  }
+
   test("CSV with UTF-8 BOM: detected, first column name clean") {
     val dir = tmpDir("csv_bom")
     write(s"$dir/data_bom.csv", "id,name\n1,a\n2,b\n", withBom = true)
