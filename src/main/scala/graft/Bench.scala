@@ -50,14 +50,20 @@ object Bench {
       }
     }
 
-    /** (median, spread): median of 5 when the first run is sub-2 s
-      * (noise-dominated regime), median of 3 otherwise; (-1, 0) if any
-      * run fails. */
+    /** (median, spread): median of 5 (including the first run) when the
+      * first run is sub-2 s — inter-run noise dominates JIT there. A
+      * first run ≥ 2 s is DISCARDED as warmup and the median of 3
+      * fresh runs reported: heavy queries compile many query-specific
+      * codegen stages the global warmup can't touch, and folding that
+      * one-time cost into a median-of-3 overstates steady state 2-3×
+      * (measured on dedup_clusters: 18 s first run, 5-6 s after).
+      * (-1, 0) if any run fails. */
     def measure(name: String): (Double, Double) = {
       val first = time(name)
       if (first < 0) return (-1.0, 0.0)
-      val extra = if (first < 2.0) 4 else 2
-      val times = first +: Seq.fill(extra)(time(name))
+      val times =
+        if (first < 2.0) first +: Seq.fill(4)(time(name))
+        else Seq.fill(3)(time(name))
       if (times.exists(_ < 0)) (-1.0, 0.0)
       else {
         val s = times.sorted

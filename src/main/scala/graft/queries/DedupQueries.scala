@@ -270,6 +270,14 @@ object DedupQueries {
           .persist()
         var labels = edges.select(col("doc_a").as("doc_id"))
           .distinct().withColumn("label", col("doc_id")).persist()
+        // labels only ever DECREASE under min-propagation, so the
+        // fixpoint test is "label sum unchanged" — one cheap aggregate
+        // over the freshly persisted table (which doubles as its
+        // materialization), no join. Summed as decimal(38,0): exact at
+        // any id magnitude × node count, immune to long overflow.
+        def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+          df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+        var prevSum = labelSum(labels)
         var converged = false
         var iter = 0
         while (!converged && iter < 20) {
@@ -279,15 +287,11 @@ object DedupQueries {
             .join(labels, col("doc_id2") === labels("doc_id"))
             .select(col("doc_id"), least(col("label"), col("nbr_min")).as("label"))
             .persist()
-          // superstep 0 always changes labels (every edge endpoint sees
-          // a neighbor) — skip its convergence job outright
-          val changed =
-            if (iter == 0) 1L
-            else next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-              .filter(col("label") =!= col("old")).count()
+          val nextSum = labelSum(next)
           labels.unpersist(blocking = false)
           labels = next
-          converged = changed == 0
+          converged = nextSum.compareTo(prevSum) == 0
+          prevSum = nextSum
           iter += 1
         }
         edges.unpersist(blocking = false)

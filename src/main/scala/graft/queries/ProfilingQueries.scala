@@ -24,22 +24,31 @@ object ProfilingQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // per-column profile: row count, null count, distinct count,
-    // min/max (stringified for a type-uniform summary table). One agg
-    // per column over the same scan; Catalyst shares the scan via
-    // union — at scale, column stats arrive in a single pass each.
+    // min/max (stringified for a type-uniform summary table). ONE scan
+    // for all columns: a single wide aggregation computes every
+    // column's metrics, then a 1-row stack pivots wide → long. (The
+    // naive per-column-agg union reads the table once PER COLUMN —
+    // 3× the scan cost here, column-count× at 100 TB. The one cost
+    // this shape accepts: N COUNT(DISTINCT)s in one aggregate make
+    // Spark expand each input row N ways before the partial agg —
+    // still one scan, payload = the profiled columns only.)
     QueryDef("profile_stats",
       (s, dir) => {
-        val docs = Tables(s, dir, "documents")
-        ProfCols.map { c =>
-          docs.agg(
-            count(lit(1)).as("n"),
-            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
-            count_distinct(col(c)).as("n_distinct"),
-            min(col(c)).cast("string").as("min_v"),
-            max(col(c)).cast("string").as("max_v"))
-            .select(lit(c).as("col_name"), col("n"), col("n_null"),
-              col("n_distinct"), col("min_v"), col("max_v"))
-        }.reduce(_.unionByName(_))
+        val metrics = ProfCols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+            count_distinct(col(c)).as(s"dist_$c"),
+            min(col(c)).cast("string").as(s"min_$c"),
+            max(col(c)).cast("string").as(s"max_$c"))
+        }
+        val wide = Tables(s, dir, "documents")
+          .agg(count(lit(1)).as("n"), metrics: _*)
+        val stackExpr = ProfCols
+          .map(c => s"'$c', null_$c, dist_$c, min_$c, max_$c").mkString(", ")
+        wide.selectExpr("n",
+            s"stack(${ProfCols.length}, $stackExpr) AS (col_name, n_null, n_distinct, min_v, max_v)")
+          .select(col("col_name"), col("n"), col("n_null"),
+            col("n_distinct"), col("min_v"), col("max_v"))
       },
       Some(ProfCols.map { c =>
         s"""SELECT '$c' AS col_name, COUNT(*) AS n,

@@ -11,7 +11,7 @@ object ProfMinhash {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh"); i <- 1 to 3) {
+    for (q <- Seq("dedup_clusters"); i <- 1 to 4) {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
       println(f"[prof] $q run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
