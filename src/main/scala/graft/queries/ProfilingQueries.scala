@@ -58,6 +58,29 @@ object ProfilingQueries {
            |FROM documents""".stripMargin
       }.mkString("\nUNION ALL\n"))),
 
+    // deterministic stratified sampling: ~20% of every source stratum,
+    // selected by a portable content hash — NOT rand(): the same
+    // document is in or out of the sample on every run, every engine,
+    // every partitioning, which is what makes a 100 TB training-data
+    // sample reproducible, resumable, and auditable. Pure narrow filter
+    // at scan speed (the hash is codegen'd per row, no shuffle); the
+    // per-stratum summary is one map-side-combinable agg.
+    QueryDef("sample_stratified",
+      (s, dir) => {
+        import graft.functions.TextFunctions.portableHash
+        Tables(s, dir, "documents")
+          .filter(pmod(portableHash(col("doc_id").cast("string"), 42), lit(100L)) < 20)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"),
+            min(col("doc_id")).as("first_doc"),
+            sum(col("n_chars")).as("sum_chars"))
+      },
+      Some(s"""SELECT source, COUNT(*) AS n_sampled,
+             |  MIN(doc_id) AS first_doc, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents
+             |WHERE ${graft.functions.TextFunctions.portableHashSql("CAST(doc_id AS VARCHAR)", 42)} % 100 < 20
+             |GROUP BY source""".stripMargin)),
+
     // declarative expectations (dbt-test / Delta-constraint shape):
     // each rule is a predicate; the result is rule → violation count
     // over total checked. All rules evaluate in ONE pass (conditional
