@@ -321,6 +321,66 @@ object TpchQueries {
               |      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
               |GROUP BY c_mktsegment""".stripMargin)),
 
+    // Q12 shape: shipping-priority split — one fact ⋈ orders join with
+    // the classic conditional-CASE sums (high- vs low-priority line
+    // counts per line status) inside one partial-agg'd pass. The date
+    // filter prunes the lineitem scan; the only shuffle is the 2-value
+    // grouping key.
+    QueryDef("tpch_q12",
+      (s, dir) => {
+        val l = Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate").between(
+            lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+        val o = Tables(s, dir, "orders")
+        val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!isHigh, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""SELECT l_linestatus,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+             |                     AND TIMESTAMP '1996-12-31 00:00:00'
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // Q19 shape: disjunctive bracket predicates — three (brand, size
+    // range, quantity range) alternatives OR'd across the part ⋈
+    // lineitem join. Catalyst extracts the common p_brand IN (...)
+    // superset predicate for scan pruning; the full disjunction
+    // evaluates post-join. Single-row exact cents total.
+    QueryDef("tpch_q19",
+      (s, dir) => {
+        import QueryDef.cents
+        val l = Tables(s, dir, "lineitem")
+        val p = Tables(s, dir, "part")
+        val brackets =
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5)
+            && col("l_quantity").between(1.0, 11.0)) ||
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 10)
+            && col("l_quantity").between(10.0, 20.0)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 15)
+            && col("l_quantity").between(20.0, 30.0))
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .filter(brackets)
+          .agg(
+            sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("revenue_cents"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT $revenueSql AS revenue_cents, COUNT(*) AS n_items
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+              |       AND l_quantity BETWEEN 1.0 AND 11.0)
+              |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+              |       AND l_quantity BETWEEN 10.0 AND 20.0)
+              |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+              |       AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin)),
+
     // Q14-ish shape: revenue share per part brand (fact ⋈ part dim)
     QueryDef("tpch_brand_share",
       (s, dir) => {
