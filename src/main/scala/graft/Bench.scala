@@ -5,22 +5,30 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query executes end-to-end through the `noop` DSv2 sink so the
   * full plan runs (a `count()` would let Catalyst prune projections and
-  * under-measure); JVM/session startup is kept out of per-query numbers
-  * by a single warmup pass of the flagship query.
+  * under-measure).
   *
   * Noise discipline (this sandbox has heavy co-tenant CPU noise — the
   * same workload has measured 28 s vs 79 s run-to-run):
+  *  - repeats are INTERLEAVED round-robin: round 1 of every query, then
+  *    round 2 of every query, then round 3. Back-to-back repeats of one
+  *    query let a single multi-minute co-tenant spike poison every
+  *    sample of a contiguous block (exactly what BENCH_r02 recorded);
+  *    interleaving spreads a noise window across one sample of many
+  *    queries, and the per-query median across rounds shrugs it off;
+  *  - a full warmup round (discarded) runs first, so JIT + per-query
+  *    codegen compilation never lands in a measured sample;
   *  - the clock stops BEFORE cache teardown (clearCache is bookkeeping
   *    between queries, not query cost);
-  *  - sub-2 s queries report the median of 5 runs, slower ones the
-  *    median of 3 — medians shrug off a single co-tenant spike where
-  *    best-of-N can still be unlucky twice;
   *  - a query that fails on ANY run reports -1.0 (never a success time
   *    that silently hides a flaky failure) and is excluded from total;
-  *  - per-query spread (max-min over the runs) is emitted alongside, so
-  *    a noisy recording is distinguishable from a real regression.
+  *  - stdout stays compact (%.2f medians, one aggregate `noise` figure =
+  *    the worst per-query relative spread) so the driver's tail capture
+  *    can never truncate it mid-JSON; the complete record — every
+  *    sample, per-query spreads — goes to target/bench.json.
   */
 object Bench {
+  private val Rounds = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -50,36 +58,45 @@ object Bench {
       }
     }
 
-    /** (median, spread): median of 5 (including the first run) when the
-      * first run is sub-2 s — inter-run noise dominates JIT there. A
-      * first run ≥ 2 s is DISCARDED as warmup and the median of 3
-      * fresh runs reported: heavy queries compile many query-specific
-      * codegen stages the global warmup can't touch, and folding that
-      * one-time cost into a median-of-3 overstates steady state 2-3×
-      * (measured on dedup_clusters: 18 s first run, 5-6 s after).
-      * (-1, 0) if any run fails. */
-    def measure(name: String): (Double, Double) = {
-      val first = time(name)
-      if (first < 0) return (-1.0, 0.0)
-      val times =
-        if (first < 2.0) first +: Seq.fill(4)(time(name))
-        else Seq.fill(3)(time(name))
-      if (times.exists(_ < 0)) (-1.0, 0.0)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+
+    // warmup round: JIT + per-query codegen + FS cache; not recorded
+    names.foreach(time)
+
+    // measured rounds, interleaved: samples(q) accumulates one time per
+    // round, so any noise window spans many queries × one sample each
+    val samples: Map[String, Seq[Double]] =
+      (1 to Rounds).map(_ => names.map(n => n -> time(n)))
+        .flatten.groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2) }
+
+    val stats = names.map { n =>
+      val ts = samples(n)
+      if (ts.exists(_ < 0)) (n, -1.0, 0.0, ts)
       else {
-        val s = times.sorted
-        (s(s.length / 2), s.last - s.head)
+        val s = ts.sorted
+        (n, s(s.length / 2), s.last - s.head, ts)
       }
     }
+    val total = stats.map(_._2).filter(_ >= 0).sum
+    // worst relative spread across queries — one number that says how
+    // trustworthy this recording is (≲0.5 calm, ≥2 a noise window hit)
+    val noise = stats.collect { case (_, m, sp, _) if m > 0 => sp / m }
+      .foldLeft(0.0)(math.max)
 
-    time("q1_agg") // warmup: JIT + codegen + FS cache
+    val qs = stats.map { case (k, m, _, _) => "\"" + k + f"\":$m%.2f" }
+      .mkString("{", ",", "}")
+    val full = {
+      val perQuery = stats.map { case (k, m, sp, ts) =>
+        val runs = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+        "\"" + k + f"""\":{"median":$m%.3f,"spread":$sp%.3f,"runs":$runs}"""
+      }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$Rounds,"noise":$noise%.3f,"queries":$perQuery,"sf":"$sfDir"}"""
+    }
+    val out = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, full.getBytes("UTF-8"))
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> measure(n))
-    val qs = results.map { case (k, (m, _)) => "\"" + k + f"\":$m%.3f" }
-      .mkString("{", ",", "}")
-    val spreads = results.map { case (k, (_, sp)) => "\"" + k + f"\":$sp%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"noise":$noise%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

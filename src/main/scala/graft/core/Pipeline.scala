@@ -188,6 +188,13 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
       // (data-dependent, read off its observed counter) — unlike the
       // statically truncating qualifiers
       val breakFired = counters.exists { case (k, v) => k.startsWith("break_") && v > 0 }
+      // reference flow.continue / flow.break (docs/events.md:87-109),
+      // fired set-at-a-time from the observed counters
+      val skipped =
+        counters.collect { case (k, v) if k.startsWith("skip_in_") => v }.sum -
+          counters.collect { case (k, v) if k.startsWith("skip_out_") => v }.sum
+      if (skipped > 0) events.onContinue(skipped)
+      if (c.truncated || breakFired) events.onBreak()
       val report = PipelineReport(
         if (c.truncated || breakFired) PipelineStatus.Dirty else PipelineStatus.Clean,
         counters, (System.nanoTime() - t0) / 1000000)
@@ -268,7 +275,18 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
           }
           dirtyTail = true
         case Join(spec)    => df = spec(spark, df); dirtyTail = true
-        case Qualify(q)    => df = q(df); truncated ||= q.truncates; dirtyTail = true
+        case Qualify(q) =>
+          // non-truncating (continue-semantics) qualifiers get in/out
+          // observations so exec can report the skipped-record total as
+          // the reference's flow.continue event — two CollectMetrics
+          // nodes, zero extra passes. Truncating qualifiers are covered
+          // by the dirty status + flow.break instead.
+          if (!q.truncates) {
+            df = observed(df, s"skip_in_$i")
+            df = q(df)
+            df = observed(df, s"skip_out_$i")
+          } else df = q(df)
+          truncated ||= q.truncates; dirtyTail = true
         case Transform(t)  => df = t(df); dirtyTail = true
         case RootBreak(cond) =>
           require(df != null, "interruptRootOn needs an upstream source")

@@ -21,6 +21,18 @@ trait PipelineEvents {
   /** One per sink write, after its job commits (the reference's
     * per-loader `flush` notification). */
   def onFlush(sinkIndex: Int): Unit = ()
+  /** The reference's `flow.continue` (`docs/events.md:87-97`: fired when
+    * a qualifier skips a record). Record-at-a-time events become one
+    * set-at-a-time notification: fired once per exec, after the writes,
+    * with the TOTAL records skipped by non-truncating qualifiers (read
+    * off the per-qualifier in/out observation counters). Not fired when
+    * nothing was skipped. */
+  def onContinue(skipped: Long): Unit = ()
+  /** The reference's `flow.break` (`docs/events.md:99-109`): fired once
+    * per exec when the stream was truncated — a truncating qualifier was
+    * declared or a targeted interrupt actually fired — i.e. exactly when
+    * the report's status turns Dirty. */
+  def onBreak(): Unit = ()
   def onSuccess(report: PipelineReport): Unit = ()
   def onFail(error: Throwable): Unit = ()
 }
@@ -36,6 +48,8 @@ object PipelineEvents {
     override def onStart(): Unit = out("[graft] flow start")
     override def onProgress(n: Long): Unit = out(s"[graft] progress: $n records")
     override def onFlush(i: Int): Unit = out(s"[graft] flush sink #$i")
+    override def onContinue(n: Long): Unit = out(s"[graft] continue: $n records skipped")
+    override def onBreak(): Unit = out("[graft] break: stream truncated")
     override def onSuccess(r: PipelineReport): Unit =
       out(s"[graft] success in ${r.durationMs} ms — ${r.pretty}")
     override def onFail(e: Throwable): Unit = out(s"[graft] FAIL: ${e.getMessage}")

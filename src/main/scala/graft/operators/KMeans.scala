@@ -11,22 +11,30 @@ import org.apache.spark.sql.functions._
   *
   * Superstep shape, per iteration:
   *  1. assign: corpus ⨯ broadcast(centroids), argmin by squared L2 via
-  *     a row_number window — one pass, no shuffle of the corpus beyond
-  *     the k-way fan-in of the window partition key (vec_id);
+  *     a map-side-combinable `min_by` aggregate — the shuffle carries
+  *     |corpus| rows (one per vector, k-way combined on the map side),
+  *     NOT the |corpus|·k crossJoin output a window-argmin would move;
   *  2. recompute: posexplode the assigned vectors, mean per
   *     (cell, dim) — a map-side-combinable aggregate — then reassemble
   *     each centroid with an order-pinned sort_array(collect_list).
   *
   * Nothing driver-side but the loop counter: centroids live in a
   * DataFrame between supersteps (they are k rows — broadcast-sized by
-  * construction). Empty cells inherit their previous centroid (standard
-  * Lloyd's degenerate-cell handling, keeps k stable). Init is
-  * deterministic (first k vec_ids); the per-dim means are floating-
-  * point reductions whose partial-merge order Spark does not pin, so
-  * centroids are reproducible only up to last-ulp noise — argmin
-  * assignments are stable because cell separation dwarfs ulp, which is
-  * why the ORACLE-gated IVF queries use exact stand-in centroids and
-  * this trainer is recall-gated instead.
+  * construction) and are MATERIALIZED each iteration via an eager
+  * localCheckpoint. That cuts the lineage, so (a) the plan does not
+  * double per superstep (the previous `cents` is referenced by both the
+  * assign side and the empty-cell outer join — un-checkpointed, that is
+  * ~2^iters copies of the initial subplan), and (b) the two consumers
+  * see ONE evaluated snapshot, not two independent recomputations of an
+  * order-nondeterministic float AVG that could disagree at the ulp
+  * level within a single iteration. Empty cells inherit their previous
+  * centroid (standard Lloyd's degenerate-cell handling, keeps k
+  * stable). Init is deterministic (first k vec_ids); per-dim means are
+  * floating-point reductions whose partial-merge order Spark does not
+  * pin, so centroids are reproducible only up to last-ulp noise —
+  * argmin assignments are stable because cell separation dwarfs ulp,
+  * which is why the ORACLE-gated IVF queries use exact stand-in
+  * centroids and this trainer is recall-gated instead.
   */
 object KMeans {
 
@@ -36,6 +44,7 @@ object KMeans {
     val e = embeddings.select(col("vec_id"), col("embedding"))
     var cents = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .localCheckpoint() // eager: k rows, pins the init snapshot
     for (_ <- 0 until iters) {
       val assigned = assign(e, cents)
       val means = assigned
@@ -46,25 +55,37 @@ object KMeans {
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("c_id"),
           expr("transform(pm, x -> CAST(x.m AS float))").as("c_emb"))
-      // empty cells keep their previous centroid
+      // empty cells keep their previous centroid; eager localCheckpoint
+      // materializes the k-row result so the next superstep starts from
+      // a snapshot, not a growing recursive plan
       cents = cents.as("old")
         .join(means.as("new"), Seq("c_id"), "left_outer")
         .select(col("c_id"),
           coalesce(col("new.c_emb"), col("old.c_emb")).as("c_emb"))
+        .localCheckpoint()
     }
     cents
   }
 
-  /** Nearest-centroid assignment: (vec_id, embedding, c_id). */
+  /** Nearest-centroid assignment: (vec_id, embedding, c_id).
+    *
+    * argmin via `min_by(c_id, (d2, c_id))` — map-side combinable, so
+    * each map task reduces its k candidates per vector locally and the
+    * exchange moves |corpus| rows; the struct ordering key makes ties
+    * deterministic (lowest c_id wins, matching the window form this
+    * replaced). Non-key columns ride along via any_value — constant
+    * within a vec_id group, so the choice is value-deterministic.
+    */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d2 = expr(
       "aggregate(zip_with(embedding, c_emb, (a, b) -> CAST((a - b) * (a - b) AS double)), CAST(0.0 AS double), (acc, x) -> acc + x)")
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c_id"))
+    val carried = vectors.columns.filter(_ != "vec_id").toSeq
     vectors.crossJoin(broadcast(centroids))
       .withColumn("d2", d2)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("c_id"),
+        carried.map(c => any_value(col(c)).as(c)): _*)
       .select(vectors.columns.map(col) :+ col("c_id"): _*)
   }
 }

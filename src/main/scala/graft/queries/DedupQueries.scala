@@ -55,23 +55,64 @@ object DedupQueries {
       |sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 1))]) AS s FROM toks),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
-  /** Spark-side distinct (doc_id, shingle) pairs.
+  /** Document-frequency cap floor: a shingle is "hot" only when its df
+    * exceeds BOTH maxDfFrac·n_docs and this absolute floor. The floor
+    * keeps the cap a provable no-op on small corpora (testdata's max
+    * shingle df is 25 at sf0.1 — pinned in TextDedupSpec) while the
+    * fractional term takes over at real corpus sizes. */
+  val MinDfFloor = 100L
+
+  /** Drop shingles whose document frequency exceeds
+    * max(ceil(maxDfFrac · n_docs), [[MinDfFloor]]) from a (doc_id, s)
+    * shingle set — SCALE.md §shingles: a shingle present in >0.1% of
+    * documents carries no near-dup signal (everything collides on it)
+    * and is exactly the hot key that makes the LSH candidate join
+    * quadratic. Cost: one map-side-combinable count per shingle plus an
+    * anti join against the HOT set — tiny by construction (it holds
+    * only the over-threshold shingles), so AQE broadcasts it. `sh` is
+    * consumed twice here (df count + anti-join probe); callers that
+    * haven't persisted their input pay one recompute of the tokenize
+    * chain — [[shingleSet]] persists internally for that reason. */
+  def dfCap(sh: DataFrame, maxDfFrac: Double, floor: Long = MinDfFloor): DataFrame = {
+    val thr = sh.agg(countDistinct(col("doc_id")).as("nd"))
+      .select(greatest(ceil(col("nd") * maxDfFrac), lit(floor)).cast("long").as("thr"))
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(thr))
+      .filter(col("df") > col("thr"))
+      .select(col("s"))
+    sh.join(hot, Seq("s"), "left_anti")
+  }
+
+  /** Spark-side distinct (doc_id, shingle) pairs, hot shingles dropped
+    * via [[dfCap]] when `maxDfFrac` is set (the driver dedup queries
+    * pass 0.001; their DuckDB oracles carry no cap because the floor
+    * makes it a no-op at oracle scale — TextDedupSpec pins that).
     *
     * Scan-width guard: tokenize+shingle+explode is the CPU-heavy stage,
     * and a small corpus parquet arrives as ONE input split (128 MB
     * `maxPartitionBytes`), serializing it on a single core — measured
     * 5× slower at sf0.1 than the same work spread over the cluster. A
     * keyed repartition widens narrow scans; a 100 TB corpus already
-    * scans wider than the core count, so no shuffle is added at scale. */
-  private def shingleSet(s: SparkSession, dir: String): DataFrame = {
+    * scans wider than the core count, so no shuffle is added at scale.
+    *
+    * When the cap is on, the RAW shingle set is persisted here (it
+    * feeds the df count and the anti-join probe); the caller's
+    * clearCache sweep (Bench/Verify contract, see object scaladoc)
+    * releases it. */
+  private def shingleSet(s: SparkSession, dir: String,
+      maxDfFrac: Option[Double] = None): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val wide =
       if (docs.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
         docs.repartition(col("doc_id"))
       else docs
-    wide
+    val sh = wide
       .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
       .distinct()
+    maxDfFrac match {
+      case None => sh
+      case Some(f) => dfCap(sh.persist(), f)
+    }
   }
 
   private def jaccard(inter: Column, na: Column, nb: Column): Column =
@@ -198,7 +239,7 @@ object DedupQueries {
     // truth is pinned in TextDedupSpec against [[allPairsJaccard]].
     QueryDef("dedup_ngram_jaccard",
       (s, dir) => {
-        val sh = shingleSet(s, dir).persist()
+        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001)).persist()
         jaccardPairs(sh, Some(lshCandidates(sh)))
           .filter(col("jaccard") >= 0.8)
       },
@@ -218,7 +259,7 @@ object DedupQueries {
       (s, dir) => {
         // persisted: consumed by the signature build AND both sides of
         // the candidate-verification join
-        val sh = shingleSet(s, dir).persist()
+        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001)).persist()
         val dupped = jaccardPairs(sh, Some(lshCandidates(sh)))
           .filter(col("jaccard") >= 0.8)
           .select(col("doc_b").as("doc_id")).distinct()
@@ -260,7 +301,7 @@ object DedupQueries {
     // a real cross-check, not an echo.
     QueryDef("dedup_clusters",
       (s, dir) => {
-        val sh = shingleSet(s, dir).persist()
+        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001)).persist()
         val pairs = jaccardPairs(sh, Some(lshCandidates(sh)))
           .filter(col("jaccard") >= 0.8)
           .select(col("doc_a"), col("doc_b"))
@@ -295,6 +336,14 @@ object DedupQueries {
           iter += 1
         }
         edges.unpersist(blocking = false)
+        // min-label propagation needs O(diameter) supersteps, and
+        // near-dup graphs have tiny diameters — but a degenerate >20-hop
+        // chain of chained near-dups would exit this loop with WRONG
+        // labels. Silent wrong cluster_ids are worse than a diagnosable
+        // failure, so non-convergence throws.
+        if (!converged) throw new IllegalStateException(
+          s"dedup_clusters: min-label propagation did not converge in $iter supersteps " +
+            "(graph diameter exceeds the cap); raise the cap or pre-partition the corpus")
         labels.select(col("doc_id"), col("label").as("cluster_id"))
       },
       Some(s"""$shCte,

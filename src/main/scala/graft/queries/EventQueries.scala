@@ -122,7 +122,7 @@ object EventQueries {
              |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
              |  FROM flagged)
-             |SELECT user_id, session_seq, COUNT(*) AS n_events,
+             |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
              |  strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
              |  CAST(SUM(${QueryDef.centsSql("value")}) AS BIGINT) AS session_value_cents
              |FROM sessions GROUP BY user_id, session_seq""".stripMargin)),

@@ -337,7 +337,10 @@ object TpchQueries {
           .groupBy(col("l_linestatus"))
           .agg(
             sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
-            sum(when(!isHigh, 1L).otherwise(0L)).as("low_line_count"))
+            // NULL priority must land in the 1-branch like the oracle's
+            // CASE ... THEN 0 ELSE 1 (when(!isHigh,1) would send NULL to
+            // the 0-branch: NOT(NULL)=NULL falls through to otherwise)
+            sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
           .orderBy(col("l_linestatus"))
       },
       Some("""SELECT l_linestatus,
@@ -380,6 +383,91 @@ object TpchQueries {
               |       AND l_quantity BETWEEN 10.0 AND 20.0)
               |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
               |       AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin)),
+
+    // Q4 shape: order-priority checking — EXISTS rewritten as a LEFT
+    // SEMI join against the fact (adapted: the testdata lacks
+    // l_commitdate/l_receiptdate, so the correlated predicate is
+    // "some line item returned"). The quarter filter prunes the orders
+    // scan BEFORE the join; the semi join never materializes lineitem
+    // columns (probe-only build), and PlanAuditSpec pins that it stays
+    // a semi join with the fact never on a broadcast side.
+    QueryDef("tpch_q4",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+          .filter(col("o_orderdate").between(
+            lit("1996-01-01").cast("timestamp"), lit("1996-03-31").cast("timestamp")))
+        val l = Tables(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+        o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+             |FROM orders o
+             |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+             |                      AND TIMESTAMP '1996-03-31 00:00:00'
+             |  AND EXISTS (SELECT 1 FROM lineitem l
+             |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Q13 shape: customer order-count distribution — the OUTER-join
+    // aggregate no other query covers: customers with ZERO qualifying
+    // orders must survive into the histogram (c_count = 0 bucket), so
+    // the priority predicate lives on the orders side BEFORE the left
+    // join (≡ an ON-clause predicate on the right side), never in a
+    // post-join WHERE. Two aggregations: per-customer count (shuffle on
+    // c_custkey), then the tiny histogram on c_count.
+    QueryDef("tpch_q13",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val o = Tables(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "3-MEDIUM")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(c("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+             |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '3-MEDIUM'
+             |  GROUP BY c_custkey) per_cust
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // Q16 shape: supplier-count per part attribute with a NOT-IN
+    // exclusion — the anti-join + count-distinct combination (adapted:
+    // no partsupp table, so lineitem is the part↔supplier association
+    // and "complaints" is a negative account balance). The anti join
+    // runs against the 6-row exclusion set FIRST (cheapest reduction),
+    // then the part dim join; count(DISTINCT) adds its Expand before
+    // the final shuffle. PlanAuditSpec pins the anti join survives.
+    QueryDef("tpch_q16",
+      (s, dir) => {
+        val l = Tables(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"))
+        val p = Tables(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#13"
+            && col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        val bad = Tables(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        l.join(bad, l("l_suppkey") === bad("s_suppkey"), "left_anti")
+          .join(p, l("l_partkey") === p("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#13'
+             |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+             |  AND l_suppkey NOT IN (
+             |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
 
     // Q14-ish shape: revenue share per part brand (fact ⋈ part dim)
     QueryDef("tpch_brand_share",

@@ -104,13 +104,20 @@ object Bom {
   * Spark's CSV reader covers header/quote/escape/multiLine natively; the
   * BOM + `sep=` prolog needs a tiny driver-side pre-scan of the first file
   * bytes (one small read, independent of file count/size — scale-safe).
-  * When a `sep=` prolog exists we read distributed text, drop prolog lines
-  * by exact value, and parse via `csv(Dataset[String])`; that route cannot
-  * support embedded newlines, and a data LINE whose entire raw text
-  * equals the prolog (e.g. a one-column file containing the literal
-  * string `sep=;`) is also dropped — dropping "the first line of each
-  * file" has no order-safe distributed expression. Both are documented
-  * divergences; the reference's own fixtures exhibit neither.
+  * When a `sep=` prolog exists OR the encoding is non-UTF-8, files are
+  * decoded whole (binaryFile) and parsed via `csv(Dataset[String])` after
+  * line-splitting. KNOWN LIMITATIONS of that line-Dataset route, by
+  * construction:
+  *  - embedded newlines inside quoted fields break into separate records
+  *    — the `multiLine` flag CANNOT be honored there (a warning is
+  *    logged when `multiLine = true` meets this path; pass
+  *    `multiLine = false` to acknowledge);
+  *  - per-file memory = decoded file size (binaryFile semantics) — the
+  *    shape of legacy multi-encoding exports, not of big data, which
+  *    arrives UTF-8/parquet on the distributed paths.
+  * The prolog line is dropped only at LINE 0 of each file (whole-file
+  * decode makes that order-safe), so a data line textually equal to
+  * `sep=;` mid-file survives.
   */
 final case class CsvSource(
     path: String,
@@ -139,6 +146,11 @@ final case class CsvSource(
         // drop prolog/empty lines by value, parse the line Dataset.
         // Parallelism is per-file — the shape of multi-encoding legacy
         // exports; big data arrives as UTF-8/parquet on the other paths.
+        if (multiLine)
+          org.apache.log4j.Logger.getLogger(getClass)
+            .warn(s"CsvSource($path): non-UTF-8/sep-prolog route cannot honor " +
+              "multiLine — quoted fields with embedded newlines will split; " +
+              "pass multiLine = false to acknowledge")
         import spark.implicits._
         val prolog = pre.prologLine
         val charset = if (pre.bomEncoding.isDefined) Bom.bomConsumingCharset(enc) else enc
@@ -146,9 +158,18 @@ final case class CsvSource(
           .select(col("content")).as[Array[Byte]]
           .flatMap { bytes =>
             val text = new String(bytes, java.nio.charset.Charset.forName(charset))
-            text.linesIterator.map(CsvSource.stripBom)
+            val it = text.linesIterator.map(CsvSource.stripBom)
+            // drop the prolog only as LINE 0 of this file — a data line
+            // textually equal to it elsewhere is real data
+            val body = prolog match {
+              case Some(pl) if it.hasNext =>
+                val first = it.next()
+                if (first == pl) it else Iterator.single(first) ++ it
+              case _ => it
+            }
+            body
           }
-          .filter(l => !prolog.contains(l) && l.nonEmpty)
+          .filter(_.nonEmpty)
         spark.read.options(base).csv(lines)
       } else {
         val bomOpt = if (pre.bomEncoding.isDefined) Map("encoding" -> "UTF-8") else Map.empty[String, String]

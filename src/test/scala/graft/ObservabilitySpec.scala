@@ -14,6 +14,8 @@ class ObservabilitySpec extends SparkSuite {
     override def onStart(): Unit = synchronized { calls += "start" }
     override def onProgress(n: Long): Unit = synchronized { lastProgress = n }
     override def onFlush(i: Int): Unit = synchronized { calls += s"flush:$i" }
+    override def onContinue(n: Long): Unit = synchronized { calls += s"continue:$n" }
+    override def onBreak(): Unit = synchronized { calls += "break" }
     override def onSuccess(r: graft.core.PipelineReport): Unit = synchronized { calls += "success" }
     override def onFail(e: Throwable): Unit = synchronized { calls += "fail" }
   }
@@ -35,6 +37,29 @@ class ObservabilitySpec extends SparkSuite {
     val deadline = System.currentTimeMillis() + 5000
     while (rec.lastProgress == 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
     assert(rec.lastProgress > 0)
+  }
+
+  test("flow.continue fires with the exact skipped-record count; no break on a clean flow") {
+    val rec = new Recorder
+    val total = spark.read.parquet(sf("customer")).count()
+    val kept = spark.read.parquet(sf("customer")).filter(col("c_acctbal") > 0).count()
+    Pipeline
+      .from(ParquetSource(sf("customer")))
+      .qualify(col("c_acctbal") > 0)
+      .exec(spark, rec)
+    assert(rec.calls.contains(s"continue:${total - kept}"))
+    assert(!rec.calls.contains("break"))
+  }
+
+  test("flow.break fires when a truncating qualifier runs; no continue when nothing skipped") {
+    val rec = new Recorder
+    val report = Pipeline
+      .from(ParquetSource(sf("nation")))
+      .qualify(graft.operators.Qualifiers.BreakAfter(5))
+      .exec(spark, rec)
+    assert(report.status == PipelineStatus.Dirty)
+    assert(rec.calls.contains("break"))
+    assert(!rec.calls.exists(_.startsWith("continue:")))
   }
 
   test("failure path fires onFail and reports Failed") {

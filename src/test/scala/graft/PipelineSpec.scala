@@ -296,4 +296,32 @@ class PipelineSpec extends SparkSuite {
       .collect().map(_.getLong(0)).slice(10, 30)
     assert(keys.toSeq == all.toSeq)
   }
+
+  test("chained loaders: ids generated before the first sink are pinned for the second") {
+    // The reference's chained-loader pattern (docs/citizens.md:465-496):
+    // the first loader assigns each record an id and downstream nodes —
+    // including the next loader — see it. Spark-first rendition: generate
+    // the ids IN-FLOW (uuid / monotonically_increasing_id — both
+    // nondeterministic under recomputation) before the first `to`; the
+    // shared-prefix persist at the fan-out point pins one evaluation, so
+    // the second sink provably receives byte-identical keys to what the
+    // first sink committed.
+    val out = tmpDir("chained_ids")
+    val report = Pipeline
+      .from(ParquetSource(sf("nation")))
+      .transform(Transformers.Callable(_
+        .withColumn("row_id", monotonically_increasing_id())
+        .withColumn("uid", expr("uuid()"))))
+      .to(ParquetSink(s"$out/first"))
+      .transform(Transformers.Callable(_.select(col("row_id"), col("uid"), col("n_name"))))
+      .to(ParquetSink(s"$out/second"))
+      .exec(spark)
+    assert(report.status == PipelineStatus.Clean)
+    val first = spark.read.parquet(s"$out/first")
+      .select("row_id", "uid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val second = spark.read.parquet(s"$out/second")
+      .select("row_id", "uid").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(first.size == 25)
+    assert(first == second)
+  }
 }

@@ -63,7 +63,7 @@ class PlanAuditSpec extends SparkSuite {
     // nation (25 rows) and region (5 rows) may carry a hard hint; the
     // fact table must never sit under a BroadcastExchange.
     for (q <- Seq("tpch_q3", "tpch_q5", "tpch_q10", "tpch_brand_share", "join_chained",
-        "tpch_q7", "tpch_q8", "tpch_q18")) {
+        "tpch_q7", "tpch_q8", "tpch_q18", "tpch_q4", "tpch_q13", "tpch_q16")) {
       val df = SparkEntry.queries(q)(spark, dir)
       for (t <- broadcastSubtrees(df))
         assert(!t.contains("lineitem"), s"$q broadcasts the fact side:\n$t")
@@ -73,6 +73,30 @@ class PlanAuditSpec extends SparkSuite {
           assert(!h.contains(dim), s"$q force-broadcasts SF-scaling dim $dim:\n$h")
       }
     }
+  }
+
+  test("tpch_q4/q16: semi and anti joins survive planning (not rewritten to inner)") {
+    // EXISTS → LeftSemi and NOT IN → LeftAnti must reach the physical
+    // plan as such: an inner-join rewrite would change cardinality
+    // (q4: one output row per MATCHING LINE instead of per order) and
+    // lose the probe-only build property the shapes are chosen for.
+    val p4 = plan(SparkEntry.queries("tpch_q4")(spark, dir))
+    assert(p4.contains("LeftSemi"), p4)
+    val p16 = plan(SparkEntry.queries("tpch_q16")(spark, dir))
+    assert(p16.contains("LeftAnti"), p16)
+    // q4's date filter reaches the orders scan (prunes before the join)
+    assert(p4.contains("PushedFilters:"), p4)
+    assert(p4.contains("GreaterThanOrEqual(o_orderdate"), p4)
+  }
+
+  test("tpch_q13: outer join keeps zero-order customers; filter stays on the orders side") {
+    val df = SparkEntry.queries("tpch_q13")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("LeftOuter"), p)
+    // the priority predicate must be pushed to the ORDERS scan (right
+    // side of the outer join), never applied post-join where it would
+    // drop the c_count = 0 bucket
+    assert(p.contains("Not(EqualTo(o_orderpriority"), p)
   }
 
   test("q1_agg: partial (map-side) aggregation before the exchange") {

@@ -106,6 +106,37 @@ class TextDedupSpec extends SparkSuite {
     assert(lsh.nonEmpty, s"recall 0/${truth.size}")
   }
 
+  test("shingle df-cap: no-op on testdata, prunes a planted hot shingle") {
+    import spark.implicits._
+    // (a) no-op below the floor: testdata's hottest shingle has df 25 at
+    // sf0.1 (measured), far under MinDfFloor — the capped driver queries
+    // must equal the uncapped form there, which is what keeps the
+    // unchanged DuckDB oracles a valid gate
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
+      .distinct()
+    val uncapped = docs.count()
+    assert(DedupQueries.dfCap(docs, 0.001).count() == uncapped)
+    // and testdata really is under the floor (the no-op is structural,
+    // not luck): pin max df
+    val maxDf = docs.groupBy("s").count().agg(max("count")).head.getLong(0)
+    assert(maxDf < DedupQueries.MinDfFloor, s"max shingle df $maxDf crossed the floor")
+
+    // (b) the cap genuinely prunes: 300 synthetic docs all sharing one
+    // boilerplate shingle ("terms of service") plus a unique one each;
+    // floor forced low so the fractional threshold governs
+    val synth = (1L to 300L).map(i => (i, s"terms of service unique$i marker$i"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
+      .distinct()
+    val capped = DedupQueries.dfCap(synth, 0.1, floor = 1L)
+    val kept = capped.select("s").distinct().collect().map(_.getString(0)).toSet
+    assert(!kept.exists(_.startsWith("terms of")), s"hot shingle survived: $kept")
+    assert(kept.exists(_.contains("unique1")), "rare shingles must survive")
+    // each doc keeps its rare shingles: no doc disappears entirely
+    assert(capped.select("doc_id").distinct().count() == 300)
+  }
+
   test("ann_bruteforce returns k ranked neighbors; lsh is a subset of corpus") {
     val bf = q("ann_bruteforce").collect()
     val byQ = bf.groupBy(_.getLong(0))
