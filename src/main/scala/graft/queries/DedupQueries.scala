@@ -368,6 +368,63 @@ object DedupQueries {
               |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
               |FROM reach GROUP BY u""".stripMargin)),
 
+    // Canonical-document selection: the step AFTER clustering — each
+    // near-dup cluster keeps its best member by quality score
+    // ([[TextQueries.qualityScore]]), ties broken toward the smaller
+    // doc_id. One broadcast-size join (cluster labels are only the
+    // dup-involved docs) + a map-side-combinable max_by per cluster;
+    // at 100 TB the labels table is a tiny fraction of the corpus and
+    // the argmax shuffles one row per labeled doc. Oracle: the cluster
+    // reachability closure + the same score, argmax via row_number —
+    // different argmax machinery, same fixpoint.
+    QueryDef("dedup_canonical",
+      (s, dir) => {
+        val clusters = queriesByName("dedup_clusters")(s, dir)
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), TextQueries.qualityScore(col("text")).as("q"))
+        clusters.join(docs, Seq("doc_id"))
+          .groupBy(col("cluster_id"))
+          .agg(
+            max_by(col("doc_id"), struct(col("q"), lit(0L) - col("doc_id")))
+              .as("canonical_doc_id"),
+            count(lit(1)).as("n_members"))
+      },
+      Some(s"""$shCte,
+              |$candCteSql,
+              |inter AS (
+              |  SELECT doc_a, doc_b, count(*) AS i
+              |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
+              |  GROUP BY doc_a, doc_b),
+              |pairs AS (
+              |  SELECT doc_a, doc_b FROM inter
+              |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+              |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.8),
+              |edges AS (
+              |  SELECT doc_a AS u, doc_b AS v FROM pairs
+              |  UNION SELECT doc_b, doc_a FROM pairs),
+              |reach AS (
+              |  WITH RECURSIVE r(u, v) AS (
+              |    SELECT u, v FROM edges
+              |    UNION
+              |    SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u)
+              |  SELECT u, v FROM r),
+              |labels AS (
+              |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+              |  FROM reach GROUP BY u),
+              |qual AS (
+              |  SELECT doc_id, ${TextQueries.qualityScoreSql("text",
+                  "regexp_extract_all(lower(text), '[a-z0-9]+')")} AS q
+              |  FROM documents),
+              |ranked AS (
+              |  SELECT l.cluster_id, l.doc_id, q.q,
+              |    row_number() OVER (PARTITION BY l.cluster_id
+              |      ORDER BY q.q DESC, l.doc_id ASC) AS rn,
+              |    COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members
+              |  FROM labels l JOIN qual q ON q.doc_id = l.doc_id)
+              |SELECT cluster_id, doc_id AS canonical_doc_id,
+              |  CAST(n_members AS BIGINT) AS n_members
+              |FROM ranked WHERE rn = 1""".stripMargin)),
+
     // SimHash fingerprints: 32-bit, one aggregation pass over token
     // occurrences (map-side combinable — scales like a word count)
     QueryDef("dedup_simhash",

@@ -127,6 +127,51 @@ object EventQueries {
              |  CAST(SUM(${QueryDef.centsSql("value")}) AS BIGINT) AS session_value_cents
              |FROM sessions GROUP BY user_id, session_seq""".stripMargin)),
 
+    // AS-OF join (last-touch attribution): each purchase is joined to
+    // the most recent click by the same user at-or-before it, ties on
+    // equal timestamps resolved by event_id order. The scalable
+    // distributed as-of shape: NO range join — both event kinds ride
+    // ONE shuffle on user_id, and `last(click-struct, ignoreNulls)`
+    // over the (ts, event_id)-ordered window carries the latest click
+    // forward to each purchase row. The oracle is the classic
+    // ranked-range-join formulation (row_number over ts-qualified
+    // click candidates) — a different algorithm, quadratic per user,
+    // fine at oracle scale; agreement is a real cross-check.
+    QueryDef("asof_attribution",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("click_src",
+            last(
+              when(col("event_type") === "click",
+                struct(unix_micros(col("ts")).as("c_us"), col("event_id").as("c_id"))),
+              ignoreNulls = true).over(byUser))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("purchase_us"),
+            col("click_src.c_id").as("click_event_id"),
+            col("click_src.c_us").as("click_us"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'click'),
+             |ranked AS (
+             |  SELECT p.event_id, c.event_id AS c_id, c.ts AS c_ts,
+             |    row_number() OVER (PARTITION BY p.event_id
+             |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+             |  FROM p JOIN c ON c.user_id = p.user_id
+             |    AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id)))
+             |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+             |  r.c_id AS click_event_id, epoch_us(r.c_ts) AS click_us
+             |FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+             |  ON r.event_id = p.event_id""".stripMargin)),
+
     // calendar dimension derivation — the enrich step before
     // time-partitioned writes/aggregations. Convention trap: Spark
     // dayofweek is 1=Sunday, DuckDB's is 0=Sunday; normalized to

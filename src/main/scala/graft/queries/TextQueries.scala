@@ -20,6 +20,33 @@ object TextQueries {
   private val toksCte =
     "WITH toks AS (SELECT doc_id, text, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)"
 
+  import org.apache.spark.sql.Column
+
+  /** Composite document quality score in [0, 1] — length, punctuation
+    * and stopword-density features. Shared by `text_quality` and
+    * `dedup_canonical` (canonical-doc selection ranks by it); keep
+    * [[qualityScoreSql]] in lockstep term-for-term. */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val nTok = size(t).cast("long")
+    val nChars = length(text).cast("long")
+    val nPunct = size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
+    val punctRatio = nPunct.cast("double") / greatest(nChars, lit(1L)).cast("double")
+    val stopRatio = stopwordHits(t, stopwords.head._2).cast("double") /
+      greatest(nTok, lit(1L)).cast("double")
+    round(
+      least(nTok.cast("double") / 50.0, lit(1.0)) * 0.3 +
+        (lit(1.0) - punctRatio) * 0.3 +
+        least(stopRatio * 5.0, lit(1.0)) * 0.4, 6)
+  }
+
+  /** DuckDB twin of [[qualityScore]]; `text` and `t` are SQL
+    * expressions for the raw text and its token list. */
+  def qualityScoreSql(text: String, t: String): String =
+    s"""round(least(CAST(len($t) AS DOUBLE) / 50.0, 1.0) * 0.3
+       |    + (1.0 - CAST(len(regexp_extract_all($text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / CAST(greatest(length($text), 1) AS DOUBLE)) * 0.3
+       |    + least(CAST(${stopwordHitsSql(t, stopwords.head._2)} AS DOUBLE) / CAST(greatest(len($t), 1) AS DOUBLE) * 5.0, 1.0) * 0.4, 6)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // token counting: whitespace-ish word tokens + BPE-ish sub-word
@@ -58,18 +85,13 @@ object TextQueries {
           nTok.as("n_tokens"),
           round(punctRatio, 6).as("punct_ratio"),
           round(stopRatio, 6).as("stop_ratio"),
-          round(
-            least(nTok.cast("double") / 50.0, lit(1.0)) * 0.3 +
-              (lit(1.0) - punctRatio) * 0.3 +
-              least(stopRatio * 5.0, lit(1.0)) * 0.4, 6).as("quality"))
+          qualityScore(col("text")).as("quality"))
       },
       Some(s"""$toksCte
               |SELECT doc_id, len(t) AS n_tokens,
               |  round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
               |  round(CAST(${stopwordHitsSql("t", stopwords.head._2)} AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS stop_ratio,
-              |  round(least(CAST(len(t) AS DOUBLE) / 50.0, 1.0) * 0.3
-              |    + (1.0 - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.3
-              |    + least(CAST(${stopwordHitsSql("t", stopwords.head._2)} AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE) * 5.0, 1.0) * 0.4, 6) AS quality
+              |  ${qualityScoreSql("text", "t")} AS quality
               |FROM toks""".stripMargin)),
 
     // language identification: stopword-list hit counts per language,
@@ -138,6 +160,82 @@ object TextQueries {
       Some("""SELECT tk, count(*) AS freq
              |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk FROM documents)
              |GROUP BY tk ORDER BY freq DESC, tk LIMIT 100""".stripMargin)),
+
+    // sequence packing: concatenate documents into ~fixed-token-budget
+    // packs (the standard prep step before fixed-context training —
+    // "concat and split" packing, where a pack may overflow by at most
+    // its last document). Deterministic: docs are packed in doc_id
+    // order WITHIN each language shard, so the window is partitioned
+    // (lang) and distributes — never a global sort. pack_id derives
+    // from the running token count BEFORE each doc; one shuffle on
+    // lang, then the tiny per-pack rollup.
+    QueryDef("pack_sequences",
+      (s, dir) => {
+        val budget = 256L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("pack_id",
+            ((col("cum") - col("n_tokens")) / lit(budget)).cast("long"))
+          .groupBy(col("lang"), col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("pack_tokens"),
+            min(col("doc_id")).as("first_doc"))
+      },
+      // window SUM is HUGEINT in DuckDB — cast before the division
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+             |  FROM documents),
+             |cums AS (
+             |  SELECT doc_id, lang, n_tokens,
+             |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |  FROM toks)
+             |SELECT lang, (cum - n_tokens) // 256 AS pack_id,
+             |  COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+             |  min(doc_id) AS first_doc
+             |FROM cums GROUP BY lang, (cum - n_tokens) // 256""".stripMargin)),
+
+    // PII redaction: emails and long digit runs replaced by tags, with
+    // per-doc redaction counts — scan-speed narrow ops, codegen'd. The
+    // corpus is synthetic and PII-free, so deterministic doc_id-derived
+    // contact strings are appended BEFORE redacting: the oracle then
+    // checks real substitutions, not 500 no-ops; output is the
+    // redacted-text md5 (small, hash-exact) + match counts.
+    QueryDef("text_redact",
+      (s, dir) => {
+        val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        val numRun = "\\d{6,}"
+        val aug = concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example ref "), col("doc_id") + lit(100000L))
+        Tables(s, dir, "documents")
+          .withColumn("aug", aug)
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("aug"), lit(email), lit(0))).cast("long").as("n_emails"),
+            size(regexp_extract_all(col("aug"), lit(numRun), lit(0))).cast("long").as("n_nums"),
+            md5(regexp_replace(regexp_replace(col("aug"), email, "<EMAIL>"),
+              numRun, "<NUM>")).as("redacted_md5"))
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |      || '@mail.example ref ' || CAST(doc_id + 100000 AS VARCHAR) AS a
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(a, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_emails,
+             |  len(regexp_extract_all(a, '\d{6,}')) AS n_nums,
+             |  md5(regexp_replace(regexp_replace(a,
+             |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             |    '\d{6,}', '<NUM>', 'g')) AS redacted_md5
+             |FROM aug""".stripMargin)),
 
     // document fingerprinting: md5 of whitespace-normalized text (exact
     // content identity) + order-sensitive polynomial rolling hash over

@@ -196,6 +196,26 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("asof_attribution: one user_id shuffle, no join — the distributed as-of shape") {
+    val p = plan(SparkEntry.queries("asof_attribution")(spark, dir))
+    // both event kinds ride one window pass: a range-join formulation
+    // (the oracle's shape) would put a Join here and go quadratic per
+    // user at scale
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1, p)
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("pack_sequences: packing window is sharded by lang, never a global sort") {
+    val p = plan(SparkEntry.queries("pack_sequences")(spark, dir))
+    assert(p.contains("Window"), p)
+    assert("hashpartitioning\\(lang".r.findAllIn(p).size >= 1, p)
+    // a single-partition exchange would mean the whole corpus funnels
+    // through one task to be packed — the shape that dies at 100×
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("limit_offset: global limit, no full materialization") {
     val p = plan(SparkEntry.queries("limit_offset")(spark, dir))
     assert(p.contains("GlobalLimit") || p.contains("TakeOrderedAndProject"), p)
