@@ -58,7 +58,13 @@ object Bench {
       }
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional arg: comma-separated query subset (local iteration aid;
+    // the driver passes no args and benches everything)
+    val names = {
+      val all = SparkEntry.queries.keys.toSeq.sorted
+      args.headOption.filter(_.nonEmpty)
+        .map(_.split(',').toSeq.filter(all.contains)).getOrElse(all)
+    }
 
     // warmup round: JIT + per-query codegen + FS cache; not recorded
     names.foreach(time)

@@ -99,7 +99,7 @@ object DedupQueries {
     * feeds the df count and the anti-join probe); the caller's
     * clearCache sweep (Bench/Verify contract, see object scaladoc)
     * releases it. */
-  private def shingleSet(s: SparkSession, dir: String,
+  private[queries] def shingleSet(s: SparkSession, dir: String,
       maxDfFrac: Option[Double] = None): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val wide =
@@ -123,7 +123,7 @@ object DedupQueries {
     * persisted `sh` — the plan consumes it 3-4× (sizes + both join
     * sides) and recomputing the tokenize/shingle/distinct chain per
     * branch dominates runtime otherwise. */
-  private def jaccardPairs(sh: DataFrame, cand: Option[DataFrame]): DataFrame = {
+  private[queries] def jaccardPairs(sh: DataFrame, cand: Option[DataFrame]): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val base = cand match {
       case Some(c) =>
@@ -148,8 +148,14 @@ object DedupQueries {
   /** MinHash-LSH candidate pairs (doc_a < doc_b) from a persisted
     * shingle set: k derived hash functions → per-doc min signature →
     * band buckets → bucket equi-join. The only join is on (band, sig)
-    * — subquadratic, shuffle-partitioned by bucket. */
-  private def lshCandidates(sh: DataFrame): DataFrame = {
+    * — subquadratic, shuffle-partitioned by bucket.
+    *
+    * `bands` (|docs|·Bands rows — tiny) is persisted: the bucket self-
+    * join consumes it on BOTH sides, and without the persist each side
+    * re-runs the 16-min signature aggregation over the full shingle set
+    * — measured ~1 s per re-run at sf0.1. Released by the caller's
+    * clearCache sweep like every other shared intermediate here. */
+  private[queries] def lshCandidates(sh: DataFrame): DataFrame = {
     val hashed = sh
       .withColumn("h0", portableHash(col("s"), 0))
       .withColumn("h1", portableHash(col("s"), 1))
@@ -162,6 +168,7 @@ object DedupQueries {
     }
     val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .persist()
     bands.as("x").join(bands.as("y"), Seq("band", "sig"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -322,11 +329,16 @@ object DedupQueries {
         var converged = false
         var iter = 0
         while (!converged && iter < 20) {
+          // min over {own label} ∪ {neighbors' labels} as ONE join + one
+          // groupBy: unioning the current labels in, instead of joining
+          // the neighbor-min back against them, drops a join stage per
+          // superstep (same fixpoint — least(own, nbr_min) ≡ the union
+          // min, and every node appears in its own union branch)
           val next = edges.join(labels, edges("doc_b") === labels("doc_id"))
-            .groupBy(col("doc_a").as("doc_id2"))
-            .agg(min(col("label")).as("nbr_min"))
-            .join(labels, col("doc_id2") === labels("doc_id"))
-            .select(col("doc_id"), least(col("label"), col("nbr_min")).as("label"))
+            .select(col("doc_a").as("doc_id"), col("label"))
+            .unionByName(labels)
+            .groupBy(col("doc_id"))
+            .agg(min(col("label")).as("label"))
             .persist()
           val nextSum = labelSum(next)
           labels.unpersist(blocking = false)

@@ -152,6 +152,73 @@ object EventStreams {
         col("purchase_ts"), col("purchase_value"))
   }
 
+  final case class ClickState(clickMs: Long, clickId: Long)
+  final case class AttributionOut(purchase_id: Long, user_id: Long,
+      purchase_ms: Long, click_id: Option[Long], click_ms: Option[Long])
+
+  /** Streaming last-touch attribution — the streaming twin of the batch
+    * `asof_attribution` as-of join: each purchase is attributed to the
+    * latest click by the same user at-or-before it (ties on equal
+    * timestamps resolved by event_id, like the batch query).
+    *
+    * State is ONE (clickMs, clickId) pair per user — the as-of join's
+    * "carry the latest left row forward" made explicit — keyed by
+    * user_id so it hash-partitions across executors, and evicted by an
+    * event-time timeout `ttlMs` past the last click (an attribution
+    * window: a click older than the TTL no longer attributes, which is
+    * both the business rule and what bounds state).
+    *
+    * Streaming divergence from the batch twin, by construction: a
+    * purchase is attributed against the clicks SEEN when its
+    * micro-batch is processed — a click arriving later (late data
+    * within the watermark) cannot retro-attribute an already-emitted
+    * purchase. In-order streams reproduce the batch result exactly
+    * (pinned in StreamingSpec). */
+  def attributeStateful(events: Dataset[Event],
+      ttlMs: Long = 24L * 3600 * 1000,
+      watermark: String = "2 hours"): Dataset[AttributionOut] = {
+    import events.sparkSession.implicits._
+    def ms(t: java.sql.Timestamp): Long = t.getTime
+    def before(aMs: Long, aId: Long, bMs: Long, bId: Long): Boolean =
+      aMs < bMs || (aMs == bMs && aId < bId)
+
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ClickState, AttributionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[ClickState]) =>
+          if (state.hasTimedOut) {
+            // attribution window expired: forget the click, emit nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (ms(e.ts), e.event_id))
+            val out = Seq.newBuilder[AttributionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = ms(e.ts)
+              if (e.event_type == "click") {
+                // keep the MAX (ts, id) click — a late click within the
+                // watermark must not regress the carried state
+                if (cur.forall(c => before(c.clickMs, c.clickId, t, e.event_id)))
+                  cur = Some(ClickState(t, e.event_id))
+              } else {
+                val att = cur.filter(c => before(c.clickMs, c.clickId, t, e.event_id))
+                out += AttributionOut(e.event_id, userId, t,
+                  att.map(_.clickId), att.map(_.clickMs))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c.clickMs + ttlMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   final case class SessionState(startMs: Long, lastMs: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Long, total_value: Double)

@@ -77,6 +77,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stateful last-touch attribution: state carries across micro-batches, ties + no-click cases") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = EventStreams.attributeStateful(ms.toDS())
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      // batch 1: user 1 clicks twice then purchases (latest click wins);
+      // user 2 purchases with no click at all (null attribution)
+      ms.addData(
+        Event(10, ts(0), 1, "click", 0.0),
+        Event(11, ts(5), 1, "click", 0.0),
+        Event(12, ts(9), 1, "purchase", 5.0),
+        Event(20, ts(9), 2, "purchase", 7.0))
+      q.processAllAvailable()
+      // batch 2: a LATER purchase by user 1 — the click state must have
+      // carried across batches; user 2's click arrives only now, so the
+      // next user-2 purchase attributes but the first one stays null
+      ms.addData(
+        Event(21, ts(15), 2, "click", 0.0),
+        Event(13, ts(20), 1, "purchase", 3.0),
+        Event(22, ts(30), 2, "purchase", 1.0))
+      q.processAllAvailable()
+      val res = spark.table("attr")
+        .select("purchase_id", "click_id")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      assert(res(12L).contains(11L)) // latest of the two clicks
+      assert(res(20L).isEmpty)       // no click ever seen
+      assert(res(13L).contains(11L)) // state carried into batch 2
+      assert(res(22L).contains(21L)) // user 2's click attributes now
+      // and the streaming result matches the batch as-of semantics on
+      // this in-order stream: same (purchase → click) map
+      assert(res.size == 4)
+    } finally q.stop()
+  }
+
   test("file-source stream: micro-batches discover parquet files, windowed agg") {
     import spark.implicits._
     val dir = tmpDir("evstream")
