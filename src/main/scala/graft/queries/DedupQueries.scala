@@ -316,13 +316,22 @@ object DedupQueries {
         val edges = pairs
           .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
           .persist()
+        // each superstep's labels are MATERIALIZED with an eager
+        // localCheckpoint, not a bare persist: the label table is a few
+        // hundred rows, but un-truncated its lineage deepens by a
+        // join+agg per superstep, and every labelSum/next-plan pays
+        // driver-side analysis + codegen over that growing tree
+        // (measured: superstep cost climbing 0.9 s → 2.4 s within 2
+        // iterations at sf0.1). Truncation makes supersteps O(1)-cost;
+        // never unpersist a checkpointed table — its lineage is gone,
+        // the ContextCleaner reclaims storage when references drop.
         var labels = edges.select(col("doc_a").as("doc_id"))
-          .distinct().withColumn("label", col("doc_id")).persist()
+          .distinct().withColumn("label", col("doc_id")).localCheckpoint()
         // labels only ever DECREASE under min-propagation, so the
         // fixpoint test is "label sum unchanged" — one cheap aggregate
-        // over the freshly persisted table (which doubles as its
-        // materialization), no join. Summed as decimal(38,0): exact at
-        // any id magnitude × node count, immune to long overflow.
+        // over the freshly checkpointed table, no join. Summed as
+        // decimal(38,0): exact at any id magnitude × node count, immune
+        // to long overflow.
         def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
           df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
         var prevSum = labelSum(labels)
@@ -339,9 +348,8 @@ object DedupQueries {
             .unionByName(labels)
             .groupBy(col("doc_id"))
             .agg(min(col("label")).as("label"))
-            .persist()
+            .localCheckpoint() // eager: materializes + truncates
           val nextSum = labelSum(next)
-          labels.unpersist(blocking = false)
           labels = next
           converged = nextSum.compareTo(prevSum) == 0
           prevSum = nextSum
@@ -391,7 +399,12 @@ object DedupQueries {
     // different argmax machinery, same fixpoint.
     QueryDef("dedup_canonical",
       (s, dir) => {
-        val clusters = queriesByName("dedup_clusters")(s, dir)
+        // eager localCheckpoint: the label table is a few hundred rows,
+        // but its LINEAGE is the whole iterative clusters pipeline —
+        // without truncation every downstream analysis/codegen pass
+        // re-walks that tree (measured ~4 s of driver-side plan work at
+        // sf0.1 for a sub-second join)
+        val clusters = queriesByName("dedup_clusters")(s, dir).localCheckpoint()
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id"), TextQueries.qualityScore(col("text")).as("q"))
         clusters.join(docs, Seq("doc_id"))
