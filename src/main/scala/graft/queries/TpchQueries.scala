@@ -384,6 +384,60 @@ object TpchQueries {
               |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
               |       AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin)),
 
+    // Q6 shape: forecasting-revenue change — the pure scan-speed
+    // aggregation: every predicate (date range, discount band, quantity
+    // cap) pushes to the parquet scan, no join, no grouping — one
+    // partial agg + a 1-row final. The query that proves predicate
+    // pushdown carries the whole plan.
+    QueryDef("tpch_q6",
+      (s, dir) => {
+        import QueryDef.cents
+        Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate").between(
+            lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+            && col("l_discount").between(0.05, 0.07)
+            && col("l_quantity") < 24.0)
+          .agg(
+            sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT
+              |  CAST(SUM(${QueryDef.centsSql("l_extendedprice * l_discount")}) AS BIGINT) AS revenue_cents,
+              |  COUNT(*) AS n_items
+              |FROM lineitem
+              |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+              |                     AND TIMESTAMP '1996-12-31 00:00:00'
+              |  AND l_discount BETWEEN 0.05 AND 0.07
+              |  AND l_quantity < 24.0""".stripMargin)),
+
+    // Q15 shape: top supplier(s) — per-supplier revenue aggregate, then
+    // keep every supplier tied for the global maximum. The max is a
+    // scalar subquery (broadcast of one row), never a global sort: the
+    // agg shuffles once on s_suppkey, the max reduces map-side.
+    QueryDef("tpch_q15",
+      (s, dir) => {
+        val rev = Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate").between(
+            lit("1996-01-01").cast("timestamp"), lit("1996-03-31").cast("timestamp")))
+          .groupBy(col("l_suppkey"))
+          .agg(revenue.as("total_revenue_cents"))
+        val top = rev.agg(max(col("total_revenue_cents")).as("mx"))
+        rev.join(broadcast(top), rev("total_revenue_cents") === top("mx"))
+          .join(Tables(s, dir, "supplier"), rev("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue_cents"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some(s"""WITH rev AS (
+              |  SELECT l_suppkey, $revenueSql AS total_revenue_cents
+              |  FROM lineitem
+              |  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+              |                       AND TIMESTAMP '1996-03-31 00:00:00'
+              |  GROUP BY l_suppkey)
+              |SELECT s_suppkey, s_name, total_revenue_cents
+              |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+              |WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+              |ORDER BY s_suppkey""".stripMargin)),
+
     // Q4 shape: order-priority checking — EXISTS rewritten as a LEFT
     // SEMI join against the fact (adapted: the testdata lacks
     // l_commitdate/l_receiptdate, so the correlated predicate is

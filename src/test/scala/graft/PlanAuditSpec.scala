@@ -196,6 +196,29 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("AQE re-plans a shuffle join to broadcast at runtime (the unhinted-dim contract)") {
+    // The engine's broadcast policy leaves SF-scaling dims UNHINTED and
+    // lets AQE decide from runtime sizes (VERDICT r1). This pins the
+    // mechanism those plans rely on: a join whose build side only
+    // becomes provably small AFTER a filter executes (static stats
+    // can't see through it here) must end up a BroadcastHashJoin in the
+    // FINAL adaptive plan.
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    // distinct forces a shuffle boundary, so the filtered side's true
+    // size is first known at runtime
+    val smallSide = orders.filter(col("o_totalprice") > 490000.0)
+      .select(col("o_orderkey")).distinct()
+    val joined = li.join(smallSide, li("l_orderkey") === smallSide("o_orderkey"))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    joined.collect() // AQE finalizes during execution
+    val executed = joined.queryExecution.executedPlan.toString
+    val finalPlan = executed.split("== Initial Plan ==").head
+    assert(finalPlan.contains("AdaptiveSparkPlan isFinalPlan=true"), executed)
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+  }
+
   test("asof_attribution: one user_id shuffle, no join — the distributed as-of shape") {
     val p = plan(SparkEntry.queries("asof_attribution")(spark, dir))
     // both event kinds ride one window pass: a range-join formulation
