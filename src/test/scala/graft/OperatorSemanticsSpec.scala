@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property pins for the round-3 pipeline operators — cross-engine
+  * value equality is the DuckDB oracle gate's job; these assert the
+  * semantic invariants the operators promise, on real testdata. */
+class OperatorSemanticsSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pack_sequences: packs partition the corpus and fill to the budget") {
+    val budget = 256L
+    val packs = SparkEntry.queries("pack_sequences")(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("pack_id"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("pack_tokens")))
+
+    // partition: per-lang doc/token totals match the corpus exactly
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("lang").agg(count(lit(1)).as("nd"), sum("n").as("nt"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byLang = packs.groupBy(_._1)
+    assert(byLang.keySet == docs.keySet)
+    for ((lang, ps) <- byLang) {
+      assert(ps.map(_._3).sum == docs(lang)._1, s"$lang doc count")
+      assert(ps.map(_._4).sum == docs(lang)._2, s"$lang token total")
+      // fill: when pack k+1 exists, the running token total through
+      // pack k has crossed (k+1)·budget — i.e. no pack opens early
+      val ordered = ps.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == ordered.indices.map(_.toLong),
+        s"$lang pack_ids not contiguous: ${ordered.map(_._2).mkString(",")}")
+      val cums = ordered.map(_._4).scanLeft(0L)(_ + _).drop(1)
+      for (k <- 0 until ordered.length - 1)
+        assert(cums(k) >= budget * (k + 1),
+          s"$lang pack $k closed at ${cums(k)} tokens < ${budget * (k + 1)}")
+    }
+  }
+
+  test("asof_attribution: attributed click precedes its purchase; purchases preserved") {
+    val res = SparkEntry.queries("asof_attribution")(spark, dir).collect()
+    val nPurchases = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(res.length == nPurchases) // left-join semantics: none dropped
+    for (r <- res if !r.isNullAt(r.fieldIndex("click_us"))) {
+      val (pUs, pId) = (r.getAs[Long]("purchase_us"), r.getAs[Long]("event_id"))
+      val (cUs, cId) = (r.getAs[Long]("click_us"), r.getAs[Long]("click_event_id"))
+      assert(cUs < pUs || (cUs == pUs && cId < pId),
+        s"click ($cUs,$cId) not before purchase ($pUs,$pId)")
+    }
+    // the corpus plants clicks before purchases, so attribution is
+    // non-trivial here
+    assert(res.exists(!_.isNullAt(res.head.fieldIndex("click_us"))))
+  }
+
+  test("text_redact: tags replace every synthetic injection") {
+    val res = SparkEntry.queries("text_redact")(spark, dir)
+    // every doc got exactly one injected email and one injected ref id
+    val counts = res.select("n_emails", "n_nums").distinct().collect()
+    assert(counts.length == 1 && counts(0).getLong(0) == 1L && counts(0).getLong(1) == 1L)
+  }
+}
