@@ -105,6 +105,70 @@ object SetRollupQueries {
              |  COUNT(*) AS n_orders
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
 
+    // Arbitrary GROUPING SETS (not the hierarchical rollup/cube
+    // special cases): two independent groupings in ONE pass — Expand +
+    // a single shuffle, exactly like rollup but with caller-chosen
+    // sets. Labels via GROUPING() so genuine NULL group values can't
+    // masquerade as the other set's rows.
+    QueryDef("grouping_sets",
+      (s, dir) => {
+        Tables(s, dir, "orders").createOrReplaceTempView("orders_gs")
+        s.sql(s"""SELECT
+                 |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+                 |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+                 |  COUNT(*) AS n_orders,
+                 |  CAST(SUM(${QueryDef.centsSql("o_totalprice")}) AS BIGINT) AS total_cents
+                 |FROM orders_gs
+                 |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
+      },
+      Some(s"""SELECT
+              |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+              |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+              |  COUNT(*) AS n_orders,
+              |  CAST(SUM(${QueryDef.centsSql("o_totalprice")}) AS BIGINT) AS total_cents
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)),
+
+    // Window distribution functions: ntile / percent_rank / cume_dist
+    // over a per-status partition. The (o_totalprice, o_orderkey)
+    // ordering is a TOTAL order, which is what makes all three
+    // deterministic (percent_rank/cume_dist tie semantics never
+    // engage). One shuffle on the partition key.
+    QueryDef("window_distribution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  round(percent_rank() OVER w, 6) AS pct_rank,
+             |  round(cume_dist() OVER w, 6) AS cume
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus
+             |  ORDER BY o_totalprice, o_orderkey)""".stripMargin)),
+
+    // EXCEPT ALL — multiset semantics (each May order survives unless
+    // matched 1:1 by a June order for the same customer), vs the
+    // distinct-set set_intersect_except above. Spark plans this as an
+    // aggregate of signed counts, one shuffle, no join.
+    QueryDef("except_all_multiset",
+      (s, dir) => {
+        val may = Tables(s, dir, "orders")
+          .filter(month(col("o_orderdate")) === 5).select(col("o_custkey"))
+        val june = Tables(s, dir, "orders")
+          .filter(month(col("o_orderdate")) === 6).select(col("o_custkey"))
+        may.exceptAll(june)
+      },
+      Some("""SELECT o_custkey FROM orders WHERE month(o_orderdate) = 5
+             |EXCEPT ALL
+             |SELECT o_custkey FROM orders WHERE month(o_orderdate) = 6""".stripMargin)),
+
     // correlated scalar subquery through the engine's SQL entry path —
     // Catalyst decorrelates it into an aggregate + left join (SURVEY
     // §2.8: subqueries/decorrelation are engine-native extensions)
