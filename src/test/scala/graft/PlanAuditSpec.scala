@@ -239,6 +239,48 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("partition pruning: static filters and dynamic (join-driven) pruning reach the scan") {
+    // At 100 TB the corpus arrives partitioned (date/source/shard) and
+    // partition pruning is the first 100-1000× lever, before any
+    // predicate pushdown. Static: a literal filter on the partition
+    // column must become a PartitionFilter (file-level skip), not a
+    // row-level filter. Dynamic: when the filter arrives via a JOIN
+    // against a filtered dim, DPP must inject a runtime pruning
+    // subquery into the scan.
+    val out = s"${tmpDir("part_orders")}/data"
+    spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("o_month", month(col("o_orderdate")))
+      .write.partitionBy("o_month").parquet(out)
+    val fact = spark.read.parquet(out)
+
+    val static = fact.filter(col("o_month") === 5)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val ps = plan(static)
+    assert(ps.contains("PartitionFilters"), ps)
+    assert("PartitionFilters:.*o_month.*5".r.findFirstIn(ps).isDefined, ps)
+
+    import spark.implicits._
+    val dimPath = s"$out/../dim"
+    Seq((4, "q2"), (5, "q2"), (6, "q2"), (7, "q3")).toDF("m", "quarter")
+      .write.parquet(dimPath)
+
+    // a LITERAL filter on the dim's join column constant-propagates
+    // through the join into a STATIC partition filter — no runtime
+    // machinery needed at all
+    val litDim = spark.read.parquet(dimPath).filter(col("m") === 5)
+    val pc = plan(fact.join(litDim, fact("o_month") === litDim("m"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n")))
+    assert("PartitionFilters:.*o_month.*5".r.findFirstIn(pc).isDefined, pc)
+
+    // the date-dim shape (filter on a NON-join dim column, so nothing
+    // constant-propagates) is where DPP must inject its runtime
+    // pruning subquery into the scan
+    val qDim = spark.read.parquet(dimPath).filter(col("quarter") === "q2")
+    val pd = plan(fact.join(qDim, fact("o_month") === qDim("m"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n")))
+    assert(pd.contains("dynamicpruningexpression"), pd)
+  }
+
   test("limit_offset: global limit, no full materialization") {
     val p = plan(SparkEntry.queries("limit_offset")(spark, dir))
     assert(p.contains("GlobalLimit") || p.contains("TakeOrderedAndProject"), p)
