@@ -438,6 +438,37 @@ object TpchQueries {
               |WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
               |ORDER BY s_suppkey""".stripMargin)),
 
+    // Q17 shape: small-quantity-order revenue — the correlated
+    // AGGREGATE subquery (per-part average threshold), exercised
+    // through the SQL path so Catalyst's decorrelation rewrites it to
+    // an aggregate + join (no per-row subquery execution; cf.
+    // sql_correlated for the scalar-count variant). Numeric safety:
+    // l_quantity is integer-valued, so the per-part SUM is exact in
+    // IEEE doubles regardless of partition order and avg = sum/count
+    // is ONE deterministic division on both engines — the only reason
+    // a float average may sit in an oracle-gated filter threshold.
+    QueryDef("tpch_q17",
+      (s, dir) => {
+        Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_q17")
+        Tables(s, dir, "part").createOrReplaceTempView("part_q17")
+        s.sql(s"""SELECT
+                 |  CAST(SUM(${QueryDef.centsSql("l_extendedprice")}) AS BIGINT) AS revenue_cents,
+                 |  COUNT(*) AS n_items
+                 |FROM lineitem_q17 l JOIN part_q17 p ON p.p_partkey = l.l_partkey
+                 |WHERE p.p_brand = 'Brand#23'
+                 |  AND l.l_quantity < (
+                 |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem_q17 l2
+                 |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+      },
+      Some(s"""SELECT
+              |  CAST(SUM(${QueryDef.centsSql("l_extendedprice")}) AS BIGINT) AS revenue_cents,
+              |  COUNT(*) AS n_items
+              |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+              |WHERE p.p_brand = 'Brand#23'
+              |  AND l.l_quantity < (
+              |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+              |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin)),
+
     // Q4 shape: order-priority checking — EXISTS rewritten as a LEFT
     // SEMI join against the fact (adapted: the testdata lacks
     // l_commitdate/l_receiptdate, so the correlated predicate is

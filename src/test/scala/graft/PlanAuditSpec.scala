@@ -189,11 +189,13 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("correlated scalar subquery is decorrelated to aggregate + join") {
-    val p = plan(SparkEntry.queries("sql_correlated")(spark, dir))
-    // no per-row subquery execution: Catalyst rewrites to agg + join
-    assert(!p.contains("ScalarSubquery"), p)
-    assert(p.contains("HashAggregate") || p.contains("Aggregate"), p)
-    assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p)
+    for (q <- Seq("sql_correlated", "tpch_q17")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      // no per-row subquery execution: Catalyst rewrites to agg + join
+      assert(!p.contains("ScalarSubquery"), s"$q:\n$p")
+      assert(p.contains("HashAggregate") || p.contains("Aggregate"), s"$q:\n$p")
+      assert(p.contains("Join") || p.contains("BroadcastHashJoin"), s"$q:\n$p")
+    }
   }
 
   test("AQE re-plans a shuffle join to broadcast at runtime (the unhinted-dim contract)") {
