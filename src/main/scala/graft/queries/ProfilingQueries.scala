@@ -81,6 +81,58 @@ object ProfilingQueries {
              |WHERE ${graft.functions.TextFunctions.portableHashSql("CAST(doc_id AS VARCHAR)", 42)} % 100 < 20
              |GROUP BY source""".stripMargin)),
 
+    // deterministic sharded shuffle — the "shuffle the corpus" step
+    // every training run needs, reproducibly: shard = content hash mod
+    // N, position = rank of the hash WITHIN the shard. The window is
+    // partitioned by shard, so the ordering work distributes over N
+    // tasks (a single global row_number would funnel 100 TB through
+    // one partition); consumers read shards in order and get the same
+    // pseudo-random permutation on every run, engine, and partitioning.
+    QueryDef("shuffle_shards",
+      (s, dir) => {
+        import graft.functions.TextFunctions.portableHash
+        import org.apache.spark.sql.expressions.Window
+        val h = portableHash(col("doc_id").cast("string"), 7)
+        val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), pmod(h, lit(16L)).as("shard"), h.as("h"))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("shard"), col("pos"))
+      },
+      Some(s"""SELECT doc_id,
+             |  ${graft.functions.TextFunctions.portableHashSql("CAST(doc_id AS VARCHAR)", 7)} % 16 AS shard,
+             |  CAST(row_number() OVER (
+             |    PARTITION BY ${graft.functions.TextFunctions.portableHashSql("CAST(doc_id AS VARCHAR)", 7)} % 16
+             |    ORDER BY ${graft.functions.TextFunctions.portableHashSql("CAST(doc_id AS VARCHAR)", 7)}, doc_id) AS BIGINT) AS pos
+             |FROM documents""".stripMargin)),
+
+    // deterministic train/val/test split — hash-bucket assignment
+    // (80/10/10), the split every training pipeline must make
+    // reproducibly: a document's split never changes across runs,
+    // engines, or corpus growth (new docs land in buckets without
+    // moving old ones — contrast a rand() or modulo-of-row-number
+    // split, which reshuffles everything on every change). Scan-speed
+    // narrow expression + one map-side-combinable rollup.
+    QueryDef("split_assign",
+      (s, dir) => {
+        import graft.functions.TextFunctions.portableHash
+        val bucket = pmod(portableHash(col("doc_id").cast("string"), 13), lit(100L))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test").as("split"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      },
+      Some {
+        val b = s"${graft.functions.TextFunctions.portableHashSql("CAST(doc_id AS VARCHAR)", 13)} % 100"
+        s"""SELECT lang,
+           |  CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END AS split,
+           |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+           |FROM documents GROUP BY lang,
+           |  CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END""".stripMargin
+      }),
+
     // declarative expectations (dbt-test / Delta-constraint shape):
     // each rule is a predicate; the result is rule → violation count
     // over total checked. All rules evaluate in ONE pass (conditional
