@@ -450,6 +450,66 @@ object DedupQueries {
               |  CAST(n_members AS BIGINT) AS n_members
               |FROM ranked WHERE rn = 1""".stripMargin)),
 
+    // Train/eval contamination check (fuzzy decontamination): every
+    // val/test document with a verified NEAR-dup (J ≥ 0.8) partner in
+    // the training split — the leakage audit a benchmark-honest
+    // training pipeline runs before eval. Exact-fingerprint matching
+    // misses paraphrased leakage, so this rides the same MinHash-LSH
+    // candidates + exact-Jaccard verification as the dedup queries
+    // (subquadratic, df-capped), then tags both pair ends with their
+    // deterministic hash-bucket split (the split_assign 80/10/10
+    // contract) and keeps non-train docs with a train partner. The
+    // pair set is symmetrized first: discovery orders pairs doc_a <
+    // doc_b, but contamination is direction-agnostic.
+    QueryDef("contamination_check",
+      (s, dir) => {
+        val bucket = pmod(portableHash(col("doc_id").cast("string"), 13), lit(100L))
+        val splits = Tables(s, dir, "documents").select(
+          col("doc_id"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001)).persist()
+        val pairs = jaccardPairs(sh, Some(lshCandidates(sh)))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("doc_a"), col("doc_b"))
+        val sym = pairs.unionByName(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        sym
+          .join(splits.as("x"), col("doc_a") === col("x.doc_id"))
+          .join(splits.as("y"), col("doc_b") === col("y.doc_id"))
+          .filter(col("x.split") =!= "train" && col("y.split") === "train")
+          .groupBy(col("doc_a"), col("x.split"))
+          .agg(count(lit(1)).as("n_train_partners"))
+          .select(col("doc_a").as("doc_id"), col("x.split").as("split"),
+            col("n_train_partners"))
+      },
+      Some {
+        val b = s"${portableHashSql("CAST(doc_id AS VARCHAR)", 13)} % 100"
+        s"""$shCte,
+           |$candCteSql,
+           |inter AS (
+           |  SELECT doc_a, doc_b, count(*) AS i
+           |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
+           |  GROUP BY doc_a, doc_b),
+           |pairs AS (
+           |  SELECT doc_a, doc_b FROM inter
+           |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+           |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.8),
+           |sym AS (
+           |  SELECT doc_a, doc_b FROM pairs
+           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |splits AS (
+           |  SELECT doc_id,
+           |    CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+           |  FROM documents)
+           |SELECT s.doc_a AS doc_id, x.split, COUNT(*) AS n_train_partners
+           |FROM sym s
+           |JOIN splits x ON x.doc_id = s.doc_a
+           |JOIN splits y ON y.doc_id = s.doc_b
+           |WHERE x.split <> 'train' AND y.split = 'train'
+           |GROUP BY s.doc_a, x.split""".stripMargin
+      }),
+
     // SimHash fingerprints: 32-bit, one aggregation pass over token
     // occurrences (map-side combinable — scales like a word count)
     QueryDef("dedup_simhash",
