@@ -463,11 +463,11 @@ object DedupQueries {
     // doc_b, but contamination is direction-agnostic.
     QueryDef("contamination_check",
       (s, dir) => {
-        val bucket = pmod(portableHash(col("doc_id").cast("string"), 13), lit(100L))
+        // the split is ProfilingQueries.splitCol — the SAME definition
+        // split_assign publishes, so this audit can never drift from
+        // the split it audits
         val splits = Tables(s, dir, "documents").select(
-          col("doc_id"),
-          when(bucket < 80, "train").when(bucket < 90, "val")
-            .otherwise("test").as("split"))
+          col("doc_id"), ProfilingQueries.splitCol.as("split"))
         val sh = shingleSet(s, dir, maxDfFrac = Some(0.001)).persist()
         val pairs = jaccardPairs(sh, Some(lshCandidates(sh)))
           .filter(col("jaccard") >= 0.8)
@@ -484,7 +484,6 @@ object DedupQueries {
             col("n_train_partners"))
       },
       Some {
-        val b = s"${portableHashSql("CAST(doc_id AS VARCHAR)", 13)} % 100"
         s"""$shCte,
            |$candCteSql,
            |inter AS (
@@ -499,8 +498,7 @@ object DedupQueries {
            |  SELECT doc_a, doc_b FROM pairs
            |  UNION ALL SELECT doc_b, doc_a FROM pairs),
            |splits AS (
-           |  SELECT doc_id,
-           |    CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+           |  SELECT doc_id, ${ProfilingQueries.splitSql} AS split
            |  FROM documents)
            |SELECT s.doc_a AS doc_id, x.split, COUNT(*) AS n_train_partners
            |FROM sym s

@@ -21,6 +21,24 @@ object ProfilingQueries {
   /** Columns profiled in `profile_stats` (documents corpus). */
   private val ProfCols = Seq("lang", "source", "n_chars")
 
+  /** THE train/val/test split contract (portableHash salt 13 over
+    * doc_id, buckets mod 100: <80 train, <90 val, else test) — one
+    * definition shared by `split_assign` and the decontamination audit
+    * `contamination_check` (DedupQueries): an audit that re-derived the
+    * split independently could silently drift from the split it claims
+    * to audit. Keep [[splitSql]] in lockstep term-for-term. */
+  private[queries] def splitCol: org.apache.spark.sql.Column = {
+    import graft.functions.TextFunctions.portableHash
+    val bucket = pmod(portableHash(col("doc_id").cast("string"), 13), lit(100L))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
+  /** DuckDB twin of [[splitCol]]. */
+  private[queries] def splitSql: String = {
+    val b = s"${graft.functions.TextFunctions.portableHashSql("CAST(doc_id AS VARCHAR)", 13)} % 100"
+    s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END"
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // per-column profile: row count, null count, distinct count,
@@ -114,24 +132,13 @@ object ProfilingQueries {
     // split, which reshuffles everything on every change). Scan-speed
     // narrow expression + one map-side-combinable rollup.
     QueryDef("split_assign",
-      (s, dir) => {
-        import graft.functions.TextFunctions.portableHash
-        val bucket = pmod(portableHash(col("doc_id").cast("string"), 13), lit(100L))
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            when(bucket < 80, "train").when(bucket < 90, "val")
-              .otherwise("test").as("split"))
-          .groupBy(col("lang"), col("split"))
-          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
-      },
-      Some {
-        val b = s"${graft.functions.TextFunctions.portableHashSql("CAST(doc_id AS VARCHAR)", 13)} % 100"
-        s"""SELECT lang,
-           |  CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END AS split,
-           |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
-           |FROM documents GROUP BY lang,
-           |  CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END""".stripMargin
-      }),
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), splitCol.as("split"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc")),
+      Some(s"""SELECT lang, $splitSql AS split,
+             |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+             |FROM documents GROUP BY lang, $splitSql""".stripMargin)),
 
     // declarative expectations (dbt-test / Delta-constraint shape):
     // each rule is a predicate; the result is rule → violation count

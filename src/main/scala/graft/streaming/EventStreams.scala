@@ -205,14 +205,27 @@ object EventStreams {
                 if (cur.forall(c => before(c.clickMs, c.clickId, t, e.event_id)))
                   cur = Some(ClickState(t, e.event_id))
               } else {
-                val att = cur.filter(c => before(c.clickMs, c.clickId, t, e.event_id))
+                // the TTL is enforced HERE, in event time, not only via
+                // state-timeout eviction: eviction is micro-batch-
+                // granular, so a purchase can race an expired click into
+                // the same batch — without this check the attribution
+                // would depend on batch boundaries
+                val att = cur.filter(c =>
+                  before(c.clickMs, c.clickId, t, e.event_id) && t - c.clickMs <= ttlMs)
                 out += AttributionOut(e.event_id, userId, t,
                   att.map(_.clickId), att.map(_.clickMs))
               }
             }
-            cur.foreach { c =>
-              state.update(c)
-              state.setTimeoutTimestamp(c.clickMs + ttlMs)
+            cur match {
+              // re-arming a timeout at-or-before the current watermark
+              // throws (and would crash the whole query) — a click whose
+              // window the watermark already passed attributes nothing
+              // ever again, so drop the state instead
+              case Some(c) if c.clickMs + ttlMs > state.getCurrentWatermarkMs() =>
+                state.update(c)
+                state.setTimeoutTimestamp(c.clickMs + ttlMs)
+              case Some(_) => state.remove()
+              case None => ()
             }
             out.result().iterator
           }

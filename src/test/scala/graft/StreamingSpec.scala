@@ -113,6 +113,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stateful attribution enforces the TTL in event time, not just via state eviction") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    // 1-minute attribution window; the expired click and the purchase
+    // arrive in the SAME micro-batch, so state-timeout eviction cannot
+    // have fired — only the event-time check can reject it
+    val q = EventStreams.attributeStateful(ms.toDS(), ttlMs = 60L * 1000)
+      .writeStream.format("memory").queryName("attr_ttl").outputMode("append").start()
+    try {
+      ms.addData(
+        Event(1, ts(0), 1, "click", 0.0),
+        Event(2, ts(0), 1, "purchase", 1.0), // same ts, later id → in-window
+        Event(3, ts(2), 1, "purchase", 2.0)) // 120 s after the click → expired
+      q.processAllAvailable()
+      val res = spark.table("attr_ttl")
+        .select("purchase_id", "click_id")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      assert(res(2L).contains(1L))
+      assert(res(3L).isEmpty, "purchase beyond the TTL must not attribute")
+    } finally q.stop()
+  }
+
   test("file-source stream: micro-batches discover parquet files, windowed agg") {
     import spark.implicits._
     val dir = tmpDir("evstream")

@@ -108,19 +108,26 @@ class TextDedupSpec extends SparkSuite {
 
   test("shingle df-cap: no-op on testdata, prunes a planted hot shingle") {
     import spark.implicits._
-    // (a) no-op below the floor: testdata's hottest shingle has df 25 at
-    // sf0.1 (measured), far under MinDfFloor — the capped driver queries
-    // must equal the uncapped form there, which is what keeps the
-    // unchanged DuckDB oracles a valid gate
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // (a) no-op below the floor: the capped driver queries must equal
+    // the uncapped form on the testdata, which is what keeps the
+    // unchanged DuckDB oracles a valid gate. The floor pin runs at
+    // EVERY scale the driver verifies/benches against (sf0.001 gate +
+    // sf0.01 correctness + sf0.1 bench) — a regenerated corpus whose
+    // boilerplate crossed the floor at a bigger SF would silently
+    // diverge all five capped queries from their uncapped oracles, so
+    // the biggest scale is exactly the one that must be pinned.
+    def shingleDf(sfDir: String) = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
       .distinct()
+    val docs = shingleDf(dir)
     val uncapped = docs.count()
     assert(DedupQueries.dfCap(docs, 0.001).count() == uncapped)
-    // and testdata really is under the floor (the no-op is structural,
-    // not luck): pin max df
-    val maxDf = docs.groupBy("s").count().agg(max("count")).head.getLong(0)
-    assert(maxDf < DedupQueries.MinDfFloor, s"max shingle df $maxDf crossed the floor")
+    for (sfDir <- Seq(dir, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val maxDf = shingleDf(sfDir).groupBy("s").count()
+        .agg(max("count")).head.getLong(0)
+      assert(maxDf < DedupQueries.MinDfFloor,
+        s"$sfDir max shingle df $maxDf crossed the floor — capped queries no longer match uncapped oracles")
+    }
 
     // (b) the cap genuinely prunes: 300 synthetic docs all sharing one
     // boilerplate shingle ("terms of service") plus a unique one each;
