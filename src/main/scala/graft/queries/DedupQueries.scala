@@ -299,10 +299,13 @@ object DedupQueries {
     // aggregate (changed-label count) comes back to decide
     // convergence, the label table itself never leaves the cluster —
     // the standard superstep shape for iterative graph algorithms on
-    // Spark at any scale. Near-dup clusters have tiny diameters
-    // (duplicates of a doc are near-dups of each other), so the loop
-    // converges in O(log(longest chain)) supersteps — 1-2 here; the
-    // cap guards degenerate chains. Oracle: DuckDB recursive-CTE
+    // Spark at any scale. Plain neighbor-min propagation needs
+    // O(graph diameter) supersteps; near-dup clusters have tiny
+    // diameters (duplicates of a doc are near-dups of each other), so
+    // 1-2 iterations suffice here, and a degenerate over-cap chain
+    // THROWS rather than returning wrong labels (see below) — if such
+    // graphs ever became normal, pointer doubling (propagating labels
+    // through labels) would restore O(log n) rounds. Oracle: DuckDB recursive-CTE
     // reachability closure + per-node min over reached nodes — a
     // different algorithm computing the same fixpoint, so agreement is
     // a real cross-check, not an echo.
