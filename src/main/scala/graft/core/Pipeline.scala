@@ -252,6 +252,12 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
       }
 
     val n = steps.length
+    // a compile failure AFTER a persistIfShared (e.g. the second-
+    // non-aggregated-from error below) must release what it cached:
+    // exec's unpersist runs only on the successfully returned Compiled,
+    // so without this a repeatedly-failing exec leaks a cache entry per
+    // attempt in a long-lived session
+    try {
     steps.zipWithIndex.foreach { case (step, idx) =>
       i += 1
       step match {
@@ -327,6 +333,11 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
       writes += ((observed(df, s"load_${i + 1}"), NoOpSink))
     Compiled(df, writes.toSeq, observations.toSeq, truncated, persisted.toSeq,
       breakSignals.toSeq)
+    } catch {
+      case e: Throwable =>
+        persisted.foreach(_.unpersist(blocking = false))
+        throw e
+    }
   }
 
   private def withBase(base: DataFrame): Pipeline =

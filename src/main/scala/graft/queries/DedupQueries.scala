@@ -198,6 +198,24 @@ object DedupQueries {
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)""".stripMargin
   }
 
+  /** DuckDB CTE fragments for exact-Jaccard candidate verification,
+    * appended after [[candCteSql]] — ONE definition of the
+    * shared-shingle intersection count ([[interCteSql]]) and of the
+    * J ≥ 0.8 threshold contract ([[pairsCteSql]]): five oracles share
+    * these, and an independently re-typed threshold in one of them
+    * would silently de-synchronize the suite. */
+  private val interCteSql =
+    """inter AS (
+      |  SELECT doc_a, doc_b, count(*) AS i
+      |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
+      |  GROUP BY doc_a, doc_b)""".stripMargin
+
+  private val pairsCteSql =
+    """pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.8)""".stripMargin
+
   /** All-pairs exact Jaccard — the QUADRATIC small-N recall verifier
     * for [[lshCandidates]]-gated discovery. Never a driver query: the
     * shingle self-join explodes on hot shingles at scale. */
@@ -252,10 +270,7 @@ object DedupQueries {
       },
       Some(s"""$shCte,
               |$candCteSql,
-              |inter AS (
-              |  SELECT doc_a, doc_b, count(*) AS i
-              |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
-              |  GROUP BY doc_a, doc_b)
+              |$interCteSql
               |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
               |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
               |WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.8""".stripMargin)),
@@ -276,15 +291,9 @@ object DedupQueries {
       Some {
         s"""$shCte,
            |$candCteSql,
-           |inter AS (
-           |  SELECT doc_a, doc_b, count(*) AS i
-           |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
-           |  GROUP BY doc_a, doc_b),
-           |verified AS (
-           |  SELECT doc_a, doc_b FROM inter
-           |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-           |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.8)
-           |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM verified)""".stripMargin
+           |$interCteSql,
+           |$pairsCteSql
+           |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM pairs)""".stripMargin
       }),
 
     // Dedup CLUSTERS: the step after pair discovery — near-dup pairs
@@ -335,8 +344,11 @@ object DedupQueries {
         // over the freshly checkpointed table, no join. Summed as
         // decimal(38,0): exact at any id magnitude × node count, immune
         // to long overflow.
+        // SUM over an empty table is NULL — a corpus with zero verified
+        // near-dup pairs must yield an empty cluster table, not an NPE
         def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-          df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+          Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+            .getOrElse(java.math.BigDecimal.ZERO)
         var prevSum = labelSum(labels)
         var converged = false
         var iter = 0
@@ -371,14 +383,8 @@ object DedupQueries {
       },
       Some(s"""$shCte,
               |$candCteSql,
-              |inter AS (
-              |  SELECT doc_a, doc_b, count(*) AS i
-              |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
-              |  GROUP BY doc_a, doc_b),
-              |pairs AS (
-              |  SELECT doc_a, doc_b FROM inter
-              |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-              |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.8),
+              |$interCteSql,
+              |$pairsCteSql,
               |edges AS (
               |  SELECT doc_a AS u, doc_b AS v FROM pairs
               |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -419,14 +425,8 @@ object DedupQueries {
       },
       Some(s"""$shCte,
               |$candCteSql,
-              |inter AS (
-              |  SELECT doc_a, doc_b, count(*) AS i
-              |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
-              |  GROUP BY doc_a, doc_b),
-              |pairs AS (
-              |  SELECT doc_a, doc_b FROM inter
-              |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-              |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.8),
+              |$interCteSql,
+              |$pairsCteSql,
               |edges AS (
               |  SELECT doc_a AS u, doc_b AS v FROM pairs
               |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -489,14 +489,8 @@ object DedupQueries {
       Some {
         s"""$shCte,
            |$candCteSql,
-           |inter AS (
-           |  SELECT doc_a, doc_b, count(*) AS i
-           |  FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b AND a.s = b.s
-           |  GROUP BY doc_a, doc_b),
-           |pairs AS (
-           |  SELECT doc_a, doc_b FROM inter
-           |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-           |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.8),
+           |$interCteSql,
+           |$pairsCteSql,
            |sym AS (
            |  SELECT doc_a, doc_b FROM pairs
            |  UNION ALL SELECT doc_b, doc_a FROM pairs),

@@ -59,20 +59,30 @@ object SimilarityQueries {
             col("nrm").as("c_nrm"))
         val aw = Window.partitionBy(col("vec_id"))
           .orderBy(col("cos_c").desc, col("c_id"))
-        val cells = e.crossJoin(broadcast(cents))
-          .withColumn("cos_c",
-            cosineFast(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
-          .withColumn("rk", row_number().over(aw))
-          .filter(col("rk") === 1)
+        // per-vector centroid ranking is independent of every other
+        // vector (the window partitions by vec_id), so the QUERY side
+        // runs its own |Q|×k assignment instead of filtering the
+        // corpus-wide one — the expensive corpus assignment subplan is
+        // then consumed exactly ONCE (the join's probe side), not
+        // twice, with no persist needed
+        def assignRanked(v: org.apache.spark.sql.DataFrame) =
+          v.crossJoin(broadcast(cents))
+            .withColumn("cos_c",
+              cosineFast(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+            .withColumn("rk", row_number().over(aw))
+        val cells = assignRanked(e).filter(col("rk") === 1)
           .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cell"))
-        val q = cells.filter(col("vec_id") < NQueries)
+        val q = assignRanked(e.filter(col("vec_id") < NQueries))
+          .filter(col("rk") === 1)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"), col("c_id").as("cell"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-        broadcast(q.as("q")).join(cells.as("c"),
-            col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
-          .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
-            col("q.cell").as("cell"),
-            cosineFast(col("q.embedding"), col("c.embedding"),
-              col("q.nrm"), col("c.nrm")).as("cos"))
+        broadcast(q).join(cells.as("c"),
+            q("cell") === col("c.cell") && col("q_id") =!= col("c.vec_id"))
+          .select(col("q_id"), col("c.vec_id").as("n_id"),
+            q("cell").as("cell"),
+            cosineFast(col("q_emb"), col("c.embedding"),
+              col("q_nrm"), col("c.nrm")).as("cos"))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= TopK)
       },
@@ -110,13 +120,18 @@ object SimilarityQueries {
             col("nrm").as("c_nrm"))
         val aw = Window.partitionBy(col("vec_id"))
           .orderBy(col("cos_c").desc, col("c_id"))
-        val ranked = e.crossJoin(broadcast(cents))
-          .withColumn("cos_c",
-            cosineFast(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
-          .withColumn("rk", row_number().over(aw))
-        val cells = ranked.filter(col("rk") === 1)
+        // same single-corpus-pass structure as ann_ivf: the probe list
+        // ranks only the |Q| query vectors against the centroids, so
+        // the corpus-wide assignment feeds the join exactly once
+        def assignRanked(v: org.apache.spark.sql.DataFrame) =
+          v.crossJoin(broadcast(cents))
+            .withColumn("cos_c",
+              cosineFast(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+            .withColumn("rk", row_number().over(aw))
+        val cells = assignRanked(e).filter(col("rk") === 1)
           .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cell"))
-        val probes = ranked.filter(col("vec_id") < NQueries && col("rk") <= NProbe)
+        val probes = assignRanked(e.filter(col("vec_id") < NQueries))
+          .filter(col("rk") <= NProbe)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
             col("nrm").as("q_nrm"), col("c_id").as("cell"))
         val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))

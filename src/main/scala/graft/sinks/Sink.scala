@@ -137,9 +137,13 @@ final case class JdbcUpsertSink(
   private def writeUpdateThenInsert(df: DataFrame): Unit = {
     val cols = df.columns.toSeq
     val (updSql, insSql) = JdbcUpsertSink.updateThenInsertSql(table, cols, keyCols)
-    // UPDATE binds non-key columns first (SET), then keys (WHERE)
+    // UPDATE binds non-key columns first (SET, in column order — the
+    // order updateThenInsertSql emits the SET list), then keys (WHERE,
+    // in KEYCOLS order: the WHERE placeholders follow keyCols, so a
+    // composite key listed in a different order than the DataFrame's
+    // columns must bind by keyCols position, not column position)
     val updIdx = (cols.indices.filterNot(i => keyCols.contains(cols(i))) ++
-      cols.indices.filter(i => keyCols.contains(cols(i)))).toArray
+      keyCols.map(k => cols.indexOf(k))).toArray
     val (u, props, bs) = (url, properties, batchSize)
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val p = new java.util.Properties()

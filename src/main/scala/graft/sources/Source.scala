@@ -201,12 +201,18 @@ object CsvSource {
     try {
       val p = new HPath(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // globStatus resolves plain paths, directories and glob patterns
+      // globStatus resolves plain paths, directories and glob patterns.
+      // Skip zero-length and marker files (_SUCCESS, dotfiles): they
+      // sort before part-* and a 0-byte "first file" would silently
+      // disable BOM/sep= detection for the whole directory.
       val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
       val fileOpt = statuses.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile).map(_.getPath)
-        else Array(st.getPath)
-      }.sortBy(_.getName).headOption
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+        else Array(st)
+      }.filter { st =>
+        val name = st.getPath.getName
+        st.getLen > 0 && !name.startsWith("_") && !name.startsWith(".")
+      }.sortBy(_.getPath.getName).headOption.map(_.getPath)
       fileOpt.fold(none) { file =>
       val in = fs.open(file)
       val buf = new Array[Byte](4096)

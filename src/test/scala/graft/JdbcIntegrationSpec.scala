@@ -135,6 +135,36 @@ class JdbcIntegrationSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("ansi upsert with composite key listed in NON-column order binds WHERE params correctly") {
+    // the WHERE placeholders follow keyCols order; the regression this
+    // pins bound them in DataFrame-column order, so a composite key
+    // whose keyCols order differs from the column order matched nothing
+    // (or the wrong row) and duplicated instead of updating
+    withConn { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE dst_ck (id BIGINT, region VARCHAR(8), total DOUBLE, " +
+        "PRIMARY KEY (region, id))")
+      st.execute("INSERT INTO dst_ck VALUES (1, 'eu', 0.0)")
+      st.execute("INSERT INTO dst_ck VALUES (1, 'us', 0.0)")
+    }
+    // columns (id, region, total); keyCols deliberately (region, id)
+    val incoming = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "eu", 10.0), Row(1L, "us", 20.0), Row(2L, "eu", 30.0)), 1),
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("region", "string").add("total", "double"))
+    JdbcUpsertSink(url, "dst_ck", keyCols = Seq("region", "id"),
+      properties = props, dialect = "ansi").write(incoming)
+    val got = withConn { c =>
+      val rs = c.createStatement()
+        .executeQuery("SELECT id, region, total FROM dst_ck ORDER BY region, id")
+      Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getString(2), r.getDouble(3))).toList
+    }
+    // both eu/us rows for id 1 UPDATED in place (no duplicates), id 2 inserted
+    assert(got === List((1L, "eu", 10.0), (2L, "eu", 30.0), (1L, "us", 20.0)))
+  }
+
   test("updateThenInsertSql builder shape") {
     val (upd, ins) = JdbcUpsertSink.updateThenInsertSql(
       "t", Seq("k1", "a", "k2", "b"), Seq("k1", "k2"))

@@ -54,6 +54,34 @@ class OperatorSemanticsSpec extends SparkSuite {
     assert(res.exists(!_.isNullAt(res.head.fieldIndex("click_us"))))
   }
 
+  test("dedup_clusters on a corpus with no near-dups returns empty, not an error") {
+    import spark.implicits._
+    val out = s"${tmpDir("clean_corpus")}/documents.parquet"
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "t", 36L),
+      (2L, "one two three four five six seven", "en", "t", 33L),
+      (3L, "red orange yellow green blue violet", "en", "t", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(out)
+    val res = SparkEntry.queries("dedup_clusters")(
+      spark, out.stripSuffix("/documents.parquet"))
+    assert(res.count() == 0) // regression: SUM over empty labels NPE'd
+  }
+
+  test("graft_dot and the interpreted dot agree on mismatched-length arrays: NULL") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f), Array(4f, 5f, 6f)))
+      .toDF("a", "short", "b")
+    val r = df.select(
+      graft.functions.TextFunctions.dotFast(col("a"), col("short")).as("fast_mismatch"),
+      graft.functions.TextFunctions.dot(col("a"), col("short")).as("slow_mismatch"),
+      graft.functions.TextFunctions.dotFast(col("a"), col("b")).as("fast_ok")).head
+    // a malformed embedding must NULL out of both paths identically,
+    // never produce a silently truncated dot product
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getDouble(2) == (4.0 + 10.0 + 18.0))
+  }
+
   test("text_redact: tags replace every synthetic injection") {
     val res = SparkEntry.queries("text_redact")(spark, dir)
     // every doc got exactly one injected email and one injected ref id
