@@ -158,7 +158,7 @@ final case class CsvSource(
           .select(col("content")).as[Array[Byte]]
           .flatMap { bytes =>
             val text = new String(bytes, java.nio.charset.Charset.forName(charset))
-            val it = text.linesIterator.map(CsvSource.stripBom)
+            val it = CsvSource.stripBomLine0(text.linesIterator)
             // drop the prolog only as LINE 0 of this file — a data line
             // textually equal to it elsewhere is real data
             val body = prolog match {
@@ -190,6 +190,16 @@ object CsvSource {
       sepFromProlog: Option[String], prologLine: Option[String])
 
   private[sources] def stripBom(s: String): String = s.stripPrefix("﻿")
+
+  /** Strip a leading BOM from the FIRST line only. Whole-file decodes
+    * know line positions, so only the file-leading char can actually be
+    * a BOM — a mid-file line starting with U+FEFF carries a legitimate
+    * zero-width no-break space that must survive byte-for-byte (hash
+    * fingerprints over the column would otherwise silently change).
+    * The distributed UTF-8 text route cannot know file positions and
+    * keeps the per-line strip as a documented divergence. */
+  private[sources] def stripBomLine0(lines: Iterator[String]): Iterator[String] =
+    if (lines.hasNext) Iterator.single(stripBom(lines.next())) ++ lines else lines
 
   /** Read the first bytes of (one file under) `path` through the Hadoop
     * FS API — works for local paths, globs, and any DFS; costs one tiny
@@ -273,7 +283,8 @@ final case class LineSource(
         .select(col("content")).as[Array[Byte]]
         .flatMap { bytes =>
           val text = new String(bytes, java.nio.charset.Charset.forName(charset))
-          text.linesIterator.map(l => CsvSource.stripBom(l).trim).filter(_.nonEmpty)
+          CsvSource.stripBomLine0(text.linesIterator)
+            .map(_.trim).filter(_.nonEmpty)
         }
         .toDF("value")
     }
