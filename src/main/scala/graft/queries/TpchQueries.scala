@@ -554,6 +554,36 @@ object TpchQueries {
              |GROUP BY p_brand, p_type, p_size
              |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
 
+    // Q14 proper: promotion-revenue share for one ship month — the
+    // conditional-sum-over-join shape. The classic form outputs
+    // 100·promo/total as a float; here BOTH terms are exact cents
+    // (engine division rounding differs, integer sums never do) and
+    // the reader divides. Date filter pushes to the fact scan; part is
+    // unhinted (AQE decides).
+    QueryDef("tpch_q14",
+      (s, dir) => {
+        import QueryDef.cents
+        val l = Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate").between(
+            lit("1996-03-01").cast("timestamp"), lit("1996-03-31").cast("timestamp")))
+        val p = Tables(s, dir, "part")
+        val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", rev).otherwise(0L)).as("promo_cents"),
+            sum(rev).as("total_cents"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""SELECT
+              |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+              |    THEN ${QueryDef.centsSql("l_extendedprice * (1.0 - l_discount)")}
+              |    ELSE 0 END) AS BIGINT) AS promo_cents,
+              |  $revenueSql AS total_cents,
+              |  COUNT(*) AS n_items
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE l_shipdate BETWEEN TIMESTAMP '1996-03-01 00:00:00'
+              |                     AND TIMESTAMP '1996-03-31 00:00:00'""".stripMargin)),
+
     // Q14-ish shape: revenue share per part brand (fact ⋈ part dim)
     QueryDef("tpch_brand_share",
       (s, dir) => {
