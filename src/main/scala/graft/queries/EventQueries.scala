@@ -172,6 +172,36 @@ object EventQueries {
              |FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
              |  ON r.event_id = p.event_id""".stripMargin)),
 
+    // rolling time-window aggregates via a RANGE frame: at every event,
+    // the count/value of the SAME USER's events in the trailing hour —
+    // the per-entity rate/velocity feature (fraud scores, rate limits,
+    // engagement velocity). RANGE frames bound by VALUE (epoch seconds
+    // here), not row position, so ties in the ordering key all share
+    // one frame and the result is deterministic without a total order.
+    // One shuffle on user_id; frame evaluation stays in-partition.
+    QueryDef("window_range_rolling",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+          .rangeBetween(-3600L, 0L)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_micros(ts) div 1000000").as("ts_sec"),
+            QueryDef.cents(col("value")).as("v_cents"))
+          .withColumn("n_last_hour", count(lit(1)).over(w))
+          .withColumn("cents_last_hour", sum(col("v_cents")).over(w))
+          .select(col("event_id"), col("user_id"), col("ts_sec"),
+            col("n_last_hour"), col("cents_last_hour"))
+      },
+      // window SUM over BIGINT is HUGEINT in DuckDB — cast at output
+      Some(s"""SELECT event_id, user_id,
+             |  epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec,
+             |  CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+             |  CAST(SUM(${QueryDef.centsSql("value")}) OVER w AS BIGINT) AS cents_last_hour
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id
+             |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+             |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // calendar dimension derivation — the enrich step before
     // time-partitioned writes/aggregations. Convention trap: Spark
     // dayofweek is 1=Sunday, DuckDB's is 0=Sunday; normalized to
