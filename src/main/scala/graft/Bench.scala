@@ -15,19 +15,43 @@ import org.apache.spark.sql.SparkSession
   *    sample of a contiguous block (exactly what BENCH_r02 recorded);
   *    interleaving spreads a noise window across one sample of many
   *    queries, and the per-query median across rounds shrugs it off;
+  *  - ADAPTIVE rounds: after the standard 3 measured rounds, if the
+  *    aggregate `noise` figure still exceeds 2 (a noise window hit the
+  *    recording), up to 4 MORE interleaved rounds run — the published
+  *    medians are across all rounds, so the record survives a noise
+  *    window instead of merely flagging it;
+  *  - the per-query spread that feeds `noise` is the TRIMMED range once
+  *    ≥5 samples exist (single min and max dropped): one co-tenant
+  *    spike then no longer pins `noise` high forever — the figure
+  *    describes the samples that actually determine the median. Every
+  *    raw sample still lands in target/bench.json, untrimmed;
   *  - a full warmup round (discarded) runs first, so JIT + per-query
   *    codegen compilation never lands in a measured sample;
   *  - the clock stops BEFORE cache teardown (clearCache is bookkeeping
   *    between queries, not query cost);
   *  - a query that fails on ANY run reports -1.0 (never a success time
   *    that silently hides a flaky failure) and is excluded from total;
-  *  - stdout stays compact (%.2f medians, one aggregate `noise` figure =
-  *    the worst per-query relative spread) so the driver's tail capture
-  *    can never truncate it mid-JSON; the complete record — every
-  *    sample, per-query spreads — goes to target/bench.json.
+  *  - stdout stays compact (%.2f medians, one aggregate `noise` figure)
+  *    so the driver's tail capture can never truncate it mid-JSON; the
+  *    complete record — every sample, per-query spreads — goes to
+  *    target/bench.json.
   */
 object Bench {
-  private val Rounds = 3
+  private val BaseRounds = 3
+  private val MaxRounds = 7
+  private val NoiseTarget = 2.0
+
+  /** Median / trimmed spread of one query's samples. Trimming (drop the
+    * single min and max) engages only at ≥5 samples, i.e. only when the
+    * adaptive extension already ran because the recording was noisy. */
+  private def stat(ts: Seq[Double]): (Double, Double) = {
+    val s = ts.sorted
+    val median = s(s.length / 2)
+    val spread =
+      if (s.length >= 5) s(s.length - 2) - s(1)
+      else s.last - s.head
+    (median, spread)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,33 +83,61 @@ object Bench {
     }
 
     // optional arg: comma-separated query subset (local iteration aid;
-    // the driver passes no args and benches everything)
+    // the driver passes no args and benches everything). Unknown names
+    // FAIL fast — a typo'd subset silently benching fewer (or zero)
+    // queries looks like success with no diagnostic.
     val names = {
       val all = SparkEntry.queries.keys.toSeq.sorted
-      args.headOption.filter(_.nonEmpty)
-        .map(_.split(',').toSeq.filter(all.contains)).getOrElse(all)
+      args.headOption.filter(_.nonEmpty) match {
+        case None => all
+        case Some(arg) =>
+          val requested = arg.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+          val unknown = requested.filterNot(all.contains)
+          if (unknown.nonEmpty) {
+            System.err.println(
+              s"[bench] unknown queries: ${unknown.mkString(", ")} — known: ${all.mkString(", ")}")
+            spark.stop()
+            sys.exit(2)
+          }
+          requested
+      }
     }
 
     // warmup round: JIT + per-query codegen + FS cache; not recorded
     names.foreach(time)
 
     // measured rounds, interleaved: samples(q) accumulates one time per
-    // round, so any noise window spans many queries × one sample each
-    val samples: Map[String, Seq[Double]] =
-      (1 to Rounds).map(_ => names.map(n => n -> time(n)))
-        .flatten.groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2) }
+    // round, so any noise window spans many queries × one sample each.
+    // Extra rounds run while the aggregate noise figure says the
+    // recording is untrustworthy (co-tenant window), capped at 7.
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
+      names.map(n => n -> Vector.empty[Double]): _*)
+    def worstNoise: Double = samples.values.collect {
+      case ts if ts.nonEmpty && ts.forall(_ >= 0) =>
+        val (m, sp) = stat(ts)
+        if (m > 0) sp / m else 0.0
+    }.foldLeft(0.0)(math.max)
+
+    var rounds = 0
+    while (rounds < BaseRounds || (worstNoise > NoiseTarget && rounds < MaxRounds)) {
+      names.foreach(n => samples(n) = samples(n) :+ time(n))
+      rounds += 1
+      if (rounds >= BaseRounds && worstNoise > NoiseTarget && rounds < MaxRounds)
+        System.err.println(
+          f"[bench] noise ${worstNoise}%.2f > $NoiseTarget%.1f after $rounds rounds — extending")
+    }
 
     val stats = names.map { n =>
       val ts = samples(n)
       if (ts.exists(_ < 0)) (n, -1.0, 0.0, ts)
       else {
-        val s = ts.sorted
-        (n, s(s.length / 2), s.last - s.head, ts)
+        val (m, sp) = stat(ts)
+        (n, m, sp, ts)
       }
     }
     val total = stats.map(_._2).filter(_ >= 0).sum
-    // worst relative spread across queries — one number that says how
-    // trustworthy this recording is (≲0.5 calm, ≥2 a noise window hit)
+    // worst relative trimmed spread across queries — one number that
+    // says how trustworthy this recording is (≲0.5 calm, ≥2 noisy)
     val noise = stats.collect { case (_, m, sp, _) if m > 0 => sp / m }
       .foldLeft(0.0)(math.max)
 
@@ -96,13 +148,13 @@ object Bench {
         val runs = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
         "\"" + k + f"""\":{"median":$m%.3f,"spread":$sp%.3f,"runs":$runs}"""
       }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$Rounds,"noise":$noise%.3f,"queries":$perQuery,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"noise":$noise%.3f,"queries":$perQuery,"sf":"$sfDir"}"""
     }
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
 
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"noise":$noise%.2f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"noise":$noise%.2f,"rounds":$rounds,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

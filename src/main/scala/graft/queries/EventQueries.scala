@@ -183,9 +183,18 @@ object EventQueries {
       (s, dir) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
           .rangeBetween(-3600L, 0L)
+        // FLOOR division to seconds (subtract the positive remainder,
+        // then divide exactly): Spark's `div` truncates toward zero,
+        // which diverges from the oracle's `//` (floor) for pre-1970
+        // timestamps (negative epoch micros) and would shift rows
+        // across the RANGE frame boundary cross-engine. The quotient
+        // (< 2^53) makes the double division exact.
+        val us = unix_micros(col("ts"))
+        val tsSec = ((us - pmod(us, lit(1000000L))) / lit(1000000L))
+          .cast("long")
         Tables.events(s, dir)
           .select(col("event_id"), col("user_id"),
-            expr("unix_micros(ts) div 1000000").as("ts_sec"),
+            tsSec.as("ts_sec"),
             QueryDef.cents(col("value")).as("v_cents"))
           .withColumn("n_last_hour", count(lit(1)).over(w))
           .withColumn("cents_last_hour", sum(col("v_cents")).over(w))

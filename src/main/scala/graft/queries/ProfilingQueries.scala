@@ -39,6 +39,44 @@ object ProfilingQueries {
     s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END"
   }
 
+  /** THE content-hash shard contract (portableHash salt 7 over doc_id,
+    * mod N) — one definition shared by `shuffle_shards` and
+    * `pack_sequences` (TextQueries): both need work units whose count
+    * scales with the corpus, and sharing the function means a doc's
+    * shard is the same everywhere it matters. Keep [[shardSql]] in
+    * lockstep term-for-term. */
+  private[queries] def shardCol(n: Long): org.apache.spark.sql.Column = {
+    import graft.functions.TextFunctions.portableHash
+    pmod(portableHash(col("doc_id").cast("string"), 7), lit(n))
+  }
+
+  /** DuckDB twin of [[shardCol]]. */
+  private[queries] def shardSql(n: Long): String =
+    s"${graft.functions.TextFunctions.portableHashSql("CAST(doc_id AS VARCHAR)", 7)} % $n"
+
+  /** Per-shard input budget: every shard is sorted / running-summed by
+    * ONE window task, so a shard must stay task-sized. ~2 GiB of scan
+    * input per shard keeps a task's sort comfortably in executor
+    * memory with headroom for the decompressed/widened rows. */
+  private[graft] val TargetShardBytes: BigInt = BigInt(2L) << 30
+
+  /** Shard-count sizing rule: one shard per [[TargetShardBytes]] of
+    * input, floor 16 (below ~32 GiB the floor keeps small corpora
+    * spread over the cluster), capped at 2^20 (beyond that, per-shard
+    * bookkeeping dominates). 100 TB → ~51200 shards of ~2 GiB — the
+    * per-shard window sort stays one healthy task however large the
+    * corpus grows. At test scale (≪ 2 GiB) this is always the floor
+    * 16, which is what the pinned oracles assume. */
+  private[graft] def shardCount(inputBytes: BigInt): Int =
+    ((inputBytes.max(0) + TargetShardBytes - 1) / TargetShardBytes)
+      .max(16).min(1 << 20).toInt
+
+  /** Scan size as Catalyst estimates it (for file sources: total file
+    * bytes) — the cheap, driver-side input to [[shardCount]]; no job
+    * runs. */
+  private[queries] def inputBytes(df: org.apache.spark.sql.DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
   val defs: Seq[QueryDef] = Seq(
 
     // per-column profile: row count, null count, distinct count,
@@ -106,21 +144,27 @@ object ProfilingQueries {
     // tasks (a single global row_number would funnel 100 TB through
     // one partition); consumers read shards in order and get the same
     // pseudo-random permutation on every run, engine, and partitioning.
+    // N is SIZED from the input ([[shardCount]]: one shard per ~2 GiB,
+    // floor 16), so each shard's sort stays one task-sized unit at any
+    // corpus size — the oracle pins N=16, valid while the testdata is
+    // under the 32 GiB floor threshold (it is, by orders of magnitude).
     QueryDef("shuffle_shards",
       (s, dir) => {
         import graft.functions.TextFunctions.portableHash
         import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val n = shardCount(inputBytes(docs))
         val h = portableHash(col("doc_id").cast("string"), 7)
         val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-        Tables(s, dir, "documents")
-          .select(col("doc_id"), pmod(h, lit(16L)).as("shard"), h.as("h"))
+        docs
+          .select(col("doc_id"), shardCol(n).as("shard"), h.as("h"))
           .withColumn("pos", row_number().over(w).cast("long"))
           .select(col("doc_id"), col("shard"), col("pos"))
       },
       Some(s"""SELECT doc_id,
-             |  ${graft.functions.TextFunctions.portableHashSql("CAST(doc_id AS VARCHAR)", 7)} % 16 AS shard,
+             |  ${shardSql(16)} AS shard,
              |  CAST(row_number() OVER (
-             |    PARTITION BY ${graft.functions.TextFunctions.portableHashSql("CAST(doc_id AS VARCHAR)", 7)} % 16
+             |    PARTITION BY ${shardSql(16)}
              |    ORDER BY ${graft.functions.TextFunctions.portableHashSql("CAST(doc_id AS VARCHAR)", 7)}, doc_id) AS BIGINT) AS pos
              |FROM documents""".stripMargin)),
 

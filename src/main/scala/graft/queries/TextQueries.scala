@@ -165,43 +165,56 @@ object TextQueries {
     // packs (the standard prep step before fixed-context training —
     // "concat and split" packing, where a pack may overflow by at most
     // its last document). Deterministic: docs are packed in doc_id
-    // order WITHIN each language shard, so the window is partitioned
-    // (lang) and distributes — never a global sort. pack_id derives
-    // from the running token count BEFORE each doc; one shuffle on
-    // lang, then the tiny per-pack rollup.
+    // order WITHIN each (lang, shard) unit, where shard is the
+    // content-hash shard contract shared with shuffle_shards
+    // (ProfilingQueries.shardCol, N sized by shardCount: one shard per
+    // ~2 GiB, floor 16). Partitioning the running-sum window by lang
+    // ALONE would bound parallelism by the language count — a handful
+    // of WindowExec tasks each owning an entire language's corpus at
+    // 100 TB; with (lang, shard) the work distributes over
+    // languages × shards and scales with the data. The cost: packs
+    // never span a shard boundary (one ≤budget-fill pack per (lang,
+    // shard) tail instead of one per lang — noise at scale). One
+    // shuffle on (lang, shard), then the tiny per-pack rollup. The
+    // oracle pins N=16 (testdata is far under the 32 GiB floor
+    // threshold).
     QueryDef("pack_sequences",
       (s, dir) => {
         val budget = 256L
+        val docs = Tables(s, dir, "documents")
+        val n = ProfilingQueries.shardCount(ProfilingQueries.inputBytes(docs))
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("lang")).orderBy(col("doc_id"))
+          .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.currentRow)
-        Tables(s, dir, "documents")
+        docs
           .select(col("doc_id"), col("lang"),
+            ProfilingQueries.shardCol(n).as("shard"),
             size(tokens(col("text"))).cast("long").as("n_tokens"))
           .withColumn("cum", sum(col("n_tokens")).over(w))
           .withColumn("pack_id",
             ((col("cum") - col("n_tokens")) / lit(budget)).cast("long"))
-          .groupBy(col("lang"), col("pack_id"))
+          .groupBy(col("lang"), col("shard"), col("pack_id"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("pack_tokens"),
             min(col("doc_id")).as("first_doc"))
       },
       // window SUM is HUGEINT in DuckDB — cast before the division
-      Some("""WITH toks AS (
+      Some(s"""WITH toks AS (
              |  SELECT doc_id, lang,
+             |    ${ProfilingQueries.shardSql(16)} AS shard,
              |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
              |  FROM documents),
              |cums AS (
-             |  SELECT doc_id, lang, n_tokens,
-             |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |  SELECT doc_id, lang, shard, n_tokens,
+             |    CAST(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
              |  FROM toks)
-             |SELECT lang, (cum - n_tokens) // 256 AS pack_id,
+             |SELECT lang, shard, (cum - n_tokens) // 256 AS pack_id,
              |  COUNT(*) AS n_docs,
              |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
              |  min(doc_id) AS first_doc
-             |FROM cums GROUP BY lang, (cum - n_tokens) // 256""".stripMargin)),
+             |FROM cums GROUP BY lang, shard, (cum - n_tokens) // 256""".stripMargin)),
 
     // PII redaction: emails and long digit runs replaced by tags, with
     // per-doc redaction counts — scan-speed narrow ops, codegen'd. The

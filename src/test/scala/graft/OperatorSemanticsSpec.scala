@@ -12,29 +12,38 @@ class OperatorSemanticsSpec extends SparkSuite {
   test("pack_sequences: packs partition the corpus and fill to the budget") {
     val budget = 256L
     val packs = SparkEntry.queries("pack_sequences")(spark, dir).collect()
-      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("pack_id"),
-        r.getAs[Long]("n_docs"), r.getAs[Long]("pack_tokens")))
+      .map(r => ((r.getAs[String]("lang"), r.getAs[Long]("shard")),
+        r.getAs[Long]("pack_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("pack_tokens")))
 
     // partition: per-lang doc/token totals match the corpus exactly
+    // (shards partition each lang, so summing over a lang's shards
+    // must lose or double-count nothing)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("lang"),
         size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
       .groupBy("lang").agg(count(lit(1)).as("nd"), sum("n").as("nt"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val byLang = packs.groupBy(_._1)
+    val byLang = packs.groupBy(_._1._1)
     assert(byLang.keySet == docs.keySet)
     for ((lang, ps) <- byLang) {
       assert(ps.map(_._3).sum == docs(lang)._1, s"$lang doc count")
       assert(ps.map(_._4).sum == docs(lang)._2, s"$lang token total")
-      // fill: when pack k+1 exists, the running token total through
-      // pack k has crossed (k+1)·budget — i.e. no pack opens early
+    }
+    // testdata is far below the sizing threshold → the shard contract
+    // pins N=16 (what the oracle assumes)
+    assert(packs.map(_._1._2).forall(s => s >= 0 && s < 16))
+    // fill & contiguity hold WITHIN each (lang, shard) packing unit:
+    // when pack k+1 exists, the running token total through pack k has
+    // crossed (k+1)·budget — i.e. no pack opens early
+    for ((unit, ps) <- packs.groupBy(_._1)) {
       val ordered = ps.sortBy(_._2)
       assert(ordered.map(_._2).toSeq == ordered.indices.map(_.toLong),
-        s"$lang pack_ids not contiguous: ${ordered.map(_._2).mkString(",")}")
+        s"$unit pack_ids not contiguous: ${ordered.map(_._2).mkString(",")}")
       val cums = ordered.map(_._4).scanLeft(0L)(_ + _).drop(1)
       for (k <- 0 until ordered.length - 1)
         assert(cums(k) >= budget * (k + 1),
-          s"$lang pack $k closed at ${cums(k)} tokens < ${budget * (k + 1)}")
+          s"$unit pack $k closed at ${cums(k)} tokens < ${budget * (k + 1)}")
     }
   }
 

@@ -232,13 +232,36 @@ class PlanAuditSpec extends SparkSuite {
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
   }
 
-  test("pack_sequences: packing window is sharded by lang, never a global sort") {
+  test("pack_sequences: packing window is sharded by (lang, shard), never a global sort") {
     val p = plan(SparkEntry.queries("pack_sequences")(spark, dir))
     assert(p.contains("Window"), p)
-    assert("hashpartitioning\\(lang".r.findAllIn(p).size >= 1, p)
+    // the window exchange must partition on BOTH keys: lang alone
+    // bounds parallelism by the language count (a one-task-per-language
+    // funnel at 100 TB); the content-hash shard makes the unit count
+    // scale with the corpus
+    assert("hashpartitioning\\(lang[^,]*, shard".r.findAllIn(p).size >= 1, p)
     // a single-partition exchange would mean the whole corpus funnels
     // through one task to be packed — the shape that dies at 100×
     assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("shard-count sizing: floor 16, ~2 GiB per shard, capped") {
+    import graft.queries.ProfilingQueries.{shardCount, TargetShardBytes}
+    val GiB = BigInt(1) << 30
+    // small corpora (incl. all testdata SFs) sit on the floor — the
+    // pinned N=16 oracles rely on this
+    assert(shardCount(0) == 16)
+    assert(shardCount(GiB) == 16)
+    assert(shardCount(31 * GiB) == 16)
+    // past the floor threshold the count tracks input size: one shard
+    // per ~2 GiB, so per-shard work is constant as the corpus grows
+    assert(shardCount(33 * GiB) == 17)
+    assert(shardCount(BigInt(100) * 1024 * GiB) == 51200) // 100 TiB
+    // monotone non-decreasing, and ceil-division never undershoots
+    assert(shardCount(TargetShardBytes + 1) >= shardCount(TargetShardBytes))
+    assert(shardCount((BigInt(1) << 50)) * TargetShardBytes >= (BigInt(1) << 50))
+    // runaway inputs cap (bookkeeping bound), never overflow
+    assert(shardCount(BigInt(1) << 62) == (1 << 20))
   }
 
   test("partition pruning: static filters and dynamic (join-driven) pruning reach the scan") {
