@@ -142,6 +142,97 @@ object DedupQueries {
         jaccard(col("inter"), col("sa.n"), col("sb.n")).as("jaccard"))
   }
 
+  /** Cluster labels (doc_id → cluster_id) of the verified near-dup
+    * graph — the shared core of `dedup_clusters` AND `dedup_canonical`,
+    * factored so a caller that needs labels plus something else (the
+    * canonical pick, a cluster-size histogram, …) computes the
+    * expensive shingle/LSH/superstep pipeline ONCE and joins the
+    * returned table as often as it likes: the result is backed by an
+    * eager `localCheckpoint`, so every downstream consumer reads the
+    * materialized few-hundred-row table, never the iterative lineage.
+    * (The driver's Verify/Bench still execute each QueryDef
+    * independently under the per-query clearCache contract — that
+    * re-computation is bounded and documented; in-library composition
+    * is where the sharing pays.)
+    *
+    * Spark side: min-label propagation — every node starts labeled
+    * with its own id, and each superstep replaces a node's label with
+    * the min over its neighborhood (a join + groupBy(min) per
+    * iteration, all exact integer ops). The loop is driver-
+    * SYNCHRONIZED but not driver-MATERIALIZED: per iteration one
+    * aggregate (label-sum) comes back to decide convergence, the label
+    * table itself never leaves the cluster — the standard superstep
+    * shape for iterative graph algorithms on Spark at any scale. Plain
+    * neighbor-min propagation needs O(graph diameter) supersteps;
+    * near-dup clusters have tiny diameters (duplicates of a doc are
+    * near-dups of each other), so 1-2 iterations suffice here, and a
+    * degenerate over-cap chain THROWS rather than returning wrong
+    * labels — if such graphs ever became normal, pointer doubling
+    * (propagating labels through labels) would restore O(log n)
+    * rounds. */
+  private[queries] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSet(s, dir, maxDfFrac = Some(0.001)).persist()
+    val pairs = jaccardPairs(sh, Some(lshCandidates(sh)))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    // symmetric edge list, persisted: re-joined every superstep
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    // each superstep's labels are MATERIALIZED with an eager
+    // localCheckpoint, not a bare persist: the label table is a few
+    // hundred rows, but un-truncated its lineage deepens by a
+    // join+agg per superstep, and every labelSum/next-plan pays
+    // driver-side analysis + codegen over that growing tree
+    // (measured: superstep cost climbing 0.9 s → 2.4 s within 2
+    // iterations at sf0.1). Truncation makes supersteps O(1)-cost;
+    // never unpersist a checkpointed table — its lineage is gone,
+    // the ContextCleaner reclaims storage when references drop.
+    var labels = edges.select(col("doc_a").as("doc_id"))
+      .distinct().withColumn("label", col("doc_id")).localCheckpoint()
+    // labels only ever DECREASE under min-propagation, so the
+    // fixpoint test is "label sum unchanged" — one cheap aggregate
+    // over the freshly checkpointed table, no join. Summed as
+    // decimal(38,0): exact at any id magnitude × node count, immune
+    // to long overflow.
+    // SUM over an empty table is NULL — a corpus with zero verified
+    // near-dup pairs must yield an empty cluster table, not an NPE
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      // min over {own label} ∪ {neighbors' labels} as ONE join + one
+      // groupBy: unioning the current labels in, instead of joining
+      // the neighbor-min back against them, drops a join stage per
+      // superstep (same fixpoint — least(own, nbr_min) ≡ the union
+      // min, and every node appears in its own union branch)
+      val next = edges.join(labels, edges("doc_b") === labels("doc_id"))
+        .select(col("doc_a").as("doc_id"), col("label"))
+        .unionByName(labels)
+        .groupBy(col("doc_id"))
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint() // eager: materializes + truncates
+      val nextSum = labelSum(next)
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    // min-label propagation needs O(diameter) supersteps, and
+    // near-dup graphs have tiny diameters — but a degenerate >20-hop
+    // chain of chained near-dups would exit this loop with WRONG
+    // labels. Silent wrong cluster_ids are worse than a diagnosable
+    // failure, so non-convergence throws.
+    if (!converged) throw new IllegalStateException(
+      s"dedup_clusters: min-label propagation did not converge in $iter supersteps " +
+        "(graph diameter exceeds the cap); raise the cap or pre-partition the corpus")
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   private val K = 16 // minhash functions
   private val Bands = 4 // × 4 rows per band
 
@@ -300,87 +391,12 @@ object DedupQueries {
     // form a graph whose connected components are the duplicate
     // clusters (pair-level dropping under-merges: A~B and B~C must
     // land A,B,C in ONE cluster even when A~C was never verified).
-    // Spark side: min-label propagation — every node starts labeled
-    // with its own id, and each superstep replaces a node's label with
-    // the min over its neighborhood (a join + groupBy(min) per
-    // iteration, all exact integer ops). The loop is driver-
-    // SYNCHRONIZED but not driver-MATERIALIZED: per iteration one
-    // aggregate (changed-label count) comes back to decide
-    // convergence, the label table itself never leaves the cluster —
-    // the standard superstep shape for iterative graph algorithms on
-    // Spark at any scale. Plain neighbor-min propagation needs
-    // O(graph diameter) supersteps; near-dup clusters have tiny
-    // diameters (duplicates of a doc are near-dups of each other), so
-    // 1-2 iterations suffice here, and a degenerate over-cap chain
-    // THROWS rather than returning wrong labels (see below) — if such
-    // graphs ever became normal, pointer doubling (propagating labels
-    // through labels) would restore O(log n) rounds. Oracle: DuckDB recursive-CTE
-    // reachability closure + per-node min over reached nodes — a
-    // different algorithm computing the same fixpoint, so agreement is
-    // a real cross-check, not an echo.
-    QueryDef("dedup_clusters",
-      (s, dir) => {
-        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001)).persist()
-        val pairs = jaccardPairs(sh, Some(lshCandidates(sh)))
-          .filter(col("jaccard") >= 0.8)
-          .select(col("doc_a"), col("doc_b"))
-        // symmetric edge list, persisted: re-joined every superstep
-        val edges = pairs
-          .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-          .persist()
-        // each superstep's labels are MATERIALIZED with an eager
-        // localCheckpoint, not a bare persist: the label table is a few
-        // hundred rows, but un-truncated its lineage deepens by a
-        // join+agg per superstep, and every labelSum/next-plan pays
-        // driver-side analysis + codegen over that growing tree
-        // (measured: superstep cost climbing 0.9 s → 2.4 s within 2
-        // iterations at sf0.1). Truncation makes supersteps O(1)-cost;
-        // never unpersist a checkpointed table — its lineage is gone,
-        // the ContextCleaner reclaims storage when references drop.
-        var labels = edges.select(col("doc_a").as("doc_id"))
-          .distinct().withColumn("label", col("doc_id")).localCheckpoint()
-        // labels only ever DECREASE under min-propagation, so the
-        // fixpoint test is "label sum unchanged" — one cheap aggregate
-        // over the freshly checkpointed table, no join. Summed as
-        // decimal(38,0): exact at any id magnitude × node count, immune
-        // to long overflow.
-        // SUM over an empty table is NULL — a corpus with zero verified
-        // near-dup pairs must yield an empty cluster table, not an NPE
-        def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-          Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
-            .getOrElse(java.math.BigDecimal.ZERO)
-        var prevSum = labelSum(labels)
-        var converged = false
-        var iter = 0
-        while (!converged && iter < 20) {
-          // min over {own label} ∪ {neighbors' labels} as ONE join + one
-          // groupBy: unioning the current labels in, instead of joining
-          // the neighbor-min back against them, drops a join stage per
-          // superstep (same fixpoint — least(own, nbr_min) ≡ the union
-          // min, and every node appears in its own union branch)
-          val next = edges.join(labels, edges("doc_b") === labels("doc_id"))
-            .select(col("doc_a").as("doc_id"), col("label"))
-            .unionByName(labels)
-            .groupBy(col("doc_id"))
-            .agg(min(col("label")).as("label"))
-            .localCheckpoint() // eager: materializes + truncates
-          val nextSum = labelSum(next)
-          labels = next
-          converged = nextSum.compareTo(prevSum) == 0
-          prevSum = nextSum
-          iter += 1
-        }
-        edges.unpersist(blocking = false)
-        // min-label propagation needs O(diameter) supersteps, and
-        // near-dup graphs have tiny diameters — but a degenerate >20-hop
-        // chain of chained near-dups would exit this loop with WRONG
-        // labels. Silent wrong cluster_ids are worse than a diagnosable
-        // failure, so non-convergence throws.
-        if (!converged) throw new IllegalStateException(
-          s"dedup_clusters: min-label propagation did not converge in $iter supersteps " +
-            "(graph diameter exceeds the cap); raise the cap or pre-partition the corpus")
-        labels.select(col("doc_id"), col("label").as("cluster_id"))
-      },
+    // Spark side: [[clusterLabels]] (min-label propagation supersteps;
+    // see its scaladoc for the algorithm and lineage discipline).
+    // Oracle: DuckDB recursive-CTE reachability closure + per-node min
+    // over reached nodes — a different algorithm computing the same
+    // fixpoint, so agreement is a real cross-check, not an echo.
+    QueryDef("dedup_clusters", (s, dir) => clusterLabels(s, dir),
       Some(s"""$shCte,
               |$candCteSql,
               |$interCteSql,
@@ -408,12 +424,11 @@ object DedupQueries {
     // different argmax machinery, same fixpoint.
     QueryDef("dedup_canonical",
       (s, dir) => {
-        // eager localCheckpoint: the label table is a few hundred rows,
-        // but its LINEAGE is the whole iterative clusters pipeline —
-        // without truncation every downstream analysis/codegen pass
-        // re-walks that tree (measured ~4 s of driver-side plan work at
-        // sf0.1 for a sub-second join)
-        val clusters = queriesByName("dedup_clusters")(s, dir).localCheckpoint()
+        // clusterLabels is already checkpoint-BACKED (its supersteps
+        // truncate lineage), so the join below reads the materialized
+        // few-hundred-row table — no re-walk of the iterative pipeline,
+        // no second checkpoint
+        val clusters = clusterLabels(s, dir)
         val docs = Tables(s, dir, "documents")
           .select(col("doc_id"), TextQueries.qualityScore(col("text")).as("q"))
         clusters.join(docs, Seq("doc_id"))

@@ -134,6 +134,16 @@ object SetRollupQueries {
     // ordering is a TOTAL order, which is what makes all three
     // deterministic (percent_rank/cume_dist tie semantics never
     // engage). One shuffle on the partition key.
+    //
+    // SCALE CAVEAT (inherent to the function, kept as the semantics
+    // oracle): o_orderstatus has 3 values and ntile/percent_rank/
+    // cume_dist need their WHOLE partition in one task, so this exact
+    // query is a 3-task funnel at 100 TB. That is a property of asking
+    // for a distribution over a low-cardinality key, not of the
+    // engine; the scale-safe renditions are the two queries below —
+    // `window_ntile_highcard` (same functions, per-entity partitions:
+    // parallelism = entity count) and `rank_global_bucketed` (a GLOBAL
+    // rank with no global window at all).
     QueryDef("window_distribution",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -152,6 +162,75 @@ object SetRollupQueries {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_orderstatus
              |  ORDER BY o_totalprice, o_orderkey)""".stripMargin)),
+
+    // The scale-safe distribution-function shape: the SAME ntile
+    // machinery, but partitioned by a HIGH-cardinality key (customer),
+    // so WindowExec parallelism equals the entity count and grows with
+    // the data — each task sorts one customer's handful of orders.
+    // Semantics: every order's quartile WITHIN its customer's spend
+    // history (the per-entity banding features pipelines actually
+    // compute at scale), rolled up to a 4-row summary. The rollup
+    // keeps the oracle compare O(1); the window itself still executes
+    // over every order.
+    QueryDef("window_ntile_highcard",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables(s, dir, "orders")
+          .select(col("o_custkey"),
+            QueryDef.cents(col("o_totalprice")).as("cents"),
+            ntile(4).over(w).cast("long").as("quartile"))
+          .groupBy(col("quartile"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("cents")).as("total_cents"))
+      },
+      Some(s"""WITH q AS (
+              |  SELECT o_custkey,
+              |    ${QueryDef.centsSql("o_totalprice")} AS cents,
+              |    CAST(ntile(4) OVER (PARTITION BY o_custkey
+              |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+              |  FROM orders)
+              |SELECT quartile, COUNT(*) AS n_orders,
+              |  CAST(SUM(cents) AS BIGINT) AS total_cents
+              |FROM q GROUP BY quartile""".stripMargin)),
+
+    // GLOBAL rank without a global window — the range-partitioned
+    // two-pass pattern: (1) bucket every row by a monotone function of
+    // the sort key and count per bucket (map-side combinable, tiny
+    // result); (2) turn bucket counts into cumulative START OFFSETS
+    // (a window over #buckets rows — the only serial step, and it
+    // shrinks from |rows| to |buckets|); (3) broadcast the offsets
+    // back and row_number WITHIN each bucket: global_rank = offset +
+    // local rank, exact because bucketing is monotone in the sort key.
+    // A naive row_number() OVER (ORDER BY …) funnels all 100 TB
+    // through ONE task; here every per-row stage distributes over the
+    // bucket count. Fixed-width buckets keep the demo deterministic;
+    // production sizing would derive boundaries from approx_percentile
+    // so buckets stay balanced under skew — boundaries only affect
+    // load balance, never the ranks. Oracle: the naive single-window
+    // form — a different algorithm, same ranks.
+    QueryDef("rank_global_bucketed",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val bucketed = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .withColumn("bkt", floor(col("o_totalprice") / lit(25000.0)).cast("long"))
+        val wOff = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = bucketed.groupBy(col("bkt"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+          .select(col("bkt"), col("off"))
+        val wIn = Window.partitionBy(col("bkt"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        bucketed.join(broadcast(offsets), Seq("bkt"))
+          .select(col("o_orderkey"),
+            (col("off") + row_number().over(wIn)).cast("long").as("rnk"))
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rnk
+             |FROM orders""".stripMargin)),
 
     // EXCEPT ALL — multiset semantics (each May order survives unless
     // matched 1:1 by a June order for the same customer), vs the

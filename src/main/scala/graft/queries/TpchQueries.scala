@@ -585,6 +585,69 @@ object TpchQueries {
               |                     AND TIMESTAMP '1996-03-31 00:00:00'""".stripMargin)),
 
     // Q14-ish shape: revenue share per part brand (fact ⋈ part dim)
+    // Q21 shape: suppliers who kept orders waiting — the last
+    // decorrelation pattern in the suite: a DOUBLE correlation of the
+    // fact against ITSELF, one positive (EXISTS: some OTHER supplier
+    // contributed to the same order) and one negative (NOT EXISTS: no
+    // OTHER supplier's line was "late") — adapted to the testdata
+    // columns (no l_receiptdate/l_commitdate, so "late" is
+    // l_returnflag = 'R'; /root/reference has no TPC-H analog, this is
+    // engine-extension surface). Plan shape that must survive: BOTH
+    // self-correlations stay LEFT SEMI / LEFT ANTI hash joins on
+    // l_orderkey with the supplier-inequality as the join residual —
+    // never a rewrite to inner join + dedup (cardinality bomb: a
+    // 7-line order would emit a row per matching PAIR), and the fact
+    // never broadcasts (both sides are lineitem-sized). Join order:
+    // the R-filter reduces l1 ~4× before either correlation; the
+    // orders 'F' semi join and the fixed-size supplier/nation dims
+    // come after the self-joins have shrunk the row set. PlanAuditSpec
+    // pins semi+anti survival and no-fact-broadcast.
+    QueryDef("tpch_q21",
+      (s, dir) => {
+        val l1 = Tables(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val l2 = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+        val l3 = Tables(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+        val o = Tables(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+        val sup = Tables(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        val nat = Tables(s, dir, "nation")
+          .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+          .select(col("n_nationkey"))
+        l1
+          .join(l2, l1("l_orderkey") === col("k2") && l1("l_suppkey") =!= col("s2"),
+            "left_semi")
+          .join(l3, l1("l_orderkey") === col("k3") && l1("l_suppkey") =!= col("s3"),
+            "left_anti")
+          .join(o, l1("l_orderkey") === o("o_orderkey"), "left_semi")
+          .join(sup, l1("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""SELECT s_name, COUNT(*) AS numwait
+             |FROM lineitem l1
+             |JOIN supplier ON s_suppkey = l1.l_suppkey
+             |JOIN nation ON n_nationkey = s_nationkey
+             |  AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+             |WHERE l1.l_returnflag = 'R'
+             |  AND l1.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+             |      AND l3.l_returnflag = 'R')
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name
+             |LIMIT 20""".stripMargin)),
+
     QueryDef("tpch_brand_share",
       (s, dir) => {
         val l = Tables(s, dir, "lineitem")

@@ -89,6 +89,48 @@ class PlanAuditSpec extends SparkSuite {
     assert(p4.contains("GreaterThanOrEqual(o_orderdate"), p4)
   }
 
+  test("tpch_q21: both self-correlations survive as semi/anti; fact never broadcast") {
+    val df = SparkEntry.queries("tpch_q21")(spark, dir)
+    val p = plan(df)
+    // EXISTS(other supplier) → LeftSemi, NOT EXISTS(other late
+    // supplier) → LeftAnti — an inner-join rewrite would emit one row
+    // per matching PAIR of lines in an order, not one per line
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    // the R-filter reaches the lineitem scan (prunes l1 before the
+    // self-joins)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    // lineitem sits on both sides of both correlations; none of those
+    // sides may ever be a broadcast build (only supplier/nation dims)
+    for (t <- broadcastSubtrees(df))
+      assert(!t.contains("lineitem"), s"tpch_q21 broadcasts the fact side:\n$t")
+  }
+
+  test("window_ntile_highcard: the ntile window partitions on the high-cardinality key") {
+    val p = plan(SparkEntry.queries("window_ntile_highcard")(spark, dir))
+    assert(p.contains("Window"), p)
+    // parallelism = customer count: the exchange feeding the window
+    // must hash-partition on o_custkey, never collapse to one task
+    assert("hashpartitioning\\(o_custkey".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("rank_global_bucketed: per-row work is bucket-partitioned; only bucket counts go global") {
+    val p = plan(SparkEntry.queries("rank_global_bucketed")(spark, dir))
+    // the row_number window runs per bucket (hashpartitioning(bkt)) —
+    // the per-ROW stage never funnels through one task
+    assert("hashpartitioning\\(bkt".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("row_number"), p)
+    // the offsets (one row per bucket) join back as a broadcast — the
+    // fact side of the rank join is never shuffled for the join
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the ONLY single-partition exchange is the cumulative-offset
+    // window over |buckets| rows (that's the pattern: the serial step
+    // shrinks from |rows| to |buckets|)
+    val singles = "(?m)^\\(\\d+\\) Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles <= 1, p)
+  }
+
   test("tpch_q13: outer join keeps zero-order customers; filter stays on the orders side") {
     val df = SparkEntry.queries("tpch_q13")(spark, dir)
     val p = plan(df)
