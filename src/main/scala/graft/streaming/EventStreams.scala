@@ -152,6 +152,33 @@ object EventStreams {
         col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Stream-stream FULL OUTER join: every click AND every purchase
+    * survives — matched pairs emit immediately; each side's unmatched
+    * rows emit NULL-padded only once the watermark proves no partner
+    * can arrive. This doubles the LEFT OUTER state obligation: BOTH
+    * sides hold their unmatched rows until the watermark passes the
+    * end of their join window (clicks wait out [click_ts, click_ts+1h];
+    * purchases wait out [purchase_ts-1h, purchase_ts]), and since the
+    * watermark is tracked per input and advances on the SLOWEST side,
+    * one stalled side delays the other side's NULL emission too — the
+    * correctness property StreamingSpec pins per side. */
+  def clickToPurchaseFullOuter(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      expr("""user_id = p_user_id AND
+              purchase_ts >= click_ts AND
+              purchase_ts <= click_ts + INTERVAL 1 HOUR"""),
+      "full_outer")
+      .select(col("user_id").as("click_user"), col("click_id"), col("click_ts"),
+        col("p_user_id").as("purchase_user"), col("purchase_ts"), col("purchase_value"))
+  }
+
   final case class ClickState(clickMs: Long, clickId: Long)
   final case class AttributionOut(purchase_id: Long, user_id: Long,
       purchase_ms: Long, click_id: Option[Long], click_ms: Option[Long])

@@ -60,6 +60,23 @@ class JdbcIntegrationSpec extends SparkSuite {
     assert(page.select("id").collect().map(_.getLong(0)).toSeq === (20L until 30L))
   }
 
+  test("JdbcSource pushes filters into the database scan (not Spark-side post-filter)") {
+    // the plan-shape claim behind COVERAGE §2.1.2: a predicate on a
+    // JdbcSource frame must reach the JDBC relation as a pushed filter
+    // — i.e. travel to the database in the generated WHERE clause — so
+    // at scale the DB ships matching rows only, instead of Spark
+    // draining the whole table to filter it
+    val df = JdbcSource(url, "src", properties = props).load(spark)
+      .filter(col("id") > 90 && col("name") =!= "row_95")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    assert("GreaterThan\\(\"?ID\"?,90\\)".r.findFirstIn(plan).isDefined, plan)
+    assert("Not\\(EqualTo\\(\"?NAME\"?,row_95\\)\\)".r.findFirstIn(plan).isDefined, plan)
+    // and the pushed scan returns the right rows (ids 91..99 minus 95)
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      (91L until 100L).filterNot(_ == 95L))
+  }
+
   test("JdbcUpsertSink ansi dialect: update-then-insert against Derby, idempotent") {
     withConn { c =>
       val st = c.createStatement()

@@ -244,6 +244,80 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER join: each side's unmatched rows NULL-emit after watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = EventStreams.clickToPurchaseFullOuter(ms.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("attributed_full").outputMode("append").start()
+    try {
+      ms.addData(
+        Event(1, ts(0), 1, "click", 0.0),
+        Event(2, ts(30), 1, "purchase", 9.99),  // within the hour → matches
+        Event(3, ts(0), 2, "click", 0.0),       // never purchases → left NULL-pad
+        Event(4, ts(30), 9, "purchase", 5.0))   // never clicked → right NULL-pad
+      q.processAllAvailable()
+      // neither unmatched row may surface before the watermark proves
+      // its join window empty: clicks wait out click_ts + 1 h, and the
+      // per-input watermark means the SLOWEST side gates both
+      val early = spark.table("attributed_full").collect()
+      assert(!early.exists(r => !r.isNullAt(0) && r.getLong(0) == 2L), early.mkString(","))
+      assert(!early.exists(r => r.isNullAt(0) && r.getLong(3) == 9L), early.mkString(","))
+      // advance event time far past join window + watermark on BOTH
+      // filtered inputs (a click-only batch moves only the click side)
+      ms.addData(Event(5, ts(600), 3, "click", 0.0),
+        Event(6, ts(600), 8, "purchase", 1.0))
+      q.processAllAvailable()
+      ms.addData(Event(7, ts(1200), 3, "view", 0.0),
+        Event(8, ts(1200), 8, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attributed_full").collect().map { r =>
+        (Option(r.get(0)).map(_.asInstanceOf[Long]),   // click_user
+          Option(r.get(1)).map(_.asInstanceOf[Long]),  // click_id
+          Option(r.get(3)).map(_.asInstanceOf[Long]),  // purchase_user
+          Option(r.get(5)).map(_.asInstanceOf[Double]) // purchase_value
+        )
+      }.toSet
+      // matched pair emitted with both sides populated
+      assert(rows.contains((Some(1L), Some(1L), Some(1L), Some(9.99))), rows.mkString(","))
+      // LEFT side NULL-pad: the purchase columns of user 2's click
+      assert(rows.contains((Some(2L), Some(3L), None, None)), rows.mkString(","))
+      // RIGHT side NULL-pad: the click columns of user 9's purchase —
+      // the surface a LEFT OUTER join can never produce
+      assert(rows.contains((None, None, Some(9L), Some(5.0))), rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark: dedup horizon IS the watermark (evicted key re-admits)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = graft.streaming.EventStreams.dedupStream(
+        ms.toDF().withColumn("props", org.apache.spark.sql.functions.lit("{}")),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("deduped_horizon").outputMode("append").start()
+    try {
+      ms.addData(Event(1, ts(0), 1, "click", 1.0))
+      q.processAllAvailable()
+      // within the horizon: the duplicate id is dropped
+      ms.addData(Event(1, ts(5), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("deduped_horizon").count() == 1)
+      // push the watermark far past ts(0)+10min → key 1's state evicts
+      ms.addData(Event(2, ts(600), 2, "view", 0.0))
+      q.processAllAvailable()
+      // the operator guarantees dedup only WITHIN the watermark delay:
+      // a re-arrival after eviction is a NEW row, not a silent drop —
+      // the semantic that distinguishes it from unbounded-state
+      // dropDuplicates, and the reason its state cannot accrete
+      ms.addData(Event(1, ts(601), 1, "click", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("deduped_horizon").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 1L, 2L), ids.mkString(","))
+    } finally q.stop()
+  }
+
   test("foreachBatch: per-micro-batch idempotent sink (upsert pattern)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
