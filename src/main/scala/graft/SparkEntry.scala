@@ -31,6 +31,7 @@ object SparkEntry {
     graft.queries.RelationalQueries.defs ++
       graft.queries.EventQueries.defs ++
       graft.queries.TextQueries.defs ++
+      graft.queries.CurationQueries.defs ++
       graft.queries.DedupQueries.defs ++
       graft.queries.SimilarityQueries.defs ++
       graft.queries.MultimodalQueries.defs ++

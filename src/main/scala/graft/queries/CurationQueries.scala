@@ -1,0 +1,270 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the quality/filter/mix layer of a
+  * training-data pipeline, between ingest and dedup/training: intra-doc
+  * repetition metrics (Gopher-style), exact n-gram train/eval
+  * decontamination (the GPT-3-style complement of the fuzzy
+  * `contamination_check`), domain-mixture resampling, length
+  * histograms, and lexical (BM25-shaped) retrieval.
+  *
+  * Scale posture: everything except the decontamination join and the
+  * BM25 top-k is a pure narrow column expression over one scan —
+  * per-document list algebra (no explode-then-groupBy where the answer
+  * is per-doc), whole-stage-codegen'd, zero shuffles. The two
+  * exceptions are annotated at their definitions.
+  *
+  * The reference has no analog (its transforms are per-record PHP
+  * callables, `src/Transformers/CallableTransformer.php`); these are
+  * engine extensions per the build brief.
+  */
+object CurationQueries {
+
+  /** Oracle-side tokenized view (same contract as TextQueries). */
+  private val toksCte =
+    "WITH toks AS (SELECT doc_id, text, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)"
+
+  /** DuckDB n-gram list matching [[graft.functions.TextFunctions.shingles]]:
+    * empty below n tokens, positions 1..len-n+1 joined by one space. */
+  private def gramsSql(t: String, n: Int): String =
+    s"CASE WHEN len($t) >= $n THEN [array_to_string($t[i:i+${n - 1}], ' ') for i in range(1, len($t) - ${n - 2})] ELSE [] END"
+
+  // ---- BM25 contract (shared Spark/SQL shapes) -------------------------
+  // Rational idf — (N - df + 0.5) / (df + 0.5), NO logarithm: ln() is a
+  // libm call whose last-ulp rounding differs between engines, while the
+  // rational form is pure IEEE +,-,/ and bit-identical everywhere. It is
+  // a monotone transform of the textbook BM25 idf, so rankings are
+  // BM25-shaped; scores are documented as engine-exact, not
+  // textbook-exact. Each term's contribution is rounded to integer
+  // micro-points (the cents convention) and the per-query score is the
+  // exact BIGINT sum — summation order cannot matter.
+  private val BmQueries: Seq[(String, Seq[String])] = Seq(
+    "q_scan_fast" -> Seq("scan", "fast"),
+    "q_merge_join" -> Seq("merge", "join"),
+    "q_stream_window" -> Seq("stream", "window"))
+  private val BmTopK = 10
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // intra-document repetition metrics (Gopher-style quality rules):
+    // duplicate-trigram fraction + most-frequent-bigram share, composed
+    // into a repetition flag. All per-doc list algebra on the token
+    // array — narrow, codegen'd, zero shuffle, scan speed at 100 TB.
+    // (The per-doc top-bigram count is O(distinct·total) in the doc's
+    // own length — bounded by the document-length contract, never by
+    // corpus size.)
+    QueryDef("text_repetition",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        val bg = shingles(t, 2)
+        val tg = shingles(t, 3)
+        val nBg = size(bg).cast("long")
+        val nTg = size(tg).cast("long")
+        val topCount = coalesce(
+          array_max(transform(array_distinct(bg), x => size(filter(bg, y => y === x)))),
+          lit(0)).cast("long")
+        val dup3 = round((nTg - size(array_distinct(tg)).cast("long")).cast("double") /
+          greatest(nTg, lit(1L)).cast("double"), 6)
+        val top2 = round(topCount.cast("double") / greatest(nBg, lit(1L)).cast("double"), 6)
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          nTg.as("n_3grams"),
+          dup3.as("dup3_frac"),
+          top2.as("top2_frac"),
+          when(dup3 > 0.01 || top2 > 0.07, 1L).otherwise(0L).as("is_repetitive"))
+      },
+      Some(s"""$toksCte,
+             |g AS (SELECT doc_id,
+             |    ${gramsSql("t", 2)} AS bg,
+             |    ${gramsSql("t", 3)} AS tg
+             |  FROM toks),
+             |m AS (SELECT doc_id, len(tg) AS n_3grams,
+             |    round(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / CAST(greatest(len(tg), 1) AS DOUBLE), 6) AS dup3_frac,
+             |    round(CAST(coalesce(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))), 0) AS DOUBLE) / CAST(greatest(len(bg), 1) AS DOUBLE), 6) AS top2_frac
+             |  FROM g)
+             |SELECT doc_id, n_3grams, dup3_frac, top2_frac,
+             |  CASE WHEN dup3_frac > 0.01 OR top2_frac > 0.07 THEN 1 ELSE 0 END AS is_repetitive
+             |FROM m""".stripMargin)),
+
+    // exact n-gram train/eval decontamination (the GPT-3-style audit):
+    // train documents sharing any exact 8-token n-gram with the val/test
+    // split, with the count of distinct shared grams. Complements the
+    // fuzzy `contamination_check` (whole-doc near-dup leakage) — this
+    // catches verbatim phrase leakage the LSH whole-doc signature can
+    // miss. The split is THE shared contract (ProfilingQueries.splitCol).
+    //
+    // Scale shape: per-doc distinct grams (narrow list algebra) →
+    // explode → equi-join on the gram string. Both sides are
+    // gram-distinct before the join, so join fan-out is bounded by real
+    // overlap, not doc frequency; the eval side is a ~20% slice that AQE
+    // broadcast-promotes when it fits, and the shuffle key is the gram
+    // itself (8 short tokens). The per-doc rollup is map-side
+    // combinable.
+    QueryDef("ngram_decontamination",
+      (s, dir) => {
+        val n = 8
+        val base = Tables(s, dir, "documents")
+          .select(col("doc_id"), ProfilingQueries.splitCol.as("split"),
+            array_distinct(shingles(tokens(col("text")), n)).as("grams"))
+        val train = base.filter(col("split") === "train")
+          .select(col("doc_id"), explode(col("grams")).as("g"))
+        val eval_ = base.filter(col("split") =!= "train")
+          .select(explode(col("grams")).as("g")).distinct()
+        train.join(eval_, "g")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared_grams"), min(col("g")).as("sample_gram"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id,
+             |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+             |    ${ProfilingQueries.splitSql} AS split
+             |  FROM documents),
+             |g AS (SELECT doc_id, split, list_distinct(${gramsSql("t", 8)}) AS grams FROM toks),
+             |tr AS (SELECT doc_id, unnest(grams) AS g FROM g WHERE split = 'train'),
+             |ev AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE split <> 'train')
+             |SELECT doc_id, COUNT(*) AS n_shared_grams, min(g) AS sample_gram
+             |FROM tr JOIN ev USING (g)
+             |GROUP BY doc_id""".stripMargin)),
+
+    // domain-mixture resampling: downsample each language stratum to a
+    // target rate with the deterministic content-hash coin (salt 21) —
+    // the "data mixing" step that reweights source distributions before
+    // training. Same hash-threshold machinery as sample_stratified, so
+    // membership is reproducible across runs/engines and stable under
+    // corpus growth. The report is one map-side-combinable rollup; the
+    // sample itself is the scan-speed filter `h < rate`.
+    QueryDef("mixture_sample",
+      (s, dir) => {
+        val rates = Seq("en" -> 1000L, "es" -> 500L, "fr" -> 500L, "de" -> 250L, "zh" -> 125L)
+        val thr = rates.foldRight(lit(100L): org.apache.spark.sql.Column) {
+          case ((l, r), els) => when(col("lang") === l, lit(r)).otherwise(els)
+        }
+        val keep = pmod(portableHash(col("doc_id").cast("string"), 21), lit(1000L)) < thr
+        Tables(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(keep, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      },
+      Some {
+        val thr = "CASE lang WHEN 'en' THEN 1000 WHEN 'es' THEN 500 WHEN 'fr' THEN 500 WHEN 'de' THEN 250 WHEN 'zh' THEN 125 ELSE 100 END"
+        val keep = s"${portableHashSql("CAST(doc_id AS VARCHAR)", 21)} % 1000 < $thr"
+        s"""SELECT lang, COUNT(*) AS n_total,
+           |  CAST(SUM(CASE WHEN $keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(SUM(CASE WHEN $keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+           |FROM documents GROUP BY lang""".stripMargin
+      }),
+
+    // token-length histogram: docs bucketed by token count (width 8,
+    // top bucket open) — the length-distribution profile that sizes
+    // packing budgets and truncation policies. Narrow bucket expression
+    // + one tiny map-side-combinable rollup.
+    QueryDef("token_histogram",
+      (s, dir) => {
+        val nTok = size(tokens(col("text"))).cast("long")
+        val bucket = least(floor(nTok.cast("double") / lit(8.0)), lit(12.0)).cast("long")
+        Tables(s, dir, "documents")
+          .select(bucket.as("bucket"), nTok.as("n_tokens"))
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sum_tokens"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"))
+      },
+      Some(s"""$toksCte
+             |SELECT CAST(least(floor(CAST(len(t) AS DOUBLE) / 8.0), 12.0) AS BIGINT) AS bucket,
+             |  COUNT(*) AS n_docs,
+             |  CAST(SUM(len(t)) AS BIGINT) AS sum_tokens,
+             |  CAST(MIN(len(t)) AS BIGINT) AS min_tokens,
+             |  CAST(MAX(len(t)) AS BIGINT) AS max_tokens
+             |FROM toks GROUP BY 1""".stripMargin)),
+
+    // lexical retrieval: BM25-shaped top-k per query over the corpus —
+    // the term-based complement of the embedding ANN family. tf and
+    // doc-length are narrow per-doc expressions (the query terms are
+    // fixed, so NO token explode); corpus stats (N, Σdl, per-term df)
+    // are ONE 1-row aggregate broadcast back; scores are integer
+    // micro-points (see BmQueries note). The top-k is TWO-LEVEL —
+    // row_number per (query, content-hash shard) prunes to ≤k·shards
+    // rows, then the final per-query window ranks that bounded set —
+    // because a single window partitioned by `query` alone is the
+    // bounded-cardinality funnel (|queries| tasks own the whole
+    // score-positive corpus at 100 TB). Per-shard top-k is a superset
+    // of global top-k, so the oracle mirrors only the final ranking.
+    QueryDef("bm25_search",
+      (s, dir) => {
+        val terms = BmQueries.flatMap(_._2).distinct
+        val t = tokens(col("text"))
+        val perDoc = Tables(s, dir, "documents").select(
+          col("doc_id") +: size(t).cast("long").as("dl") +:
+            terms.map(tm => size(filter(t, x => x === lit(tm))).cast("long").as(s"tf_$tm")): _*)
+        val statCols = sum(col("dl")).as("sum_dl") +: terms.map(tm =>
+          sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm"))
+        val stats = perDoc.agg(count(lit(1)).as("n"), statCols: _*)
+        def contribMicro(tm: String) = {
+          val tf = col(s"tf_$tm").cast("double")
+          val df = col(s"df_$tm").cast("double")
+          val n = col("n").cast("double")
+          val idf = (n - df + lit(0.5)) / (df + lit(0.5))
+          val den = tf + lit(1.2) *
+            (lit(0.25) + (lit(0.75) * col("dl").cast("double")) / (col("sum_dl").cast("double") / n))
+          when(col(s"tf_$tm") > 0,
+            floor(idf * (tf * lit(2.2)) / den * lit(1000000.0) + lit(0.5)).cast("long"))
+            .otherwise(lit(0L))
+        }
+        val scored = perDoc.crossJoin(broadcast(stats)).select(
+          col("doc_id") +: BmQueries.map { case (qn, ts) =>
+            ts.map(contribMicro).reduce(_ + _).as(s"s_$qn")
+          }: _*)
+        val stackExpr = BmQueries.map { case (qn, _) => s"'$qn', s_$qn" }.mkString(", ")
+        val nShards = ProfilingQueries.shardCount(
+          ProfilingQueries.inputBytes(Tables(s, dir, "documents")))
+        val w1 = Window.partitionBy(col("query"), col("shard"))
+          .orderBy(col("score_micro").desc, col("doc_id"))
+        val w2 = Window.partitionBy(col("query"))
+          .orderBy(col("score_micro").desc, col("doc_id"))
+        scored
+          .selectExpr("doc_id", s"stack(${BmQueries.size}, $stackExpr) AS (query, score_micro)")
+          .filter(col("score_micro") > 0)
+          .withColumn("shard", ProfilingQueries.shardCol(nShards))
+          .withColumn("r1", row_number().over(w1))
+          .filter(col("r1") <= BmTopK)
+          .withColumn("rank", row_number().over(w2).cast("long"))
+          .filter(col("rank") <= BmTopK)
+          .select(col("query"), col("rank"), col("doc_id"), col("score_micro"))
+      },
+      Some {
+        val terms = BmQueries.flatMap(_._2).distinct
+        val tfCols = terms.map(tm => s"len(list_filter(t, x -> x = '$tm')) AS tf_$tm").mkString(",\n    ")
+        val dfCols = terms.map(tm => s"CAST(SUM(CASE WHEN tf_$tm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$tm").mkString(",\n    ")
+        def contrib(tm: String) = {
+          val idf = s"(CAST(n AS DOUBLE) - CAST(df_$tm AS DOUBLE) + 0.5) / (CAST(df_$tm AS DOUBLE) + 0.5)"
+          val den = s"CAST(tf_$tm AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)))"
+          s"CASE WHEN tf_$tm > 0 THEN CAST(floor(($idf) * (CAST(tf_$tm AS DOUBLE) * 2.2) / ($den) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END"
+        }
+        val perQuery = BmQueries.map { case (qn, ts) =>
+          s"SELECT doc_id, '$qn' AS query, ${ts.map(contrib).mkString(" + ")} AS score_micro FROM j"
+        }.mkString("\n  UNION ALL ")
+        s"""$toksCte,
+           |d AS (SELECT doc_id, len(t) AS dl,
+           |    $tfCols
+           |  FROM toks),
+           |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+           |    $dfCols
+           |  FROM d),
+           |j AS (SELECT * FROM d CROSS JOIN st),
+           |scores AS (
+           |  $perQuery),
+           |ranked AS (
+           |  SELECT query, doc_id, score_micro,
+           |    CAST(row_number() OVER (PARTITION BY query ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+           |  FROM scores WHERE score_micro > 0)
+           |SELECT query, rank, doc_id, score_micro FROM ranked WHERE rank <= $BmTopK""".stripMargin
+      })
+  )
+}

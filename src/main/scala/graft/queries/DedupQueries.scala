@@ -631,8 +631,65 @@ object DedupQueries {
            |FROM bands a JOIN bands b
            |  ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
            |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4""".stripMargin
-      })
+      }),
+
+    // semantic dedup (SemDeDup shape, arXiv:2303.09540): k-means cells
+    // as the candidate blocks, exact cosine within a cell only, drop
+    // every vector with a lower-id cell-mate above the threshold. The
+    // 100 TB posture is the clustering itself: k grows with the corpus
+    // so the per-cell member list stays bounded and the within-cell
+    // self-join is |cell|² · k ≪ |corpus|² (the trainer's supersteps
+    // are each one map-side-combinable pass, see
+    // [[graft.operators.KMeans]]). NO SQL oracle: centroid means are
+    // floating-point reductions whose partial-merge order Spark does
+    // not pin (KMeans scaladoc), so cross-engine bit-parity cannot be
+    // promised — the driver records rows-only; exactness of the
+    // keep/drop rule vs a brute-force within-cell pass is pinned in
+    // SemDedupSpec instead.
+    QueryDef("dedup_semantic",
+      (s, dir) => {
+        val k = cellCount(ProfilingQueries.inputBytes(
+          Tables(s, dir, "embeddings")))
+        val drops = semanticDrops(s, dir, k = k, iters = 3, tau = 0.4)
+        drops._1
+          .join(drops._2, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("c_id"))
+          .withColumn("kept", lit(1L))
+      },
+      None)
   )
+
+  /** SemDeDup cell-count sizing: one k-means cell per ~256 KiB of
+    * embedding input (≈1024 64-dim float32 vectors), floor 8, capped at
+    * 2^20 — the within-cell self-join is |cell|², so the cell size must
+    * stay BOUNDED as the corpus grows (k scales, not the cells; the
+    * same discipline as ProfilingQueries.shardCount). All testdata SFs
+    * sit on the floor (pinned in SemDedupSpec). */
+  private[graft] def cellCount(inputBytes: BigInt): Int =
+    ((inputBytes.max(0) + CellTargetBytes - 1) / CellTargetBytes)
+      .max(8).min(1 << 20).toInt
+  private[graft] val CellTargetBytes: BigInt = BigInt(256) << 10
+
+  /** Shared machinery for `dedup_semantic` and its brute-force test:
+    * returns (assigned = vec_id→cell, drops = vec_ids with a lower-id
+    * cell-mate at cosine ≥ tau). `assigned` is persisted — it feeds
+    * both self-join sides and the final anti-join; the caller's
+    * clearCache sweep releases it (Bench/Verify contract). */
+  private[graft] def semanticDrops(s: SparkSession, dir: String,
+      k: Int, iters: Int, tau: Double): (DataFrame, DataFrame) = {
+    val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cents = graft.operators.KMeans.train(emb, k, iters)
+    val assigned = graft.operators.KMeans.assign(emb, cents)
+      .withColumn("nrm", sqrt(dotFast(col("embedding"), col("embedding"))))
+      .persist()
+    val drops = assigned.as("a").join(assigned.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") > col("b.vec_id"))
+      .filter(cosineFast(col("a.embedding"), col("b.embedding"),
+        col("a.nrm"), col("b.nrm")) >= tau)
+      .select(col("a.vec_id").as("vec_id"))
+      .distinct()
+    (assigned, drops)
+  }
 
   private lazy val queriesByName: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap

@@ -232,6 +232,57 @@ object EventQueries {
              |  CAST(quarter(CAST(ts AS TIMESTAMP)) AS BIGINT) AS qtr
              |FROM events""".stripMargin)),
 
+    // SCD2 history build (the CDC/dimension-maintenance shape): per
+    // user, consecutive runs of the same event_type collapse to one
+    // versioned row with [valid_from, valid_to) bounds — lag flags run
+    // starts, a running sum numbers versions, lead closes each
+    // interval; the open interval is current. ONE exchange on user_id
+    // serves all three steps: both windows and the (user_id, version)
+    // rollup are satisfied by the same hash partitioning (Spark accepts
+    // a partitioning on a subset of the grouping keys), so at 100 TB
+    // this costs a single fact-table shuffle.
+    QueryDef("scd2_history",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val byVersion = Window.partitionBy(col("user_id")).orderBy(col("version"))
+        Tables.events(s, dir)
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(byUser).isNull ||
+              lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("version", sum(col("chg")).over(runSum))
+          .groupBy(col("user_id"), col("version"))
+          .agg(
+            min(col("event_type")).as("event_type"), // constant within a run
+            min(unix_micros(col("ts"))).as("valid_from_us"),
+            count(lit(1)).as("n_events"))
+          .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byVersion))
+          .withColumn("is_current",
+            when(col("valid_to_us").isNull, 1L).otherwise(0L))
+      },
+      // window SUM is HUGEINT in DuckDB — cast version to BIGINT
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             |    CASE WHEN lag(event_type) OVER w IS NULL
+             |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             |), runs AS (
+             |  SELECT user_id, event_type, ts,
+             |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+             |  FROM flagged
+             |), g AS (
+             |  SELECT user_id, version, min(event_type) AS event_type,
+             |    min(epoch_us(ts)) AS valid_from_us, COUNT(*) AS n_events
+             |  FROM runs GROUP BY user_id, version)
+             |SELECT user_id, version, event_type, valid_from_us,
+             |  lead(valid_from_us) OVER w2 AS valid_to_us, n_events,
+             |  CASE WHEN lead(valid_from_us) OVER w2 IS NULL THEN 1 ELSE 0 END AS is_current
+             |FROM g
+             |WINDOW w2 AS (PARTITION BY user_id ORDER BY version)""".stripMargin)),
+
     // semi-structured extraction from the JSON props column (regexp on
     // both sides so the oracle needs no JSON extension)
     QueryDef("props_extract",

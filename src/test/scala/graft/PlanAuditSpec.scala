@@ -348,6 +348,38 @@ class PlanAuditSpec extends SparkSuite {
     assert(pd.contains("dynamicpruningexpression"), pd)
   }
 
+  test("bm25_search: two-level top-k — per-row ranking is shard-partitioned") {
+    val p = plan(SparkEntry.queries("bm25_search")(spark, dir))
+    // level 1 must partition on (query, shard): a window partitioned by
+    // `query` alone gives |queries| tasks the whole score-positive
+    // corpus at 100 TB — the bounded-cardinality funnel
+    assert("hashpartitioning\\(query[^,]*, shard".r.findAllIn(p).size >= 1, p)
+    // the corpus-stats side is a 1-row aggregate joined back by
+    // broadcast — the doc side is never shuffled for it
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ngram_decontamination: gram join is an equi-join, rollup is partial-agged") {
+    val p = plan(SparkEntry.queries("ngram_decontamination")(spark, dir))
+    // candidate discovery must be hash-partitioned on the gram — a
+    // nested-loop/theta join here is the quadratic shape
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("hashpartitioning\\(g#?".r.findAllIn(p).size >= 1 ||
+      p.contains("BroadcastHashJoin"), p)
+    // per-doc shared-gram counts combine map-side before the shuffle
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+  }
+
+  test("scd2_history: one fact shuffle serves both windows and the rollup") {
+    val p = plan(SparkEntry.queries("scd2_history")(spark, dir))
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1, p)
+    // lag window, run rollup, and lead window all reuse the user_id
+    // partitioning: exactly ONE exchange in the whole plan
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("limit_offset: global limit, no full materialization") {
     val p = plan(SparkEntry.queries("limit_offset")(spark, dir))
     assert(p.contains("GlobalLimit") || p.contains("TakeOrderedAndProject"), p)
