@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.core.Pipeline
-import graft.sinks.{CsvSink, ParquetSink}
-import graft.sources.{CsvSource, LineSource, ParquetSource}
+import graft.sinks.{CsvSink, JsonlSink, ParquetSink}
+import graft.sources.{CsvSource, JsonlSource, LineSource, ParquetSource}
 import org.apache.spark.sql.functions._
 
 /** File/sink operators driven through the ORACLE gate, not just unit
@@ -55,6 +55,28 @@ object FileQueries {
         LineSource(out).load(s)
       },
       Some("SELECT n_name AS value FROM nation")),
+
+    // JSONL round-trip (engine extension — the interchange format of
+    // document pipelines): documents → JsonlSink (distributed parts)
+    // → JsonlSource with an EXPLICIT schema (the 100 TB discipline:
+    // no inference pass, no content-driven type drift) — must
+    // reproduce the base table exactly, JSON string escaping included
+    QueryDef("jsonl_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val out = scratch(dir, "jsonl_rt")
+        JsonlSink(out).write(
+          s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text"), col("lang"), col("n_chars")))
+        JsonlSource(out, schema = Some(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("lang", StringType),
+          StructField("n_chars", LongType))))).load(s)
+          .select(col("doc_id"), md5(col("text")).as("text_md5"),
+            col("lang"), col("n_chars"))
+      },
+      Some("SELECT doc_id, md5(text) AS text_md5, lang, n_chars FROM documents")),
 
     // §2.0 branch + multi-sink: one shared scan fans out to two branch
     // sinks (README.md:38-45); reading both sinks back and re-unioning

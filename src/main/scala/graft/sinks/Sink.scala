@@ -106,6 +106,17 @@ final case class CsvSink(
   }
 }
 
+/** JSON Lines out — one JSON object per line, the interchange format
+  * of document/training-data pipelines (engine extension; the
+  * reference's file loaders are CSV only, `src/Loaders/File/`). Spark's
+  * `json` writer IS JSONL: each part file is a sequence of
+  * newline-delimited objects, written distributed — no prolog
+  * machinery needed (JSON has no BOM/sep protocol). */
+final case class JsonlSink(path: String, mode: SaveMode = SaveMode.Overwrite)
+    extends Sink {
+  def write(df: DataFrame): Unit = df.write.mode(mode).json(path)
+}
+
 /** Keyed upsert — the reference's `DbLoader`
   * (`src/Laravel/Loaders/DbLoader.php:91-109`: per record, check
   * `whereFields` match, update-or-insert). JDBC `df.write` has no MERGE;

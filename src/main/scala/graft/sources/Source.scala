@@ -291,6 +291,28 @@ final case class LineSource(
   }
 }
 
+/** JSON Lines scan — one JSON object per line (engine extension; the
+  * reference's file extractors are CSV/line only, `src/Extractors/
+  * File/`). Spark's `json` reader IS JSONL.
+  *
+  * Schema discipline: pass `schema` whenever it is known. Without it,
+  * Spark runs a FULL inference pass over the data before the real scan
+  * — at 100 TB that is a second read of the corpus, and inferred types
+  * can drift with content (a column of all-numeric strings infers
+  * numeric). Inference is the small-data/exploration convenience only;
+  * `permissive` (default) null-fills malformed lines into
+  * `_corrupt_record` instead of failing the job, matching CsvSource's
+  * bad-record tolerance. */
+final case class JsonlSource(
+    path: String,
+    schema: Option[StructType] = None,
+    override val limit: Option[Long] = None,
+    override val offset: Long = 0L,
+    override val orderedBy: Seq[String] = Nil) extends Source {
+  protected def scan(spark: SparkSession): DataFrame =
+    schema.fold(spark.read)(spark.read.schema).json(path)
+}
+
 /** In-memory rows: the reference's `CallableExtractor` returning an array
   * (`src/Extractors/CallableExtractor.php:18-99`). For scale this is for
   * small dimension/config data only — it materializes on the driver. */

@@ -127,6 +127,20 @@ object EventStreams {
         col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Stream-STATIC join: each streaming event enriched against a batch
+    * dimension table — the lookup-enrichment shape (user → segment,
+    * doc → source metadata) every ingest pipeline runs before its
+    * stateful stages. No watermark is needed and NO state accretes:
+    * the static side is just a batch plan re-bound per micro-batch, so
+    * a small dim rides a broadcast hash join (the planner sees its
+    * size) and a huge dim degrades to a per-batch shuffle join — the
+    * same policy as batch. Dim UPDATES between micro-batches are
+    * visible only for re-scanned sources (file-source static sides
+    * cache their file listing; a Delta/JDBC dim re-reads). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      key: String = "user_id"): DataFrame =
+    events.join(dim, Seq(key), "left_outer")
+
   /** Stream-stream LEFT OUTER join: every click, enriched with its
     * following purchase when one exists, or NULL purchase columns once
     * the watermark proves none can arrive. Outer stream joins are the

@@ -149,6 +149,36 @@ class FileFormatsSpec extends SparkSuite {
     assert(explicit == Seq("a", "b"))
   }
 
+  test("JSONL: explicit schema honored, malformed lines null-fill (PERMISSIVE), escaping round-trips") {
+    import graft.sinks.JsonlSink
+    import graft.sources.JsonlSource
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("jsonl")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("txt", StringType)))
+    // hand-written file with a malformed middle line and JSON escapes
+    write(s"$dir/in.jsonl",
+      """{"id": 1, "txt": "quote \" slash \\ tab \t"}
+        |{this is not json
+        |{"id": 3, "txt": "héllo\n微笑"}
+        |""".stripMargin)
+    val df = JsonlSource(s"$dir/in.jsonl", schema = Some(schema)).load(spark)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "txt"))
+    val rows = df.collect()
+    assert(rows.length == 3)                      // malformed line kept, null-filled
+    assert(rows.count(_.isNullAt(0)) == 1)        // not a job failure
+    val byId = rows.filter(!_.isNullAt(0)).map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L) == "quote \" slash \\ tab \t")
+    assert(byId(3L) == "héllo\n微笑")
+    // sink → source round-trip preserves content exactly (escaping incl.)
+    import spark.implicits._
+    val out = s"$dir/out"
+    JsonlSink(out).write(byId.toSeq.toDF("id", "txt"))
+    val back = JsonlSource(out, schema = Some(schema)).load(spark)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == byId)
+  }
+
   test("JdbcUpsertSink SQL builder (no DB in env — pure check)") {
     import graft.sinks.JdbcUpsertSink
     val pg = JdbcUpsertSink.upsertSql("postgresql", "t", Seq("id", "a", "b"), Seq("id"))

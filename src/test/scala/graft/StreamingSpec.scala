@@ -77,6 +77,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static join: per-batch dim enrichment, broadcast plan, unmatched keys NULL-pad") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "trial")).toDF("user_id", "segment")
+    val ms = MemoryStream[Event]
+    val enriched = EventStreams.enrichWithDim(ms.toDF(), dim)
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 3, "click", 1.0)) // user 3 not in the dim
+      q.processAllAvailable()
+      val res = spark.table("enriched").select("event_id", "segment")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(res(1L) == Some("gold"))
+      assert(res(2L) == None)        // left outer: stream row survives
+      // no state store: stream-static joins re-bind the batch side per
+      // micro-batch instead of accumulating join state
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+      // the small dim side must ride a broadcast join, as in batch
+      val plan = q
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    } finally q.stop()
+  }
+
   test("stateful last-touch attribution: state carries across micro-batches, ties + no-click cases") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
