@@ -380,6 +380,80 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("runtime bloom-filter join pruning injects onto the fact scan side") {
+    // The shuffle-join twin of DPP: when a selective dim filter feeds a
+    // non-broadcast join, Spark builds a bloom filter from the dim keys
+    // at runtime and applies it to the fact side BEFORE the exchange —
+    // at 100 TB that's the difference between shuffling the whole fact
+    // table and shuffling the ~matching rows. Thresholds are sized for
+    // clusters, so pin the MECHANISM with them lowered; the engine's
+    // unhinted plans inherit it wherever the planner sees the sizes.
+    val keep = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_totalprice") > 400000.0)
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_agg") || opt.contains("might_contain"), opt)
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("no driver query runs a Window over a single-partition exchange (funnel sweep)") {
+    // The bounded-cardinality funnel is the one scale defect that keeps
+    // recurring (pack_sequences, window_distribution, bm25 — all caught
+    // and fixed at review time): a WindowExec whose input exchange
+    // collapses to one partition owns the whole input in one task.
+    // Sweep EVERY registered query; the only allowed case is
+    // rank_global_bucketed's offsets window, whose input is already
+    // aggregated to |buckets| rows (the documented shrink-then-serial
+    // pattern). AQE is disabled for the sweep: exchanges only exist
+    // after EnsureRequirements (sparkPlan has none), and with AQE on,
+    // executedPlan is a leaf AdaptiveSparkPlanExec that collect() can't
+    // descend into.
+    // a funnel = the window's DIRECT input is one partition (its
+    // child's output partitioning, i.e. whatever the nearest exchange
+    // produced) — searching the whole subtree would false-positive on
+    // unrelated 1-row aggregate exchanges under a join branch
+    def funnels(df: DataFrame): Boolean =
+      df.queryExecution.executedPlan.collectFirst {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.child.outputPartitioning.numPartitions == 1 => w
+      }.isDefined
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // positive control: a deliberately global window MUST trip the
+      // detector, or the sweep below is vacuous
+      import org.apache.spark.sql.expressions.Window
+      val control = spark.read.parquet(s"$dir/orders.parquet")
+        .withColumn("r", row_number().over(Window.orderBy(col("o_orderkey"))))
+      assert(funnels(control), "detector failed its positive control")
+
+      val allowed = Set("rank_global_bucketed")
+      val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+        try {
+          if (funnels(SparkEntry.queries(name)(spark, dir))) Some(name) else None
+        } finally spark.catalog.clearCache()
+      }
+      assert(offenders.toSet.subsetOf(allowed),
+        s"window-over-single-partition funnels: ${offenders.mkString(", ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("limit_offset: global limit, no full materialization") {
     val p = plan(SparkEntry.queries("limit_offset")(spark, dir))
     assert(p.contains("GlobalLimit") || p.contains("TakeOrderedAndProject"), p)
