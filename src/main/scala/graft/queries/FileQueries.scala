@@ -78,6 +78,37 @@ object FileQueries {
       },
       Some("SELECT doc_id, md5(text) AS text_md5, lang, n_chars FROM documents")),
 
+    // schema evolution on read (engine extension): a corpus written in
+    // batches whose schema GREW over time — the early batch lacks a
+    // column the late batch carries — must read back as one table with
+    // NULLs where history has no value. `mergeSchema` unions the
+    // per-file footers at planning time; per-batch ReadSchemas stay
+    // pruned. The downstream aggregation treats the missing column
+    // explicitly (null-count + coalesced sum) — the pattern that keeps
+    // a 100 TB multi-year corpus queryable without rewriting old files.
+    QueryDef("schema_evolution",
+      (s, dir) => {
+        val out = scratch(dir, "evolve")
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(s"$out/batch1")
+        docs.filter(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$out/batch2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$out/batch1", s"$out/batch2")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_missing_chars"),
+            sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_chars,
+             |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY lang""".stripMargin)),
+
     // §2.0 branch + multi-sink: one shared scan fans out to two branch
     // sinks (README.md:38-45); reading both sinks back and re-unioning
     // must reproduce a partition of the base table

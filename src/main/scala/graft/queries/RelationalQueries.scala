@@ -185,6 +185,43 @@ object RelationalQueries {
              |SELECT c_custkey, FALSE AS has_orders FROM customer
              |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
 
+    // FULL OUTER join — completes the batch join matrix (inner, left +
+    // default, semi, anti, cross-apply, chained, salted, and now full):
+    // the month-over-month customer-set reconciliation, where both
+    // sides contribute unmatched keys and NULL-padding carries the
+    // presence signal. Spark plans this as one shuffle on the join key
+    // (SortMergeJoin FullOuter — full outer has no broadcast form, the
+    // unmatched-side emission needs both sides co-partitioned).
+    QueryDef("join_full_outer",
+      (s, dir) => {
+        def monthSet(m: Int, flag: String) = Tables(s, dir, "orders")
+          .filter(month(col("o_orderdate")) === m)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as(s"n_$flag"))
+        val may = monthSet(5, "may")
+        val june = monthSet(6, "june")
+        may.join(june, Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            coalesce(col("n_may"), lit(0L)).as("n_may"),
+            coalesce(col("n_june"), lit(0L)).as("n_june"),
+            when(col("n_may").isNotNull && col("n_june").isNotNull, "both")
+              .when(col("n_may").isNotNull, "may_only")
+              .otherwise("june_only").as("presence"))
+      },
+      Some("""WITH may AS (
+             |  SELECT o_custkey, COUNT(*) AS n_may FROM orders
+             |  WHERE month(o_orderdate) = 5 GROUP BY o_custkey),
+             |june AS (
+             |  SELECT o_custkey, COUNT(*) AS n_june FROM orders
+             |  WHERE month(o_orderdate) = 6 GROUP BY o_custkey)
+             |SELECT COALESCE(may.o_custkey, june.o_custkey) AS o_custkey,
+             |  COALESCE(n_may, 0) AS n_may,
+             |  COALESCE(n_june, 0) AS n_june,
+             |  CASE WHEN n_may IS NOT NULL AND n_june IS NOT NULL THEN 'both'
+             |       WHEN n_may IS NOT NULL THEN 'may_only'
+             |       ELSE 'june_only' END AS presence
+             |FROM may FULL OUTER JOIN june ON may.o_custkey = june.o_custkey""".stripMargin)),
+
     // running/lag window analytics: per-customer cumulative spend,
     // order sequence number, and days since the previous order — the
     // frame/lag side of window functions (window_topk covers ranking).
