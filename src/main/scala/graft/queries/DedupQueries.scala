@@ -468,6 +468,58 @@ object DedupQueries {
               |  CAST(n_members AS BIGINT) AS n_members
               |FROM ranked WHERE rn = 1""".stripMargin)),
 
+    // Cleaned corpus — the END PRODUCT of the dedup stack: every
+    // document survives except non-canonical near-dup cluster members
+    // (cluster = LSH-discovered + Jaccard-verified connected component,
+    // canonical = best quality score, ties to the smaller doc_id —
+    // the same contracts as dedup_clusters/dedup_canonical). Cost on
+    // top of canonical selection is one anti join against the
+    // broadcast-size loser list; at 100 TB the corpus passes through
+    // exactly once.
+    QueryDef("corpus_cleaned",
+      (s, dir) => {
+        val clusters = clusterLabels(s, dir) // checkpoint-backed
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), TextQueries.qualityScore(col("text")).as("q"))
+        val canon = clusters.join(docs, Seq("doc_id"))
+          .groupBy(col("cluster_id"))
+          .agg(max_by(col("doc_id"), struct(col("q"), lit(0L) - col("doc_id")))
+            .as("doc_id"))
+          .select(col("doc_id"))
+        val losers = clusters.select(col("doc_id"))
+          .join(canon, Seq("doc_id"), "left_anti")
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"))
+          .join(losers, Seq("doc_id"), "left_anti")
+      },
+      Some(s"""$shCte,
+              |$candCteSql,
+              |$interCteSql,
+              |$pairsCteSql,
+              |edges AS (
+              |  SELECT doc_a AS u, doc_b AS v FROM pairs
+              |  UNION SELECT doc_b, doc_a FROM pairs),
+              |reach AS (
+              |  WITH RECURSIVE r(u, v) AS (
+              |    SELECT u, v FROM edges
+              |    UNION
+              |    SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u)
+              |  SELECT u, v FROM r),
+              |labels AS (
+              |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+              |  FROM reach GROUP BY u),
+              |qual AS (
+              |  SELECT doc_id, ${TextQueries.qualityScoreSql("text",
+                  "regexp_extract_all(lower(text), '[a-z0-9]+')")} AS q
+              |  FROM documents),
+              |ranked AS (
+              |  SELECT l.cluster_id, l.doc_id, q.q,
+              |    row_number() OVER (PARTITION BY l.cluster_id
+              |      ORDER BY q.q DESC, l.doc_id ASC) AS rn
+              |  FROM labels l JOIN qual q ON q.doc_id = l.doc_id)
+              |SELECT doc_id, lang FROM documents
+              |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)""".stripMargin)),
+
     // Train/eval contamination check (fuzzy decontamination): every
     // val/test document with a verified NEAR-dup (J ≥ 0.8) partner in
     // the training split — the leakage audit a benchmark-honest
