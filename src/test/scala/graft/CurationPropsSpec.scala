@@ -1,0 +1,102 @@
+package graft
+
+import org.scalacheck.Gen
+
+/** Property tests for the curation operators: `text_repetition` is
+  * checked against an independent in-memory reference implementation
+  * over GENERATED corpora (including degenerate 0/1/2-token docs the
+  * testdata never produces — the left-outer + coalesce path), and the
+  * histogram/BM25 invariants that must hold on any input are pinned on
+  * real testdata. Uses scalacheck Gen directly (sampled trials), same
+  * offline-deps pattern as TransformerPropsSpec. */
+class CurationPropsSpec extends SparkSuite {
+
+  private val trials = 6
+  private def forAll[A](g: Gen[A])(body: A => Unit): Unit =
+    (1 to trials).foreach { i =>
+      body(g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong))
+        .getOrElse(g.sample.get))
+    }
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "ep5")
+  private val docGen: Gen[String] =
+    Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  private def writeDocs(texts: Seq[String]): String = {
+    val dir = tmpDir("curation_props")
+    import spark.implicits._
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def tokenize(text: String): List[String] =
+    "[a-z0-9]+".r.findAllIn(text.toLowerCase).toList
+  private def grams(toks: List[String], n: Int): List[String] =
+    if (toks.size < n) Nil else toks.sliding(n).map(_.mkString(" ")).toList
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("text_repetition agrees with an in-memory reference on generated corpora (incl. 0/1/2-token docs)") {
+    forAll(Gen.listOfN(10, docGen)) { texts =>
+      val all = texts ++ Seq("", "one", "one two", "x x x x x x")
+      val dir = writeDocs(all)
+      val got = SparkEntry.queries("text_repetition")(spark, dir)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_3grams"), r.getAs[Double]("dup3_frac"),
+            r.getAs[Double]("top2_frac"), r.getAs[Long]("is_repetitive"))).toMap
+      spark.catalog.clearCache() // text_repetition persists its gram frame
+      assert(got.size == all.size)
+      all.zipWithIndex.foreach { case (text, i) =>
+        val t = tokenize(text)
+        val bg = grams(t, 2)
+        val tg = grams(t, 3)
+        val expDup3 = r6((tg.size - tg.distinct.size).toDouble / math.max(tg.size, 1))
+        val expTop2 = r6(
+          bg.groupBy(identity).values.map(_.size).maxOption.getOrElse(0).toDouble /
+            math.max(bg.size, 1))
+        val (nTg, dup3, top2, flag) = got(i.toLong)
+        assert(nTg == tg.size, s"doc $i '$text'")
+        assert(dup3 == expDup3, s"doc $i '$text': dup3 $dup3 != $expDup3")
+        assert(top2 == expTop2, s"doc $i '$text': top2 $top2 != $expTop2")
+        assert(flag == (if (expDup3 > 0.01 || expTop2 > 0.07) 1L else 0L))
+      }
+    }
+  }
+
+  test("token_histogram partitions the corpus: counts sum to |docs|, buckets hold their ranges") {
+    forAll(Gen.listOfN(15, docGen)) { texts =>
+      val dir = writeDocs(texts ++ Seq("", "one two three"))
+      val rows = SparkEntry.queries("token_histogram")(spark, dir).collect()
+      spark.catalog.clearCache()
+      assert(rows.map(_.getAs[Long]("n_docs")).sum == texts.size + 2)
+      rows.foreach { r =>
+        val b = r.getAs[Long]("bucket")
+        val (lo, hi) = (r.getAs[Long]("min_tokens"), r.getAs[Long]("max_tokens"))
+        assert(lo <= hi)
+        assert(lo >= b * 8)
+        if (b < 12) assert(hi < (b + 1) * 8) // top bucket is open-ended
+        assert(r.getAs[Long]("sum_tokens") >= lo && b >= 0 && b <= 12)
+      }
+    }
+  }
+
+  test("bm25_search invariants on testdata: dense unique ranks, ordered positive scores") {
+    val rows = SparkEntry.queries("bm25_search")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[String]("query"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro")))
+    spark.catalog.clearCache()
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rs.length).toSeq, s"$q ranks not dense")
+      assert(rs.length <= 10)
+      assert(rs.forall(_._4 > 0L), s"$q has non-positive scores")
+      // rank order == (score desc, doc_id asc) order
+      val expected = rs.sortBy(t => (-t._4, t._3)).map(_._3).toSeq
+      assert(sorted.map(_._3).toSeq == expected, s"$q rank order broken")
+    }
+  }
+}
