@@ -184,6 +184,31 @@ object ProfilingQueries {
              |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
              |FROM documents GROUP BY lang, $splitSql""".stripMargin)),
 
+    // Z-order (Morton) clustering key — the multi-dimensional data
+    // LAYOUT lever: sort-by-z before a range-partitioned write gives
+    // every file a small bounding box in (customer, day) space, so
+    // row-group min/max stats skip files for predicates on EITHER
+    // column (LayoutSpec measures the bounding-box shrink vs a naive
+    // layout). The curve itself is pure codegen'd bit math
+    // ([[graft.functions.LayoutFunctions.zorder16]]), scan-speed,
+    // oracle-exact.
+    QueryDef("zorder_layout",
+      (s, dir) => {
+        import graft.functions.LayoutFunctions.zorder16
+        val day = datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long")
+        Tables(s, dir, "orders").select(
+          col("o_orderkey"),
+          zorder16(col("o_custkey"), day).as("z"))
+      },
+      Some {
+        import graft.functions.LayoutFunctions.zorder16Sql
+        val day = "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
+        s"""SELECT o_orderkey,
+           |  CAST(${zorder16Sql("o_custkey", day)} AS BIGINT) AS z
+           |FROM orders""".stripMargin
+      }),
+
     // declarative expectations (dbt-test / Delta-constraint shape):
     // each rule is a predicate; the result is rule → violation count
     // over total checked. All rules evaluate in ONE pass (conditional
