@@ -20,10 +20,17 @@ case object NoOpSink extends Sink {
     df.write.format("noop").mode(SaveMode.Overwrite).save()
 }
 
+/** Parquet out. `maxRecordsPerFile` is the file-sizing knob a 100 TB
+  * write needs: without it one task's partition becomes one
+  * arbitrarily large file (slow to open, impossible to split for
+  * downstream row-group skipping); with it the writer rolls files at
+  * the record cap while keeping task parallelism unchanged. */
 final case class ParquetSink(path: String, mode: SaveMode = SaveMode.Overwrite,
-    partitionBy: Seq[String] = Nil) extends Sink {
+    partitionBy: Seq[String] = Nil,
+    maxRecordsPerFile: Option[Long] = None) extends Sink {
   def write(df: DataFrame): Unit = {
-    val w = df.write.mode(mode)
+    val base = df.write.mode(mode)
+    val w = maxRecordsPerFile.fold(base)(n => base.option("maxRecordsPerFile", n))
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 }

@@ -43,4 +43,25 @@ class AggregatorsSpec extends SparkSuite {
     val (exact, approx) = (row.getLong(0), row.getLong(1))
     assert(math.abs(approx - exact).toDouble / exact < 0.15, s"$approx vs $exact")
   }
+
+  test("approx_percentile tracks exact percentile within its accuracy contract") {
+    // quantile_stats documents approx_percentile as the at-scale swap
+    // for exact percentile (a full-sort-per-group vs a mergeable
+    // sketch); this pins the swap's error. accuracy=10000 bounds the
+    // RANK error by n/accuracy — convert to a value tolerance by
+    // checking the approx result lands between the exact values at
+    // rank ± n/accuracy.
+    val li = spark.read.parquet(sf("lineitem")).select(col("l_extendedprice"))
+    val n = li.count()
+    val acc = 1000 // rank error ≤ n/1000
+    val r = li.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      expr(s"approx_percentile(l_extendedprice, 0.5, $acc)").as("approx")).head()
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    val sorted = li.orderBy(col("l_extendedprice")).collect().map(_.getDouble(0))
+    val slack = (n / acc + 1).toInt
+    val (lo, hi) = (sorted(((n - 1) / 2 - slack).toInt.max(0)),
+      sorted(((n - 1) / 2 + slack).toInt.min(sorted.length - 1)))
+    assert(approx >= lo && approx <= hi, s"approx $approx outside [$lo, $hi] around exact $exact")
+  }
 }

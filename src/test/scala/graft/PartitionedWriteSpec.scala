@@ -28,4 +28,16 @@ class PartitionedWriteSpec extends SparkSuite {
     val expected = events.filter(col("event_type") === "click").count()
     assert(read.count() == expected)
   }
+
+  test("ParquetSink maxRecordsPerFile rolls files at the record cap") {
+    import graft.sinks.ParquetSink
+    val out = tmpDir("sized_write")
+    val orders = spark.read.parquet(sf("orders")).coalesce(1) // 1500 rows, one task
+    ParquetSink(s"$out/orders", maxRecordsPerFile = Some(400L)).write(orders)
+    val perFile = spark.read.parquet(s"$out/orders")
+      .groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(perFile.forall(_ <= 400L), perFile.mkString(","))
+    assert(perFile.length >= 4) // 1500 rows / 400 cap → ≥4 files from ONE task
+    assert(perFile.sum == orders.count())
+  }
 }
