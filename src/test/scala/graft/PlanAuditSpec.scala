@@ -454,6 +454,35 @@ class PlanAuditSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("CBO: ANALYZE column statistics drive the optimizer's cardinality estimates") {
+    // At cluster scale, join ordering and build-side choice run off
+    // catalog statistics (spark.sql.cbo.*) — pin that ANALYZE'd column
+    // stats actually reach the optimizer: with CBO on, a filtered scan
+    // carries a rowCount estimate BELOW the table's, derived from the
+    // column histogram, not just file sizes.
+    val saved = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.sql("DROP TABLE IF EXISTS cbo_orders")
+      spark.read.parquet(s"$dir/orders.parquet")
+        .write.saveAsTable("cbo_orders")
+      spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val full = spark.table("cbo_orders")
+        .queryExecution.optimizedPlan.stats
+      val filtered = spark.table("cbo_orders")
+        .filter(col("o_orderstatus") === "F")
+        .queryExecution.optimizedPlan.stats
+      assert(full.rowCount.isDefined && full.rowCount.get.toLong == 1500L, full)
+      assert(filtered.rowCount.isDefined, filtered)
+      val est = filtered.rowCount.get.toLong
+      assert(est > 0 && est < 1500L, s"estimate $est not narrowed by column stats")
+    } finally {
+      saved.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+        spark.conf.set("spark.sql.cbo.enabled", _))
+      spark.sql("DROP TABLE IF EXISTS cbo_orders")
+    }
+  }
+
   test("limit_offset: global limit, no full materialization") {
     val p = plan(SparkEntry.queries("limit_offset")(spark, dir))
     assert(p.contains("GlobalLimit") || p.contains("TakeOrderedAndProject"), p)
