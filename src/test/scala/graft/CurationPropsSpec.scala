@@ -39,6 +39,26 @@ class CurationPropsSpec extends SparkSuite {
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("null text is tolerated: zero-gram row, never a crash or a dropped doc") {
+    // real corpora carry nulls; the graceful path is size(NULL) → NULL
+    // → shingles' otherwise-branch → empty gram list → left-outer +
+    // coalesce zeros. Pin it end to end.
+    import spark.implicits._
+    val dir = tmpDir("curation_nulls")
+    Seq((0L, "alpha beta alpha beta gamma"), (1L, null), (2L, ""))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("text_repetition")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_3grams"), r.getAs[Long]("is_repetitive"))).toMap
+    spark.catalog.clearCache()
+    assert(rows.size == 3)                 // the null-text doc survives
+    assert(rows(1L) == (0L, 0L) && rows(2L) == (0L, 0L))
+    assert(rows(0L)._1 == 3L)
+  }
+
   test("text_repetition agrees with an in-memory reference on generated corpora (incl. 0/1/2-token docs)") {
     forAll(Gen.listOfN(10, docGen)) { texts =>
       val all = texts ++ Seq("", "one", "one two", "x x x x x x")
