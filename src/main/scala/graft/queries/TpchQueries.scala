@@ -648,6 +648,67 @@ object TpchQueries {
              |ORDER BY numwait DESC, s_name
              |LIMIT 20""".stripMargin)),
 
+    // TPC-H Q2 (adapted — minimum-cost supplier): for each small part,
+    // the EUROPE supplier(s) shipping it with the minimum account
+    // balance (the testdata has no partsupp table, so the part↔supplier
+    // catalog is DISTINCT (l_partkey, l_suppkey) from lineitem and
+    // s_acctbal stands in for ps_supplycost — the PLAN pattern is
+    // Q2's: a per-part correlated MIN over a multi-join subtree, then
+    // an equality join-back selecting the argmin rows, top-k output).
+    // Decorrelated by construction: the min is ONE map-side-combinable
+    // aggregate over the same joined relation, joined back on
+    // (partkey, min) — no per-part subquery execution; the oracle
+    // keeps the textbook correlated form (different machinery, same
+    // rows). The acctbal equality is safe cross-engine: MIN moves a
+    // parquet double unchanged, no arithmetic. Only fixed-size
+    // nation/region are hinted; supplier/part stay AQE-sized.
+    QueryDef("tpch_q2",
+      (s, dir) => {
+        val links = Tables(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val eur = Tables(s, dir, "supplier")
+          .join(broadcast(Tables(s, dir, "nation")
+            .join(broadcast(Tables(s, dir, "region")
+              .filter(col("r_name") === "EUROPE")),
+              col("n_regionkey") === col("r_regionkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+        val p = Tables(s, dir, "part")
+          .filter(col("p_size") <= 10)
+          .select(col("p_partkey"), col("p_type"))
+        val joined = p
+          .join(links, col("p_partkey") === col("l_partkey"))
+          .join(eur, col("l_suppkey") === col("s_suppkey"))
+        val minBal = joined.groupBy(col("p_partkey").as("mp"))
+          .agg(min(col("s_acctbal")).as("min_bal"))
+        joined
+          .join(minBal, col("p_partkey") === col("mp") &&
+            col("s_acctbal") === col("min_bal"))
+          .select(col("p_partkey"), col("p_type"), col("s_suppkey"),
+            col("s_name"), col("n_name"), col("s_acctbal"))
+          // total order (…, p_partkey, s_suppkey): the LIMIT cutoff
+          // must be unambiguous for the cross-engine hash compare
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"), col("s_suppkey"))
+          .limit(100)
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+             |eur AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+             |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'EUROPE')
+             |SELECT p.p_partkey, p.p_type, e.s_suppkey, e.s_name, e.n_name, e.s_acctbal
+             |FROM part p
+             |JOIN ps ON p.p_partkey = ps.l_partkey
+             |JOIN eur e ON e.s_suppkey = ps.l_suppkey
+             |WHERE p.p_size <= 10
+             |  AND e.s_acctbal = (
+             |    SELECT min(e2.s_acctbal)
+             |    FROM ps ps2 JOIN eur e2 ON e2.s_suppkey = ps2.l_suppkey
+             |    WHERE ps2.l_partkey = p.p_partkey)
+             |ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey, e.s_suppkey
+             |LIMIT 100""".stripMargin)),
+
     QueryDef("tpch_brand_share",
       (s, dir) => {
         val l = Tables(s, dir, "lineitem")

@@ -63,7 +63,7 @@ class PlanAuditSpec extends SparkSuite {
     // nation (25 rows) and region (5 rows) may carry a hard hint; the
     // fact table must never sit under a BroadcastExchange.
     for (q <- Seq("tpch_q3", "tpch_q5", "tpch_q10", "tpch_brand_share", "join_chained",
-        "tpch_q7", "tpch_q8", "tpch_q18", "tpch_q4", "tpch_q13", "tpch_q16")) {
+        "tpch_q7", "tpch_q8", "tpch_q18", "tpch_q4", "tpch_q13", "tpch_q16", "tpch_q2")) {
       val df = SparkEntry.queries(q)(spark, dir)
       for (t <- broadcastSubtrees(df))
         assert(!t.contains("lineitem"), s"$q broadcasts the fact side:\n$t")
