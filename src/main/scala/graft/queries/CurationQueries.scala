@@ -28,17 +28,14 @@ object CurationQueries {
   private val toksCte =
     "WITH toks AS (SELECT doc_id, text, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents)"
 
-  /** Narrow-scan widening guard (same rationale as
-    * DedupQueries.shingleSet): a small corpus parquet arrives as ONE
-    * input split, serializing the CPU-heavy per-doc list algebra on a
+  /** Narrow-scan widening (shared definition, see
+    * [[ProfilingQueries.widened]]): a small corpus parquet arrives as
+    * ONE input split, serializing the CPU-heavy per-doc work on a
     * single core — measured 12.9 s → 0.7 s for text_repetition at
-    * sf0.1. A 100 TB corpus already scans wider than the core count,
-    * so no shuffle is added at scale. */
+    * sf0.1. */
   private def widened(s: org.apache.spark.sql.SparkSession,
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-      df.repartition(col("doc_id"))
-    else df
+    ProfilingQueries.widened(s, df)
 
   /** DuckDB n-gram list matching [[graft.functions.TextFunctions.shingles]]:
     * empty below n tokens, positions 1..len-n+1 joined by one space. */

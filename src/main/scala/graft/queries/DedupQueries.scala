@@ -101,11 +101,7 @@ object DedupQueries {
     * releases it. */
   private[queries] def shingleSet(s: SparkSession, dir: String,
       maxDfFrac: Option[Double] = None): DataFrame = {
-    val docs = Tables(s, dir, "documents")
-    val wide =
-      if (docs.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-        docs.repartition(col("doc_id"))
-      else docs
+    val wide = ProfilingQueries.widened(s, Tables(s, dir, "documents"))
     val sh = wide
       .select(col("doc_id"), explode(shingles(tokens(col("text")))).as("s"))
       .distinct()

@@ -77,6 +77,31 @@ object ProfilingQueries {
   private[queries] def inputBytes(df: org.apache.spark.sql.DataFrame): BigInt =
     df.queryExecution.optimizedPlan.stats.sizeInBytes
 
+  /** Narrow-scan widening guard, shared by every query whose per-doc
+    * CPU work would otherwise serialize on a small corpus's single
+    * input split (DedupQueries.shingleSet, CurationQueries) — one
+    * definition so a tuning change cannot silently leave one module
+    * single-cored again. A 100 TB corpus already scans wider than the
+    * core count, so this is a no-op at scale. */
+  private[queries] def widened(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+      df.repartition(col("doc_id"))
+    else df
+
+  /** Diagnosable oracle-contract guard: the shuffle_shards /
+    * pack_sequences DuckDB oracles pin N=16 (valid below the 32 GiB
+    * floor threshold). When sizing produces a different N the Spark
+    * output is still CORRECT — but a driver compare against the pinned
+    * oracle would mismatch, so say why loudly instead of looking like
+    * an engine bug. */
+  private[queries] def warnIfOracleUnpinned(op: String, n: Int): Unit =
+    if (n != 16)
+      System.err.println(
+        s"[graft] $op: sized shard count N=$n differs from the oracle-pinned 16 " +
+          "(input exceeds the 32 GiB floor threshold); results are correct but the " +
+          "pinned DuckDB oracle no longer describes them")
+
   val defs: Seq[QueryDef] = Seq(
 
     // per-column profile: row count, null count, distinct count,
@@ -154,6 +179,7 @@ object ProfilingQueries {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables(s, dir, "documents")
         val n = shardCount(inputBytes(docs))
+        warnIfOracleUnpinned("shuffle_shards", n)
         val h = portableHash(col("doc_id").cast("string"), 7)
         val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
         docs

@@ -183,6 +183,7 @@ object TextQueries {
         val budget = 256L
         val docs = Tables(s, dir, "documents")
         val n = ProfilingQueries.shardCount(ProfilingQueries.inputBytes(docs))
+        ProfilingQueries.warnIfOracleUnpinned("pack_sequences", n)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

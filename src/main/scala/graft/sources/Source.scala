@@ -300,9 +300,10 @@ final case class LineSource(
   * — at 100 TB that is a second read of the corpus, and inferred types
   * can drift with content (a column of all-numeric strings infers
   * numeric). Inference is the small-data/exploration convenience only;
-  * `permissive` (default) null-fills malformed lines into
-  * `_corrupt_record` instead of failing the job, matching CsvSource's
-  * bad-record tolerance. */
+  * `permissive` (default) turns a malformed line into an all-NULL row
+  * instead of failing the job, matching CsvSource's bad-record
+  * tolerance — to RETAIN the raw bad line for auditing, include a
+  * StringType `_corrupt_record` field in the schema and Spark fills it. */
 final case class JsonlSource(
     path: String,
     schema: Option[StructType] = None,

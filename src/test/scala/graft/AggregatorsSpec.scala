@@ -47,7 +47,7 @@ class AggregatorsSpec extends SparkSuite {
   test("approx_percentile tracks exact percentile within its accuracy contract") {
     // quantile_stats documents approx_percentile as the at-scale swap
     // for exact percentile (a full-sort-per-group vs a mergeable
-    // sketch); this pins the swap's error. accuracy=10000 bounds the
+    // sketch); this pins the swap's error. accuracy=1000 bounds the
     // RANK error by n/accuracy — convert to a value tolerance by
     // checking the approx result lands between the exact values at
     // rank ± n/accuracy.

@@ -109,6 +109,10 @@ class CurationPropsSpec extends SparkSuite {
       .map(r => (r.getAs[String]("query"), r.getAs[Long]("rank"),
         r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro")))
     spark.catalog.clearCache()
+    // non-vacuous: every registered query must have produced results,
+    // or its invariants below would silently never be checked
+    assert(rows.map(_._1).toSet ==
+      Set("q_scan_fast", "q_merge_join", "q_stream_window"))
     rows.groupBy(_._1).foreach { case (q, rs) =>
       val sorted = rs.sortBy(_._2)
       assert(sorted.map(_._2).toSeq == (1L to rs.length).toSeq, s"$q ranks not dense")
