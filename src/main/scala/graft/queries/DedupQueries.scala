@@ -686,25 +686,45 @@ object DedupQueries {
     // every vector with a lower-id cell-mate above the threshold. The
     // 100 TB posture is the clustering itself: k grows with the corpus
     // so the per-cell member list stays bounded and the within-cell
-    // self-join is |cell|² · k ≪ |corpus|² (the trainer's supersteps
-    // are each one map-side-combinable pass, see
-    // [[graft.operators.KMeans]]). NO SQL oracle: centroid means are
-    // floating-point reductions whose partial-merge order Spark does
-    // not pin (KMeans scaladoc), so cross-engine bit-parity cannot be
-    // promised — the driver records rows-only; exactness of the
-    // keep/drop rule vs a brute-force within-cell pass is pinned in
-    // SemDedupSpec instead.
+    // self-join is |cell|² · k ≪ |corpus|² (one assignment pass over
+    // broadcast centroids, map-side-combinable argmin — see
+    // [[graft.operators.KMeans.assign]]). Centroids here are the same
+    // exact deterministic stand-in the IVF queries use (first k
+    // vec_ids) so the DuckDB oracle reproduces the assignment
+    // bit-for-bit — trained float-mean centroids are not merge-order
+    // pinned cross-engine; THAT path (KMeans.train) stays recall- and
+    // exactness-gated in SemDedupSpec/KMeansSpec. k is sized from the
+    // corpus row count (one cell per ~1024 vectors, the same
+    // bounded-cell discipline as [[cellCount]]) — a row count is the
+    // one sizing signal both engines compute identically.
     QueryDef("dedup_semantic",
       (s, dir) => {
-        val k = cellCount(ProfilingQueries.inputBytes(
-          Tables(s, dir, "embeddings")))
-        val drops = semanticDrops(s, dir, k = k, iters = 3, tau = 0.4)
+        val drops = semanticDropsFrozen(s, dir, tau = 0.4)
         drops._1
           .join(drops._2, Seq("vec_id"), "left_anti")
           .select(col("vec_id"), col("c_id"))
           .withColumn("kept", lit(1L))
       },
-      None)
+      Some(s"""WITH p AS (
+              |  SELECT greatest(8, least(1048576, CAST(ceil(count(*) / 1024.0) AS BIGINT))) AS k
+              |  FROM embeddings),
+              |cents AS (
+              |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+              |  WHERE vec_id < (SELECT k FROM p)),
+              |assign AS (
+              |  SELECT vec_id, embedding, c_id,
+              |    row_number() OVER (PARTITION BY vec_id
+              |      ORDER BY ${cosineSql("e.embedding", "c_emb")} DESC, c_id) AS rk
+              |  FROM embeddings e CROSS JOIN cents),
+              |cells AS (SELECT vec_id, embedding, c_id FROM assign WHERE rk = 1),
+              |drops AS (
+              |  SELECT DISTINCT a.vec_id
+              |  FROM cells a JOIN cells b
+              |    ON a.c_id = b.c_id AND a.vec_id > b.vec_id
+              |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4)
+              |SELECT c.vec_id, c.c_id, CAST(1 AS BIGINT) AS kept
+              |FROM cells c
+              |WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.vec_id = c.vec_id)""".stripMargin))
   )
 
   /** SemDeDup cell-count sizing: one k-means cell per ~256 KiB of
@@ -718,7 +738,55 @@ object DedupQueries {
       .max(8).min(1 << 20).toInt
   private[graft] val CellTargetBytes: BigInt = BigInt(256) << 10
 
-  /** Shared machinery for `dedup_semantic` and its brute-force test:
+  /** Row-count cell sizing for the ORACLED `dedup_semantic`: one cell
+    * per ~1024 vectors, floor 8, capped at 2^20 — same bounded-cell
+    * discipline as [[cellCount]], but driven by a row count because
+    * that is the one sizing signal the DuckDB oracle can recompute
+    * exactly (`greatest(8, least(1048576, ceil(count(*)/1024)))`).
+    * All testdata SFs sit on the floor (pinned in SemDedupSpec). */
+  private[graft] def cellCountRows(rows: Long): Int =
+    ((BigInt(rows).max(0) + CellTargetRows - 1) / CellTargetRows)
+      .max(8).min(1 << 20).toInt
+  private[graft] val CellTargetRows: Long = 1024L
+
+  /** Oracled machinery for `dedup_semantic`: exact stand-in centroids
+    * (first k vec_ids — the IVF trick, deterministic on both engines),
+    * one broadcast assignment pass with a map-side-combinable argmin
+    * (cosine desc, c_id tiebreak — mirrors [[graft.operators.KMeans
+    * .assign]]'s `min_by` shape), then the within-cell cosine prune.
+    * Returns (assigned = vec_id→cell with embedding+norm, drops =
+    * vec_ids with a lower-id cell-mate at cosine ≥ tau). `assigned` is
+    * persisted — it feeds both self-join sides and the final
+    * anti-join; the caller's clearCache sweep releases it (Bench/
+    * Verify contract). The corpus side only ever shuffles once (the
+    * groupBy argmin); the self-join is cell-bounded, never all-pairs. */
+  private[graft] def semanticDropsFrozen(s: SparkSession, dir: String,
+      tau: Double): (DataFrame, DataFrame) = {
+    val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val k = cellCountRows(emb.count())
+    val e = emb.withColumn("nrm", sqrt(dotFast(col("embedding"), col("embedding"))))
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cos_c",
+        cosineFast(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("c_id"), struct((-col("cos_c")).as("nc"), col("c_id"))).as("c_id"),
+        any_value(col("embedding")).as("embedding"),
+        any_value(col("nrm")).as("nrm"))
+      .persist()
+    val drops = assigned.as("a").join(assigned.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") > col("b.vec_id"))
+      .filter(cosineFast(col("a.embedding"), col("b.embedding"),
+        col("a.nrm"), col("b.nrm")) >= tau)
+      .select(col("a.vec_id").as("vec_id"))
+      .distinct()
+    (assigned, drops)
+  }
+
+  /** Shared machinery for the TRAINED SemDeDup path and its brute-force test:
     * returns (assigned = vec_id→cell, drops = vec_ids with a lower-id
     * cell-mate at cosine ≥ tau). `assigned` is persisted — it feeds
     * both self-join sides and the final anti-join; the caller's

@@ -3,58 +3,75 @@ package graft
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.functions._
 
-/** Pins `dedup_semantic` (SemDeDup shape — k-means cells, within-cell
-  * cosine prune). The query has no SQL oracle (centroid float means are
-  * not bit-stable cross-engine), so correctness is pinned here instead:
-  * the keep/drop rule must agree EXACTLY with an independently computed
-  * brute-force pass over the same cell assignment.
+/** Pins `dedup_semantic` (SemDeDup shape — centroid cells, within-cell
+  * cosine prune). The driver-gated query runs over exact stand-in
+  * centroids (first k vec_ids) so its DuckDB oracle is bit-exact; the
+  * TRAINED path (KMeans.train centroids — float means, not bit-stable
+  * cross-engine) is pinned here instead: for BOTH paths the keep/drop
+  * rule must agree EXACTLY with an independently computed brute-force
+  * pass over the same cell assignment.
   */
 class SemDedupSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("dedup_semantic matches brute-force within-cell cosine pruning") {
-    val (assigned, _) = graft.queries.DedupQueries.semanticDrops(
-      spark, dir, k = 8, iters = 3, tau = 0.4)
-    // independent brute force: collect the (small) assignment, compute
-    // all within-cell pairs in Scala, drop = has lower-id mate >= tau
+  /** Same rounding contract as TextFunctions.cosine. */
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dab += a(i).toDouble * b(i).toDouble
+      daa += a(i).toDouble * a(i).toDouble
+      dbb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    BigDecimal(dab / math.sqrt(daa) / math.sqrt(dbb))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** Brute force: collect the (small) assignment, compute all
+    * within-cell pairs in Scala, drop = has lower-id mate >= tau. */
+  private def bruteDrops(assigned: org.apache.spark.sql.DataFrame): (Set[Long], Set[Long]) = {
     val rows = assigned
       .select(col("vec_id"), col("c_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dab = 0.0; var daa = 0.0; var dbb = 0.0
-      var i = 0
-      while (i < a.length) {
-        dab += a(i).toDouble * b(i).toDouble
-        daa += a(i).toDouble * a(i).toDouble
-        dbb += b(i).toDouble * b(i).toDouble
-        i += 1
-      }
-      // same rounding contract as TextFunctions.cosine
-      BigDecimal(dab / math.sqrt(daa) / math.sqrt(dbb))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }
-    val expectDropped = (for {
+    val dropped = (for {
       Seq((idA, _, embA), (idB, _, embB)) <-
         rows.groupBy(_._2).values.flatMap(_.toSeq.combinations(2))
       hi = if (idA > idB) (idA, embA, embB) else (idB, embB, embA)
       if cos(hi._2, hi._3) >= 0.4
     } yield hi._1).toSet
+    (rows.map(_._1).toSet, dropped)
+  }
 
+  test("dedup_semantic (frozen-centroid driver query) matches brute-force within-cell pruning") {
+    val (assigned, _) = graft.queries.DedupQueries.semanticDropsFrozen(
+      spark, dir, tau = 0.4)
+    val (all, expectDropped) = bruteDrops(assigned)
     val kept = SparkEntry.queries("dedup_semantic")(spark, dir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    val all = rows.map(_._1).toSet
     assert(all.size === 500)
     assert((all -- kept) === expectDropped) // exact keep/drop agreement
     assert(expectDropped.nonEmpty)          // the corpus has semantic dups
+    spark.catalog.clearCache()              // release semanticDropsFrozen's persist
+  }
+
+  test("trained-centroid path matches brute-force within-cell pruning") {
+    val (assigned, drops) = graft.queries.DedupQueries.semanticDrops(
+      spark, dir, k = 8, iters = 3, tau = 0.4)
+    val (all, expectDropped) = bruteDrops(assigned)
+    val actualDropped = drops.collect().map(_.getLong(0)).toSet
+    assert(all.size === 500)
+    assert(actualDropped === expectDropped) // exact keep/drop agreement
+    assert(expectDropped.nonEmpty)
     spark.catalog.clearCache()              // release semanticDrops' persist
   }
 
-  test("cell-count sizing: floor 8, one cell per ~256 KiB, capped") {
-    import graft.queries.DedupQueries.{cellCount, CellTargetBytes}
+  test("cell-count sizing: floor 8, bounded cells, capped") {
+    import graft.queries.DedupQueries.{cellCount, CellTargetBytes, cellCountRows, CellTargetRows}
     // all testdata SFs sit on the floor — the exactness tests above and
-    // the driver's rows-only check rely on k = 8 at test scale
+    // the driver's oracle rely on k = 8 at test scale
     assert(cellCount(0) == 8)
     assert(cellCount(BigInt(800000)) == 8) // sf0.1 embeddings file size
     // past the floor, k tracks input so |cell| stays bounded (the
@@ -63,6 +80,14 @@ class SemDedupSpec extends SparkSuite {
     assert(cellCount(CellTargetBytes * 100) == 100)
     assert(cellCount(BigInt(1) << 62) == (1 << 20)) // cap, no overflow
     assert(cellCount(CellTargetBytes + 1) >= cellCount(CellTargetBytes))
+    // row-count variant (drives the ORACLED dedup_semantic: a row count
+    // is the one sizing signal DuckDB recomputes exactly)
+    assert(cellCountRows(0) == 8)
+    assert(cellCountRows(500) == 8)   // sf0.001/sf0.01 embeddings
+    assert(cellCountRows(2000) == 8)  // sf0.1 embeddings
+    assert(cellCountRows(CellTargetRows * 100) == 100)
+    assert(cellCountRows(Long.MaxValue) == (1 << 20)) // cap, no overflow
+    assert(cellCountRows(CellTargetRows + 1) >= cellCountRows(CellTargetRows))
   }
 
   test("dropped vectors always have a kept lower-id cell-mate justifying the drop") {
