@@ -709,6 +709,77 @@ object TpchQueries {
              |ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey, e.s_suppkey
              |LIMIT 100""".stripMargin)),
 
+    // TPC-H Q9 (adapted — product-type profit measure): profit by
+    // (nation, year) through the full star — the last classic TPC-H
+    // plan pattern: a WIDE multi-join (lineitem ⋈ part ⋈ partsupp ⋈
+    // supplier ⋈ nation ⋈ orders, 6 relations) aggregated on DERIVED
+    // columns (supplier nation × order year) with a profit expression
+    // spanning three relations. The testdata has no partsupp, so the
+    // catalog is Q2's stand-in — DISTINCT (l_partkey, l_suppkey) —
+    // and ps_supplycost is synthesized deterministically from it:
+    // p_retailprice · (0.50 + ((partkey+suppkey) % 25)/100), i.e.
+    // 50–74% of list price varying per (part, supplier) so the
+    // catalog join is load-bearing. Profit stays IEEE-exact: one
+    // double expression tree evaluated in identical order on both
+    // engines, cents-quantized BEFORE the sum (BIGINT thereafter).
+    // At scale: lineitem and the lineitem-derived catalog are the two
+    // big sides — both shuffle on their equi-keys, never broadcast;
+    // filtered part and supplier are AQE-sized; only fixed-size
+    // nation is hinted. Partial aggregation runs before the single
+    // (nation, year) exchange (PlanAuditSpec pins both properties).
+    QueryDef("tpch_q9",
+      (s, dir) => {
+        val ps = Tables(s, dir, "lineitem")
+          .select(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .distinct()
+        val p = Tables(s, dir, "part")
+          .filter(col("p_name").like("%red%"))
+          .select(col("p_partkey"), col("p_retailprice"))
+        val sup = Tables(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val nat = Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        val o = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val l = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        val supplycost = col("p_retailprice") *
+          (lit(0.5) + ((col("ps_partkey") + col("ps_suppkey")) % lit(25)) / lit(100.0))
+        val amount = QueryDef.cents(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            supplycost * col("l_quantity"))
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .join(ps, l("l_partkey") === col("ps_partkey") &&
+            l("l_suppkey") === col("ps_suppkey"))
+          .join(sup, l("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(amount).as("sum_profit_cents"))
+          // group keys are unique → (nation, o_year) is a total order
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some(s"""WITH ps AS (
+              |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+              |  FROM lineitem)
+              |SELECT n_name AS nation,
+              |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              |  CAST(SUM(${QueryDef.centsSql(
+                   "l_extendedprice * (1.0 - l_discount) - " +
+                   "p_retailprice * (0.5 + ((ps_partkey + ps_suppkey) % 25) / 100.0) * l_quantity")}) AS BIGINT)
+              |    AS sum_profit_cents
+              |FROM lineitem
+              |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+              |JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+              |JOIN supplier ON s_suppkey = l_suppkey
+              |JOIN nation ON n_nationkey = s_nationkey
+              |JOIN orders ON o_orderkey = l_orderkey
+              |GROUP BY 1, 2
+              |ORDER BY 1, 2 DESC""".stripMargin)),
+
     QueryDef("tpch_brand_share",
       (s, dir) => {
         val l = Tables(s, dir, "lineitem")

@@ -63,7 +63,8 @@ class PlanAuditSpec extends SparkSuite {
     // nation (25 rows) and region (5 rows) may carry a hard hint; the
     // fact table must never sit under a BroadcastExchange.
     for (q <- Seq("tpch_q3", "tpch_q5", "tpch_q10", "tpch_brand_share", "join_chained",
-        "tpch_q7", "tpch_q8", "tpch_q18", "tpch_q4", "tpch_q13", "tpch_q16", "tpch_q2")) {
+        "tpch_q7", "tpch_q8", "tpch_q18", "tpch_q4", "tpch_q13", "tpch_q16", "tpch_q2",
+        "tpch_q9")) {
       val df = SparkEntry.queries(q)(spark, dir)
       for (t <- broadcastSubtrees(df))
         assert(!t.contains("lineitem"), s"$q broadcasts the fact side:\n$t")
@@ -168,6 +169,21 @@ class PlanAuditSpec extends SparkSuite {
     // _groupingexpression in the exchange; either spelling is the same
     // single agg shuffle
     assert("hashpartitioning\\((o_year|_groupingexpression)".r.findAllIn(p).size >= 1, p)
+  }
+
+  test("tpch_q9: wide join aggregates with one partial agg; neither big side broadcast") {
+    val df = SparkEntry.queries("tpch_q9")(spark, dir)
+    val p = plan(df)
+    // partial (map-side) profit sum before the single (nation, year)
+    // exchange — the 6-relation join must not add aggregate shuffles
+    assert(p.contains("partial_sum"), p)
+    assert("hashpartitioning\\((nation|n_name|_groupingexpression)".r.findAllIn(p).size >= 1, p)
+    // the p_name LIKE filter reaches the part scan as a pushed filter
+    assert(p.contains("StringContains(p_name,red)"), p)
+    // lineitem appears twice (fact + the DISTINCT catalog derivation);
+    // neither may ever be a broadcast build side
+    for (t <- broadcastSubtrees(df))
+      assert(!t.contains("lineitem"), s"tpch_q9 broadcasts a lineitem side:\n$t")
   }
 
   test("join_chained: small dims still broadcast by size, without a forced hint") {
