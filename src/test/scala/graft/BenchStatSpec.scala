@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins Bench's measurement statistics: the published spread must
+  * describe STEADY STATE (MAD — robust to bursts in up to half the
+  * rounds), while the adaptive-extension trigger stays burst-SENSITIVE
+  * (raw range). BENCH_r05 is the motivating recording: co-tenant
+  * bursts in 2 of 7 rounds (bm25_search 10.3 s and 16.4 s against a
+  * 1.44 s median) pinned the old trimmed-range noise at 6.18 even
+  * though the medians were trustworthy.
+  */
+class BenchStatSpec extends AnyFunSuite {
+
+  test("median is the middle sample; spread is 0 for identical runs") {
+    val (m, sp) = Bench.stat(Seq(1.0, 1.0, 1.0))
+    assert(m === 1.0)
+    assert(sp === 0.0)
+  }
+
+  test("one burst in 3 rounds: median clean, MAD spread stays steady-state") {
+    // the old 3-sample range was max-min = the burst itself
+    val (m, sp) = Bench.stat(Seq(1.4, 1.5, 16.4))
+    assert(m === 1.5)
+    assert(math.abs(sp - 0.2) < 1e-9) // 2 × median(|{0.1, 0, 14.9}|)
+    // …but the raw figure still sees it (this is what extends rounds)
+    assert(math.abs(Bench.rawSpread(Seq(1.4, 1.5, 16.4)) - 15.0) < 1e-9)
+  }
+
+  test("BENCH_r05 shape: bursts in 2 of 7 rounds cannot masquerade as variance") {
+    // bm25_search's actual r5 profile: 5 calm samples + 2 bursts. A
+    // trimmed range (drop single min+max) still reports ~9 s; MAD
+    // reports the calm cluster's width.
+    val runs = Seq(1.40, 1.42, 1.44, 1.47, 1.52, 10.3, 16.4)
+    val (m, sp) = Bench.stat(runs)
+    assert(m === 1.47)
+    assert(sp <= 0.2, s"spread $sp should describe the calm cluster")
+    assert(sp / m <= 0.2)                     // published noise: calm
+    assert(Bench.rawSpread(runs) / m > 2.0)   // raw noise: extension fires
+  }
+
+  test("genuine variance is still reported, not suppressed") {
+    // samples uniformly spread (no burst cluster): MAD must NOT hide it
+    val (m, sp) = Bench.stat(Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+    assert(m === 3.0)
+    assert(sp === 2.0) // 2 × median(|{2,1,0,1,2}|) = 2×1
+  }
+
+  test("failed runs (-1 sentinel) are excluded upstream; stat handles any ordering") {
+    val (m1, _) = Bench.stat(Seq(3.0, 1.0, 2.0))
+    val (m2, _) = Bench.stat(Seq(1.0, 2.0, 3.0))
+    assert(m1 === m2)
+  }
+}
