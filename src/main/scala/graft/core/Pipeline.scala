@@ -62,10 +62,27 @@ final case class PipelineReport(
   *    about; there is no "run arbitrary code mid-flow" hole outside
   *    [[graft.operators.Transformers.Callable]].
   */
-final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
+final class Pipeline private (private val steps: Vector[Pipeline.Step],
+    private val durableFanout: Boolean = false) {
   import Pipeline._
 
-  private def append(s: Step) = new Pipeline(steps :+ s)
+  private def append(s: Step) = new Pipeline(steps :+ s, durableFanout)
+
+  /** Durable-ID mode (the README "chained loaders" caveat): fan-out
+    * points `checkpoint()` (reliable, eager) instead of `persist()`.
+    * The default persist pins ONE evaluation of nondeterministic
+    * id-bearing frames (uuid / monotonically_increasing_id) only
+    * best-effort — an executor loss or cache eviction between two
+    * sinks recomputes the prefix and the ids silently diverge across
+    * sinks. A reliable checkpoint materializes the prefix to the
+    * checkpoint store (cluster-visible; survives executor loss —
+    * recomputation cannot happen, so divergence cannot), at the cost
+    * of a write+read of the fan-out frame. Requires
+    * `spark.sparkContext.setCheckpointDir` on a store every executor
+    * can read (HDFS/S3 at scale); checkpoint-file lifecycle is the
+    * caller's (or `spark.cleaner.referenceTracking.cleanCheckpoints`).
+    * Branch sub-flows inherit the mode at compile time. */
+  def durable(): Pipeline = new Pipeline(steps, durableFanout = true)
 
   /** Add the (first) source — `src/YaEtl.php:89-99`. A second `from` with
     * `aggregate = true` concatenates sources like the reference's
@@ -245,10 +262,25 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
       d.observe(obs, count(lit(1)).as("records"))
     }
 
+    /** Pin one evaluation of the shared prefix at a fan-out point:
+      * best-effort `persist()` by default, reliable `checkpoint()` in
+      * [[durable]] mode (survives executor loss — nondeterministic ids
+      * can never be recomputed into divergence). */
+    var checkpointed: DataFrame = null
     def persistIfShared(last: Boolean): Unit =
-      if (forExec && !last && df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-        df = df.persist()
-        persisted += df
+      if (forExec && !last) {
+        if (durableFanout) {
+          if (!(df eq checkpointed)) {
+            require(spark.sparkContext.getCheckpointDir.isDefined,
+              "durable() fan-out needs spark.sparkContext.setCheckpointDir " +
+                "(a reliable store every executor can read)")
+            df = df.checkpoint() // eager + reliable
+            checkpointed = df
+          }
+        } else if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+          df = df.persist()
+          persisted += df
+        }
       }
 
     val n = steps.length
@@ -301,7 +333,10 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
           var signal = observed(
             df.filter(cond).select(lit(1).as("__graft_break")).limit(1),
             s"break_$i")
-          if (forExec) { signal = signal.persist(); persisted += signal }
+          if (forExec) {
+            if (durableFanout) signal = signal.checkpoint() // ≤1 row, eager
+            else { signal = signal.persist(); persisted += signal }
+          }
           breakSignals += signal
           // this flow's own continuation past the break point is gated
           // too (the reference stops the current stream as well)
@@ -313,7 +348,7 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
           dirtyTail = false
         case Branch(sub) =>
           persistIfShared(last = idx == n - 1)
-          val b = sub.withBase(df).compile(spark, forExec)
+          val b = sub.withDurable(durableFanout).withBase(df).compile(spark, forExec)
           writes ++= b.writes
           observations ++= b.observations
           persisted ++= b.persisted
@@ -341,7 +376,10 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step]) {
   }
 
   private def withBase(base: DataFrame): Pipeline =
-    new Pipeline(Pipeline.BaseDf(base) +: steps)
+    new Pipeline(Pipeline.BaseDf(base) +: steps, durableFanout)
+
+  private def withDurable(d: Boolean): Pipeline =
+    if (d && !durableFanout) new Pipeline(steps, durableFanout = true) else this
 }
 
 object Pipeline {

@@ -324,4 +324,71 @@ class PipelineSpec extends SparkSuite {
     assert(first.size == 25)
     assert(first == second)
   }
+
+  test("durable fan-out without a checkpoint dir fails fast with a clear message") {
+    val sc = spark.sparkContext
+    // declared BEFORE the durable-mode test (which sets a dir on the
+    // shared session); only meaningful while no dir is configured
+    if (sc.getCheckpointDir.isEmpty) {
+      val report = Pipeline
+        .from(ParquetSource(sf("nation")))
+        .to(ParquetSink(s"${tmpDir("nockpt")}/a"))
+        .to(ParquetSink(s"${tmpDir("nockpt")}/b"))
+        .durable()
+        .exec(spark)
+      report.status match {
+        case PipelineStatus.Failed(e) =>
+          assert(e.getMessage.contains("setCheckpointDir"))
+        case other => fail(s"expected Failed(setCheckpointDir), got $other")
+      }
+    }
+  }
+
+  test("durable fan-out: chained sinks agree even when the cache is lost mid-exec") {
+    // The README caveat, reproduced then closed. persist() pins ids
+    // only best-effort: losing the cached prefix between the two sink
+    // writes (here: an explicit clearCache standing in for executor
+    // loss / memory-pressure eviction) forces a recomputation and the
+    // id generator runs AGAIN — the second sink silently diverges from
+    // what the first committed. Note the generator: Spark seeds uuid()
+    // / rand() per plan, so a byte-identical recompute of a
+    // deterministic local scan reproduces them — the cluster-scale
+    // divergence mode is shuffle-order/partition instability under
+    // retry, which a single-stage local test cannot exhibit; an
+    // explicitly nondeterministic UDF models it honestly. durable()
+    // replaces the fan-out persist with a reliable eager checkpoint:
+    // the prefix is materialized in the checkpoint store,
+    // recomputation cannot happen, so no generator — however unstable
+    // — can diverge the sinks.
+    import graft.sinks.Sink
+    final case class EvictAfter(inner: Sink) extends Sink {
+      def write(df: org.apache.spark.sql.DataFrame): Unit = {
+        inner.write(df)
+        df.sparkSession.catalog.clearCache() // simulated cache loss
+      }
+    }
+    val freshId = udf(() => java.util.UUID.randomUUID().toString).asNondeterministic()
+    def run(out: String, durable: Boolean): (Set[String], Set[String]) = {
+      val base = Pipeline
+        .from(ParquetSource(sf("nation")))
+        .transform(Transformers.Callable(_.withColumn("uid", freshId())))
+        .to(EvictAfter(ParquetSink(s"$out/first")))
+        .to(ParquetSink(s"$out/second"))
+      val report = (if (durable) base.durable() else base).exec(spark)
+      assert(report.status == PipelineStatus.Clean)
+      def uids(p: String) =
+        spark.read.parquet(p).select("uid").collect().map(_.getString(0)).toSet
+      (uids(s"$out/first"), uids(s"$out/second"))
+    }
+    // hazard is real: without durable mode the eviction diverges the sinks
+    val (f1, s1) = run(tmpDir("chain_evict_plain"), durable = false)
+    assert(f1.size == 25 && s1.size == 25)
+    assert(f1 != s1, "expected uuid divergence after cache loss — persist is best-effort")
+    // durable mode closes it
+    spark.sparkContext.setCheckpointDir(tmpDir("chain_ckpt_dir"))
+    val (f2, s2) = run(tmpDir("chain_evict_durable"), durable = true)
+    assert(f2.size == 25)
+    assert(f2 == s2, "durable checkpoint must pin ids across cache loss")
+  }
+
 }
