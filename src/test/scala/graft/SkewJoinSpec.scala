@@ -46,4 +46,26 @@ class SkewJoinSpec extends SparkSuite {
       assert(plan.contains("skew=true"), plan)
     }
   }
+
+  test("AQE coalesces undersized shuffle partitions into fewer tasks") {
+    // The inverse knob (SCALE.md "narrow scans"): 32 configured shuffle
+    // partitions over a few KB of aggregated data would mean 32 nearly
+    // empty tasks; AQE's coalescing folds them into a handful sized by
+    // the advisory target. At cluster scale this is what keeps
+    // small-intermediate stages from drowning in task overhead.
+    withConfs(
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m") {
+      val agg = spark.range(0, 100000)
+        .groupBy((col("id") % 1000).as("k")).agg(count(lit(1)).as("n"))
+      val got = agg.collect().length
+      assert(got == 1000)
+      val plan = agg.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // the adaptive shuffle read reports itself coalesced — far fewer
+      // read tasks than the static 32-partition plan would have run
+      assert(plan.contains("AQEShuffleRead coalesced"), plan)
+    }
+  }
 }
