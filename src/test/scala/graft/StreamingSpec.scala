@@ -108,6 +108,50 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSet == (1L to 180L).toSet) // nothing skipped either
   }
 
+  test("bounded trigger (maxFilesPerTrigger) drains a backlog over rate-limited exactly-once micro-batches") {
+    // The ingest-backpressure contract at 100 TB/day: when a query
+    // starts (or restarts) against a deep file backlog, the bounded
+    // trigger must NOT load the whole backlog into one giant
+    // micro-batch (OOM / hour-long batches / watermark stalls) — it
+    // drains at maxFilesPerTrigger per batch, each batch committed
+    // exactly-once to the checkpoint before the next starts, so a
+    // crash mid-drain resumes where it left off instead of starting
+    // over.
+    import spark.implicits._
+    val dir = tmpDir("backpressure")
+    val (src, out, chk) = (s"$dir/src", s"$dir/out", s"$dir/chk")
+    def arrive(b: Int): Unit =
+      (b * 10 until b * 10 + 10)
+        .map(i => Event(i.toLong, ts(i % 300), i.toLong % 7, "click", 1.0))
+        .toDF().withColumn("props", lit("{}"))
+        .repartition(1) // exactly ONE parquet file per arrival
+        .write.mode("append").parquet(src)
+    (0 until 8).foreach(arrive) // 8-file backlog BEFORE the query exists
+    def drain(): Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+      val q = EventStreams
+        .readEventStream(spark, src, maxFilesPerTrigger = 2, nanosTs = false)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .start()
+      try { q.processAllAvailable(); q.recentProgress.filter(_.numInputRows > 0) }
+      finally q.stop()
+    }
+    val p1 = drain()
+    // 8 files / 2 per trigger = 4 rate-limited batches of 2×10 rows —
+    // never one 80-row gulp
+    assert(p1.length == 4, p1.map(_.numInputRows).mkString(","))
+    assert(p1.forall(_.numInputRows == 20), p1.map(_.numInputRows).mkString(","))
+    assert(p1.map(_.batchId).toSeq == p1.map(_.batchId).toSeq.sorted)
+    // per-batch commits are durable: a new incarnation on the same
+    // checkpoint sees only files that arrived after the drained backlog
+    arrive(8); arrive(9)
+    val p2 = drain()
+    assert(p2.map(_.numInputRows).sum == 20, p2.map(_.numInputRows).mkString(","))
+    val ids = spark.read.parquet(out).select("event_id").collect().map(_.getLong(0))
+    assert(ids.length == 100)                   // no batch replayed
+    assert(ids.toSet == (0L until 100L).toSet)  // none skipped either
+  }
+
   test("stream-static join: per-batch dim enrichment, broadcast plan, unmatched keys NULL-pad") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
