@@ -780,6 +780,78 @@ object TpchQueries {
               |GROUP BY 1, 2
               |ORDER BY 1, 2 DESC""".stripMargin)),
 
+    // TPC-H Q20 (adapted — potential part promotion): suppliers in two
+    // nations holding EXCESS stock of small-named parts — stock
+    // exceeding half of what they actually shipped in 1998. The plan
+    // pattern is Q20's: NESTED semi-joins (supplier ← qualifying
+    // catalog rows ← part-name filter) with a CORRELATED aggregate
+    // threshold (per (part, supplier) shipped quantity) inside the
+    // innermost predicate — decorrelated here into one partial-agged
+    // grouped sum joined back on both keys; the oracle keeps the
+    // textbook nested-IN + correlated-scalar form (different
+    // machinery, same rows). ps_availqty is synthesized
+    // deterministically from the catalog keys (100 + (pk·31 + sk·17)
+    // mod 900) and the threshold comparison is pure BIGINT
+    // (2·availqty·100 > shipped_cents) — no float reduction anywhere,
+    // so cross-engine equality is exact. A (part,supplier) pair with
+    // no 1998 shipments is excluded on both engines (inner join here =
+    // NULL-compare false there). At scale: the catalog and the grouped
+    // shipped sum are both lineitem-derived — they equi-join on
+    // (partkey, suppkey) and are never broadcast; the part semi-join
+    // probe is AQE-sized; only fixed-size nation is hinted.
+    QueryDef("tpch_q20",
+      (s, dir) => {
+        val ps = Tables(s, dir, "lineitem")
+          .select(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .distinct()
+          .withColumn("ps_availqty",
+            lit(100L) + (col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 900)
+        val smallParts = Tables(s, dir, "part")
+          .filter(col("p_name").like("small%"))
+          .select(col("p_partkey"))
+        val shipped = Tables(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(QueryDef.cents(col("l_quantity"))).as("shipped_cents"))
+        val qualifying = ps
+          .join(smallParts, col("ps_partkey") === col("p_partkey"), "left_semi")
+          .join(shipped, col("ps_partkey") === col("l_partkey") &&
+            col("ps_suppkey") === col("l_suppkey"))
+          .filter(lit(2L) * (col("ps_availqty") * 100) > col("shipped_cents"))
+          .select(col("ps_suppkey"))
+        val nat = Tables(s, dir, "nation")
+          .filter(col("n_name").isin("NATION_3", "NATION_8"))
+          .select(col("n_nationkey"), col("n_name"))
+        Tables(s, dir, "supplier")
+          .join(qualifying, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+          .orderBy(col("s_name"), col("s_suppkey"))
+      },
+      Some(s"""WITH ps AS (
+              |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+              |  FROM lineitem),
+              |psq AS (
+              |  SELECT ps_partkey, ps_suppkey,
+              |    100 + (ps_partkey * 31 + ps_suppkey * 17) % 900 AS ps_availqty
+              |  FROM ps)
+              |SELECT s_suppkey, s_name, n_name
+              |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              |WHERE n_name IN ('NATION_3', 'NATION_8')
+              |  AND s_suppkey IN (
+              |    SELECT ps_suppkey FROM psq
+              |    WHERE ps_partkey IN (
+              |        SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+              |      AND 2 * (ps_availqty * 100) > (
+              |        SELECT CAST(SUM(${QueryDef.centsSql("l_quantity")}) AS BIGINT)
+              |        FROM lineitem
+              |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              |          AND l_shipdate >= TIMESTAMP '1998-01-01'
+              |          AND l_shipdate < TIMESTAMP '1999-01-01'))
+              |ORDER BY s_name, s_suppkey""".stripMargin)),
+
     QueryDef("tpch_brand_share",
       (s, dir) => {
         val l = Tables(s, dir, "lineitem")

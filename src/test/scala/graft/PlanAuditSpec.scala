@@ -64,7 +64,7 @@ class PlanAuditSpec extends SparkSuite {
     // fact table must never sit under a BroadcastExchange.
     for (q <- Seq("tpch_q3", "tpch_q5", "tpch_q10", "tpch_brand_share", "join_chained",
         "tpch_q7", "tpch_q8", "tpch_q18", "tpch_q4", "tpch_q13", "tpch_q16", "tpch_q2",
-        "tpch_q9")) {
+        "tpch_q9", "tpch_q20")) {
       val df = SparkEntry.queries(q)(spark, dir)
       for (t <- broadcastSubtrees(df))
         assert(!t.contains("lineitem"), s"$q broadcasts the fact side:\n$t")
@@ -184,6 +184,22 @@ class PlanAuditSpec extends SparkSuite {
     // neither may ever be a broadcast build side
     for (t <- broadcastSubtrees(df))
       assert(!t.contains("lineitem"), s"tpch_q9 broadcasts a lineitem side:\n$t")
+  }
+
+  test("tpch_q20: both nested semi-joins survive; threshold agg partial before its exchange") {
+    val df = SparkEntry.queries("tpch_q20")(spark, dir)
+    val p = plan(df)
+    // supplier ← qualifying-catalog IN and catalog ← part-name IN must
+    // both reach the physical plan as LeftSemi (an inner rewrite would
+    // multiply suppliers by qualifying parts)
+    assert("LeftSemi".r.findAllIn(p).size >= 2, p)
+    // the correlated shipped-quantity threshold is decorrelated into
+    // one grouped sum with map-side partial aggregation
+    assert(p.contains("partial_sum"), p)
+    // the shipping-window filter reaches the lineitem scan
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    for (t <- broadcastSubtrees(df))
+      assert(!t.contains("lineitem"), s"tpch_q20 broadcasts a lineitem side:\n$t")
   }
 
   test("join_chained: small dims still broadcast by size, without a forced hint") {
