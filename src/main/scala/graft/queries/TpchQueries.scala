@@ -852,6 +852,76 @@ object TpchQueries {
               |          AND l_shipdate < TIMESTAMP '1999-01-01'))
               |ORDER BY s_name, s_suppkey""".stripMargin)),
 
+    // TPC-H Q11 (adapted — important stock identification): per-part
+    // catalog value in a 3-nation supplier subset, kept only where the
+    // part's value exceeds a multiple of the GLOBAL MEAN — the one
+    // classic pattern left: aggregate-then-HAVING against a scalar
+    // aggregate over the SAME grouped relation. (Q11's textbook
+    // FRACTION-of-total threshold famously doesn't scale with SF; a
+    // mean-relative threshold keeps the result non-vacuous at every
+    // scale, same plan shape.) Decorrelated by construction: the
+    // grouped sums are computed ONCE (persisted — they feed both the
+    // 1-row global total and the threshold filter; the catalog join
+    // itself is never evaluated twice), the total joins back as a
+    // 1-row broadcast. Value reuses Q9's supplycost and Q20's availqty
+    // syntheses; everything after the cents quantization is BIGINT,
+    // and the threshold is integer division ((2·total) div n) so no
+    // float enters the comparison and nothing overflows at any SF.
+    // The oracle keeps the textbook HAVING-scalar-subquery form.
+    QueryDef("tpch_q11",
+      (s, dir) => {
+        val links = Tables(s, dir, "lineitem")
+          .select(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .distinct()
+        val p = Tables(s, dir, "part")
+          .select(col("p_partkey"), col("p_retailprice"))
+        val sup = Tables(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val nat = Tables(s, dir, "nation")
+          .filter(col("n_name").isin("NATION_12", "NATION_13", "NATION_15"))
+          .select(col("n_nationkey"))
+        val supplycostCents = QueryDef.cents(col("p_retailprice") *
+          (lit(0.5) + ((col("ps_partkey") + col("ps_suppkey")) % lit(25)) / lit(100.0)))
+        val availqty =
+          lit(100L) + (col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 900
+        val groups = links
+          .join(p, col("ps_partkey") === col("p_partkey"))
+          .join(sup, col("ps_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("ps_partkey"))
+          .agg(sum(supplycostCents * availqty).as("value_cents"))
+          .persist() // feeds the 1-row total AND the threshold filter
+        val total = groups.agg(sum(col("value_cents")).as("total_cents"),
+          count(lit(1)).as("n_parts"))
+        groups.crossJoin(broadcast(total))
+          .filter(col("value_cents") > expr("(2 * total_cents) div n_parts"))
+          .select(col("ps_partkey"), col("value_cents"))
+          .orderBy(col("value_cents").desc, col("ps_partkey"))
+      },
+      Some(s"""WITH ps AS (
+              |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+              |  FROM lineitem),
+              |valued AS (
+              |  SELECT ps_partkey,
+              |    ${QueryDef.centsSql(
+                   "p_retailprice * (0.5 + ((ps_partkey + ps_suppkey) % 25) / 100.0)")}
+              |      * (100 + (ps_partkey * 31 + ps_suppkey * 17) % 900) AS value_cents
+              |  FROM ps
+              |  JOIN part ON p_partkey = ps_partkey
+              |  JOIN supplier ON s_suppkey = ps_suppkey
+              |  JOIN nation ON n_nationkey = s_nationkey
+              |  WHERE n_name IN ('NATION_12', 'NATION_13', 'NATION_15')),
+              |g AS (
+              |  SELECT ps_partkey, CAST(SUM(value_cents) AS BIGINT) AS value_cents
+              |  FROM valued
+              |  GROUP BY ps_partkey)
+              |SELECT ps_partkey, value_cents
+              |FROM g
+              |WHERE value_cents >
+              |  (SELECT (2 * CAST(SUM(value_cents) AS BIGINT)) // COUNT(*) FROM g)
+              |ORDER BY value_cents DESC, ps_partkey""".stripMargin)),
+
     QueryDef("tpch_brand_share",
       (s, dir) => {
         val l = Tables(s, dir, "lineitem")

@@ -202,6 +202,22 @@ class PlanAuditSpec extends SparkSuite {
       assert(!t.contains("lineitem"), s"tpch_q20 broadcasts a lineitem side:\n$t")
   }
 
+  test("tpch_q11: grouped sums computed once (cached), 1-row total broadcast back") {
+    val df = SparkEntry.queries("tpch_q11")(spark, dir)
+    val p = plan(df)
+    // the catalog join + group-sum subtree must be shared via the
+    // persist — both the global total and the threshold filter read
+    // the cache, never re-running the join
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+    // partial aggregation before the grouping exchange
+    assert(p.contains("partial_sum"), p)
+    // the 1-row total rides a broadcast join back onto the groups —
+    // never a shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache() // release the query's persist
+  }
+
   test("join_chained: small dims still broadcast by size, without a forced hint") {
     // planner size stats (not a hint) must pick broadcast at this SF —
     // the same unhinted plan degrades gracefully to shuffle joins at 100×
