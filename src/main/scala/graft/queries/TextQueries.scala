@@ -148,6 +148,33 @@ object TextQueries {
               |  CAST(least(len(t) - s + 1, 16) AS BIGINT) AS n_tokens
               |FROM starts""".stripMargin)),
 
+    // heavy hitters: every token holding ≥ 0.1% of all token
+    // occurrences, EXACT counts — via the sketch→verify scale path
+    // ([[graft.operators.HeavyHitters]]): bounded per-partition
+    // Space-Saving summaries emit locally-heavy candidates (pigeonhole
+    // completeness — no full-cardinality shuffle), then a second scan
+    // exact-counts candidates only. The oracle is the plain
+    // GROUP BY + HAVING against the global total: the sketch changes
+    // the PLAN, never the answer. Complements vocab_top (fixed top-k)
+    // with the threshold form a mixture/tokenizer audit wants.
+    QueryDef("heavy_hitters",
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("tk")).as[String]
+        graft.operators.HeavyHitters(s, toks, perMille = 1)
+          .orderBy(col("freq").desc, col("tk"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk
+             |  FROM documents),
+             |tot AS (SELECT count(*) AS n FROM toks)
+             |SELECT tk, count(*) AS freq
+             |FROM toks
+             |GROUP BY tk
+             |HAVING 1000 * count(*) >= (SELECT n FROM tot)
+             |ORDER BY freq DESC, tk""".stripMargin)),
+
     // vocabulary building: corpus-wide token frequencies, top 100 —
     // one shuffle on the token, map-side combined (a word count)
     QueryDef("vocab_top",
