@@ -218,6 +218,20 @@ class PlanAuditSpec extends SparkSuite {
     spark.catalog.clearCache() // release the query's persist
   }
 
+  test("heavy_hitters: candidate semi-join prunes before the counting exchange") {
+    val df = SparkEntry.queries("heavy_hitters")(spark, dir)
+    val p = plan(df)
+    // the exact-verify count must only ever shuffle candidate tokens:
+    // the candidate semi-join survives planning, and the count is
+    // map-side partial before its exchange
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("partial_count"), p)
+    // the 1-row global total rides a broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache() // release the summary persist
+  }
+
   test("join_chained: small dims still broadcast by size, without a forced hint") {
     // planner size stats (not a hint) must pick broadcast at this SF —
     // the same unhinted plan degrades gracefully to shuffle joins at 100×
