@@ -41,6 +41,20 @@ class HeavyHittersSpec extends SparkSuite {
       assert(present.contains(k), s"$k (count $c of $n) must be present")
   }
 
+  test("SpaceSaving: over-estimation is bounded by n/capacity (the classic SS bound)") {
+    // est − true ≤ n/k: an estimate inherits at most the evicted
+    // minimum, and the minimum count can never exceed n/k. This is
+    // what makes the per-partition emit threshold meaningful — a
+    // candidate's estimate is at most n/k above reality.
+    val stream = (1 to 2000).map(i => s"k${i % 97}") ++ (1 to 400).map(i => s"one$i")
+    val ss = new SpaceSaving(50)
+    stream.foreach(ss.offer)
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for ((k, est) <- ss.entries)
+      assert(est - truth(k) <= ss.n / ss.capacity,
+        s"$k: est $est vs true ${truth(k)} exceeds n/k = ${ss.n / ss.capacity}")
+  }
+
   test("deterministic eviction: identical streams yield identical summaries") {
     val stream = (1 to 500).map(i => s"k${i % 37}") ++ (1 to 100).map(i => s"x$i")
     def run() = { val ss = new SpaceSaving(8); stream.foreach(ss.offer); ss.entries.toList.sorted }
