@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.core.Pipeline
-import graft.sinks.{CsvSink, JsonlSink, ParquetSink}
-import graft.sources.{CsvSource, JsonlSource, LineSource, ParquetSource}
+import graft.sinks.{CsvSink, JsonlSink, OrcSink, ParquetSink}
+import graft.sources.{CsvSource, JsonlSource, LineSource, OrcSource, ParquetSource}
 import org.apache.spark.sql.functions._
 
 /** File/sink operators driven through the ORACLE gate, not just unit
@@ -43,6 +43,27 @@ object FileQueries {
             col("n_regionkey").cast("int").as("n_regionkey"))
       },
       Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")),
+
+    // ORC round-trip (engine extension — Hive-ecosystem columnar
+    // interchange): orders → OrcSink (distributed parts) → OrcSource —
+    // longs, strings, IEEE doubles (cents-exact after the trip) and
+    // timestamps (UTC session, formatted at the boundary) must all
+    // survive bit-exactly vs the oracle reading the parquet original.
+    QueryDef("orc_roundtrip",
+      (s, dir) => {
+        val out = scratch(dir, "orc_rt")
+        OrcSink(out).write(s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate")))
+        OrcSource(out).load(s)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            QueryDef.cents(col("o_totalprice")).as("totalprice_cents"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("orderdate"))
+      },
+      Some(s"""SELECT o_orderkey, o_orderstatus,
+              |  ${QueryDef.centsSql("o_totalprice")} AS totalprice_cents,
+              |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate
+              |FROM orders""".stripMargin)),
 
     // §2.1.5 LineExtractor: one string record per non-empty trimmed
     // line (src/Extractors/File/LineExtractor.php:15-36) — text written

@@ -35,6 +35,18 @@ final case class ParquetSink(path: String, mode: SaveMode = SaveMode.Overwrite,
   }
 }
 
+/** ORC out (engine extension — mirrors [[ParquetSink]] including the
+  * file-sizing knob; Hive-ecosystem interchange). */
+final case class OrcSink(path: String, mode: SaveMode = SaveMode.Overwrite,
+    partitionBy: Seq[String] = Nil,
+    maxRecordsPerFile: Option[Long] = None) extends Sink {
+  def write(df: DataFrame): Unit = {
+    val base = df.write.mode(mode)
+    val w = maxRecordsPerFile.fold(base)(n => base.option("maxRecordsPerFile", n))
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+}
+
 /** CSV out with the reference's first-line protocol
   * (`src/Loaders/File/CsvLoader.php:103-113`): optional BOM (matching
   * the target `encoding`, like the reference's

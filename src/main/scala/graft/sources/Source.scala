@@ -57,6 +57,19 @@ final case class ParquetSource(
   protected def scan(spark: SparkSession): DataFrame = spark.read.parquet(path)
 }
 
+/** ORC scan (engine extension — the other columnar format a Spark
+  * warehouse interoperates with; Hive-ecosystem tables are commonly
+  * ORC). Same bare-scan discipline as [[ParquetSource]]: predicate
+  * pushdown, column pruning and stripe-level skipping are the
+  * format's + Catalyst's job. */
+final case class OrcSource(
+    path: String,
+    override val limit: Option[Long] = None,
+    override val offset: Long = 0L,
+    override val orderedBy: Seq[String] = Nil) extends Source {
+  protected def scan(spark: SparkSession): DataFrame = spark.read.orc(path)
+}
+
 /** Unicode byte-order marks — the reference's `fab2s\OpinHelpers\Bom`
   * used by its file extractors/loaders (`src/Extractors/File/
   * FileExtractorAbstract.php:53-67` detection, `src/Traits/

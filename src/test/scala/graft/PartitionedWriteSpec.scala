@@ -29,6 +29,25 @@ class PartitionedWriteSpec extends SparkSuite {
     assert(read.count() == expected)
   }
 
+  test("OrcSink carries the same partitioned + sized layout; ORC reads prune") {
+    val out = tmpDir("orc_partwrite")
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    graft.sinks.OrcSink(s"$out/events", partitionBy = Seq("event_type"),
+      maxRecordsPerFile = Some(400L)).write(events.coalesce(1))
+    val dirs = new java.io.File(s"$out/events").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("event_type=")), dirs.toString)
+    val read = spark.read.orc(s"$out/events").filter(col("event_type") === "click")
+    val plan = read.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    assert(read.count() == events.filter(col("event_type") === "click").count())
+    // file sizing holds per partition directory
+    val perFile = spark.read.orc(s"$out/events")
+      .groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(perFile.forall(_ <= 400L), perFile.mkString(","))
+  }
+
   test("ParquetSink maxRecordsPerFile rolls files at the record cap") {
     import graft.sinks.ParquetSink
     val out = tmpDir("sized_write")
