@@ -48,6 +48,24 @@ class PartitionedWriteSpec extends SparkSuite {
     assert(perFile.forall(_ <= 400L), perFile.mkString(","))
   }
 
+  test("per-sink compression codec: zstd files written, read-back identical") {
+    // codec choice is a per-sink tiering decision at 100 TB (archive
+    // zstd vs hot snappy) — pin that the option reaches the writer
+    // (file names carry the codec) and round-trips losslessly
+    val out = tmpDir("codec_write")
+    val orders = spark.read.parquet(sf("orders"))
+    ParquetSink(s"$out/zstd", compression = Some("zstd")).write(orders)
+    val files = new java.io.File(s"$out/zstd").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.contains(".zstd.")), files.mkString(","))
+    assert(spark.read.parquet(s"$out/zstd").count() == orders.count())
+    graft.sinks.OrcSink(s"$out/orc_zstd", compression = Some("zstd")).write(orders)
+    val ofiles = new java.io.File(s"$out/orc_zstd").listFiles()
+      .map(_.getName).filter(_.endsWith(".orc"))
+    assert(ofiles.nonEmpty && ofiles.forall(_.contains(".zstd.")), ofiles.mkString(","))
+    assert(spark.read.orc(s"$out/orc_zstd").count() == orders.count())
+  }
+
   test("ParquetSink maxRecordsPerFile rolls files at the record cap") {
     import graft.sinks.ParquetSink
     val out = tmpDir("sized_write")
