@@ -33,11 +33,20 @@ case object NoOpSink extends Sink {
 final case class ParquetSink(path: String, mode: SaveMode = SaveMode.Overwrite,
     partitionBy: Seq[String] = Nil,
     maxRecordsPerFile: Option[Long] = None,
-    compression: Option[String] = None) extends Sink {
+    compression: Option[String] = None,
+    dynamicPartitionOverwrite: Boolean = false) extends Sink {
   def write(df: DataFrame): Unit = {
     val base = df.write.mode(mode)
     val sized = maxRecordsPerFile.fold(base)(n => base.option("maxRecordsPerFile", n))
-    val w = compression.fold(sized)(c => sized.option("compression", c))
+    val coded = compression.fold(sized)(c => sized.option("compression", c))
+    // incremental-batch idiom: Overwrite + dynamic mode replaces ONLY
+    // the partitions present in this batch (per-write option, not the
+    // session conf — two sinks in one flow can disagree). STATIC (the
+    // default) truncates the whole table first — correct for full
+    // rebuilds, catastrophic for a daily increment into years of
+    // partitions.
+    val w = if (dynamicPartitionOverwrite)
+      coded.option("partitionOverwriteMode", "dynamic") else coded
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 }

@@ -66,6 +66,30 @@ class PartitionedWriteSpec extends SparkSuite {
     assert(spark.read.orc(s"$out/orc_zstd").count() == orders.count())
   }
 
+  test("dynamic partition overwrite replaces only the incoming partitions") {
+    // the daily-increment idiom at scale: a batch carrying one
+    // partition's worth of corrected data must replace THAT partition
+    // and leave every other partition untouched; the default STATIC
+    // overwrite would truncate the whole table first
+    import spark.implicits._
+    val out = tmpDir("dyn_overwrite")
+    val base = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("c", 100L))
+      .toDF("part", "v")
+    ParquetSink(s"$out/t", partitionBy = Seq("part")).write(base)
+    // corrected batch for partition "a" only
+    val patch = Seq(("a", 99L)).toDF("part", "v")
+    ParquetSink(s"$out/t", partitionBy = Seq("part"),
+      dynamicPartitionOverwrite = true).write(patch)
+    val got = spark.read.parquet(s"$out/t")
+      .collect().map(r => (r.getAs[String]("part"), r.getAs[Long]("v"))).toSet
+    assert(got == Set(("a", 99L), ("b", 10L), ("c", 100L)))
+    // and without the knob, STATIC overwrite truncates everything else
+    ParquetSink(s"$out/t", partitionBy = Seq("part")).write(patch)
+    val afterStatic = spark.read.parquet(s"$out/t")
+      .collect().map(r => (r.getAs[String]("part"), r.getAs[Long]("v"))).toSet
+    assert(afterStatic == Set(("a", 99L)))
+  }
+
   test("ParquetSink maxRecordsPerFile rolls files at the record cap") {
     import graft.sinks.ParquetSink
     val out = tmpDir("sized_write")
