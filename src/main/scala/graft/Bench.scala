@@ -1,4 +1,5 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — driver contract: ONE JSON line on stdout.
@@ -15,11 +16,15 @@ import org.apache.spark.sql.SparkSession
   *    sample of a contiguous block (exactly what BENCH_r02 recorded);
   *    interleaving spreads a noise window across one sample of many
   *    queries, and the per-query median across rounds shrugs it off;
-  *  - ADAPTIVE rounds: after the standard 3 measured rounds, if the
-  *    RAW noise figure (max relative untrimmed range — deliberately
-  *    burst-sensitive) still exceeds 2, up to 4 MORE interleaved
-  *    rounds run — the published medians are across all rounds, so the
-  *    record survives a noise window instead of merely flagging it;
+  *  - TARGETED adaptive rounds: after the standard 3 measured rounds,
+  *    up to 4 MORE interleaved rounds run over ONLY the queries whose
+  *    own raw spread (max−min, deliberately burst-sensitive) still
+  *    exceeds 2× their median — the published medians are across all
+  *    of a query's rounds, so a contaminated recording gets more clean
+  *    samples instead of merely flagging itself. Re-timing the full
+  *    board (the r6 behavior) spent ≈5 min re-running ~100 calm
+  *    queries because ONE was bursty; the subset extension buys the
+  *    same statistical repair for the cost of the affected queries;
   *  - the PUBLISHED per-query spread (and the aggregate `noise` built
   *    from it) is MAD-based — 2 × median absolute deviation from the
   *    median — so it describes STEADY-STATE variance: a co-tenant
@@ -29,22 +34,41 @@ import org.apache.spark.sql.SparkSession
   *    any <50% contamination). The burst-sensitive raw figure is still
   *    published as `raw_noise`, and every raw sample still lands in
   *    target/bench.json, untrimmed — the record keeps the evidence,
-  *    the headline keeps the signal;
+  *    the headline keeps the signal. Both JSON outputs carry
+  *    `"spread_stat":"mad2"` so a consumer comparing recordings across
+  *    rounds can tell which statistic each used (the r5→r6 switch from
+  *    trimmed range to MAD changed the meaning of `noise`/`spread`
+  *    under the same key with no marker);
   *  - a full warmup round (discarded) runs first, so JIT + per-query
   *    codegen compilation never lands in a measured sample;
   *  - the clock stops BEFORE cache teardown (clearCache is bookkeeping
   *    between queries, not query cost);
   *  - a query that fails on ANY run reports -1.0 (never a success time
   *    that silently hides a flaky failure) and is excluded from total;
-  *  - stdout stays compact (%.2f medians, one aggregate `noise` figure)
-  *    so the driver's tail capture can never truncate it mid-JSON; the
-  *    complete record — every sample, per-query spreads — goes to
+  *  - stdout stays compact (%.2f medians, one aggregate `noise` figure,
+  *    per-query shuffle KiB as integers) so the driver's tail capture
+  *    can never truncate it mid-JSON; the complete record — every
+  *    sample, per-query spreads, exact shuffle bytes — goes to
   *    target/bench.json.
+  *
+  * Shuffle-bytes regression gate: medians at 0.1–0.3 s are
+  * noise-limited, but the BYTES a query shuffles are a property of the
+  * plan, not the machine — a plan regression (lost broadcast, lost
+  * partial agg, lost semi-join prune) shows up as a bytes jump long
+  * before it is timeable above co-tenant noise. The warmup round runs
+  * under a [[QueryMetrics]] listener; per-query shuffle bytes/records
+  * and output rows land in target/bench.json (and a TSV snapshot at
+  * target/shuffle_current.tsv), and are compared against the committed
+  * record `bench/shuffle_baseline.tsv` when its scale factor matches —
+  * any query growing >10% (and >64 KiB absolute, so a few-KiB query
+  * can't flake the gate) is listed in `shuffle_regressions` in both
+  * JSON outputs. Accepting an intentional plan change = regenerating
+  * the baseline from target/shuffle_current.tsv in the same commit.
   */
 object Bench {
   private val BaseRounds = 3
   private val MaxRounds = 7
-  private val NoiseTarget = 2.0
+  private[graft] val NoiseTarget = 2.0
 
   /** Median / MAD-based spread of one query's samples. Spread is
     * 2 × median(|t − median|): robust to bursts contaminating up to
@@ -64,6 +88,73 @@ object Bench {
     * samples to describe steady state with). */
   private[graft] def rawSpread(ts: Seq[Double]): Double =
     if (ts.isEmpty) 0.0 else ts.max - ts.min
+
+  /** Extension trigger for ONE query's recording: its own raw spread
+    * exceeds [[NoiseTarget]]× its median. Per-query (not board-wide) so
+    * a single bursty query extends itself, not ~100 calm neighbours. */
+  private[graft] def burstContaminated(ts: Seq[Double]): Boolean =
+    ts.nonEmpty && ts.forall(_ >= 0) && {
+      val m = stat(ts)._1
+      m > 0 && rawSpread(ts) / m > NoiseTarget
+    }
+
+  /** Shuffle-bytes gate: queries whose current bytes exceed the
+    * committed record by BOTH >10% relative and >64 KiB absolute (the
+    * absolute floor keeps a few-KiB query's natural jitter — map-side
+    * combine order, AQE coalesce boundaries — from flaking the gate;
+    * a real lost-broadcast/lost-partial-agg regression moves MiBs).
+    * Returns human-readable findings, empty = clean. Queries absent
+    * from the baseline (new this round) are not findings — they enter
+    * the record when the baseline is next regenerated. */
+  private[graft] def shuffleRegressions(current: Map[String, Long],
+      baseline: Map[String, Long], tolerance: Double = 0.10,
+      floorBytes: Long = 64L << 10): Seq[String] =
+    current.toSeq.sortBy(_._1).flatMap { case (q, cur) =>
+      baseline.get(q) match {
+        case Some(prev) if cur > prev + floorBytes &&
+            cur.toDouble > prev.toDouble * (1.0 + tolerance) =>
+          Some(s"$q: $prev -> $cur bytes (+${(100.0 * (cur - prev) / prev.max(1)).round}%)")
+        case _ => None
+      }
+    }
+
+  /** Per-query task-metric totals, accumulated from the async listener
+    * bus. [[quiesce]] must be called after the action returns and
+    * before [[snapshot]]: bus delivery is in-order, so once every
+    * posted job-start has its job-end delivered (and the counters hold
+    * still for a beat), all task-end events of the finished query are
+    * folded in. */
+  private[graft] final class QueryMetrics extends SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    private val shufBytes = new AtomicLong
+    private val shufRecords = new AtomicLong
+    private val outRows = new AtomicLong
+    private val jobsStarted = new AtomicLong
+    private val jobsEnded = new AtomicLong
+    override def onJobStart(js: SparkListenerJobStart): Unit = { jobsStarted.incrementAndGet(); () }
+    override def onJobEnd(je: SparkListenerJobEnd): Unit = { jobsEnded.incrementAndGet(); () }
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        outRows.addAndGet(m.outputMetrics.recordsWritten)
+        ()
+      }
+    }
+    def snapshot(): (Long, Long, Long) = (shufBytes.get, shufRecords.get, outRows.get)
+    def quiesce(timeoutMs: Long = 5000): Unit = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      var stable = false
+      while (!stable && System.nanoTime() < deadline) {
+        val s = jobsStarted.get
+        if (s == jobsEnded.get) {
+          Thread.sleep(50)
+          stable = s == jobsStarted.get && s == jobsEnded.get
+        } else Thread.sleep(10)
+      }
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -115,28 +206,42 @@ object Bench {
       }
     }
 
-    // warmup round: JIT + per-query codegen + FS cache; not recorded
-    names.foreach(time)
+    // warmup round: JIT + per-query codegen + FS cache; not timed — so
+    // it doubles as the metrics round: shuffle bytes are a plan
+    // property (identical every run), and capturing them here keeps the
+    // quiesce wait out of the measured samples
+    val metrics = new QueryMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    val shuffleStats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
+    names.foreach { n =>
+      metrics.quiesce()
+      val before = metrics.snapshot()
+      val t = time(n)
+      metrics.quiesce()
+      val after = metrics.snapshot()
+      shuffleStats(n) =
+        if (t < 0) (-1L, -1L, -1L)
+        else (after._1 - before._1, after._2 - before._2, after._3 - before._3)
+    }
 
     // measured rounds, interleaved: samples(q) accumulates one time per
     // round, so any noise window spans many queries × one sample each.
-    // Extra rounds run while the aggregate noise figure says the
-    // recording is untrustworthy (co-tenant window), capped at 7.
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
       names.map(n => n -> Vector.empty[Double]): _*)
-    def worstRawNoise: Double = samples.values.collect {
-      case ts if ts.nonEmpty && ts.forall(_ >= 0) =>
-        val m = stat(ts)._1
-        if (m > 0) rawSpread(ts) / m else 0.0
-    }.foldLeft(0.0)(math.max)
-
     var rounds = 0
-    while (rounds < BaseRounds || (worstRawNoise > NoiseTarget && rounds < MaxRounds)) {
+    while (rounds < BaseRounds) {
       names.foreach(n => samples(n) = samples(n) :+ time(n))
       rounds += 1
-      if (rounds >= BaseRounds && worstRawNoise > NoiseTarget && rounds < MaxRounds)
-        System.err.println(
-          f"[bench] raw noise ${worstRawNoise}%.2f > $NoiseTarget%.1f after $rounds rounds — extending")
+    }
+    // targeted extension: re-time ONLY the burst-contaminated queries
+    // (still interleaved across that subset), capped at MaxRounds total
+    var bursty = names.filter(n => burstContaminated(samples(n)))
+    while (bursty.nonEmpty && rounds < MaxRounds) {
+      System.err.println(
+        s"[bench] ${bursty.size} bursty queries after $rounds rounds — extending: ${bursty.mkString(", ")}")
+      bursty.foreach(n => samples(n) = samples(n) :+ time(n))
+      rounds += 1
+      bursty = bursty.filter(n => burstContaminated(samples(n)))
     }
 
     val stats = names.map { n =>
@@ -156,20 +261,53 @@ object Bench {
     val rawNoise = stats.collect { case (_, m, _, ts) if m > 0 => rawSpread(ts) / m }
       .foldLeft(0.0)(math.max)
 
+    // shuffle gate vs the committed record (scale-factor-matched)
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val baselinePath = java.nio.file.Paths.get("bench", "shuffle_baseline.tsv")
+    val baseline: Map[String, Long] =
+      if (java.nio.file.Files.exists(baselinePath)) {
+        val lines = scala.jdk.CollectionConverters
+          .ListHasAsScala(java.nio.file.Files.readAllLines(baselinePath)).asScala.toSeq
+        val sfLine = lines.find(_.startsWith("# sf=")).map(_.stripPrefix("# sf="))
+        if (sfLine.contains(sfName))
+          lines.filterNot(_.startsWith("#")).flatMap { l =>
+            l.split('\t') match {
+              case Array(q, b, _*) => scala.util.Try(q -> b.toLong).toOption
+              case _ => None
+            }
+          }.toMap
+        else Map.empty
+      } else Map.empty
+    val currentBytes = shuffleStats.collect { case (q, (b, _, _)) if b >= 0 => q -> b }.toMap
+    val regressions = shuffleRegressions(currentBytes, baseline)
+    regressions.foreach(r => System.err.println(s"[bench] SHUFFLE REGRESSION $r"))
+    // snapshot for regenerating the committed baseline after an
+    // intentional plan change
+    val tsvOut = java.nio.file.Paths.get("target", "shuffle_current.tsv")
+    java.nio.file.Files.createDirectories(tsvOut.getParent)
+    java.nio.file.Files.write(tsvOut,
+      (s"# sf=$sfName\n" + names.map(n => s"$n\t${shuffleStats(n)._1}").mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+
+    val regJson = regressions.map(r => "\"" + r + "\"").mkString("[", ",", "]")
     val qs = stats.map { case (k, m, _, _) => "\"" + k + f"\":$m%.2f" }
       .mkString("{", ",", "}")
+    val shufKb = names.map { n =>
+      "\"" + n + s"""\":${if (shuffleStats(n)._1 < 0) -1 else shuffleStats(n)._1 >> 10}"""
+    }.mkString("{", ",", "}")
     val full = {
       val perQuery = stats.map { case (k, m, sp, ts) =>
         val runs = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
-        "\"" + k + f"""\":{"median":$m%.3f,"spread":$sp%.3f,"raw_spread":${rawSpread(ts)}%.3f,"runs":$runs}"""
+        val (sb, sr, or) = shuffleStats(k)
+        "\"" + k + f"""\":{"median":$m%.3f,"spread":$sp%.3f,"raw_spread":${rawSpread(ts)}%.3f,"shuffle_bytes":$sb,"shuffle_records":$sr,"out_rows":$or,"runs":$runs}"""
       }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"noise":$noise%.3f,"raw_noise":$rawNoise%.3f,"queries":$perQuery,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"noise":$noise%.3f,"raw_noise":$rawNoise%.3f,"spread_stat":"mad2","shuffle_regressions":$regJson,"queries":$perQuery,"sf":"$sfDir"}"""
     }
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
 
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"noise":$noise%.2f,"raw_noise":$rawNoise%.2f,"rounds":$rounds,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"noise":$noise%.2f,"raw_noise":$rawNoise%.2f,"spread_stat":"mad2","rounds":$rounds,"shuffle_kb":$shufKb,"shuffle_regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

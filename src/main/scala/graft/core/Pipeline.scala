@@ -334,8 +334,16 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step],
             df.filter(cond).select(lit(1).as("__graft_break")).limit(1),
             s"break_$i")
           if (forExec) {
-            if (durableFanout) signal = signal.checkpoint() // ≤1 row, eager
-            else { signal = signal.persist(); persisted += signal }
+            if (durableFanout) {
+              // same precondition as the fan-out checkpoint: without it
+              // a durable pipeline whose ONLY durable node is a break
+              // signal would fail with Spark's raw "checkpoint
+              // directory has not been set" instead of this message
+              require(spark.sparkContext.getCheckpointDir.isDefined,
+                "durable() break signal needs spark.sparkContext.setCheckpointDir " +
+                  "(a reliable store every executor can read)")
+              signal = signal.checkpoint() // ≤1 row, eager
+            } else { signal = signal.persist(); persisted += signal }
           }
           breakSignals += signal
           // this flow's own continuation past the break point is gated

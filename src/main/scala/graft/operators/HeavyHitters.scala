@@ -25,12 +25,16 @@ import org.apache.spark.sql.functions._
   * Completeness is a pigeonhole argument, not a probabilistic one:
   * if a token's global share is ≥ f = perMille/1000, then in at least
   * one partition its local share is ≥ f (otherwise the global sum
-  * would be < f·N). Space-Saving with capacity k ≥ 1000/perMille
-  * guarantees every key with local share ≥ 1/k stays in the summary
-  * with estimate ≥ its true count, so the per-partition emit
-  * (1000·est ≥ perMille·n_p) can never drop a truly heavy token.
-  * The default capacity doubles the bound for slack. All thresholds
-  * are integer arithmetic — nothing float-dependent anywhere.
+  * would be < f·N). Space-Saving with capacity k guarantees presence
+  * (estimate ≥ true count) only for keys with local count STRICTLY
+  * ABOVE n/k — at exactly n/k a key can be evicted — so k must be
+  * strictly larger than 1000/perMille for the per-partition emit
+  * (1000·est ≥ perMille·n_p) to never drop a truly heavy token.
+  * The constructor therefore requires the DOUBLED bound
+  * (capacity·perMille ≥ 2000): a boundary-share token then sits at
+  * twice the eviction threshold, safely inside the guarantee. All
+  * thresholds are integer arithmetic — nothing float-dependent
+  * anywhere.
   */
 object HeavyHitters {
 
@@ -106,8 +110,11 @@ object HeavyHitters {
   def apply(s: SparkSession, tokens: Dataset[String],
       perMille: Long = 1, capacity: Int = 2000): DataFrame = {
     require(perMille >= 1 && perMille <= 1000, s"perMille=$perMille")
-    require(capacity * perMille >= 1000L,
-      s"capacity=$capacity too small for perMille=$perMille (needs ≥ ${1000 / perMille})")
+    // doubled pigeonhole bound: SS guarantees presence only STRICTLY
+    // above n/capacity, so capacity·perMille == 1000 exactly would let
+    // a boundary-share token be evicted — 'exact' would silently lie
+    require(capacity * perMille >= 2000L,
+      s"capacity=$capacity too small for perMille=$perMille (needs ≥ ${2000 / perMille})")
     import s.implicits._
     val summaries = tokens.mapPartitions { it =>
       val ss = new SpaceSaving(capacity)

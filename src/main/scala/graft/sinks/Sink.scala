@@ -56,11 +56,14 @@ final case class ParquetSink(path: String, mode: SaveMode = SaveMode.Overwrite,
 final case class OrcSink(path: String, mode: SaveMode = SaveMode.Overwrite,
     partitionBy: Seq[String] = Nil,
     maxRecordsPerFile: Option[Long] = None,
-    compression: Option[String] = None) extends Sink {
+    compression: Option[String] = None,
+    dynamicPartitionOverwrite: Boolean = false) extends Sink {
   def write(df: DataFrame): Unit = {
     val base = df.write.mode(mode)
     val sized = maxRecordsPerFile.fold(base)(n => base.option("maxRecordsPerFile", n))
-    val w = compression.fold(sized)(c => sized.option("compression", c))
+    val coded = compression.fold(sized)(c => sized.option("compression", c))
+    val w = if (dynamicPartitionOverwrite)
+      coded.option("partitionOverwriteMode", "dynamic") else coded
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 }

@@ -51,4 +51,31 @@ class BenchStatSpec extends AnyFunSuite {
     val (m2, _) = Bench.stat(Seq(1.0, 2.0, 3.0))
     assert(m1 === m2)
   }
+
+  test("targeted extension: a burst recording flags ONLY the affected query") {
+    // r6 hit the 7-round cap re-timing ~100 calm queries because one
+    // was bursty; the trigger is per-query, so only the contaminated
+    // recording asks for more samples
+    assert(Bench.burstContaminated(Seq(1.4, 1.5, 16.4)))   // bm25-style burst
+    assert(!Bench.burstContaminated(Seq(1.4, 1.5, 1.6)))   // calm neighbour
+    assert(!Bench.burstContaminated(Seq(0.30, 0.34, 0.37))) // small-median jitter < 2×
+    assert(!Bench.burstContaminated(Seq(-1.0, 1.5, 1.6)))  // failed runs never extend
+    assert(!Bench.burstContaminated(Nil))
+  }
+
+  test("shuffle gate fires on an intentional regression and stays quiet otherwise") {
+    val baseline = Map("big" -> (10L << 20), "small" -> (10L << 10), "gone" -> 5L)
+    // +20% on a 10 MiB query: a real plan regression — fires
+    val fired = Bench.shuffleRegressions(Map("big" -> (12L << 20)), baseline)
+    assert(fired.size == 1 && fired.head.startsWith("big:"), fired)
+    // +5% on the same query: inside tolerance — quiet
+    assert(Bench.shuffleRegressions(Map("big" -> ((10L << 20) + (512L << 10))), baseline).isEmpty)
+    // +100% on a 10 KiB query: relative jump but under the 64 KiB
+    // absolute floor (few-KiB jitter can't flake the gate) — quiet
+    assert(Bench.shuffleRegressions(Map("small" -> (20L << 10)), baseline).isEmpty)
+    // a query not in the committed record (new this round) — quiet
+    assert(Bench.shuffleRegressions(Map("brand_new" -> (1L << 30)), baseline).isEmpty)
+    // shrinking is never a finding
+    assert(Bench.shuffleRegressions(Map("big" -> (1L << 20)), baseline).isEmpty)
+  }
 }

@@ -89,4 +89,16 @@ class HeavyHittersSpec extends SparkSuite {
     assert(tight <= loose)
     spark.catalog.clearCache()
   }
+
+  test("the exact 1000/perMille capacity is rejected — SS presence is strict-inequality") {
+    // capacity·perMille == 1000 puts a boundary-share token exactly AT
+    // the eviction threshold, where Space-Saving may drop it — the
+    // doubled bound is a hard floor, not advice
+    import spark.implicits._
+    val toks = spark.createDataset(Seq("a", "b"))
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters(spark, toks, perMille = 5, capacity = 200)
+    }
+    assert(e.getMessage.contains("too small"))
+  }
 }

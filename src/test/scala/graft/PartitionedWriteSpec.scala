@@ -88,6 +88,13 @@ class PartitionedWriteSpec extends SparkSuite {
     val afterStatic = spark.read.parquet(s"$out/t")
       .collect().map(r => (r.getAs[String]("part"), r.getAs[Long]("v"))).toSet
     assert(afterStatic == Set(("a", 99L)))
+    // OrcSink mirrors the same per-write knob
+    graft.sinks.OrcSink(s"$out/o", partitionBy = Seq("part")).write(base)
+    graft.sinks.OrcSink(s"$out/o", partitionBy = Seq("part"),
+      dynamicPartitionOverwrite = true).write(patch)
+    val gotOrc = spark.read.orc(s"$out/o")
+      .collect().map(r => (r.getAs[String]("part"), r.getAs[Long]("v"))).toSet
+    assert(gotOrc == Set(("a", 99L), ("b", 10L), ("c", 100L)))
   }
 
   test("ParquetSink maxRecordsPerFile rolls files at the record cap") {

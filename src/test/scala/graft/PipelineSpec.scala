@@ -325,15 +325,46 @@ class PipelineSpec extends SparkSuite {
     assert(first == second)
   }
 
-  test("durable fan-out without a checkpoint dir fails fast with a clear message") {
+  /** Run `body` with the SparkContext's checkpoint dir UNSET, restoring
+    * it after. The dir is context-scoped with no public unset, so a
+    * conditional skip (the previous shape of these tests) silently
+    * loses coverage whenever any earlier test on the shared session set
+    * a dir — reset the underlying field instead so the fail-fast path
+    * is always exercised regardless of suite ordering. */
+  private def withNoCheckpointDir[A](body: => A): A = {
     val sc = spark.sparkContext
-    // declared BEFORE the durable-mode test (which sets a dir on the
-    // shared session); only meaningful while no dir is configured
-    if (sc.getCheckpointDir.isEmpty) {
+    val saved = sc.getCheckpointDir
+    val field = sc.getClass.getDeclaredField("checkpointDir")
+    field.setAccessible(true)
+    field.set(sc, None)
+    try body finally saved.foreach(sc.setCheckpointDir)
+  }
+
+  test("durable fan-out without a checkpoint dir fails fast with a clear message") {
+    withNoCheckpointDir {
       val report = Pipeline
         .from(ParquetSource(sf("nation")))
         .to(ParquetSink(s"${tmpDir("nockpt")}/a"))
         .to(ParquetSink(s"${tmpDir("nockpt")}/b"))
+        .durable()
+        .exec(spark)
+      report.status match {
+        case PipelineStatus.Failed(e) =>
+          assert(e.getMessage.contains("setCheckpointDir"))
+        case other => fail(s"expected Failed(setCheckpointDir), got $other")
+      }
+    }
+  }
+
+  test("durable break signal without a checkpoint dir fails fast too (no fan-out)") {
+    // single sink — the fan-out checkpoint never runs, so this pins the
+    // break-signal path's own guard (it used to surface Spark's raw
+    // "checkpoint directory has not been set")
+    withNoCheckpointDir {
+      val report = Pipeline
+        .from(RangeSource(10))
+        .interruptRootOn(col("id") === 3)
+        .to(ParquetSink(s"${tmpDir("nockpt_break")}/a"))
         .durable()
         .exec(spark)
       report.status match {
