@@ -699,33 +699,67 @@ object DedupQueries {
     // one sizing signal both engines compute identically.
     QueryDef("dedup_semantic",
       (s, dir) => {
-        val drops = semanticDropsFrozen(s, dir, tau = 0.4)
-        drops._1
-          .join(drops._2, Seq("vec_id"), "left_anti")
+        val (assigned, drops, _) = semanticDropsFrozen(s, dir, tau = 0.4)
+        assigned
+          .join(drops, Seq("vec_id"), "left_anti")
           .select(col("vec_id"), col("c_id"))
           .withColumn("kept", lit(1L))
       },
-      Some(s"""WITH p AS (
-              |  SELECT greatest(8, least(1048576, CAST(ceil(count(*) / 1024.0) AS BIGINT))) AS k
-              |  FROM embeddings),
-              |cents AS (
-              |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
-              |  WHERE vec_id < (SELECT k FROM p)),
-              |assign AS (
-              |  SELECT vec_id, embedding, c_id,
-              |    row_number() OVER (PARTITION BY vec_id
-              |      ORDER BY ${cosineSql("e.embedding", "c_emb")} DESC, c_id) AS rk
-              |  FROM embeddings e CROSS JOIN cents),
-              |cells AS (SELECT vec_id, embedding, c_id FROM assign WHERE rk = 1),
-              |drops AS (
-              |  SELECT DISTINCT a.vec_id
-              |  FROM cells a JOIN cells b
-              |    ON a.c_id = b.c_id AND a.vec_id > b.vec_id
-              |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4)
-              |SELECT c.vec_id, c.c_id, CAST(1 AS BIGINT) AS kept
-              |FROM cells c
-              |WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.vec_id = c.vec_id)""".stripMargin))
+      Some(semanticOracleSql(CellTargetRows))),
+
+    // same operator with the cell target forced small enough that the
+    // ceil(rows/target) K-GROWTH branch — the mechanism that keeps the
+    // within-cell self-join bounded at 100× scale — is what the DuckDB
+    // oracle checks: at every driver SF the default target of 1024
+    // floors k at 8 (embeddings: 500/500/2,000 rows ≪ 8·1024), so the
+    // sizing arithmetic, the k-way assignment tie-breaks and the
+    // many-cell prune would otherwise never be exercised cross-engine.
+    // target=16 → k=32 at sf0.001/sf0.01, k=125 at sf0.1; the require
+    // makes this query's PURPOSE load-bearing — it fails loudly if data
+    // changes ever put it back on the floor.
+    QueryDef("dedup_semantic_k",
+      (s, dir) => {
+        val (assigned, drops, k) = semanticDropsFrozen(s, dir, tau = 0.4,
+          targetRows = GrowthProbeTargetRows)
+        require(k > 8,
+          s"dedup_semantic_k must exercise the k-growth branch, got floor k=$k")
+        assigned
+          .join(drops, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("c_id"))
+          .withColumn("kept", lit(1L))
+      },
+      Some(semanticOracleSql(GrowthProbeTargetRows)))
   )
+
+  /** Cell target for [[QueryDef dedup_semantic_k]] — small enough that
+    * k leaves the floor of 8 at EVERY driver scale factor. */
+  private[graft] def GrowthProbeTargetRows: Long = 16L
+
+  /** The `dedup_semantic` oracle, parameterized by the cell target so
+    * the k-sizing expression the oracle recomputes is the SAME
+    * arithmetic the Scala query ran ([[cellCountRows]]) — not a
+    * constant that happens to match at one scale factor. */
+  private def semanticOracleSql(targetRows: Long): String =
+    s"""WITH p AS (
+       |  SELECT greatest(8, least(1048576, CAST(ceil(count(*) / $targetRows.0) AS BIGINT))) AS k
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+       |  WHERE vec_id < (SELECT k FROM p)),
+       |assign AS (
+       |  SELECT vec_id, embedding, c_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ${cosineSql("e.embedding", "c_emb")} DESC, c_id) AS rk
+       |  FROM embeddings e CROSS JOIN cents),
+       |cells AS (SELECT vec_id, embedding, c_id FROM assign WHERE rk = 1),
+       |drops AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM cells a JOIN cells b
+       |    ON a.c_id = b.c_id AND a.vec_id > b.vec_id
+       |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4)
+       |SELECT c.vec_id, c.c_id, CAST(1 AS BIGINT) AS kept
+       |FROM cells c
+       |WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.vec_id = c.vec_id)""".stripMargin
 
   /** SemDeDup cell-count sizing: one k-means cell per ~256 KiB of
     * embedding input (≈1024 64-dim float32 vectors), floor 8, capped at
@@ -736,34 +770,59 @@ object DedupQueries {
   private[graft] def cellCount(inputBytes: BigInt): Int =
     ((inputBytes.max(0) + CellTargetBytes - 1) / CellTargetBytes)
       .max(8).min(1 << 20).toInt
-  private[graft] val CellTargetBytes: BigInt = BigInt(256) << 10
+  private[graft] def CellTargetBytes: BigInt = BigInt(256) << 10
 
   /** Row-count cell sizing for the ORACLED `dedup_semantic`: one cell
-    * per ~1024 vectors, floor 8, capped at 2^20 — same bounded-cell
-    * discipline as [[cellCount]], but driven by a row count because
-    * that is the one sizing signal the DuckDB oracle can recompute
-    * exactly (`greatest(8, least(1048576, ceil(count(*)/1024)))`).
-    * All testdata SFs sit on the floor (pinned in SemDedupSpec). */
-  private[graft] def cellCountRows(rows: Long): Int =
-    ((BigInt(rows).max(0) + CellTargetRows - 1) / CellTargetRows)
+    * per ~`targetRows` vectors (default 1024), floor 8, capped at
+    * 2^20 — same bounded-cell discipline as [[cellCount]], but driven
+    * by a row count because that is the one sizing signal the DuckDB
+    * oracle can recompute exactly
+    * (`greatest(8, least(1048576, ceil(count(*)/target)))`).
+    * At the default target all testdata SFs sit on the floor (pinned
+    * in SemDedupSpec); `dedup_semantic_k` shrinks the target so the
+    * growth branch meets the oracle too. */
+  private[graft] def cellCountRows(rows: Long,
+      targetRows: Long = CellTargetRows): Int =
+    ((BigInt(rows).max(0) + targetRows - 1) / targetRows)
       .max(8).min(1 << 20).toInt
-  private[graft] val CellTargetRows: Long = 1024L
+  private[graft] def CellTargetRows: Long = 1024L
 
-  /** Oracled machinery for `dedup_semantic`: exact stand-in centroids
-    * (first k vec_ids — the IVF trick, deterministic on both engines),
-    * one broadcast assignment pass with a map-side-combinable argmin
-    * (cosine desc, c_id tiebreak — mirrors [[graft.operators.KMeans
-    * .assign]]'s `min_by` shape), then the within-cell cosine prune.
-    * Returns (assigned = vec_id→cell with embedding+norm, drops =
-    * vec_ids with a lower-id cell-mate at cosine ≥ tau). `assigned` is
-    * persisted — it feeds both self-join sides and the final
-    * anti-join; the caller's clearCache sweep releases it (Bench/
-    * Verify contract). The corpus side only ever shuffles once (the
-    * groupBy argmin); the self-join is cell-bounded, never all-pairs. */
+  /** Absolute hot-cell floor for [[semanticDropsFrozen]]'s balance
+    * guard: a cell may always hold up to this many vectors (4096² ≈
+    * 16.8M within-cell pairs — cheap), and beyond it only in
+    * proportion to the corpus's own rows-per-cell expectation. */
+  private[graft] def HotCellFloor: Long = 4096L
+
+  /** Oracled machinery for `dedup_semantic` / `dedup_semantic_k`:
+    * exact stand-in centroids (first k vec_ids — the IVF trick,
+    * deterministic on both engines), one broadcast assignment pass
+    * with a map-side-combinable argmin (cosine desc, c_id tiebreak —
+    * mirrors [[graft.operators.KMeans.assign]]'s `min_by` shape), then
+    * the within-cell cosine prune. Returns (assigned = vec_id→cell
+    * with embedding+norm, drops = vec_ids with a lower-id cell-mate at
+    * cosine ≥ tau, k). `assigned` is persisted — it feeds both
+    * self-join sides and the final anti-join; the caller's clearCache
+    * sweep releases it (Bench/Verify contract). The corpus side only
+    * ever shuffles once (the groupBy argmin); the self-join is
+    * cell-bounded, never all-pairs.
+    *
+    * Hot-cell guard: frozen first-k centroids give bit-exact oracles
+    * but NO balance guarantee — a pathologically clumped corpus (every
+    * vector nearest the same centroid) degenerates the |cell|²
+    * self-join back to all-pairs. Rather than silently run a quadratic
+    * job, the guard fails loudly (same fail-loud discipline as
+    * dedup_clusters' convergence throw) when the largest cell exceeds
+    * max(64 × rows/k, [[HotCellFloor]]): 64× the balanced expectation
+    * tolerates ordinary skew, and the absolute floor keeps floor-k
+    * corpora (rows ≤ 8·target, where one cell legitimately holds a
+    * large share) out of the guard's reach. The check is one aggregate
+    * over the already-persisted assignment — ≤ k rows exchange. */
   private[graft] def semanticDropsFrozen(s: SparkSession, dir: String,
-      tau: Double): (DataFrame, DataFrame) = {
+      tau: Double, targetRows: Long = CellTargetRows)
+      : (DataFrame, DataFrame, Int) = {
     val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val k = cellCountRows(emb.count())
+    val rows = emb.count()
+    val k = cellCountRows(rows, targetRows)
     val e = emb.withColumn("nrm", sqrt(dotFast(col("embedding"), col("embedding"))))
     val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
@@ -777,13 +836,23 @@ object DedupQueries {
         any_value(col("embedding")).as("embedding"),
         any_value(col("nrm")).as("nrm"))
       .persist()
+    val hotBound = math.max(64L * ((rows.max(1) + k - 1) / k), HotCellFloor)
+    val maxCell = assigned.groupBy(col("c_id")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).first().getLong(0)
+    if (maxCell > hotBound) {
+      assigned.unpersist()
+      throw new IllegalStateException(
+        s"semantic dedup hot cell: largest of $k cells holds $maxCell of $rows " +
+          s"vectors (bound $hotBound) — frozen stand-in centroids cannot block " +
+          "this corpus; use the trained path (semanticDrops/KMeans) or raise k")
+    }
     val drops = assigned.as("a").join(assigned.as("b"),
         col("a.c_id") === col("b.c_id") && col("a.vec_id") > col("b.vec_id"))
       .filter(cosineFast(col("a.embedding"), col("b.embedding"),
         col("a.nrm"), col("b.nrm")) >= tau)
       .select(col("a.vec_id").as("vec_id"))
       .distinct()
-    (assigned, drops)
+    (assigned, drops, k)
   }
 
   /** Shared machinery for the TRAINED SemDeDup path and its brute-force test:

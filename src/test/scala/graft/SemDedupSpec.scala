@@ -46,15 +46,64 @@ class SemDedupSpec extends SparkSuite {
   }
 
   test("dedup_semantic (frozen-centroid driver query) matches brute-force within-cell pruning") {
-    val (assigned, _) = graft.queries.DedupQueries.semanticDropsFrozen(
+    val (assigned, _, k) = graft.queries.DedupQueries.semanticDropsFrozen(
       spark, dir, tau = 0.4)
     val (all, expectDropped) = bruteDrops(assigned)
     val kept = SparkEntry.queries("dedup_semantic")(spark, dir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(all.size === 500)
+    assert(k === 8)                         // default target: floor k
     assert((all -- kept) === expectDropped) // exact keep/drop agreement
     assert(expectDropped.nonEmpty)          // the corpus has semantic dups
     spark.catalog.clearCache()              // release semanticDropsFrozen's persist
+  }
+
+  test("dedup_semantic_k exercises the k-growth branch and still matches brute force") {
+    // the 100×-scale mechanism: k = ceil(rows/target), NOT the floor —
+    // many cells, k-way argmin tie-breaks, many-cell prune
+    val (assigned, _, k) = graft.queries.DedupQueries.semanticDropsFrozen(
+      spark, dir, tau = 0.4,
+      targetRows = graft.queries.DedupQueries.GrowthProbeTargetRows)
+    assert(k === 32) // 500 rows / target 16, off the floor of 8
+    val (all, expectDropped) = bruteDrops(assigned)
+    val kept = SparkEntry.queries("dedup_semantic_k")(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(all.size === 500)
+    assert((all -- kept) === expectDropped)
+    spark.catalog.clearCache()
+  }
+
+  test("hot-cell guard: a pathologically clumped corpus fails loudly, never runs |cell|² = all-pairs") {
+    // frozen first-k centroids have NO balance guarantee: identical
+    // vectors all tie on cosine to every centroid and the c_id
+    // tie-break funnels the ENTIRE corpus into cell 0 — the within-cell
+    // self-join would be quadratic in the corpus. The guard must throw,
+    // not start that job.
+    import spark.implicits._
+    val out = tmpDir("clumped_corpus")
+    val one = Array.fill(8)(1.0f)
+    (0L until 5000L).map(i => (i, one)).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val e = intercept[IllegalStateException] {
+      graft.queries.DedupQueries.semanticDropsFrozen(
+        spark, out, tau = 0.4, targetRows = 4)
+    }
+    assert(e.getMessage.contains("hot cell"), e.getMessage)
+    spark.catalog.clearCache()
+  }
+
+  test("hot-cell guard: the real corpus at the growth-probe target stays inside the bound") {
+    // documents the balance claim the driver queries rely on: testdata
+    // embeddings spread across cells — the guard is headroom, not a
+    // knife-edge (it throws inside semanticDropsFrozen if violated)
+    val (assigned, _, k) = graft.queries.DedupQueries.semanticDropsFrozen(
+      spark, dir, tau = 0.4,
+      targetRows = graft.queries.DedupQueries.GrowthProbeTargetRows)
+    val maxCell = assigned.groupBy("c_id").count()
+      .agg(org.apache.spark.sql.functions.max("count")).first().getLong(0)
+    assert(k === 32)
+    assert(maxCell <= 4096) // the HotCellFloor the guard enforces
+    spark.catalog.clearCache()
   }
 
   test("trained-centroid path matches brute-force within-cell pruning") {
@@ -88,6 +137,11 @@ class SemDedupSpec extends SparkSuite {
     assert(cellCountRows(CellTargetRows * 100) == 100)
     assert(cellCountRows(Long.MaxValue) == (1 << 20)) // cap, no overflow
     assert(cellCountRows(CellTargetRows + 1) >= cellCountRows(CellTargetRows))
+    // parameterized target (dedup_semantic_k's growth probe): off the
+    // floor at EVERY driver SF
+    import graft.queries.DedupQueries.GrowthProbeTargetRows
+    assert(cellCountRows(500, GrowthProbeTargetRows) == 32)   // sf0.001/sf0.01
+    assert(cellCountRows(2000, GrowthProbeTargetRows) == 125) // sf0.1
   }
 
   test("dropped vectors always have a kept lower-id cell-mate justifying the drop") {
