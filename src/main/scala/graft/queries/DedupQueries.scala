@@ -50,7 +50,7 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   /** Oracle-side shingle view (word 3-grams, distinct per doc). */
-  private val shCte =
+  private[queries] val shCte =
     """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 1))]) AS s FROM toks),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
@@ -111,7 +111,7 @@ object DedupQueries {
     }
   }
 
-  private def jaccard(inter: Column, na: Column, nb: Column): Column =
+  private[queries] def jaccard(inter: Column, na: Column, nb: Column): Column =
     round(inter.cast("double") / (na + nb - inter).cast("double"), 6)
 
   /** Exact-Jaccard pairs for a given candidate-pair set (or all pairs

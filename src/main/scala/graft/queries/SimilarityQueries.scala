@@ -213,6 +213,130 @@ object SimilarityQueries {
               |      ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
               |  FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
               |  WHERE q.vec_id < $NQueries) t
-              |WHERE rank <= $TopK""".stripMargin))
+              |WHERE rank <= $TopK""".stripMargin)),
+
+    // hybrid dense+sparse retrieval with reciprocal-rank fusion
+    // (Cormack, Clarke & Buettcher, SIGIR 2009), query-by-example: for
+    // each of the first NQueries documents, fuse (a) the exact-cosine
+    // ranking over the embedded corpus (the dense leg — embeddings and
+    // documents share the id space) and (b) the word-3-gram Jaccard
+    // ranking over the full corpus (the sparse leg — the same shingle
+    // machinery as the dedup stack). RRF score = Σ 1e6 div (60 + rank)
+    // in integer micro-points, so cross-engine parity is exact integer
+    // arithmetic on ranks — no float score mixing, which is the whole
+    // point of RRF.
+    //
+    // Scale shape: both legs broadcast the |Q|-sized query side and
+    // stream the corpus; both rank through the bm25-style TWO-LEVEL
+    // top-k (per-(q, content-hash-shard) prune to ≤ pool·shards rows,
+    // then the final per-q window over that bounded set) so no window
+    // task ever owns a corpus-sized partition; fusion then full-outer
+    // joins two ≤ |Q|·pool-row lists — driver-scale small regardless
+    // of corpus size. Per-shard top-pool is a superset of global
+    // top-pool, so the oracle mirrors only the final ranking.
+    QueryDef("hybrid_search",
+      (s, dir) => {
+        // dense leg: exact cosine, query side broadcast
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"))
+        val qd = e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"))
+        val nShardsD = ProfilingQueries.shardCount(
+          ProfilingQueries.inputBytes(Tables(s, dir, "embeddings")))
+        val dW1 = Window.partitionBy(col("q_id"), col("shard"))
+          .orderBy(col("cos").desc, col("doc_id"))
+        val dW2 = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("doc_id"))
+        val dense = broadcast(qd).join(e, col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id").as("doc_id"),
+            cosineFast(col("q_emb"), col("embedding"),
+              col("q_nrm"), col("nrm")).as("cos"))
+          .withColumn("shard", ProfilingQueries.shardCol(nShardsD))
+          .withColumn("r1", row_number().over(dW1)).filter(col("r1") <= RrfPoolK)
+          .withColumn("rank_d", row_number().over(dW2).cast("long"))
+          .filter(col("rank_d") <= RrfPoolK)
+          .select(col("q_id"), col("doc_id"), col("rank_d"))
+        // sparse leg: shingle-set Jaccard, query shingles broadcast.
+        // The shingle set feeds the probe join AND both size lookups —
+        // persisted; the caller's clearCache sweep releases it.
+        val sh = DedupQueries.shingleSet(s, dir, None).persist()
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val qsh = sh.filter(col("doc_id") < NQueries)
+          .select(col("doc_id").as("q_id"), col("s"))
+        val nShardsS = ProfilingQueries.shardCount(
+          ProfilingQueries.inputBytes(Tables(s, dir, "documents")))
+        val sW1 = Window.partitionBy(col("q_id"), col("shard"))
+          .orderBy(col("jac").desc, col("doc_id"))
+        val sW2 = Window.partitionBy(col("q_id"))
+          .orderBy(col("jac").desc, col("doc_id"))
+        val sparse = broadcast(qsh).join(sh, Seq("s"))
+          .filter(col("doc_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("inter"))
+          .join(broadcast(sizes.filter(col("doc_id") < NQueries)
+            .select(col("doc_id").as("q_id"), col("n").as("na"))), Seq("q_id"))
+          .join(sizes.select(col("doc_id"), col("n").as("nb")), Seq("doc_id"))
+          .withColumn("jac",
+            DedupQueries.jaccard(col("inter"), col("na"), col("nb")))
+          .withColumn("shard", ProfilingQueries.shardCol(nShardsS))
+          .withColumn("r1", row_number().over(sW1)).filter(col("r1") <= RrfPoolK)
+          .withColumn("rank_s", row_number().over(sW2).cast("long"))
+          .filter(col("rank_s") <= RrfPoolK)
+          .select(col("q_id"), col("doc_id"), col("rank_s"))
+        // fusion: a doc missing from one leg's pool contributes 0 from
+        // that leg (the standard RRF treatment of unranked documents)
+        val fW = Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf_micro").desc, col("doc_id"))
+        dense.join(sparse, Seq("q_id", "doc_id"), "full_outer")
+          .select(col("q_id"), col("doc_id"),
+            (coalesce(expr(s"1000000 div ($RrfK + rank_d)"), lit(0L)) +
+              coalesce(expr(s"1000000 div ($RrfK + rank_s)"), lit(0L)))
+              .as("rrf_micro"))
+          .withColumn("rank", row_number().over(fW).cast("long"))
+          .filter(col("rank") <= HybridTopK)
+          .select(col("q_id"), col("doc_id"), col("rrf_micro"), col("rank"))
+      },
+      Some(s"""${DedupQueries.shCte},
+              |qsh AS (SELECT doc_id AS q_id, s FROM sh WHERE doc_id < $NQueries),
+              |inter AS (
+              |  SELECT q.q_id, c.doc_id, count(*) AS i
+              |  FROM qsh q JOIN sh c ON q.s = c.s AND c.doc_id <> q.q_id
+              |  GROUP BY 1, 2),
+              |sparse AS (
+              |  SELECT q_id, doc_id, rank_s FROM (
+              |    SELECT i.q_id, i.doc_id,
+              |      row_number() OVER (PARTITION BY i.q_id
+              |        ORDER BY round(CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE), 6) DESC, i.doc_id) AS rank_s
+              |    FROM inter i
+              |    JOIN sizes sa ON sa.doc_id = i.q_id
+              |    JOIN sizes sb ON sb.doc_id = i.doc_id) t
+              |  WHERE rank_s <= $RrfPoolK),
+              |dense AS (
+              |  SELECT q_id, doc_id, rank_d FROM (
+              |    SELECT q.vec_id AS q_id, c.vec_id AS doc_id,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank_d
+              |    FROM embeddings q JOIN embeddings c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id) t
+              |  WHERE rank_d <= $RrfPoolK),
+              |fused AS (
+              |  SELECT COALESCE(d.q_id, sp.q_id) AS q_id,
+              |    COALESCE(d.doc_id, sp.doc_id) AS doc_id,
+              |    COALESCE(1000000 // ($RrfK + d.rank_d), 0)
+              |      + COALESCE(1000000 // ($RrfK + sp.rank_s), 0) AS rrf_micro
+              |  FROM dense d FULL OUTER JOIN sparse sp
+              |    ON d.q_id = sp.q_id AND d.doc_id = sp.doc_id)
+              |SELECT q_id, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro, rank FROM (
+              |  SELECT q_id, doc_id, rrf_micro,
+              |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+              |  FROM fused) t
+              |WHERE rank <= $HybridTopK""".stripMargin))
   )
+
+  /** RRF constant k=60 (the SIGIR'09 default) and pool/output sizes
+    * for `hybrid_search`: each leg contributes its top-[[RrfPoolK]];
+    * the fused list is cut at [[HybridTopK]]. */
+  private def RrfK = 60
+  private def RrfPoolK = 20
+  private def HybridTopK = 10
 }
