@@ -340,6 +340,56 @@ object CurationQueries {
            |    CAST(row_number() OVER (PARTITION BY query ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
            |  FROM scores WHERE score_micro > 0)
            |SELECT query, rank, doc_id, score_micro FROM ranked WHERE rank <= $BmTopK""".stripMargin
+      }),
+
+    // Per-domain quality quota — "keep the best ⌈25%⌉ of each
+    // language", the selection step a curation pipeline runs after
+    // scoring. The obvious window (row_number PARTITION BY lang) puts
+    // an entire language in ONE task — a handful of partitions for a
+    // 100 TB corpus. Instead this reuses the histogram-offset pattern
+    // of rank_global_bucketed PER GROUP: (1) band the score into fixed
+    // buckets (micro-points div 50k — monotone in the sort key) and
+    // count per (lang, bucket) — map-side combinable, ≤ |langs|·21
+    // rows; (2) per lang, turn bucket counts into descending
+    // cumulative offsets and the group total n (a window over the tiny
+    // counts frame — the only serial step, and it is O(buckets), not
+    // O(rows)); (3) broadcast the offsets back and row_number within
+    // (lang, bucket): exact per-lang rank = offset + local rank.
+    // Parallelism is |langs|·|buckets| (the knob: finer buckets →
+    // wider); the quota cut 4·rank ≤ n+3 (⟺ rank ≤ ⌈n/4⌉) is pure
+    // BIGINT arithmetic, deterministic under the (qm desc, doc_id)
+    // total order on both engines.
+    QueryDef("curation_quota",
+      (s, dir) => {
+        val qm = floor(graft.queries.TextQueries.qualityScore(col("text")) *
+          lit(1000000.0) + lit(0.5)).cast("long")
+        val scored = widened(s, Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("lang"), qm.as("qm"))
+          .withColumn("bkt", floor(col("qm") / lit(50000.0)).cast("long"))
+        val wOff = Window.partitionBy(col("lang")).orderBy(col("bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAll = Window.partitionBy(col("lang"))
+        val offsets = scored.groupBy(col("lang"), col("bkt"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+          .select(col("lang"), col("bkt"), col("off"), col("n"))
+        val wIn = Window.partitionBy(col("lang"), col("bkt"))
+          .orderBy(col("qm").desc, col("doc_id"))
+        scored.join(broadcast(offsets), Seq("lang", "bkt"))
+          .withColumn("rnk", (col("off") + row_number().over(wIn)).cast("long"))
+          .filter(col("rnk") * 4 <= col("n") + 3)
+          .select(col("doc_id"), col("lang"), col("qm"))
+      },
+      Some {
+        val qmSql = s"CAST(floor(${graft.queries.TextQueries.qualityScoreSql("text", "t")} * 1000000.0 + 0.5) AS BIGINT)"
+        s"""$toksCte,
+           |q AS (SELECT doc_id, lang, $qmSql AS qm FROM toks),
+           |r AS (SELECT doc_id, lang, qm,
+           |    CAST(row_number() OVER (PARTITION BY lang ORDER BY qm DESC, doc_id) AS BIGINT) AS rnk,
+           |    count(*) OVER (PARTITION BY lang) AS n
+           |  FROM q)
+           |SELECT doc_id, lang, qm FROM r WHERE rnk * 4 <= n + 3""".stripMargin
       })
   )
 }

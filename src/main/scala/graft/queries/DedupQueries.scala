@@ -243,6 +243,17 @@ object DedupQueries {
     * — measured ~1 s per re-run at sf0.1. Released by the caller's
     * clearCache sweep like every other shared intermediate here. */
   private[queries] def lshCandidates(sh: DataFrame): DataFrame = {
+    val bands = minhashBands(sh).persist()
+    bands.as("x").join(bands.as("y"), Seq("band", "sig"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Per-doc MinHash band buckets (doc_id, band, sig) — the LSH index
+    * frame both the full self-join ([[lshCandidates]]) and the
+    * incremental probe join ([[lshCandidatesProbe]]) bucket on. */
+  private[queries] def minhashBands(sh: DataFrame): DataFrame = {
     val hashed = sh
       .withColumn("h0", portableHash(col("s"), 0))
       .withColumn("h1", portableHash(col("s"), 1))
@@ -253,18 +264,30 @@ object DedupQueries {
       struct(lit(b).as("band"),
         concat_ws("|", (0 until K / Bands).map(r => col(s"m${b * (K / Bands) + r}")): _*).as("sig"))
     }
-    val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      .persist()
-    bands.as("x").join(bands.as("y"), Seq("band", "sig"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
+  }
+
+  /** Incremental (probe-side) LSH candidates: pairs whose LEFT end is
+    * in `probe`, right end anywhere in the corpus. The band self-join
+    * of [[lshCandidates]] is replaced by probe-bands ⋈ all-bands, so
+    * the candidate stage costs O(|batch| · bucket-occupancy) instead of
+    * O(|corpus|²/buckets) — the reason an arriving batch can be deduped
+    * against a 100 TB corpus without re-pairing the corpus with itself.
+    * Output is (doc_a = probe id, doc_b = partner id), NOT id-ordered:
+    * the caller's drop rule decides which orientation matters. */
+  private[queries] def lshCandidatesProbe(sh: DataFrame, probe: DataFrame): DataFrame = {
+    val bands = minhashBands(sh).persist()
+    val pb = bands.join(probe, Seq("doc_id"), "left_semi")
+    pb.as("x").join(bands.as("y"), Seq("band", "sig"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
   }
 
-  /** DuckDB twin of [[lshCandidates]]: CTEs hashed/mh/bands/cand,
-    * appended after [[shCte]]. */
-  private val candCteSql: String = {
+  /** DuckDB twin of [[minhashBands]]: CTEs hashed/mh/bands, appended
+    * after [[shCte]]. */
+  private val bandsCteSql: String = {
     val minSql = (0 until K)
       .map(i => s"min(${minhashDerivedSql("h0", "h1", i)}) AS m$i").mkString(",\n    ")
     val bandSql = (0 until Bands).map { b =>
@@ -279,11 +302,26 @@ object DedupQueries {
        |    $minSql
        |  FROM hashed GROUP BY doc_id),
        |bands AS (
-       |  $bandSql),
+       |  $bandSql)""".stripMargin
+  }
+
+  /** DuckDB twin of [[lshCandidates]]: CTEs hashed/mh/bands/cand,
+    * appended after [[shCte]]. */
+  private val candCteSql: String =
+    s"""$bandsCteSql,
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)""".stripMargin
-  }
+
+  /** DuckDB twin of [[lshCandidatesProbe]]: probe-restricted candidate
+    * CTE — `probeCond` is a SQL predicate over `x.doc_id` selecting the
+    * probe (batch) side. */
+  private def candProbeCteSql(probeCond: String): String =
+    s"""$bandsCteSql,
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id <> y.doc_id
+       |  WHERE $probeCond)""".stripMargin
 
   /** DuckDB CTE fragments for exact-Jaccard candidate verification,
     * appended after [[candCteSql]] — ONE definition of the
@@ -566,6 +604,58 @@ object DedupQueries {
            |JOIN splits y ON y.doc_id = s.doc_b
            |WHERE x.split <> 'train' AND y.split = 'train'
            |GROUP BY s.doc_a, x.split""".stripMargin
+      }),
+
+    // Incremental dedup — the production idiom at corpus scale: an
+    // arriving BATCH (stand-in: the top-10% doc_id range, an arrival-
+    // order proxy) is deduped against the EXISTING corpus and against
+    // itself, without ever re-pairing the corpus with its own content.
+    // Candidates come from lshCandidatesProbe (batch band buckets
+    // probed into the full band index — O(|batch|·occupancy), not
+    // O(|corpus|²/buckets)); verified J ≥ 0.8 pairs then drive the
+    // drop rule: a batch doc is dropped when it has a corpus partner
+    // (reason 'corpus') or a LOWER-id batch partner (reason 'batch' —
+    // the same lower-id-wins convention as dedup_exact/dedup_semantic,
+    // so batch-internal groups keep exactly one survivor). The batch
+    // boundary is exact BIGINT arithmetic (doc_id·10 ≥ 9·(max_id+1)),
+    // so both engines cut identically.
+    QueryDef("dedup_incremental",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val mx = docs.agg(max(col("doc_id")).as("mx"))
+        val flags = docs.crossJoin(broadcast(mx))
+          .select(col("doc_id"),
+            (col("doc_id") * 10 >= (col("mx") + 1) * 9).as("is_batch"))
+        val batch = flags.filter(col("is_batch")).select(col("doc_id"))
+        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001)).persist()
+        val cand = lshCandidatesProbe(sh, batch)
+        val verified = jaccardPairs(sh, Some(cand))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("doc_a"), col("doc_b"))
+        verified
+          .join(flags.as("y"), col("doc_b") === col("y.doc_id"))
+          .filter(!col("y.is_batch") || col("doc_b") < col("doc_a"))
+          .groupBy(col("doc_a"))
+          .agg(max(when(col("y.is_batch"), lit(0)).otherwise(lit(1))).as("hit"))
+          .select(col("doc_a").as("doc_id"),
+            when(col("hit") === 1, lit("corpus")).otherwise(lit("batch"))
+              .as("reason"))
+      },
+      Some {
+        val isBatch = (id: String) =>
+          s"$id * 10 >= 9 * ((SELECT m FROM mx) + 1)"
+        s"""$shCte,
+           |mx AS (SELECT max(doc_id) AS m FROM documents),
+           |${candProbeCteSql(isBatch("x.doc_id"))},
+           |$interCteSql,
+           |$pairsCteSql
+           |SELECT p.doc_a AS doc_id,
+           |  CASE WHEN max(CASE WHEN NOT (${isBatch("p.doc_b")})
+           |                     THEN 1 ELSE 0 END) = 1
+           |       THEN 'corpus' ELSE 'batch' END AS reason
+           |FROM pairs p
+           |WHERE NOT (${isBatch("p.doc_b")}) OR p.doc_b < p.doc_a
+           |GROUP BY p.doc_a""".stripMargin
       }),
 
     // SimHash fingerprints: 32-bit, one aggregation pass over token

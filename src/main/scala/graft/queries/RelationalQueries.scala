@@ -222,6 +222,59 @@ object RelationalQueries {
              |       ELSE 'june_only' END AS presence
              |FROM may FULL OUTER JOIN june ON may.o_custkey = june.o_custkey""".stripMargin)),
 
+    // Interval (range) join via time-bucketing — the scale-safe form of
+    // a pure non-equi join. Naively, "lineitems shipped inside each
+    // order's first week" has NO equi key, so Spark plans a
+    // BroadcastNestedLoopJoin: every (interval, row) pair is tested —
+    // O(|intervals|·|lineitem|) compute even when the true match set is
+    // tiny, and a driver-sized broadcast of the interval side. The
+    // bucketed rewrite banding time into fixed 7-day buckets restores
+    // an equi key: an interval is exploded to the 1–2 buckets it
+    // overlaps (≤ interval_len/bucket_len + 1 rows), each lineitem has
+    // exactly ONE bucket, the join runs as a shuffle/broadcast HASH
+    // join on bkt, and the residual range predicate filters inside
+    // matching buckets only. Work drops to Σ_bucket |iv_b|·|li_b| —
+    // proportional to temporal overlap, not the cross product — and
+    // each lineitem matches a candidate interval at most once (single
+    // bucket), so no dedup pass is needed. PlanAuditSpec pins the
+    // no-BNLJ/no-cartesian shape. The 495k totalprice cut keeps the
+    // interval side ~1% of orders at every SF (uniform distribution).
+    QueryDef("range_join_bucketed",
+      (s, dir) => {
+        val epochDay = (c: org.apache.spark.sql.Column) =>
+          datediff(c.cast("date"), lit("1970-01-01").cast("date")).cast("long")
+        val iv = Tables(s, dir, "orders")
+          .filter(col("o_totalprice") >= lit(495000.0))
+          .select(col("o_orderkey"),
+            col("o_orderdate").as("start_ts"),
+            (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("end_ts"),
+            epochDay(col("o_orderdate")).as("d0"))
+          // covered buckets: floor(d0/7)..floor((d0+7)/7) — at most one
+          // harmless extra bucket when the interval is week-aligned;
+          // the residual predicate discards its non-matches
+          .withColumn("bkt", explode(sequence(
+            floor(col("d0") / lit(7.0)).cast("long"),
+            floor((col("d0") + 7) / lit(7.0)).cast("long"))))
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_shipdate"),
+            QueryDef.cents(col("l_extendedprice")).as("cents"))
+          .withColumn("bkt",
+            floor(epochDay(col("l_shipdate")) / lit(7.0)).cast("long"))
+        iv.join(li, Seq("bkt"))
+          .filter(col("l_shipdate") >= col("start_ts") &&
+            col("l_shipdate") < col("end_ts"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("cents")).as("rev_cents"))
+      },
+      Some(s"""SELECT o.o_orderkey, COUNT(*) AS n_items,
+              |  CAST(SUM(${QueryDef.centsSql("l.l_extendedprice")}) AS BIGINT) AS rev_cents
+              |FROM orders o JOIN lineitem l
+              |  ON l.l_shipdate >= o.o_orderdate
+              | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+              |WHERE o.o_totalprice >= 495000.0
+              |GROUP BY o.o_orderkey""".stripMargin)),
+
     // running/lag window analytics: per-customer cumulative spend,
     // order sequence number, and days since the previous order — the
     // frame/lag side of window functions (window_topk covers ranking).

@@ -336,6 +336,42 @@ class PlanAuditSpec extends SparkSuite {
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("range_join_bucketed: interval join runs as a hash equi-join on the bucket, not BNLJ") {
+    val p = plan(SparkEntry.queries("range_join_bucketed")(spark, dir))
+    // the rewrite's whole point: a pure range predicate has no equi key
+    // and plans nested-loop — O(|intervals|·|fact|) compute at scale
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") && p.contains("bkt"), p)
+    // contrast: the naive non-equi formulation of the same semantics
+    // degenerates to BroadcastNestedLoopJoin
+    val iv = Tables(spark, dir, "orders")
+      .filter(col("o_totalprice") >= 495000.0)
+      .select(col("o_orderkey"), col("o_orderdate").as("start_ts"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("end_ts"))
+    val naive = Tables(spark, dir, "lineitem")
+      .join(iv, col("l_shipdate") >= col("start_ts") && col("l_shipdate") < col("end_ts"))
+    assert(plan(naive).contains("BroadcastNestedLoopJoin"), plan(naive))
+  }
+
+  test("curation_quota: rank work is (lang, bucket)-partitioned; offsets broadcast back") {
+    val p = plan(SparkEntry.queries("curation_quota")(spark, dir))
+    // per-row ranking must partition on BOTH lang and the score bucket —
+    // lang alone is a one-task-per-language funnel at corpus scale
+    assert("hashpartitioning\\(lang[^,]*, bkt".r.findAllIn(p).size >= 1, p)
+    // the tiny offsets frame comes back via broadcast, not a shuffle of
+    // the full corpus against it
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dedup_incremental: candidate generation probes batch bands, never corpus×corpus") {
+    val p = plan(SparkEntry.queries("dedup_incremental")(spark, dir))
+    // the probe restriction appears as a semi-join of the band index
+    // against the batch id set before the bucket join
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pack_sequences: packing window is sharded by (lang, shard), never a global sort") {
     val p = plan(SparkEntry.queries("pack_sequences")(spark, dir))
     assert(p.contains("Window"), p)
