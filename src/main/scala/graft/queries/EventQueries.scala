@@ -293,6 +293,42 @@ object EventQueries {
       // TRY_CAST: on a props row without a "k" match Spark yields NULL
       // ('' cast to int), while a DuckDB CAST would abort the whole
       // oracle query — TRY_CAST gives NULL like Spark
-      Some("""SELECT event_id, TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k FROM events""".stripMargin))
+      Some("""SELECT event_id, TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k FROM events""".stripMargin)),
+
+    // Cohort retention — the day-0-cohort × day-N-return matrix every
+    // product-analytics pipeline computes. Shape: (1) distinct
+    // (user, active-day) pairs — one shuffle, partial-distinct
+    // map-side; (2) per-user first day (cohort) — re-aggregates the
+    // already-distinct frame on user_id; (3) activity ⋈ cohort on
+    // user_id (co-partitioned equi-join, both sides keyed by user) and
+    // a (cohort_day, offset)-keyed count-distinct rollup. Output is
+    // bounded by days² regardless of corpus size; every per-row stage
+    // is keyed by user or (user, day) — parallelism scales with the
+    // user population, never a calendar-sized funnel. Days are exact
+    // BIGINT epoch-day arithmetic on both engines.
+    QueryDef("events_retention",
+      (s, dir) => {
+        val ed = datediff(col("ts").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long")
+        val act = Tables.events(s, dir)
+          .select(col("user_id"), ed.as("day")).distinct()
+        val cohort = act.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        act.join(cohort, Seq("user_id"))
+          .groupBy(col("cohort_day"),
+            (col("day") - col("cohort_day")).as("offset_days"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id,
+             |    date_diff('day', DATE '1970-01-01',
+             |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+             |  FROM events),
+             |cohort AS (
+             |  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+             |SELECT c.cohort_day, a.day - c.cohort_day AS offset_days,
+             |  COUNT(DISTINCT a.user_id) AS n_users
+             |FROM act a JOIN cohort c ON a.user_id = c.user_id
+             |GROUP BY 1, 2""".stripMargin))
   )
 }

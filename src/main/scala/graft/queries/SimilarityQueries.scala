@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -161,6 +162,67 @@ object SimilarityQueries {
               |      ORDER BY ${cosineSql("q.q_emb", "c.embedding")} DESC, c.vec_id) AS rank
               |  FROM probes q JOIN cells c ON q.cell = c.cell AND q.q_id <> c.vec_id) t
               |WHERE rank <= $TopK""".stripMargin)),
+
+    // Product quantization + ADC (Jégou et al., TPAMI 2011) — the
+    // memory-compression ANN path: each 64-dim vector is encoded as
+    // m=4 one-byte codes (argmin codeword per 16-dim subspace), and
+    // query-to-vector distance is approximated ASYMMETRICALLY via a
+    // per-query lookup table: dist(q, v) ≈ Σ_j LUT[q, j, code_j(v)].
+    // At serving scale the corpus side carries 4 bytes per vector
+    // instead of 256 (a 64× memory cut) and scoring is 4 LUT adds per
+    // pair — no float vector math touches the corpus after encoding.
+    // Here: codebooks are the frozen first-16 subvectors (the exact
+    // stand-in contract of ann_ivf / dedup_semantic — k-means-trained
+    // books aren't bit-stable cross-engine); the 512-row LUT
+    // (|Q|·m·codewords) broadcasts; per-j partial distances are
+    // recombined with ORDER-INSENSITIVE conditional sums (3 of the 4
+    // addends are exactly 0.0, so partial-agg order can't perturb the
+    // double) and added in fixed j order. L2² folds left in array
+    // order on both engines — bit-exact, so rank ties break identically.
+    QueryDef("ann_pq",
+      (s, dir) => {
+        val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
+        pqAdc(s, dir)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TopK)
+      },
+      Some {
+        def l22Sql(a: String, b: String) =
+          s"list_reduce(list_transform(range(1, len($a)+1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+        val dSums = (0 until 4)
+          .map(j => s"SUM(CASE WHEN k.j = $j THEN l.dq ELSE 0.0 END) AS d$j")
+          .mkString(",\n    ")
+        s"""WITH js AS (SELECT unnest(range(4)) AS j),
+           |vsub AS (
+           |  SELECT vec_id, j, list_slice(embedding, j * 16 + 1, (j + 1) * 16) AS v
+           |  FROM embeddings CROSS JOIN js),
+           |csub AS (
+           |  SELECT vec_id AS c_id, j, list_slice(embedding, j * 16 + 1, (j + 1) * 16) AS c
+           |  FROM embeddings CROSS JOIN js WHERE vec_id < $NCentroids),
+           |vd AS (
+           |  SELECT v.vec_id, v.j, c.c_id, ${l22Sql("v.v", "c.c")} AS d
+           |  FROM vsub v JOIN csub c ON v.j = c.j),
+           |codes AS (
+           |  SELECT vec_id, j, c_id AS code FROM (
+           |    SELECT vec_id, j, c_id,
+           |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c_id) AS rk
+           |    FROM vd) t WHERE rk = 1),
+           |lut AS (
+           |  SELECT q.vec_id AS q_id, q.j, c.c_id, ${l22Sql("q.v", "c.c")} AS dq
+           |  FROM vsub q JOIN csub c ON q.j = c.j WHERE q.vec_id < $NQueries),
+           |parts AS (
+           |  SELECT l.q_id, k.vec_id,
+           |    $dSums
+           |  FROM codes k JOIN lut l ON l.j = k.j AND l.c_id = k.code
+           |  GROUP BY l.q_id, k.vec_id)
+           |SELECT q_id, n_id, adc, rank FROM (
+           |  SELECT q_id, vec_id AS n_id,
+           |    round(d0 + d1 + d2 + d3, 6) AS adc,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY round(d0 + d1 + d2 + d3, 6), vec_id) AS BIGINT) AS rank
+           |  FROM parts WHERE vec_id <> q_id) t
+           |WHERE rank <= $TopK""".stripMargin
+      }),
 
     QueryDef("ann_bruteforce",
       (s, dir) => {
@@ -339,4 +401,46 @@ object SimilarityQueries {
   private def RrfK = 60
   private def RrfPoolK = 20
   private def HybridTopK = 10
+
+  /** PQ encode + ADC scoring for every (query, corpus) pair — the
+    * un-truncated frame behind `ann_pq`, exposed so TextDedupSpec can
+    * assert the codeword-exactness property (a corpus vector that IS a
+    * codeword quantizes to itself, so its ADC equals the exact L2²)
+    * over ALL pairs, not just the ones that surface in the top-k. */
+  private[graft] def pqAdc(s: SparkSession, dir: String): DataFrame = {
+    val m = 4; val sub = 16
+    def l22(a: Column, b: Column) =
+      foldSum(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))))
+    def subspaces(df: DataFrame, idCol: String) = df
+      .select(col("vec_id").as(idCol), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"), slice(col("embedding"), j * sub + 1, sub).as("v"))): _*)).as("s"))
+      .select(col(idCol), col("s.j").as("j"), col("s.v").as("v"))
+    val e = Tables(s, dir, "embeddings")
+    val vsub = subspaces(e, "vec_id")
+    val csub = subspaces(e.filter(col("vec_id") < NCentroids), "c_id")
+      .select(col("c_id"), col("j"), col("v").as("c"))
+    val aw = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d"), col("c_id"))
+    val codes = vsub.join(broadcast(csub), Seq("j"))
+      .withColumn("d", l22(col("v"), col("c")))
+      .withColumn("rk", row_number().over(aw))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("j"), col("c_id").as("code"))
+    val lut = subspaces(e.filter(col("vec_id") < NQueries), "q_id")
+      .join(broadcast(csub), Seq("j"))
+      .withColumn("dq", l22(col("v"), col("c")))
+      .select(col("q_id"), col("j"), col("c_id"), col("dq"))
+    val parts = codes.join(broadcast(lut),
+        codes("j") === lut("j") && codes("code") === lut("c_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(
+        sum(when(codes("j") === 0, col("dq")).otherwise(lit(0.0))).as("d0"),
+        (1 until m).map(j =>
+          sum(when(codes("j") === j, col("dq")).otherwise(lit(0.0))).as(s"d$j")): _*)
+    parts
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(col("d0") + col("d1") + col("d2") + col("d3"), 6).as("adc"))
+  }
 }

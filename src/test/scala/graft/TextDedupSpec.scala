@@ -173,4 +173,38 @@ class TextDedupSpec extends SparkSuite {
     assert(r4 >= r1, s"nprobe=4 recall $r4 < nprobe=1 recall $r1")
     assert(r4 > 0.0)
   }
+
+  test("PQ ADC is exact for codeword corpus vectors and finds exact-L2 neighbors") {
+    // exact L2² per (query, corpus) pair — the truth PQ approximates
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def l22(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      foldSum(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))))
+    val exact = e.as("q").filter(col("q.vec_id") < 8)
+      .crossJoin(e.as("c"))
+      .filter(col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+        round(l22(col("q.embedding"), col("c.embedding")), 6).as("l2"))
+    // a corpus vector that IS a codeword quantizes to itself (its own
+    // subspace distance is the unique 0 minimum), so the LUT sum is the
+    // EXACT distance — any deviation means the encode or ADC path is
+    // broken, independent of how coarse the codebooks are. Checked on
+    // the full ADC frame: all 8 × 16 (query, codeword) pairs.
+    val codewordRows = SimilarityQueries.pqAdc(spark, dir)
+      .filter(col("n_id") < 16)
+      .join(exact, Seq("q_id", "n_id"))
+    assert(codewordRows.count() == 8 * 16 - 8) // minus the self pairs
+    assert(codewordRows.filter(col("adc") =!= col("l2")).count() == 0)
+    val pq = q("ann_pq")
+    // approximation quality floor: deterministic data, deterministic
+    // codebooks — the top-5 overlap with exact-L2 truth is fixed (9/40
+    // at sf0.001); pin it non-zero so a silently-degenerate LUT (all
+    // distances equal, rank = id order) cannot pass
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("l2"), col("n_id"))
+    val truth = exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("q_id"), col("n_id"))
+    assert(pq.join(truth, Seq("q_id", "n_id")).count() > 0)
+  }
 }
