@@ -107,7 +107,27 @@ object DedupQueries {
       .distinct()
     maxDfFrac match {
       case None => sh
-      case Some(f) => dfCap(sh.persist(), f)
+      case Some(f) =>
+        // EAGERLY MATERIALIZED, not just persist(): the raw and capped
+        // shingle frames feed 3-5 concurrent subtrees (df count,
+        // anti-join probe, sizes, both verify sides, signature build),
+        // and under AQE those stages materialize in parallel — a
+        // not-yet-populated cache lets each stage recompute the
+        // tokenize/explode/distinct chain including its exchange
+        // (measured: the same query shuffled 5 MB or 26 MB at sf0.1
+        // depending on who won the race). count() forces each cache
+        // once, making both the work and the shuffle-bytes gate
+        // deterministic. Callers get an already-cached frame and must
+        // NOT re-persist it. (Tried and rejected: a window-form df cap
+        // — count over partition-by-shingle — consumes raw once and
+        // saves a barrier, but sorting the full shingle set by the
+        // shingle STRING costs ~2× the whole hash-agg+anti-join path:
+        // 6.7 s vs 2.6 s for dedup_minhash_lsh at sf0.1.)
+        val raw = sh.persist()
+        raw.count()
+        val capped = dfCap(raw, f).persist()
+        capped.count()
+        capped
     }
   }
 
@@ -167,7 +187,7 @@ object DedupQueries {
     * (propagating labels through labels) would restore O(log n)
     * rounds. */
   private[queries] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSet(s, dir, maxDfFrac = Some(0.001)).persist()
+    val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
     val pairs = jaccardPairs(sh, Some(lshCandidates(sh)))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"))
@@ -243,7 +263,11 @@ object DedupQueries {
     * — measured ~1 s per re-run at sf0.1. Released by the caller's
     * clearCache sweep like every other shared intermediate here. */
   private[queries] def lshCandidates(sh: DataFrame): DataFrame = {
+    // eager like shingleSet: the self-join consumes bands on BOTH sides
+    // concurrently; an unmaterialized cache re-runs the 16-min
+    // signature aggregation (and its exchange) per side
     val bands = minhashBands(sh).persist()
+    bands.count()
     bands.as("x").join(bands.as("y"), Seq("band", "sig"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -278,6 +302,7 @@ object DedupQueries {
     * the caller's drop rule decides which orientation matters. */
   private[queries] def lshCandidatesProbe(sh: DataFrame, probe: DataFrame): DataFrame = {
     val bands = minhashBands(sh).persist()
+    bands.count()
     val pb = bands.join(probe, Seq("doc_id"), "left_semi")
     pb.as("x").join(bands.as("y"), Seq("band", "sig"))
       .filter(col("x.doc_id") =!= col("y.doc_id"))
@@ -389,7 +414,7 @@ object DedupQueries {
     // truth is pinned in TextDedupSpec against [[allPairsJaccard]].
     QueryDef("dedup_ngram_jaccard",
       (s, dir) => {
-        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001)).persist()
+        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
         jaccardPairs(sh, Some(lshCandidates(sh)))
           .filter(col("jaccard") >= 0.8)
       },
@@ -406,7 +431,7 @@ object DedupQueries {
       (s, dir) => {
         // persisted: consumed by the signature build AND both sides of
         // the candidate-verification join
-        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001)).persist()
+        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
         val dupped = jaccardPairs(sh, Some(lshCandidates(sh)))
           .filter(col("jaccard") >= 0.8)
           .select(col("doc_b").as("doc_id")).distinct()
@@ -572,7 +597,7 @@ object DedupQueries {
         // the split it audits
         val splits = Tables(s, dir, "documents").select(
           col("doc_id"), ProfilingQueries.splitCol.as("split"))
-        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001)).persist()
+        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
         val pairs = jaccardPairs(sh, Some(lshCandidates(sh)))
           .filter(col("jaccard") >= 0.8)
           .select(col("doc_a"), col("doc_b"))
@@ -627,7 +652,7 @@ object DedupQueries {
           .select(col("doc_id"),
             (col("doc_id") * 10 >= (col("mx") + 1) * 9).as("is_batch"))
         val batch = flags.filter(col("is_batch")).select(col("doc_id"))
-        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001)).persist()
+        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
         val cand = lshCandidatesProbe(sh, batch)
         val verified = jaccardPairs(sh, Some(cand))
           .filter(col("jaccard") >= 0.8)

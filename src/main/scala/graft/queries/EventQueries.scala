@@ -329,6 +329,48 @@ object EventQueries {
              |SELECT c.cohort_day, a.day - c.cohort_day AS offset_days,
              |  COUNT(DISTINCT a.user_id) AS n_users
              |FROM act a JOIN cohort c ON a.user_id = c.user_id
-             |GROUP BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // DAU + cumulative distinct users — the growth dashboard pair. A
+    // windowed COUNT(DISTINCT) is both unsupported (Spark) and
+    // unscalable (state = all users seen so far, per frame); the exact
+    // rewrite is the FIRST-SEEN trick: cumulative distinct users
+    // through day d = users whose first active day ≤ d, so one extra
+    // user-keyed min-aggregation turns the running distinct count into
+    // a running SUM over per-day first-seen counts. Every corpus-sized
+    // stage is keyed by user or day; the only serial step is the
+    // cumulative window over the |days| summary frame (the same
+    // shrink-then-serial pattern as rank_global_bucketed, allowed in
+    // the funnel sweep).
+    QueryDef("users_cumulative",
+      (s, dir) => {
+        val ed = datediff(col("ts").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long")
+        val act = Tables.events(s, dir)
+          .select(col("user_id"), ed.as("day")).distinct()
+        val dau = act.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        val firstSeen = act.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        dau.join(firstSeen, Seq("day"), "left")
+          .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+          .withColumn("cum_users", sum(col("n_new")).over(w))
+          .select(col("day"), col("dau"), col("n_new"), col("cum_users"))
+      },
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id,
+             |    date_diff('day', DATE '1970-01-01',
+             |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+             |  FROM events),
+             |dau AS (SELECT day, COUNT(*) AS dau FROM act GROUP BY day),
+             |fs AS (
+             |  SELECT min_day AS day, COUNT(*) AS n_new FROM (
+             |    SELECT user_id, min(day) AS min_day FROM act GROUP BY user_id) t
+             |  GROUP BY 1)
+             |SELECT d.day, d.dau, COALESCE(f.n_new, 0) AS n_new,
+             |  SUM(COALESCE(f.n_new, 0)) OVER (ORDER BY d.day
+             |    ROWS UNBOUNDED PRECEDING) AS cum_users
+             |FROM dau d LEFT JOIN fs f ON f.day = d.day""".stripMargin))
   )
 }

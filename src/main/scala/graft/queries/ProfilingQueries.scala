@@ -269,6 +269,107 @@ object ProfilingQueries {
         s"""SELECT '$name' AS rule,
            |  CAST(SUM(CASE WHEN $viol THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
            |  COUNT(*) AS n_checked FROM lineitem""".stripMargin
-      }.mkString("\nUNION ALL\n")))
+      }.mkString("\nUNION ALL\n"))),
+
+    // Equi-depth (equal-height) histogram — the optimizer-statistics /
+    // data-profiling staple. ntile over a global order is the naive
+    // form (one task owns the table); this reuses the histogram-offset
+    // rank (value-band bucket counts → cumulative offsets → broadcast
+    // + per-band row_number), then maps exact global rank to its depth
+    // bucket with pure BIGINT arithmetic ((rank−1)·8 div n — identical
+    // `div`/`//` semantics on both engines). Output: 8 buckets with
+    // exact boundaries and counts.
+    QueryDef("histogram_equidepth",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val b = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), QueryDef.cents(col("o_totalprice")).as("cents"))
+          .withColumn("bkt", floor(col("cents") / lit(2500000.0)).cast("long"))
+        val wOff = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = b.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+          .select(col("bkt"), col("off"))
+        val total = b.agg(count(lit(1)).as("n"))
+        val wIn = Window.partitionBy(col("bkt"))
+          .orderBy(col("cents"), col("o_orderkey"))
+        b.join(broadcast(offsets), Seq("bkt"))
+          .crossJoin(broadcast(total))
+          .withColumn("rnk", col("off") + row_number().over(wIn))
+          .withColumn("eq_bucket", expr("((rnk - 1) * 8) div n"))
+          .groupBy(col("eq_bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("cents")).as("lo_cents"),
+            max(col("cents")).as("hi_cents"))
+      },
+      Some(s"""WITH b AS (
+              |  SELECT o_orderkey, ${QueryDef.centsSql("o_totalprice")} AS cents
+              |  FROM orders),
+              |r AS (
+              |  SELECT cents,
+              |    CAST(row_number() OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS rnk,
+              |    COUNT(*) OVER () AS n
+              |  FROM b)
+              |SELECT ((rnk - 1) * 8) // n AS eq_bucket,
+              |  COUNT(*) AS n_rows,
+              |  min(cents) AS lo_cents,
+              |  max(cents) AS hi_cents
+              |FROM r GROUP BY 1""".stripMargin)),
+
+    // Exact second moments + Pearson correlation per group — one
+    // map-side-combinable pass, no doubles in the aggregation state:
+    // the inputs are rounded to BIGINT once (quantity units, price
+    // whole dollars) and all five sums are exact integer arithmetic,
+    // so partial-agg order can never perturb the result (a naive
+    // SUM(double*double) is order-sensitive and irreproducible across
+    // partitionings). The final mean/corr arithmetic converts the
+    // exact integers to double ONCE in a fixed op shape — bit-identical
+    // cross-engine. Overflow headroom: Σy² < 2⁶³ holds to ~8·10⁸ rows
+    // per group at these magnitudes; past that the at-scale swap is
+    // DECIMAL(38,0)/HUGEINT sums (same shape, both engines exact).
+    QueryDef("stats_moments",
+      (s, dir) => {
+        val x = floor(col("l_quantity") + lit(0.5)).cast("long")
+        val y = floor(col("l_extendedprice") + lit(0.5)).cast("long")
+        val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        val g = Tables(s, dir, "lineitem")
+          .select(col("l_returnflag"), x.as("x"), y.as("y"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("y") * col("y")).as("syy"))
+        g.select(col("l_returnflag"), col("n"),
+          round(d(col("sx")) / d(col("n")), 6).as("mean_qty"),
+          round(d(col("sy")) / d(col("n")), 6).as("mean_price"),
+          round(
+            (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+              sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) /
+              sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))), 6)
+            .as("corr_qty_price"))
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag,
+             |    COUNT(*) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    CAST(SUM(y * y) AS BIGINT) AS syy
+             |  FROM (
+             |    SELECT l_returnflag,
+             |      CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+             |      CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+             |    FROM lineitem) t
+             |  GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_qty,
+             |  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_price,
+             |  round(
+             |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |    / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 6)
+             |    AS corr_qty_price
+             |FROM m""".stripMargin))
   )
 }

@@ -541,7 +541,11 @@ class PlanAuditSpec extends SparkSuite {
         .withColumn("r", row_number().over(Window.orderBy(col("o_orderkey"))))
       assert(funnels(control), "detector failed its positive control")
 
-      val allowed = Set("rank_global_bucketed")
+      // allowed = the documented shrink-then-serial pattern ONLY: a
+      // window whose input is already aggregated to a bounded summary
+      // frame (|buckets| or |days| rows), never corpus-sized
+      val allowed = Set("rank_global_bucketed", "histogram_equidepth",
+        "users_cumulative")
       val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
         try {
           if (funnels(SparkEntry.queries(name)(spark, dir))) Some(name) else None
