@@ -275,6 +275,51 @@ object RelationalQueries {
               |WHERE o.o_totalprice >= 495000.0
               |GROUP BY o.o_orderkey""".stripMargin)),
 
+    // MERGE/upsert batch apply (SCD type 1) — the Delta-style MERGE
+    // INTO expressed in plain Spark: a latest-wins change batch (one
+    // row per entity, picked by a window PARTITIONED ON THE ENTITY KEY
+    // — parallelism scales with entity count) applied to the base
+    // snapshot with one full-outer join + coalesce. Matched keys take
+    // the incoming value ('updated'), unmatched base rows survive
+    // ('kept'), unmatched change keys append ('inserted'). The join is
+    // co-partitioned on the key; when the batch is small relative to
+    // the base, note full_outer has no broadcast form — the batch-side
+    // shuffle is the batch, not the base, so cost tracks change volume.
+    QueryDef("merge_upsert",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val changes = Tables.events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), QueryDef.cents(col("value")).as("new_cents"))
+        val base = Tables(s, dir, "customer")
+          .select(col("c_custkey"), QueryDef.cents(col("c_acctbal")).as("acct_cents"))
+        base.join(changes, col("c_custkey") === col("user_id"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("user_id")).as("key"),
+            coalesce(col("new_cents"), col("acct_cents")).as("acct_cents"),
+            when(col("c_custkey").isNull, "inserted")
+              .when(col("user_id").isNull, "kept")
+              .otherwise("updated").as("action"))
+      },
+      Some(s"""WITH ch AS (
+              |  SELECT user_id, ${QueryDef.centsSql("value")} AS new_cents FROM (
+              |    SELECT user_id, value,
+              |      row_number() OVER (PARTITION BY user_id
+              |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+              |    FROM events) t
+              |  WHERE rn = 1),
+              |b AS (SELECT c_custkey, ${QueryDef.centsSql("c_acctbal")} AS acct_cents
+              |  FROM customer)
+              |SELECT COALESCE(b.c_custkey, ch.user_id) AS key,
+              |  COALESCE(ch.new_cents, b.acct_cents) AS acct_cents,
+              |  CASE WHEN b.c_custkey IS NULL THEN 'inserted'
+              |       WHEN ch.user_id IS NULL THEN 'kept'
+              |       ELSE 'updated' END AS action
+              |FROM b FULL OUTER JOIN ch ON b.c_custkey = ch.user_id""".stripMargin)),
+
     // running/lag window analytics: per-customer cumulative spend,
     // order sequence number, and days since the previous order — the
     // frame/lag side of window functions (window_topk covers ranking).

@@ -322,8 +322,11 @@ object SimilarityQueries {
           .select(col("q_id"), col("doc_id"), col("rank_d"))
         // sparse leg: shingle-set Jaccard, query shingles broadcast.
         // The shingle set feeds the probe join AND both size lookups —
-        // persisted; the caller's clearCache sweep releases it.
+        // persisted AND eagerly materialized (same AQE unpopulated-
+        // cache race as shingleSet's capped path, see DedupQueries);
+        // the caller's clearCache sweep releases it.
         val sh = DedupQueries.shingleSet(s, dir, None).persist()
+        sh.count()
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val qsh = sh.filter(col("doc_id") < NQueries)
           .select(col("doc_id").as("q_id"), col("s"))
