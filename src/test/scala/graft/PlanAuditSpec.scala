@@ -372,6 +372,24 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("merge_upsert: latest-wins window keys on the entity; apply is a co-partitioned full outer") {
+    val p = plan(SparkEntry.queries("merge_upsert")(spark, dir))
+    // the change-batch compaction must partition on user_id — a
+    // batch-global window would funnel the whole change stream
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1, p)
+    assert(p.contains("FullOuter"), p)
+    // full outer has no broadcast form; both sides co-partition on the key
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("stats_moments: all five sums partial-aggregate before the single group exchange") {
+    val p = plan(SparkEntry.queries("stats_moments")(spark, dir))
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+    // integer sums: no double enters an aggregation buffer
+    assert(!p.toLowerCase.contains("sum(cast"), p)
+  }
+
   test("pack_sequences: packing window is sharded by (lang, shard), never a global sort") {
     val p = plan(SparkEntry.queries("pack_sequences")(spark, dir))
     assert(p.contains("Window"), p)
