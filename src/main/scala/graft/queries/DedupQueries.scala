@@ -99,7 +99,7 @@ object DedupQueries {
     * feeds the df count and the anti-join probe); the caller's
     * clearCache sweep (Bench/Verify contract, see object scaladoc)
     * releases it. */
-  private[queries] def shingleSet(s: SparkSession, dir: String,
+  private[graft] def shingleSet(s: SparkSession, dir: String,
       maxDfFrac: Option[Double] = None): DataFrame = {
     val wide = ProfilingQueries.widened(s, Tables(s, dir, "documents"))
     val sh = wide

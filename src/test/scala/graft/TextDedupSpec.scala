@@ -174,6 +174,24 @@ class TextDedupSpec extends SparkSuite {
     assert(r4 > 0.0)
   }
 
+  test("shingleSet(capped) returns an ALREADY-materialized cache (AQE race guard)") {
+    // the eager-materialization contract (see shingleSet scaladoc): a
+    // consumer planning against the returned frame must hit
+    // InMemoryTableScan, and the cache must already be populated —
+    // otherwise concurrent AQE stages re-run the build chain and the
+    // shuffle-bytes gate loses determinism
+    spark.catalog.clearCache()
+    val sh = DedupQueries.shingleSet(spark, dir, maxDfFrac = Some(0.001))
+    // populated, not merely registered: cached blocks exist in the store
+    val storage = spark.sparkContext.getRDDStorageInfo
+    assert(storage.exists(_.numCachedPartitions > 0),
+      s"no populated cache after shingleSet: ${storage.mkString("; ")}")
+    val consumerPlan = sh.groupBy("doc_id").count()
+      .queryExecution.executedPlan.toString
+    assert(consumerPlan.contains("InMemoryTableScan"), consumerPlan)
+    spark.catalog.clearCache()
+  }
+
   test("PQ ADC is exact for codeword corpus vectors and finds exact-L2 neighbors") {
     // exact L2² per (query, corpus) pair — the truth PQ approximates
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
