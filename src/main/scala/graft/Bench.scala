@@ -98,6 +98,17 @@ object Bench {
       m > 0 && rawSpread(ts) / m > NoiseTarget
     }
 
+  /** In-loop re-check for an already-extending query. Raw max−min
+    * spread is monotone as samples append, so re-testing
+    * [[burstContaminated]] alone could never clear a query once it
+    * burst — every extension would run to the round cap. Recovery rule:
+    * with the extra samples in hand, forgive ONE spike — the query
+    * keeps extending only if the recording is still bursty after
+    * excluding its single worst sample (i.e. ≥2 spikes, or a genuinely
+    * unstable query). */
+  private[graft] def stillBursty(ts: Seq[Double]): Boolean =
+    burstContaminated(ts) && burstContaminated(ts.sortBy(-_).drop(1))
+
   /** Shuffle-bytes gate: queries whose current bytes exceed the
     * committed record by BOTH >10% relative and >64 KiB absolute (the
     * absolute floor keeps a few-KiB query's natural jitter — map-side
@@ -153,6 +164,12 @@ object Bench {
           stable = s == jobsStarted.get && s == jobsEnded.get
         } else Thread.sleep(10)
       }
+      // a deadline exit means straggler listener events can land in the
+      // NEXT query's window — say so, so a corrupted bytes recording is
+      // distinguishable from a clean one
+      if (!stable) System.err.println(
+        s"[bench] WARN: listener bus not quiescent after ${timeoutMs} ms — " +
+          "shuffle-byte attribution for the adjacent queries may be skewed")
     }
   }
 
@@ -241,7 +258,7 @@ object Bench {
         s"[bench] ${bursty.size} bursty queries after $rounds rounds — extending: ${bursty.mkString(", ")}")
       bursty.foreach(n => samples(n) = samples(n) :+ time(n))
       rounds += 1
-      bursty = bursty.filter(n => burstContaminated(samples(n)))
+      bursty = bursty.filter(n => stillBursty(samples(n)))
     }
 
     val stats = names.map { n =>
@@ -272,7 +289,10 @@ object Bench {
         if (sfLine.contains(sfName))
           lines.filterNot(_.startsWith("#")).flatMap { l =>
             l.split('\t') match {
-              case Array(q, b, _*) => scala.util.Try(q -> b.toLong).toOption
+              // negative rows (a hand-committed failed-run sentinel)
+              // are rejected — prev = -1 would flag every healthy run
+              case Array(q, b, _*) =>
+                scala.util.Try(q -> b.toLong).toOption.filter(_._2 >= 0)
               case _ => None
             }
           }.toMap
@@ -285,8 +305,12 @@ object Bench {
     // intentional plan change
     val tsvOut = java.nio.file.Paths.get("target", "shuffle_current.tsv")
     java.nio.file.Files.createDirectories(tsvOut.getParent)
+    // failed queries (-1 sentinel) are EXCLUDED from the snapshot: a
+    // committed -1 baseline row would make the gate fire on every
+    // subsequent healthy run of that query
     java.nio.file.Files.write(tsvOut,
-      (s"# sf=$sfName\n" + names.map(n => s"$n\t${shuffleStats(n)._1}").mkString("\n") + "\n")
+      (s"# sf=$sfName\n" + names.filter(n => shuffleStats(n)._1 >= 0)
+        .map(n => s"$n\t${shuffleStats(n)._1}").mkString("\n") + "\n")
         .getBytes("UTF-8"))
 
     val regJson = regressions.map(r => "\"" + r + "\"").mkString("[", ",", "]")

@@ -114,7 +114,8 @@ object HeavyHitters {
     // above n/capacity, so capacity·perMille == 1000 exactly would let
     // a boundary-share token be evicted — 'exact' would silently lie
     require(capacity * perMille >= 2000L,
-      s"capacity=$capacity too small for perMille=$perMille (needs ≥ ${2000 / perMille})")
+      s"capacity=$capacity too small for perMille=$perMille " +
+        s"(needs ≥ ${(2000L + perMille - 1) / perMille})") // ceil: int div would suggest a still-rejected value
     import s.implicits._
     val summaries = tokens.mapPartitions { it =>
       val ss = new SpaceSaving(capacity)

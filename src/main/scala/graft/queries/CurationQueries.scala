@@ -363,9 +363,15 @@ object CurationQueries {
       (s, dir) => {
         val qm = floor(graft.queries.TextQueries.qualityScore(col("text")) *
           lit(1000000.0) + lit(0.5)).cast("long")
+        // eager like shingleSet (SCALE.md: shared cached frames): the
+        // scored frame feeds the offsets aggregation AND the main
+        // join/window — unpersisted, the per-row qualityScore text pass
+        // (the expensive stage) would run twice
         val scored = widened(s, Tables(s, dir, "documents"))
           .select(col("doc_id"), col("lang"), qm.as("qm"))
           .withColumn("bkt", floor(col("qm") / lit(50000.0)).cast("long"))
+          .persist()
+        scored.count()
         val wOff = Window.partitionBy(col("lang")).orderBy(col("bkt").desc)
           .rowsBetween(Window.unboundedPreceding, -1)
         val wAll = Window.partitionBy(col("lang"))

@@ -30,42 +30,52 @@ case object NoOpSink extends Sink {
   * at 100 TB the right answer differs between a write-once archive
   * tier (zstd) and a hot re-read tier (snappy/lz4), so it must be a
   * per-sink choice, not a cluster constant. */
+/** Shared writer configuration for the columnar sinks — ONE definition
+  * of the knob chain so a new per-write option cannot be added to one
+  * format and silently missed on the other. */
+private[sinks] object ColumnarWriter {
+  /** Builds the configured [[org.apache.spark.sql.DataFrameWriter]];
+    * the sink applies its format call (`.parquet`/`.orc`) to the
+    * result.
+    *
+    * dynamicPartitionOverwrite is the incremental-batch idiom:
+    * Overwrite + dynamic mode replaces ONLY the partitions present in
+    * this batch (per-write option, not the session conf — two sinks in
+    * one flow can disagree). STATIC (the default) truncates the whole
+    * table first — correct for full rebuilds, catastrophic for a daily
+    * increment into years of partitions. */
+  def configure(df: DataFrame, mode: SaveMode, partitionBy: Seq[String],
+      maxRecordsPerFile: Option[Long], compression: Option[String],
+      dynamicPartitionOverwrite: Boolean): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    val base = df.write.mode(mode)
+    val sized = maxRecordsPerFile.fold(base)(n => base.option("maxRecordsPerFile", n))
+    val coded = compression.fold(sized)(c => sized.option("compression", c))
+    val w = if (dynamicPartitionOverwrite)
+      coded.option("partitionOverwriteMode", "dynamic") else coded
+    if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+  }
+}
+
 final case class ParquetSink(path: String, mode: SaveMode = SaveMode.Overwrite,
     partitionBy: Seq[String] = Nil,
     maxRecordsPerFile: Option[Long] = None,
     compression: Option[String] = None,
     dynamicPartitionOverwrite: Boolean = false) extends Sink {
-  def write(df: DataFrame): Unit = {
-    val base = df.write.mode(mode)
-    val sized = maxRecordsPerFile.fold(base)(n => base.option("maxRecordsPerFile", n))
-    val coded = compression.fold(sized)(c => sized.option("compression", c))
-    // incremental-batch idiom: Overwrite + dynamic mode replaces ONLY
-    // the partitions present in this batch (per-write option, not the
-    // session conf — two sinks in one flow can disagree). STATIC (the
-    // default) truncates the whole table first — correct for full
-    // rebuilds, catastrophic for a daily increment into years of
-    // partitions.
-    val w = if (dynamicPartitionOverwrite)
-      coded.option("partitionOverwriteMode", "dynamic") else coded
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
-  }
+  def write(df: DataFrame): Unit =
+    ColumnarWriter.configure(df, mode, partitionBy, maxRecordsPerFile,
+      compression, dynamicPartitionOverwrite).parquet(path)
 }
 
-/** ORC out (engine extension — mirrors [[ParquetSink]] including the
-  * file-sizing and compression knobs; Hive-ecosystem interchange). */
+/** ORC out (engine extension — same knobs as [[ParquetSink]] via
+  * [[ColumnarWriter]]; Hive-ecosystem interchange). */
 final case class OrcSink(path: String, mode: SaveMode = SaveMode.Overwrite,
     partitionBy: Seq[String] = Nil,
     maxRecordsPerFile: Option[Long] = None,
     compression: Option[String] = None,
     dynamicPartitionOverwrite: Boolean = false) extends Sink {
-  def write(df: DataFrame): Unit = {
-    val base = df.write.mode(mode)
-    val sized = maxRecordsPerFile.fold(base)(n => base.option("maxRecordsPerFile", n))
-    val coded = compression.fold(sized)(c => sized.option("compression", c))
-    val w = if (dynamicPartitionOverwrite)
-      coded.option("partitionOverwriteMode", "dynamic") else coded
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
-  }
+  def write(df: DataFrame): Unit =
+    ColumnarWriter.configure(df, mode, partitionBy, maxRecordsPerFile,
+      compression, dynamicPartitionOverwrite).orc(path)
 }
 
 /** CSV out with the reference's first-line protocol

@@ -63,6 +63,20 @@ class BenchStatSpec extends AnyFunSuite {
     assert(!Bench.burstContaminated(Nil))
   }
 
+  test("extension recovery: one spike clears after a clean extra sample; two spikes keep extending") {
+    // rawSpread is monotone as samples append, so the in-loop re-check
+    // must use stillBursty — plain burstContaminated could never clear
+    // a burst query and every burst would run to the round cap
+    val oneSpike = Seq(1.4, 1.5, 16.4, 1.5)
+    assert(Bench.burstContaminated(oneSpike))   // the naive re-check would extend forever
+    assert(!Bench.stillBursty(oneSpike))        // recovery: worst sample forgiven
+    val twoSpikes = Seq(1.4, 1.5, 16.4, 1.5, 15.9)
+    assert(Bench.stillBursty(twoSpikes))        // genuinely unstable: keeps extending
+    // the INITIAL trigger (3 base samples) still uses plain
+    // burstContaminated — stillBursty only governs the in-loop re-check
+    assert(Bench.burstContaminated(Seq(1.4, 1.5, 16.4)))
+  }
+
   test("shuffle gate fires on an intentional regression and stays quiet otherwise") {
     val baseline = Map("big" -> (10L << 20), "small" -> (10L << 10), "gone" -> 5L)
     // +20% on a 10 MiB query: a real plan regression — fires
