@@ -187,41 +187,84 @@ object SimilarityQueries {
           .filter(col("rank") <= TopK)
       },
       Some {
-        def l22Sql(a: String, b: String) =
-          s"list_reduce(list_transform(range(1, len($a)+1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
-        val dSums = (0 until 4)
-          .map(j => s"SUM(CASE WHEN k.j = $j THEN l.dq ELSE 0.0 END) AS d$j")
-          .mkString(",\n    ")
-        s"""WITH js AS (SELECT unnest(range(4)) AS j),
-           |vsub AS (
-           |  SELECT vec_id, j, list_slice(embedding, j * 16 + 1, (j + 1) * 16) AS v
-           |  FROM embeddings CROSS JOIN js),
-           |csub AS (
-           |  SELECT vec_id AS c_id, j, list_slice(embedding, j * 16 + 1, (j + 1) * 16) AS c
-           |  FROM embeddings CROSS JOIN js WHERE vec_id < $NCentroids),
-           |vd AS (
-           |  SELECT v.vec_id, v.j, c.c_id, ${l22Sql("v.v", "c.c")} AS d
-           |  FROM vsub v JOIN csub c ON v.j = c.j),
-           |codes AS (
-           |  SELECT vec_id, j, c_id AS code FROM (
-           |    SELECT vec_id, j, c_id,
-           |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c_id) AS rk
-           |    FROM vd) t WHERE rk = 1),
-           |lut AS (
-           |  SELECT q.vec_id AS q_id, q.j, c.c_id, ${l22Sql("q.v", "c.c")} AS dq
-           |  FROM vsub q JOIN csub c ON q.j = c.j WHERE q.vec_id < $NQueries),
+        s"""WITH $pqCtesSql,
            |parts AS (
            |  SELECT l.q_id, k.vec_id,
-           |    $dSums
+           |    $pqDSumsSql
            |  FROM codes k JOIN lut l ON l.j = k.j AND l.c_id = k.code
            |  GROUP BY l.q_id, k.vec_id)
-           |SELECT q_id, n_id, adc, rank FROM (
-           |  SELECT q_id, vec_id AS n_id,
-           |    round(d0 + d1 + d2 + d3, 6) AS adc,
-           |    CAST(row_number() OVER (PARTITION BY q_id
-           |      ORDER BY round(d0 + d1 + d2 + d3, 6), vec_id) AS BIGINT) AS rank
-           |  FROM parts WHERE vec_id <> q_id) t
-           |WHERE rank <= $TopK""".stripMargin
+           |$pqRankSql""".stripMargin
+      }),
+
+    // IVF-PQ — the two techniques composed, i.e. the billion-scale
+    // serving recipe (FAISS IndexIVFPQ): the coarse quantizer routes
+    // each query to nprobe=4 cells (ann_ivf's cosine argmax, same
+    // frozen stand-in centroids), and within the probed cells
+    // candidates are scored by PQ ADC — 4 LUT adds per pair, never
+    // touching the float vectors. Memory per corpus vector at serving
+    // time: 4 code bytes + a cell id; compute per query: |probed
+    // cells|·occupancy LUT adds. Both restriction joins are keyed
+    // (cell; vec_id), the LUT broadcasts, and recombination uses the
+    // same order-insensitive conditional sums as ann_pq.
+    QueryDef("ann_ivfpq",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"))
+        val cents = e.filter(col("vec_id") < NCentroids)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+            col("nrm").as("c_nrm"))
+        val aw = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_c").desc, col("c_id"))
+        def assignRanked(v: DataFrame) =
+          v.crossJoin(broadcast(cents))
+            .withColumn("cos_c",
+              cosineFast(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+            .withColumn("rk", row_number().over(aw))
+        val cells = assignRanked(e).filter(col("rk") === 1)
+          .select(col("vec_id"), col("c_id").as("cell"))
+        val probes = assignRanked(e.filter(col("vec_id") < NQueries))
+          .filter(col("rk") <= NProbe)
+          .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+        val cand = probes.join(cells, Seq("cell"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id"))
+        val pairs = pqCodes(s, dir).as("k")
+          .join(cand.as("cd"), col("k.vec_id") === col("cd.vec_id"))
+          .join(broadcast(pqLut(s, dir)).as("l"),
+            col("k.j") === col("l.j") && col("cd.q_id") === col("l.q_id") &&
+              col("k.code") === col("l.c_id"))
+          .select(col("cd.q_id").as("q_id"), col("k.vec_id").as("vec_id"),
+            col("k.j").as("j"), col("l.dq").as("dq"))
+        val w = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("n_id"))
+        adcRecombine(pairs)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TopK)
+      },
+      Some {
+        s"""WITH $pqCtesSql,
+           |cents AS (
+           |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NCentroids),
+           |assign AS (
+           |  SELECT vec_id, c_id,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY ${cosineSql("e.embedding", "c_emb")} DESC, c_id) AS rk
+           |  FROM embeddings e CROSS JOIN cents),
+           |cells AS (SELECT vec_id, c_id AS cell FROM assign WHERE rk = 1),
+           |probes AS (
+           |  SELECT vec_id AS q_id, c_id AS cell FROM assign
+           |  WHERE vec_id < $NQueries AND rk <= $NProbe),
+           |cand AS (
+           |  SELECT p.q_id, c.vec_id FROM probes p
+           |  JOIN cells c ON p.cell = c.cell AND p.q_id <> c.vec_id),
+           |parts AS (
+           |  SELECT l.q_id, k.vec_id,
+           |    $pqDSumsSql
+           |  FROM codes k
+           |  JOIN cand cd ON cd.vec_id = k.vec_id
+           |  JOIN lut l ON l.q_id = cd.q_id AND l.j = k.j AND l.c_id = k.code
+           |  GROUP BY l.q_id, k.vec_id)
+           |$pqRankSql""".stripMargin
       }),
 
     QueryDef("ann_bruteforce",
@@ -410,40 +453,112 @@ object SimilarityQueries {
     * assert the codeword-exactness property (a corpus vector that IS a
     * codeword quantizes to itself, so its ADC equals the exact L2²)
     * over ALL pairs, not just the ones that surface in the top-k. */
-  private[graft] def pqAdc(s: SparkSession, dir: String): DataFrame = {
-    val m = 4; val sub = 16
-    def l22(a: Column, b: Column) =
-      foldSum(zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))))
-    def subspaces(df: DataFrame, idCol: String) = df
-      .select(col("vec_id").as(idCol), explode(array((0 until m).map(j =>
-        struct(lit(j).as("j"), slice(col("embedding"), j * sub + 1, sub).as("v"))): _*)).as("s"))
-      .select(col(idCol), col("s.j").as("j"), col("s.v").as("v"))
-    val e = Tables(s, dir, "embeddings")
-    val vsub = subspaces(e, "vec_id")
-    val csub = subspaces(e.filter(col("vec_id") < NCentroids), "c_id")
+  private[graft] def pqAdc(s: SparkSession, dir: String): DataFrame =
+    adcScores(pqCodes(s, dir), pqLut(s, dir))
+
+  // defs, not vals: interpolated into oracle strings that are built
+  // eagerly at `defs` init — an after-`defs` val would still be 0 then
+  // (the dedup_semantic_k lesson, caught again only by the cross-engine
+  // gate)
+  private def PqM = 4 // subspaces
+  private def PqSub = 16 // dims per subspace
+
+  private def pqL22(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))))
+
+  private def pqSubspaces(df: DataFrame, idCol: String): DataFrame = df
+    .select(col("vec_id").as(idCol), explode(array((0 until PqM).map(j =>
+      struct(lit(j).as("j"), slice(col("embedding"), j * PqSub + 1, PqSub).as("v"))): _*)).as("s"))
+    .select(col(idCol), col("s.j").as("j"), col("s.v").as("v"))
+
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    pqSubspaces(Tables(s, dir, "embeddings").filter(col("vec_id") < NCentroids), "c_id")
       .select(col("c_id"), col("j"), col("v").as("c"))
+
+  /** PQ encode: every corpus vector → (vec_id, j, code), code = argmin
+    * codeword per subspace (tie → lower c_id). The 4-bytes-per-vector
+    * frame a serving system would persist. */
+  private[graft] def pqCodes(s: SparkSession, dir: String): DataFrame = {
     val aw = Window.partitionBy(col("vec_id"), col("j"))
       .orderBy(col("d"), col("c_id"))
-    val codes = vsub.join(broadcast(csub), Seq("j"))
-      .withColumn("d", l22(col("v"), col("c")))
+    pqSubspaces(Tables(s, dir, "embeddings"), "vec_id")
+      .join(broadcast(pqCodebook(s, dir)), Seq("j"))
+      .withColumn("d", pqL22(col("v"), col("c")))
       .withColumn("rk", row_number().over(aw))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("j"), col("c_id").as("code"))
-    val lut = subspaces(e.filter(col("vec_id") < NQueries), "q_id")
-      .join(broadcast(csub), Seq("j"))
-      .withColumn("dq", l22(col("v"), col("c")))
+  }
+
+  /** Per-query ADC lookup table: (q_id, j, c_id, dq) — |Q|·m·codewords
+    * rows, built once per query batch and broadcast. */
+  private[graft] def pqLut(s: SparkSession, dir: String): DataFrame =
+    pqSubspaces(Tables(s, dir, "embeddings").filter(col("vec_id") < NQueries), "q_id")
+      .join(broadcast(pqCodebook(s, dir)), Seq("j"))
+      .withColumn("dq", pqL22(col("v"), col("c")))
       .select(col("q_id"), col("j"), col("c_id"), col("dq"))
-    val parts = codes.join(broadcast(lut),
+
+  /** ADC scoring of every (query, corpus) pair: codes ⋈ broadcast LUT
+    * into [[adcRecombine]]. */
+  private def adcScores(codes: DataFrame, lut: DataFrame): DataFrame =
+    adcRecombine(codes.join(broadcast(lut),
         codes("j") === lut("j") && codes("code") === lut("c_id"))
-      .groupBy(col("q_id"), col("vec_id"))
+      .select(lut("q_id"), codes("vec_id"), codes("j"), lut("dq")))
+
+  /** ADC recombination over (q_id, vec_id, j, dq) pairs: per-j partial
+    * distances recombined with ORDER-INSENSITIVE conditional sums (all
+    * but one addend is exactly 0.0) and added in fixed j order —
+    * bit-exact on both engines regardless of partial-agg order. */
+  private def adcRecombine(pairs: DataFrame): DataFrame = {
+    val parts = pairs.groupBy(col("q_id"), col("vec_id"))
       .agg(
-        sum(when(codes("j") === 0, col("dq")).otherwise(lit(0.0))).as("d0"),
-        (1 until m).map(j =>
-          sum(when(codes("j") === j, col("dq")).otherwise(lit(0.0))).as(s"d$j")): _*)
+        sum(when(col("j") === 0, col("dq")).otherwise(lit(0.0))).as("d0"),
+        (1 until PqM).map(j =>
+          sum(when(col("j") === j, col("dq")).otherwise(lit(0.0))).as(s"d$j")): _*)
     parts
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         round(col("d0") + col("d1") + col("d2") + col("d3"), 6).as("adc"))
   }
+
+  /** DuckDB twins of [[pqCodes]]/[[pqLut]] (CTEs js/vsub/csub/vd/codes/
+    * lut), the per-j conditional-sum recombination, and the shared
+    * rank/cut tail — `def`s, not `val`s: they are interpolated into
+    * oracle strings built eagerly at `defs` init (an after-`defs` val
+    * would still be null then). */
+  private def pqL22Sql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  private def pqCtesSql: String =
+    s"""js AS (SELECT unnest(range($PqM)) AS j),
+       |vsub AS (
+       |  SELECT vec_id, j, list_slice(embedding, j * $PqSub + 1, (j + 1) * $PqSub) AS v
+       |  FROM embeddings CROSS JOIN js),
+       |csub AS (
+       |  SELECT vec_id AS c_id, j, list_slice(embedding, j * $PqSub + 1, (j + 1) * $PqSub) AS c
+       |  FROM embeddings CROSS JOIN js WHERE vec_id < $NCentroids),
+       |vd AS (
+       |  SELECT v.vec_id, v.j, c.c_id, ${pqL22Sql("v.v", "c.c")} AS d
+       |  FROM vsub v JOIN csub c ON v.j = c.j),
+       |codes AS (
+       |  SELECT vec_id, j, c_id AS code FROM (
+       |    SELECT vec_id, j, c_id,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c_id) AS rk
+       |    FROM vd) t WHERE rk = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, q.j, c.c_id, ${pqL22Sql("q.v", "c.c")} AS dq
+       |  FROM vsub q JOIN csub c ON q.j = c.j WHERE q.vec_id < $NQueries)""".stripMargin
+
+  private def pqDSumsSql: String = (0 until PqM)
+    .map(j => s"SUM(CASE WHEN k.j = $j THEN l.dq ELSE 0.0 END) AS d$j")
+    .mkString(",\n    ")
+
+  private def pqRankSql: String =
+    s"""SELECT q_id, n_id, adc, rank FROM (
+       |  SELECT q_id, vec_id AS n_id,
+       |    round(d0 + d1 + d2 + d3, 6) AS adc,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY round(d0 + d1 + d2 + d3, 6), vec_id) AS BIGINT) AS rank
+       |  FROM parts WHERE vec_id <> q_id) t
+       |WHERE rank <= $TopK""".stripMargin
 }

@@ -225,4 +225,22 @@ class TextDedupSpec extends SparkSuite {
       .select(col("q_id"), col("n_id"))
     assert(pq.join(truth, Seq("q_id", "n_id")).count() > 0)
   }
+
+  test("IVF-PQ prunes candidates but never changes their ADC scores") {
+    // the coarse quantizer only RESTRICTS which (query, corpus) pairs
+    // get scored — every surfaced pair must carry the identical ADC the
+    // full PQ scan computes. A mismatch means the cell routing leaked
+    // into the scoring path (e.g. a stale alias re-joined the LUT).
+    val full = SimilarityQueries.pqAdc(spark, dir)
+      .select(col("q_id"), col("n_id"), col("adc").as("adc_full"))
+    val ivfpq = q("ann_ivfpq")
+    assert(ivfpq.count() > 0)
+    val joined = ivfpq.join(full, Seq("q_id", "n_id"))
+    assert(joined.count() == ivfpq.count()) // every pair exists in the full scan
+    assert(joined.filter(col("adc") =!= col("adc_full")).count() == 0)
+    // probing nprobe=4 of 16 cells keeps recall non-degenerate: the
+    // top-k overlap with the unrestricted PQ ranking stays non-zero
+    val pqTop = q("ann_pq").select(col("q_id"), col("n_id"))
+    assert(ivfpq.join(pqTop, Seq("q_id", "n_id")).count() > 0)
+  }
 }
