@@ -23,6 +23,22 @@ object FileQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft_fileq/$key/$name"
   }
 
+  /** Compaction output sizing: one coalesced task (= one file) per
+    * ~128 MiB of input — the same figure as
+    * `spark.sql.files.maxPartitionBytes`, so compacted files are
+    * one-split reads downstream. 100 TB → ~800k files, each
+    * independently scannable. */
+  private val CompactTargetBytes: Long = 128L << 20
+
+  /** Driver-side directory listing (part files only) — compaction's
+    * sizing signal is METADATA, never a data job. */
+  private def parquetParts(s: org.apache.spark.sql.SparkSession,
+      path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .listStatus(p).toSeq.filter(_.getPath.getName.endsWith(".parquet"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // §2.1.4 + §2.5 CSV round-trip with the reference's full first-line
@@ -64,6 +80,53 @@ object FileQueries {
               |  ${QueryDef.centsSql("o_totalprice")} AS totalprice_cents,
               |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate
               |FROM orders""".stripMargin)),
+
+    // Small-file compaction — the 100-TB housekeeping operator every
+    // streaming/incremental ingest eventually needs: micro-batch sinks
+    // leave thousands of KB-sized files whose open/footer cost comes to
+    // dominate scans. Stage one simulates that ingest (events rolled at
+    // 500 records/file — 2/20/200 files across the driver SFs); the
+    // compaction pass is the part under test:
+    //  - SIZED FROM METADATA: the driver lists the directory (a
+    //    metadata op — no Spark job, no data read) and sizes the output
+    //    at one task per ~128 MiB, the canonical split target, so the
+    //    rewritten files are exactly what downstream scans want.
+    //  - SHUFFLE-FREE: coalesce() merges scan partitions without an
+    //    exchange — compaction moves every byte once (read + write);
+    //    a repartition() would move every byte twice. The skew risk
+    //    that usually argues for repartition doesn't exist here
+    //    because input files are uniformly ingest-sized.
+    //  - VERIFIED, not assumed: the query throws if the rewrite didn't
+    //    actually reach the target file count, and the returned
+    //    aggregate (counts + exact cents + distinct users per type)
+    //    must hash-match the oracle reading the original table — a
+    //    compaction that drops or duplicates rows fails the gate.
+    QueryDef("compact_files",
+      (s, dir) => {
+        val smallDir = scratch(dir, "compact_small")
+        val bigDir = scratch(dir, "compact_big")
+        ParquetSink(smallDir, maxRecordsPerFile = Some(500L))
+          .write(graft.Tables.events(s, dir))
+        val filesBefore = parquetParts(s, smallDir)
+        val nOut = ((filesBefore.map(_.getLen).sum + CompactTargetBytes - 1)
+          / CompactTargetBytes).toInt.max(1)
+        ParquetSink(bigDir).write(
+          ParquetSource(smallDir).load(s).coalesce(nOut))
+        val nAfter = parquetParts(s, bigDir).length
+        if (nAfter > nOut)
+          throw new IllegalStateException(
+            s"compact_files: rewrite produced $nAfter files for a target of $nOut — " +
+              s"compaction failed to consolidate ${filesBefore.length} input files")
+        ParquetSource(bigDir).load(s)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(QueryDef.cents(col("value"))).as("value_cents"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n_events,
+              |  CAST(SUM(${QueryDef.centsSql("value")}) AS BIGINT) AS value_cents,
+              |  COUNT(DISTINCT user_id) AS n_users
+              |FROM events GROUP BY event_type""".stripMargin)),
 
     // §2.1.5 LineExtractor: one string record per non-empty trimmed
     // line (src/Extractors/File/LineExtractor.php:15-36) — text written

@@ -179,6 +179,26 @@ class FileFormatsSpec extends SparkSuite {
     assert(back == byId)
   }
 
+  test("compact_files consolidates the staged small files to the sized target") {
+    // run the driver query once, then audit the scratch directories it
+    // leaves behind: 1000 events rolled at 500/file stage exactly 2
+    // small files, and the metadata-sized rewrite (≪128 MiB → nOut=1)
+    // must land exactly 1 — plus row-for-row preservation, which the
+    // DuckDB gate re-checks cross-engine via the aggregate.
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.FileQueries.defs
+      .find(_.name == "compact_files").get.fn(spark, dir)
+    assert(out.count() == 5) // one row per event_type
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val scratchRoot = s"${System.getProperty("java.io.tmpdir")}/graft_fileq/$key"
+    def parts(sub: String) = new java.io.File(s"$scratchRoot/$sub")
+      .listFiles().toSeq.map(_.getName).filter(_.endsWith(".parquet"))
+    assert(parts("compact_small").length == 2, "staging should roll 1000 rows into 2 files")
+    assert(parts("compact_big").length == 1, "compaction should consolidate to the sized nOut=1")
+    val rows = spark.read.parquet(s"$scratchRoot/compact_big").count()
+    assert(rows == 1000L)
+  }
+
   test("JdbcUpsertSink SQL builder (no DB in env — pure check)") {
     import graft.sinks.JdbcUpsertSink
     val pg = JdbcUpsertSink.upsertSql("postgresql", "t", Seq("id", "a", "b"), Seq("id"))
