@@ -438,8 +438,136 @@ object SimilarityQueries {
               |  SELECT q_id, doc_id, rrf_micro,
               |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
               |  FROM fused) t
-              |WHERE rank <= $HybridTopK""".stripMargin))
+              |WHERE rank <= $HybridTopK""".stripMargin)),
+
+    // MMR diversity rerank (Carbonell & Goldstein, SIGIR 1998) — the
+    // post-retrieval stage every RAG/curation pipeline runs: from each
+    // query's top-[[MmrCandK]] relevance candidates, greedily select
+    // [[MmrK]] maximizing λ·rel − (1−λ)·max-sim-to-already-selected
+    // (λ=1/2, scaled ×2 so the score is the integer rel_u − max_sim_u).
+    // All scores are 6-dp cosine micro-points, so selection is exact
+    // integer arithmetic cross-engine; ties break to the smaller id.
+    //
+    // Greedy selection is inherently sequential PER QUERY, so this is
+    // the documented flatMapGroups case (like HeavyHitters' per-
+    // partition summaries): the parallel unit is the query, state per
+    // group is the CandK×CandK micro-int sim matrix (≤3 KB) built from
+    // a bounded candidate self-join — never corpus-sized, and the
+    // relevance stage that bounds it is the same broadcast-queries ×
+    // streamed-corpus scan as ann_bruteforce. At 100 TB the candidate
+    // generator upgrades to ann_ivfpq; the rerank is unchanged.
+    QueryDef("mmr_rerank",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"))
+        val qs = e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("rel_u").desc, col("n_id"))
+        val cand = e.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"), col("embedding"),
+            col("nrm"),
+            microPoints(cosineFast(col("embedding"), col("q_emb"),
+              col("nrm"), col("q_nrm"))).as("rel_u"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= MmrCandK)
+        val pairs = cand.as("a")
+          .join(cand.as("b"),
+            col("a.q_id") === col("b.q_id") && col("a.n_id") =!= col("b.n_id"))
+          .select(col("a.q_id").as("q_id"), col("a.n_id").as("i"),
+            col("a.rel_u").as("rel_u"), col("b.n_id").as("j"),
+            microPoints(cosineFast(col("a.embedding"), col("b.embedding"),
+              col("a.nrm"), col("b.nrm"))).as("sim_u"))
+          .as[(Long, Long, Long, Long, Long)]
+        pairs.groupByKey(_._1)
+          .flatMapGroups { (qid: Long, rows: Iterator[(Long, Long, Long, Long, Long)]) =>
+            val rel = scala.collection.mutable.LongMap.empty[Long]
+            val sim = scala.collection.mutable.Map.empty[(Long, Long), Long]
+            rows.foreach { case (_, i, r, j, sv) => rel(i) = r; sim((i, j)) = sv }
+            val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val out = Seq.newBuilder[(Long, Long, Long, Long)]
+            val k = math.min(MmrK.toLong, rel.size.toLong)
+            var rank = 1L
+            while (rank <= k) {
+              var bestId = -1L
+              var bestScore = Long.MinValue
+              rel.foreach { case (c, r) =>
+                if (!selected.contains(c)) {
+                  // empty-selected max-sim is 0 (first pick = pure relevance)
+                  val m = if (selected.isEmpty) 0L
+                    else selected.iterator.map(j => sim((c, j))).max
+                  val score = r - m
+                  if (score > bestScore || (score == bestScore && c < bestId)) {
+                    bestScore = score; bestId = c
+                  }
+                }
+              }
+              selected += bestId
+              out += ((qid, rank, bestId, bestScore))
+              rank += 1
+            }
+            out.result()
+          }
+          .toDF("q_id", "rank", "n_id", "mmr_u")
+      },
+      Some {
+        val key = "10000000000" // packs (score, -n_id) into one BIGINT argmax key
+        s"""WITH RECURSIVE cand AS (
+           |  SELECT q_id, n_id, rel_u FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |      ${microSql(cosineSql("q.embedding", "c.embedding"))} AS rel_u,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${microSql(cosineSql("q.embedding", "c.embedding"))} DESC, c.vec_id) AS rk
+           |    FROM embeddings q JOIN embeddings c
+           |      ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id) t
+           |  WHERE rk <= $MmrCandK),
+           |sims AS (
+           |  SELECT a.q_id, a.n_id AS i, b.n_id AS j,
+           |    ${microSql(cosineSql("ea.embedding", "eb.embedding"))} AS sim_u
+           |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+           |  JOIN embeddings ea ON ea.vec_id = a.n_id
+           |  JOIN embeddings eb ON eb.vec_id = b.n_id),
+           |sel AS (
+           |  SELECT q_id, CAST(1 AS BIGINT) AS rank,
+           |    max_by(n_id, rel_u * $key - n_id) AS n_id,
+           |    max_by(rel_u, rel_u * $key - n_id) AS mmr_u,
+           |    [max_by(n_id, rel_u * $key - n_id)] AS sel_ids
+           |  FROM cand GROUP BY q_id
+           |  UNION ALL
+           |  SELECT s.q_id, s.rank + 1,
+           |    max_by(c.n_id, (c.rel_u - ms.m) * $key - c.n_id) AS n_id,
+           |    max_by(c.rel_u - ms.m, (c.rel_u - ms.m) * $key - c.n_id) AS mmr_u,
+           |    list_append(s.sel_ids, max_by(c.n_id, (c.rel_u - ms.m) * $key - c.n_id)) AS sel_ids
+           |  FROM sel s
+           |  JOIN cand c ON c.q_id = s.q_id AND NOT list_contains(s.sel_ids, c.n_id),
+           |  LATERAL (SELECT COALESCE(MAX(sim_u), 0) AS m FROM sims
+           |           WHERE sims.q_id = s.q_id AND sims.i = c.n_id
+           |             AND list_contains(s.sel_ids, sims.j)) ms
+           |  WHERE s.rank < $MmrK
+           |  GROUP BY s.q_id, s.rank, s.sel_ids)
+           |SELECT q_id, rank, n_id, mmr_u FROM sel""".stripMargin
+      })
   )
+
+  /** MMR sizing: rerank pool [[MmrCandK]] (what the ANN stage hands
+    * over) cut to [[MmrK]] diverse results. defs, not vals — both are
+    * interpolated into the oracle string at `defs` init. */
+  private def MmrCandK = 20
+  private def MmrK = 8
+
+  /** 6-dp cosine → exact integer micro-points: `floor(x·1e6 + 0.5)` as
+    * BIGINT — single IEEE ops, same shape both engines (the
+    * [[QueryDef.cents]] contract at 1e6 scale). Keep [[microSql]] in
+    * lockstep. */
+  private def microPoints(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+
+  private def microSql(expr: String): String =
+    s"CAST(floor(($expr) * 1000000.0 + 0.5) AS BIGINT)"
 
   /** RRF constant k=60 (the SIGIR'09 default) and pool/output sizes
     * for `hybrid_search`: each leg contributes its top-[[RrfPoolK]];

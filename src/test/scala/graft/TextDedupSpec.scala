@@ -243,4 +243,40 @@ class TextDedupSpec extends SparkSuite {
     val pqTop = q("ann_pq").select(col("q_id"), col("n_id"))
     assert(ivfpq.join(pqTop, Seq("q_id", "n_id")).count() > 0)
   }
+
+  test("MMR rerank: first pick is pure relevance, later picks diversify") {
+    val mmr = q("mmr_rerank").cache()
+    val rows = mmr.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 8 * 8) // MmrK picks per query
+    // picks are distinct within a query (greedy never re-selects)
+    assert(rows.groupBy(_._1).forall { case (_, g) =>
+      g.map(_._3).distinct.length == g.length })
+    // rank 1 = the pure-relevance argmax: max-sim over an empty
+    // selected set is 0, so the first MMR score IS rel_u — cross-check
+    // against brute-force cosine ranking (same candidate generator)
+    val brute = q("ann_bruteforce")
+    val top1 = brute.filter(col("rank") === 1)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.filter(_._2 == 1L).foreach { case (qid, _, nid, _) =>
+      assert(top1(qid) == nid, s"query $qid: MMR rank-1 $nid != relevance top-1 ${top1(qid)}")
+    }
+    // and the diversity term must actually bite: if MMR == pure top-8
+    // everywhere, the penalty never changed a pick (degenerate λ path).
+    // Pure top-8 recomputed here (ann_bruteforce only surfaces top-5).
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    val pureTop8 = e.as("q").filter(col("q.vec_id") < 8)
+      .crossJoin(e.as("c")).filter(col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 8)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mmrPicks = rows.map(t => (t._1, t._3)).toSet
+    assert((mmrPicks -- pureTop8).nonEmpty, "MMR never diverged from pure relevance")
+    mmr.unpersist()
+  }
 }
