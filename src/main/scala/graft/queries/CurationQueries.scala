@@ -289,7 +289,7 @@ object CurationQueries {
           val den = tf + lit(1.2) *
             (lit(0.25) + (lit(0.75) * col("dl").cast("double")) / (col("sum_dl").cast("double") / n))
           when(col(s"tf_$tm") > 0,
-            floor(idf * (tf * lit(2.2)) / den * lit(1000000.0) + lit(0.5)).cast("long"))
+            QueryDef.microPoints(idf * (tf * lit(2.2)) / den))
             .otherwise(lit(0L))
         }
         val scored = perDoc.crossJoin(broadcast(stats)).select(
@@ -320,7 +320,7 @@ object CurationQueries {
         def contrib(tm: String) = {
           val idf = s"(CAST(n AS DOUBLE) - CAST(df_$tm AS DOUBLE) + 0.5) / (CAST(df_$tm AS DOUBLE) + 0.5)"
           val den = s"CAST(tf_$tm AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)))"
-          s"CASE WHEN tf_$tm > 0 THEN CAST(floor(($idf) * (CAST(tf_$tm AS DOUBLE) * 2.2) / ($den) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END"
+          s"CASE WHEN tf_$tm > 0 THEN ${QueryDef.microPointsSql(s"($idf) * (CAST(tf_$tm AS DOUBLE) * 2.2) / ($den)")} ELSE 0 END"
         }
         val perQuery = BmQueries.map { case (qn, ts) =>
           s"SELECT doc_id, '$qn' AS query, ${ts.map(contrib).mkString(" + ")} AS score_micro FROM j"
@@ -361,8 +361,8 @@ object CurationQueries {
     // total order on both engines.
     QueryDef("curation_quota",
       (s, dir) => {
-        val qm = floor(graft.queries.TextQueries.qualityScore(col("text")) *
-          lit(1000000.0) + lit(0.5)).cast("long")
+        val qm = QueryDef.microPoints(
+          graft.queries.TextQueries.qualityScore(col("text")))
         // eager like shingleSet (SCALE.md: shared cached frames): the
         // scored frame feeds the offsets aggregation AND the main
         // join/window — unpersisted, the per-row qualityScore text pass
@@ -388,7 +388,8 @@ object CurationQueries {
           .select(col("doc_id"), col("lang"), col("qm"))
       },
       Some {
-        val qmSql = s"CAST(floor(${graft.queries.TextQueries.qualityScoreSql("text", "t")} * 1000000.0 + 0.5) AS BIGINT)"
+        val qmSql = QueryDef.microPointsSql(
+          graft.queries.TextQueries.qualityScoreSql("text", "t"))
         s"""$toksCte,
            |q AS (SELECT doc_id, lang, $qmSql AS qm FROM toks),
            |r AS (SELECT doc_id, lang, qm,

@@ -41,4 +41,15 @@ object QueryDef {
   /** DuckDB twin of [[cents]] — identical op shape, term by term. */
   def centsSql(expr: String): String =
     s"CAST(floor(($expr) * 100.0 + 0.5) AS BIGINT)"
+
+  /** [[cents]] at 1e6 scale — integer micro-points for scores that are
+    * already cross-engine-exact doubles (6-dp cosines, BM25 terms,
+    * quality ratios). ONE definition of the scaled-round contract so a
+    * future boundary-rounding fix lands everywhere at once. */
+  def microPoints(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** DuckDB twin of [[microPoints]] — identical op shape. */
+  def microPointsSql(expr: String): String =
+    s"CAST(floor(($expr) * 1000000.0 + 0.5) AS BIGINT)"
 }

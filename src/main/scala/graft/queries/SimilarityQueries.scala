@@ -467,6 +467,11 @@ object SimilarityQueries {
             col("nrm").as("q_nrm"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("rel_u").desc, col("n_id"))
+        // eager persist (the shared-cache contract, SCALE.md): the
+        // corpus-wide relevance scan + rank window runs ONCE; both
+        // sides of the candidate self-join read the ≤|Q|·CandK cached
+        // rows. Lazy, the dominant stage would execute twice (and race
+        // under AQE).
         val cand = e.crossJoin(broadcast(qs))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("n_id"), col("embedding"),
@@ -475,6 +480,14 @@ object SimilarityQueries {
               col("nrm"), col("q_nrm"))).as("rel_u"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= MmrCandK)
+          .persist()
+        cand.count()
+        // one marker row per candidate (j = -1) so a query whose pool
+        // has a single member still forms a group — the pairwise join
+        // alone would drop it while the oracle's base case keeps it
+        val markers = cand
+          .select(col("q_id"), col("n_id").as("i"), col("rel_u"),
+            lit(-1L).as("j"), lit(0L).as("sim_u"))
         val pairs = cand.as("a")
           .join(cand.as("b"),
             col("a.q_id") === col("b.q_id") && col("a.n_id") =!= col("b.n_id"))
@@ -482,12 +495,16 @@ object SimilarityQueries {
             col("a.rel_u").as("rel_u"), col("b.n_id").as("j"),
             microPoints(cosineFast(col("a.embedding"), col("b.embedding"),
               col("a.nrm"), col("b.nrm"))).as("sim_u"))
+          .unionByName(markers)
           .as[(Long, Long, Long, Long, Long)]
         pairs.groupByKey(_._1)
           .flatMapGroups { (qid: Long, rows: Iterator[(Long, Long, Long, Long, Long)]) =>
             val rel = scala.collection.mutable.LongMap.empty[Long]
             val sim = scala.collection.mutable.Map.empty[(Long, Long), Long]
-            rows.foreach { case (_, i, r, j, sv) => rel(i) = r; sim((i, j)) = sv }
+            rows.foreach { case (_, i, r, j, sv) =>
+              rel(i) = r
+              if (j >= 0) sim((i, j)) = sv // j = -1 marks a pool-membership row
+            }
             val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
             val out = Seq.newBuilder[(Long, Long, Long, Long)]
             val k = math.min(MmrK.toLong, rel.size.toLong)
@@ -559,15 +576,11 @@ object SimilarityQueries {
   private def MmrCandK = 20
   private def MmrK = 8
 
-  /** 6-dp cosine → exact integer micro-points: `floor(x·1e6 + 0.5)` as
-    * BIGINT — single IEEE ops, same shape both engines (the
-    * [[QueryDef.cents]] contract at 1e6 scale). Keep [[microSql]] in
-    * lockstep. */
-  private def microPoints(c: Column): Column =
-    floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+  /** 6-dp cosine → exact integer micro-points — the shared
+    * [[QueryDef.microPoints]] contract. */
+  private def microPoints(c: Column): Column = QueryDef.microPoints(c)
 
-  private def microSql(expr: String): String =
-    s"CAST(floor(($expr) * 1000000.0 + 0.5) AS BIGINT)"
+  private def microSql(expr: String): String = QueryDef.microPointsSql(expr)
 
   /** RRF constant k=60 (the SIGIR'09 default) and pool/output sizes
     * for `hybrid_search`: each leg contributes its top-[[RrfPoolK]];
