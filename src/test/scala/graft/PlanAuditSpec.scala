@@ -263,6 +263,18 @@ class PlanAuditSpec extends SparkSuite {
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("ANN top-k windows carry WindowGroupLimit (per-partition pre-trim before the exchange)") {
+    // THE mechanism that lets a rank<=k filter over a q_id window scale:
+    // each input partition is trimmed to its own top-k BEFORE the
+    // per-query exchange, so a q_id task receives <= k·partitions rows,
+    // not the corpus. SCALE.md claims it; this pins it on both the
+    // brute-force ranker and mmr_rerank's candidate generator.
+    for (q <- Seq("ann_bruteforce", "mmr_rerank")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(p.contains("WindowGroupLimit"), s"$q: no WindowGroupLimit pre-trim\n$p")
+    }
+  }
+
   test("graft_nfc: composed and decomposed accents hash identically after normalize") {
     import spark.implicits._
     // "café" with a precomposed é vs a decomposed e + COMBINING ACUTE
