@@ -57,7 +57,73 @@ object CurationQueries {
     "q_stream_window" -> Seq("stream", "window"))
   private val BmTopK = 10
 
+  /** Frozen linear-classifier weights for `quality_classifier`, in
+    * milli-units over micro-point features (logit is then exact BIGINT
+    * arithmetic on both engines). A trained model would broadcast a
+    * learned vector; freezing it keeps the inference plan identical
+    * and the oracle bit-exact — the plan, not the weights, is what
+    * scales. defs, not vals: interpolated into the oracle string at
+    * `defs` init. */
+  private def QcWTok = 800L // reward length up to the cap
+  private def QcWPunct = -600L // penalize symbol soup
+  private def QcWStop = 900L // reward stopword evidence (real prose)
+  private def QcWDigit = -400L // penalize digit-dominated text
+  private def QcBias = -300000000L // micro·milli bias
+  private def QcKeepAt = 0L // keep on positive logit (the natural sign boundary)
+
   val defs: Seq[QueryDef] = Seq(
+
+    // model-based quality filtering — the classifier-inference stage
+    // (CCNet / RefinedWeb style) downstream of the heuristic
+    // `text_quality` score: a (frozen) linear model over four
+    // engineered features, evaluated per document at scan speed.
+    // Features are integer micro-points (each a single IEEE division
+    // of exact integer-valued doubles, then the shared scaled-round
+    // contract), the logit is a BIGINT dot product, and the keep
+    // decision an integer comparison — bit-exact cross-engine with no
+    // float score mixing. Scale: pure narrow codegen'd expressions,
+    // zero shuffles; the weight vector rides in the plan (a learned
+    // one would broadcast) so 100 TB runs at scan speed.
+    QueryDef("quality_classifier",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        val nTok = size(t).cast("long")
+        val nChars = greatest(length(col("text")).cast("long"), lit(1L))
+        val f1 = QueryDef.microPoints(
+          least(nTok.cast("double") / lit(200.0), lit(1.0)))
+        val f2 = QueryDef.microPoints(
+          size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+            .cast("long").cast("double") / nChars.cast("double"))
+        val f3 = QueryDef.microPoints(
+          stopwordHits(t, stopwords.head._2).cast("double") /
+            greatest(nTok, lit(1L)).cast("double"))
+        val f4 = QueryDef.microPoints(
+          size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+            .cast("long").cast("double") / nChars.cast("double"))
+        val logit = f1 * lit(QcWTok) + f2 * lit(QcWPunct) +
+          f3 * lit(QcWStop) + f4 * lit(QcWDigit) + lit(QcBias)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), logit.as("logit_u"),
+            (logit > lit(QcKeepAt)).cast("long").as("keep"))
+      },
+      Some {
+        val f1 = QueryDef.microPointsSql("least(CAST(len(t) AS DOUBLE) / 200.0, 1.0)")
+        val f2 = QueryDef.microPointsSql(
+          "CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)")
+        val f3 = QueryDef.microPointsSql(
+          s"CAST(${stopwordHitsSql("t", stopwords.head._2)} AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE)")
+        val f4 = QueryDef.microPointsSql(
+          "CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)")
+        s"""$toksCte,
+           |scored AS (
+           |  SELECT doc_id, lang,
+           |    $f1 * $QcWTok + $f2 * $QcWPunct
+           |      + $f3 * $QcWStop + $f4 * $QcWDigit + $QcBias AS logit_u
+           |  FROM toks)
+           |SELECT doc_id, lang, logit_u,
+           |  CAST(CASE WHEN logit_u > $QcKeepAt THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM scored""".stripMargin
+      }),
 
     // intra-document repetition metrics (Gopher-style quality rules):
     // duplicate-trigram fraction + most-frequent-bigram share, composed

@@ -275,6 +275,13 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("quality_classifier: zero-Exchange scan-speed inference") {
+    // the classifier stage is per-row arithmetic — any Exchange here
+    // means a feature accidentally became an aggregation
+    val p = plan(SparkEntry.queries("quality_classifier")(spark, dir))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("graft_nfc: composed and decomposed accents hash identically after normalize") {
     import spark.implicits._
     // "café" with a precomposed é vs a decomposed e + COMBINING ACUTE
