@@ -188,6 +188,40 @@ object TextQueries {
              |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk FROM documents)
              |GROUP BY tk ORDER BY freq DESC, tk LIMIT 100""".stripMargin)),
 
+    // BPE tokenizer training, merge round 1: count adjacent character
+    // pairs inside every word token — the statistic the first BPE merge
+    // is chosen from (Sennrich et al., ACL 2016). The full trainer
+    // iterates (count → merge → recount); one round pins the
+    // distributed shape: explode to char pairs (rows = corpus chars —
+    // the honest cost of BPE training at 100 TB), a map-side-combinable
+    // count on a tiny key space (≤ ~1.3k distinct [a-z0-9]² pairs), and
+    // a driver-merged global top-k (TakeOrderedAndProject, no global
+    // window). Real trainers count on a corpus sample; the sampling
+    // stage is `sample_stratified`, composable upstream.
+    QueryDef("bpe_pair_counts",
+      (s, dir) => {
+        val word = col("word")
+        // adjacent pairs: substr(word, i, 2) for i in 1..len-1; guard
+        // len<2 — Spark's sequence(1, 0) would DESCEND, not be empty
+        val pairs = when(length(word) >= 2,
+          transform(sequence(lit(1), length(word) - 1),
+            i => word.substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))
+        ProfilingQueries.widened(s, Tables(s, dir, "documents"))
+          .select(explode(tokens(col("text"))).as("word"))
+          .select(explode(pairs).as("pair"))
+          .groupBy(col("pair"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(50)
+      },
+      Some(s"""$toksCte
+              |SELECT pair, count(*) AS n FROM (
+              |  SELECT unnest(list_transform(range(1, length(word)),
+              |    i -> substr(word, CAST(i AS INTEGER), 2))) AS pair
+              |  FROM (SELECT unnest(t) AS word FROM toks) w)
+              |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin)),
+
     // sequence packing: concatenate documents into ~fixed-token-budget
     // packs (the standard prep step before fixed-context training —
     // "concat and split" packing, where a pack may overflow by at most
