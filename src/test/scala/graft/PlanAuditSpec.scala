@@ -275,6 +275,22 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("compaction rewrite is shuffle-free: coalesce plans no Exchange (repartition would)") {
+    // compact_files' cost claim — every byte moves once (read + write).
+    // The coalesce merge must stay a narrow dependency; the repartition
+    // alternative is pinned as the contrast, exactly like the
+    // range-join BNLJ contrast.
+    val out = tmpDir("compact_audit")
+    spark.read.parquet(s"$dir/nation.parquet")
+      .write.mode("overwrite").option("maxRecordsPerFile", 5).parquet(out)
+    val in = spark.read.parquet(out)
+    val viaCoalesce = plan(in.coalesce(1))
+    assert(viaCoalesce.contains("Coalesce"), viaCoalesce)
+    assert(!viaCoalesce.contains("Exchange"), viaCoalesce)
+    val viaRepartition = plan(in.repartition(1))
+    assert(viaRepartition.contains("Exchange"), viaRepartition)
+  }
+
   test("quality_classifier: zero-Exchange scan-speed inference") {
     // the classifier stage is per-row arithmetic — any Exchange here
     // means a feature accidentally became an aggregation
