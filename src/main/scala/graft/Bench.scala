@@ -45,10 +45,12 @@ import org.apache.spark.sql.SparkSession
   *    between queries, not query cost);
   *  - a query that fails on ANY run reports -1.0 (never a success time
   *    that silently hides a flaky failure) and is excluded from total;
-  *  - stdout stays compact (%.2f medians, one aggregate `noise` figure,
-  *    per-query shuffle KiB as integers) so the driver's tail capture
-  *    can never truncate it mid-JSON; the complete record — every
-  *    sample, per-query spreads, exact shuffle bytes — goes to
+  *  - stdout stays compact — aggregate figures, the failed-query list,
+  *    the shuffle-regression findings and ONLY the top-10 medians, so
+  *    the line stays well under the driver's ~2000-char tail-capture
+  *    window (the 122-entry per-query map overflowed it and BENCH_r06/
+  *    r07 recorded parsed:null); the complete record — every sample,
+  *    per-query medians and spreads, exact shuffle bytes — goes to
   *    target/bench.json.
   *
   * Shuffle-bytes regression gate: medians at 0.1–0.3 s are
@@ -278,9 +280,22 @@ object Bench {
     val rawNoise = stats.collect { case (_, m, _, ts) if m > 0 => rawSpread(ts) / m }
       .foldLeft(0.0)(math.max)
 
-    // shuffle gate vs the committed record (scale-factor-matched)
+    // shuffle gate vs the committed record (scale-factor-matched).
+    // The baseline is resolved against the REPO ROOT (nearest ancestor
+    // of CWD holding build.sbt), not the bare CWD — and a gate that
+    // cannot apply says so on stderr, so a silent no-op run (wrong CWD,
+    // non-matching sf) is distinguishable from a genuinely clean one.
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val baselinePath = java.nio.file.Paths.get("bench", "shuffle_baseline.tsv")
+    val repoRoot: java.nio.file.Path = {
+      var p = java.nio.file.Paths.get("").toAbsolutePath
+      var found: Option[java.nio.file.Path] = None
+      while (found.isEmpty && p != null) {
+        if (java.nio.file.Files.exists(p.resolve("build.sbt"))) found = Some(p)
+        p = p.getParent
+      }
+      found.getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
+    }
+    val baselinePath = repoRoot.resolve("bench").resolve("shuffle_baseline.tsv")
     val baseline: Map[String, Long] =
       if (java.nio.file.Files.exists(baselinePath)) {
         val lines = scala.jdk.CollectionConverters
@@ -296,8 +311,16 @@ object Bench {
               case _ => None
             }
           }.toMap
-        else Map.empty
-      } else Map.empty
+        else {
+          System.err.println(s"[bench] shuffle gate INACTIVE: baseline " +
+            s"$baselinePath is for sf=${sfLine.getOrElse("?")}, this run is sf=$sfName")
+          Map.empty
+        }
+      } else {
+        System.err.println(
+          s"[bench] shuffle gate INACTIVE: no baseline at $baselinePath")
+        Map.empty
+      }
     val currentBytes = shuffleStats.collect { case (q, (b, _, _)) if b >= 0 => q -> b }.toMap
     val regressions = shuffleRegressions(currentBytes, baseline)
     regressions.foreach(r => System.err.println(s"[bench] SHUFFLE REGRESSION $r"))
@@ -314,11 +337,15 @@ object Bench {
         .getBytes("UTF-8"))
 
     val regJson = regressions.map(r => "\"" + r + "\"").mkString("[", ",", "]")
-    val qs = stats.map { case (k, m, _, _) => "\"" + k + f"\":$m%.2f" }
+    // stdout carries only the 10 most expensive medians: the driver's
+    // tail capture holds ~2000 chars, and the 122-entry per-query map
+    // overflowed it (BENCH_r06/r07 landed with parsed:null). The full
+    // per-query record lives in target/bench.json.
+    val failedNames = stats.collect { case (k, m, _, _) if m < 0 => k }
+    val top10 = stats.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, m, _, _) => "\"" + k + f"\":$m%.2f" }
       .mkString("{", ",", "}")
-    val shufKb = names.map { n =>
-      "\"" + n + s"""\":${if (shuffleStats(n)._1 < 0) -1 else shuffleStats(n)._1 >> 10}"""
-    }.mkString("{", ",", "}")
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = {
       val perQuery = stats.map { case (k, m, sp, ts) =>
         val runs = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
@@ -331,7 +358,7 @@ object Bench {
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
 
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"noise":$noise%.2f,"raw_noise":$rawNoise%.2f,"spread_stat":"mad2","rounds":$rounds,"shuffle_kb":$shufKb,"shuffle_regressions":$regJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${names.size},"failed":$failedJson,"queries":$top10,"noise":$noise%.2f,"raw_noise":$rawNoise%.2f,"spread_stat":"mad2","rounds":$rounds,"shuffle_regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

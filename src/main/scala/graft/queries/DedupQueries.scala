@@ -937,6 +937,9 @@ object DedupQueries {
       : (DataFrame, DataFrame, Int) = {
     val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val rows = emb.count()
+    // fail with a diagnosis, not the NPE the hot-cell guard's max()
+    // aggregate would throw on a NULL over zero cells
+    require(rows > 0, s"semantic dedup: embeddings table at $dir is empty")
     val k = cellCountRows(rows, targetRows)
     val e = emb.withColumn("nrm", sqrt(dotFast(col("embedding"), col("embedding"))))
     val cents = e.filter(col("vec_id") < k)

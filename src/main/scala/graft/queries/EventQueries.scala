@@ -369,8 +369,8 @@ object EventQueries {
              |    SELECT user_id, min(day) AS min_day FROM act GROUP BY user_id) t
              |  GROUP BY 1)
              |SELECT d.day, d.dau, COALESCE(f.n_new, 0) AS n_new,
-             |  SUM(COALESCE(f.n_new, 0)) OVER (ORDER BY d.day
-             |    ROWS UNBOUNDED PRECEDING) AS cum_users
+             |  CAST(SUM(COALESCE(f.n_new, 0)) OVER (ORDER BY d.day
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
              |FROM dau d LEFT JOIN fs f ON f.day = d.day""".stripMargin))
   )
 }

@@ -572,7 +572,12 @@ object SimilarityQueries {
 
   /** MMR sizing: rerank pool [[MmrCandK]] (what the ANN stage hands
     * over) cut to [[MmrK]] diverse results. defs, not vals — both are
-    * interpolated into the oracle string at `defs` init. */
+    * interpolated into the oracle string at `defs` init.
+    *
+    * Oracle bound: the DuckDB twin packs (score, -n_id) into ONE BIGINT
+    * argmax key `score * 1e10 - n_id`; correct only while n_id < 1e10
+    * and |score|·1e10 ≪ 2^63 (micro-point scores are ≤ 1e6, product
+    * ≤ 1e16). TextDedupSpec asserts the id bound against the corpus. */
   private def MmrCandK = 20
   private def MmrK = 8
 

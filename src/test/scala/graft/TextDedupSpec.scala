@@ -245,6 +245,16 @@ class TextDedupSpec extends SparkSuite {
   }
 
   test("MMR rerank: first pick is pure relevance, later picks diversify") {
+    // Oracle precondition: the DuckDB twin argmaxes on the packed key
+    // `score * 1e10 - n_id` (one BIGINT). The packing is a total order
+    // on (score, -n_id) only while n_id < 1e10 and |score|·1e10 stays
+    // clear of 2^63; scores are cosine micro-points (|rel_u| ≤ 1e6, so
+    // the product ≤ 1e16 ≪ 9.2e18) — assert the id bound so a future
+    // corpus can't silently produce a plausible-but-wrong ranking.
+    val maxVecId = spark.read.parquet(s"$dir/embeddings.parquet")
+      .agg(max(col("vec_id"))).head().getLong(0)
+    assert(maxVecId < 10000000000L,
+      s"vec_id $maxVecId breaks the MMR oracle's BIGINT argmax packing")
     val mmr = q("mmr_rerank").cache()
     val rows = mmr.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

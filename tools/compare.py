@@ -19,6 +19,37 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+# Type-family lint: the driver's fetch path renders DuckDB HUGEINT as
+# float64, so an oracle whose SUM()/window-sum is left uncast hash-
+# mismatches a correct Spark BIGINT result (round-7 `users_cumulative`).
+# Families must agree per column; HUGEINT/DECIMAL never match int.
+_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+_FLOAT = {"FLOAT", "DOUBLE"}
+
+
+def type_family(t):
+    t = str(t).upper()
+    if t in _INT:
+        return "int"
+    if t in _FLOAT:
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return t  # HUGEINT, VARCHAR, DATE, ... must match exactly
+
+
+def type_lint(name, got_cols, got_types, exp_cols, exp_types):
+    """Return list of per-column type-family mismatches (col, spark, oracle)."""
+    gt = dict(zip(got_cols, got_types))
+    et = dict(zip(exp_cols, exp_types))
+    bad = []
+    for c in sorted(set(gt) & set(et)):
+        if type_family(gt[c]) != type_family(et[c]):
+            bad.append((c, str(gt[c]), str(et[c])))
+    return bad
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -46,16 +77,25 @@ def main(sf_dir, out_dir):
         if not d.is_dir():
             continue
         name = d.name
-        got = con.execute(f"SELECT * FROM '{d}/*.parquet'")
-        got_cols = [c[0] for c in got.description]
+        got = con.sql(f"SELECT * FROM '{d}/*.parquet'")
+        got_cols = list(got.columns)
+        got_types = [str(t) for t in got.types]
         got_rows = got.fetchall()
         if name not in oracle:
             n_noracle += 1
             print(f"  [rows-only] {name}: {len(got_rows)} rows")
             continue
-        exp = con.execute(oracle[name])
-        exp_cols = [c[0] for c in exp.description]
+        exp = con.sql(oracle[name])
+        exp_cols = list(exp.columns)
+        exp_types = [str(t) for t in exp.types]
         exp_rows = exp.fetchall()
+        bad_types = type_lint(name, got_cols, got_types, exp_cols, exp_types)
+        if bad_types:
+            n_fail += 1
+            for c, st, ot in bad_types:
+                print(f"  [FAIL-type] {name}.{c}: spark={st} oracle={ot}"
+                      f" (cast the oracle column to the Spark type)")
+            continue
         gc, gr = canon(got_rows, got_cols)
         ec, er = canon(exp_rows, exp_cols)
         if gc != ec:
