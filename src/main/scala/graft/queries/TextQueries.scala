@@ -222,6 +222,119 @@ object TextQueries {
               |  FROM (SELECT unnest(t) AS word FROM toks) w)
               |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin)),
 
+    // iterated BPE merge training (Sennrich et al. 2016): the step
+    // from a single pair statistic (bpe_pair_counts) to an actual
+    // tokenizer merge table. Distributed shape: ONE corpus-sized
+    // shuffle collapses the corpus to the word-frequency table (the
+    // standard BPE-training trick — at 100 TB the vocab is ~1e7 rows,
+    // corpus-size-independent); every merge round after that runs on
+    // the vocab-sized cached frame. Each round is a superstep in the
+    // dedup_clusters style: a TakeOrdered 1-row argmax action picks
+    // the (count DESC, pair ASC) best pair — the documented 1-row
+    // driver-action contract, like the hot-cell guard — then the merge
+    // is applied with a left-fold over each word's symbol string
+    // (greedy leftmost-non-overlapping, the reference BPE semantics;
+    // a regex replace canNOT express this: consecutive occurrences
+    // share the boundary separator and an odd run merges in the wrong
+    // order). Each round's frame is persisted and the previous
+    // unpersisted only after materialization, so no round recomputes
+    // the chain. The DuckDB twin packs the vocab into ONE list-of-
+    // structs row and runs the same fold via list_reduce inside a
+    // recursive CTE (aggregates + LATERAL in recursive terms — the
+    // mmr_rerank technique; prototyped against a pure-python reference
+    // BPE before landing, per SCALE.md).
+    QueryDef("bpe_merges",
+      (s, dir) => {
+        val sy = split(col("syms"), " ")
+        var vocab = ProfilingQueries.widened(s, Tables(s, dir, "documents"))
+          .select(explode(tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+          .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("syms"),
+            col("freq"))
+          .persist()
+        // ONE job per round: round r's argmax action is what
+        // materializes vocab_r's cache, so the parent cache is dropped
+        // only after that action returns (dropping it earlier would
+        // recompute the whole chain; a separate eager count() per
+        // round would double the job count), and the final round
+        // skips the merge-apply nobody consumes
+        var parent: org.apache.spark.sql.DataFrame = null
+        val merges = Seq.newBuilder[(Long, String, Long)]
+        try {
+          var prevN = Long.MaxValue
+          for (r <- 1 to BpeMergeRounds) {
+            val pairs = when(size(sy) >= 2,
+              transform(sequence(lit(1), size(sy) - 1),
+                i => concat(element_at(sy, i), lit(" "), element_at(sy, i + 1))))
+              .otherwise(array().cast("array<string>"))
+            val top = vocab.select(explode(pairs).as("pair"), col("freq"))
+              .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+              .orderBy(col("n").desc, col("pair"))
+              .limit(1).first()
+            if (parent != null) { parent.unpersist(); parent = null }
+            val (pair, n) = (top.getString(0), top.getLong(1))
+            // merged-pair counts are provably non-increasing (every
+            // new pair a merge creates occurs at most as often as the
+            // merged pair did) — a violation is an engine bug
+            require(n <= prevN,
+              s"BPE round $r count $n exceeds previous round's $prevN")
+            prevN = n
+            merges += ((r.toLong, pair, n))
+            if (r < BpeMergeRounds) {
+              val Array(a, b) = pair.split(' ')
+              parent = vocab
+              vocab = vocab.select(
+                bpeApplyMerge(col("syms"), a, b).as("syms"),
+                col("freq")).persist()
+            }
+          }
+        } finally {
+          if (parent != null) parent.unpersist()
+          vocab.unpersist()
+        }
+        val rows = merges.result()
+        // the table must show COMPOUNDING — some selected pair built on
+        // an earlier round's merged symbol — or the "iteration" never
+        // went beyond round-1 statistics (holds from round 6-8 on every
+        // testdata SF; a corpus failing this needs more rounds)
+        require(rows.exists(_._2.split(' ').exists(_.length > 1)),
+          s"no compounded merge in $BpeMergeRounds BPE rounds")
+        import s.implicits._
+        rows.toDF("round", "pair", "n")
+      },
+      Some(s"""WITH RECURSIVE
+              |wf AS (
+              |  SELECT w AS word, COUNT(*) AS freq FROM (
+              |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+              |    FROM documents)
+              |  GROUP BY 1),
+              |init AS (
+              |  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS syms, freq
+              |  FROM wf),
+              |bpe AS (
+              |  SELECT CAST(0 AS BIGINT) AS round, CAST(NULL AS VARCHAR) AS pair,
+              |         CAST(NULL AS BIGINT) AS n,
+              |         list({'syms': syms, 'freq': freq}) AS vocab
+              |  FROM init
+              |  UNION ALL
+              |  SELECT s.round + 1, best.pair, best.n,
+              |         list_transform(s.vocab, v -> {
+              |           'syms': list_reduce(string_split(v.syms, ' '), (acc, x) ->
+              |             CASE WHEN regexp_extract(acc, '[^ ]+$$') = string_split(best.pair, ' ')[1]
+              |                   AND x = string_split(best.pair, ' ')[2]
+              |               THEN regexp_replace(acc, '[^ ]+$$', replace(best.pair, ' ', ''))
+              |               ELSE acc || ' ' || x END),
+              |           'freq': v.freq})
+              |  FROM bpe s, LATERAL (
+              |    SELECT pr AS pair, CAST(SUM(freq) AS BIGINT) AS n FROM (
+              |      SELECT unnest(list_transform(range(1, len(sy)),
+              |               i -> sy[i] || ' ' || sy[i+1])) AS pr, freq
+              |      FROM (SELECT string_split(v.syms, ' ') AS sy, v.freq AS freq
+              |            FROM (SELECT unnest(s.vocab) AS v)))
+              |    GROUP BY pr ORDER BY n DESC, pr LIMIT 1) best
+              |  WHERE s.round < $BpeMergeRounds)
+              |SELECT round, pair, n FROM bpe WHERE round >= 1""".stripMargin)),
+
     // sequence packing: concatenate documents into ~fixed-token-budget
     // packs (the standard prep step before fixed-context training —
     // "concat and split" packing, where a pack may overflow by at most
@@ -327,4 +440,33 @@ object TextQueries {
               |  ${rollingHashSql("t")} AS fp_roll
               |FROM toks""".stripMargin))
   )
+
+  /** Greedy leftmost-non-overlapping application of BPE merge (a, b)
+    * to a space-joined symbol string: a left fold that replaces the
+    * accumulator's last symbol with the merged one whenever (last,
+    * next) == (a, b). The fold IS the reference semantics — after a
+    * merge the accumulator tail becomes `ab` ≠ `a`, so an adjacent
+    * overlap can't double-fire (an odd run "a a a a a" folds to
+    * "aa aa a", exactly greedy; a regex replace over the joined string
+    * shares boundary separators between consecutive matches and gets
+    * that case wrong). The DuckDB twin is the same fold via
+    * list_reduce. */
+  private[graft] def bpeApplyMerge(syms: org.apache.spark.sql.Column,
+      a: String, b: String): org.apache.spark.sql.Column = {
+    val sy = split(syms, " ")
+    aggregate(
+      slice(sy, lit(2), greatest(size(sy) - 1, lit(0))),
+      element_at(sy, 1),
+      (acc, x) => when(
+        regexp_extract(acc, "[^ ]+$", 0) === lit(a) && x === lit(b),
+        concat(regexp_replace(acc, "[^ ]+$", ""), lit(a + b)))
+        .otherwise(concat(acc, lit(" "), x)))
+  }
+
+  /** bpe_merges round count. 10 reaches compounded merges (a pair
+    * containing an earlier round's merged symbol) on every testdata SF
+    * — rounds 6-8 depending on frequencies. A def, not a val: it is
+    * interpolated into the oracle string at `defs` init (the round-7
+    * init-order gotcha). */
+  private def BpeMergeRounds = 10
 }

@@ -244,6 +244,37 @@ class TextDedupSpec extends SparkSuite {
     assert(ivfpq.join(pqTop, Seq("q_id", "n_id")).count() > 0)
   }
 
+  test("BPE merge application is greedy leftmost-non-overlapping") {
+    // the odd-run case is the one a regex replace over the joined
+    // symbol string gets wrong (consecutive matches share a separator)
+    val cases = Seq(
+      ("a a a a a", "a", "a", "aa aa a"),
+      ("a b a b", "a", "b", "ab ab"),
+      ("x a b y", "a", "b", "x ab y"),
+      ("a b b", "a", "b", "ab b"),
+      ("q", "a", "b", "q"))
+    cases.foreach { case (in, a, b, want) =>
+      val got = spark.range(1).select(
+        TextQueries.bpeApplyMerge(lit(in), a, b)).head().getString(0)
+      assert(got == want, s"merge($a,$b) on '$in': got '$got', want '$want'")
+    }
+  }
+
+  test("bpe_merges: iterated merge table is non-trivial") {
+    val rows = q("bpe_merges").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.length == 10)
+    // a merged pair's adjacencies are all consumed — no pair repeats
+    assert(rows.map(_._2).distinct.length == rows.length)
+    // counts non-increasing (each round's new pairs occur at most as
+    // often as the pair that was merged)
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+    // iteration compounds: some round selects a pair built on an
+    // earlier round's merged (multi-char) symbol
+    assert(rows.exists(_._2.split(' ').exists(_.length > 1)),
+      "no compounded merge — the loop never built on its own output")
+  }
+
   test("MMR rerank: first pick is pure relevance, later picks diversify") {
     // Oracle precondition: the DuckDB twin argmaxes on the packed key
     // `score * 1e10 - n_id` (one BIGINT). The packing is a total order
