@@ -463,6 +463,93 @@ object CurationQueries {
            |    count(*) OVER (PARTITION BY lang) AS n
            |  FROM q)
            |SELECT doc_id, lang, qm FROM r WHERE rnk * 4 <= n + 3""".stripMargin
-      })
+      }),
+
+    // CCNet-style LM-perplexity quality filter (Wenzek et al. 2020):
+    // score each document by mean negative log-probability under a
+    // FROZEN bigram LM with add-one smoothing, trained on the corpus
+    // itself, and keep documents under a fixed threshold. All scores
+    // are integer micro-nats ([[QueryDef.microPoints]] of each
+    // bigram's −ln p — one scalar per distinct (c_ab, c_a) integer
+    // pair, so both engines round the same doubles) and the keep
+    // decision is the exact integer cross-multiplication
+    // sum ≤ thr·n — no float accumulation anywhere.
+    //
+    // Distributed shape, sized for 100 TB: the bigram model is
+    // corpus-VOCAB-scale (~1e8-1e9 rows at 100 TB) so it is NEVER
+    // broadcast — scoring joins doc-bigrams to the model co-keyed on
+    // (w1, w2), both sides shuffle-partitioned the same way. Four
+    // keyed shuffles of decreasing size (bigram count, unigram count,
+    // score join, per-doc rollup); the vocabulary-size scalar is the
+    // BM25 1-row-broadcast pattern; zero windows, zero driver data.
+    // The shared doc-bigram frame feeds three concurrent subtrees of
+    // one plan → eager persist (the AQE cache contract).
+    QueryDef("lm_perplexity_filter",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        val docs = widened(s, Tables(s, dir, "documents"))
+        val bigrams = docs.select(col("doc_id"),
+            explode(when(size(t) >= 2,
+              transform(sequence(lit(1), size(t) - 1),
+                i => struct(element_at(t, i).as("w1"),
+                  element_at(t, i + 1).as("w2"))))
+              .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+              .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .persist()
+        bigrams.count() // eager: model build + scoring race on this cache
+        val cab = bigrams.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c_ab"))
+        val ca = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c_a"))
+        val v = bigrams.select(col("w1").as("w"))
+          .union(bigrams.select(col("w2").as("w")))
+          .agg(count_distinct(col("w")).as("v"))
+        val model = cab.join(ca, "w1").crossJoin(broadcast(v))
+          .select(col("w1"), col("w2"),
+            QueryDef.microPoints(
+              -log((col("c_ab") + lit(1.0)) / (col("c_a") + col("v"))))
+              .as("nlp_u"))
+        val scored = bigrams.join(model, Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bg"), sum(col("nlp_u")).as("sum_nlp_u"))
+        docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bg"), lit(0L)).as("n_bg"),
+            coalesce(col("sum_nlp_u"), lit(0L)).as("sum_nlp_u"))
+          .withColumn("keep", col("n_bg") > 0 &&
+            col("sum_nlp_u") <= lit(LmNlpThresholdMicro) * col("n_bg"))
+      },
+      Some(s"""$toksCte,
+              |dbg AS (
+              |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+              |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+              |      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+              |    FROM toks)),
+              |cab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM dbg GROUP BY 1, 2),
+              |ca AS (SELECT w1, COUNT(*) AS c_a FROM dbg GROUP BY 1),
+              |vv AS (SELECT COUNT(DISTINCT w) AS v FROM (
+              |  SELECT w1 AS w FROM dbg UNION ALL SELECT w2 AS w FROM dbg)),
+              |model AS (
+              |  SELECT cab.w1, cab.w2,
+              |    ${QueryDef.microPointsSql("-ln((c_ab + 1.0) / (c_a + vv.v))")} AS nlp_u
+              |  FROM cab JOIN ca ON cab.w1 = ca.w1, vv),
+              |scored AS (
+              |  SELECT d.doc_id, COUNT(*) AS n_bg,
+              |    CAST(SUM(m.nlp_u) AS BIGINT) AS sum_nlp_u
+              |  FROM dbg d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2
+              |  GROUP BY 1)
+              |SELECT t.doc_id, COALESCE(s.n_bg, 0) AS n_bg,
+              |  COALESCE(s.sum_nlp_u, 0) AS sum_nlp_u,
+              |  COALESCE(s.n_bg, 0) > 0 AND
+              |    COALESCE(s.sum_nlp_u, 0) <= $LmNlpThresholdMicro * COALESCE(s.n_bg, 0) AS keep
+              |FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id""".stripMargin))
   )
+
+  /** lm_perplexity_filter keep threshold: mean negative log-prob ≤ 3.4
+    * micro-nats… i.e. 3.4 nats (ppl ≈ 30) in integer micro-points.
+    * Sits between the 25th and 75th percentile of per-doc scores at
+    * every testdata SF (measured medians 3.388-3.401M), so the
+    * decision SPLITS the corpus — the round-7 quality_classifier
+    * lesson. A def (defs-init-order contract). */
+  private def LmNlpThresholdMicro = 3400000L
 }
