@@ -117,6 +117,45 @@ class SemDedupSpec extends SparkSuite {
     spark.catalog.clearCache()              // release semanticDrops' persist
   }
 
+  test("trained drop set agrees with the frozen-centroid drop set (behavioral anchor)") {
+    // The driver-gated queries run frozen stand-in centroids (bit-exact
+    // cross-engine); production runs KMeans.train. Each path is already
+    // pinned EXACTLY against brute force under its own assignment
+    // (above) — this anchors them to EACH OTHER: on a corpus where both
+    // are stable, the two keep/drop decisions must largely coincide,
+    // because tau-similar pairs that co-locate under one partition
+    // mostly co-locate under the other. Agreement is a rate bound (not
+    // a hash): Lloyd's moves cell boundaries, so boundary pairs may
+    // legitimately split (measured here: 18 frozen vs 19 trained drops,
+    // 11 common — drop-set Jaccard 0.42 purely from boundary movement).
+    // Two bounds, each with real margin, chosen so degenerate trained
+    // paths fail: per-vector keep/drop decisions agree on >= 90% of the
+    // corpus (measured 97%; drop-everything fails this), and >= half of
+    // the frozen drops are re-found by the trained path (measured 0.61;
+    // drop-nothing fails this — nonEmpty alone would not).
+    val (frozenAssigned, frozenDrops, k) =
+      graft.queries.DedupQueries.semanticDropsFrozen(spark, dir, tau = 0.4)
+    val n = frozenAssigned.count()
+    val frozen = frozenDrops.collect().map(_.getLong(0)).toSet
+    spark.catalog.clearCache()
+    val (_, trainedDrops) = graft.queries.DedupQueries.semanticDrops(
+      spark, dir, k = k, iters = 3, tau = 0.4)
+    val trained = trainedDrops.collect().map(_.getLong(0)).toSet
+    spark.catalog.clearCache()
+    assert(frozen.nonEmpty && trained.nonEmpty)
+    val disagreements = ((frozen | trained) -- (frozen & trained)).size
+    val decisionAgreement = (n - disagreements).toDouble / n
+    val frozenRecall = (frozen & trained).size.toDouble / frozen.size
+    info(s"frozen=${frozen.size} trained=${trained.size} " +
+      s"decisionAgreement=$decisionAgreement frozenRecall=$frozenRecall")
+    assert(decisionAgreement >= 0.9,
+      s"trained/frozen keep-drop divergence: agreement=$decisionAgreement " +
+        s"(frozen=${frozen.size}, trained=${trained.size}) — the frozen " +
+        "driver queries no longer anchor the production path")
+    assert(frozenRecall >= 0.5,
+      s"trained path re-finds only $frozenRecall of the frozen drops")
+  }
+
   test("cell-count sizing: floor 8, bounded cells, capped") {
     import graft.queries.DedupQueries.{cellCount, CellTargetBytes, cellCountRows, CellTargetRows}
     // all testdata SFs sit on the floor — the exactness tests above and
