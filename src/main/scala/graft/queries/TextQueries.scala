@@ -224,116 +224,60 @@ object TextQueries {
 
     // iterated BPE merge training (Sennrich et al. 2016): the step
     // from a single pair statistic (bpe_pair_counts) to an actual
-    // tokenizer merge table. Distributed shape: ONE corpus-sized
-    // shuffle collapses the corpus to the word-frequency table (the
-    // standard BPE-training trick — at 100 TB the vocab is ~1e7 rows,
-    // corpus-size-independent); every merge round after that runs on
-    // the vocab-sized cached frame. Each round is a superstep in the
-    // dedup_clusters style: a TakeOrdered 1-row argmax action picks
-    // the (count DESC, pair ASC) best pair — the documented 1-row
-    // driver-action contract, like the hot-cell guard — then the merge
-    // is applied with a left-fold over each word's symbol string
-    // (greedy leftmost-non-overlapping, the reference BPE semantics;
-    // a regex replace canNOT express this: consecutive occurrences
-    // share the boundary separator and an odd run merges in the wrong
-    // order). Each round's frame is persisted and the previous
-    // unpersisted only after materialization, so no round recomputes
-    // the chain. The DuckDB twin packs the vocab into ONE list-of-
-    // structs row and runs the same fold via list_reduce inside a
-    // recursive CTE (aggregates + LATERAL in recursive terms — the
-    // mmr_rerank technique; prototyped against a pure-python reference
-    // BPE before landing, per SCALE.md).
+    // tokenizer merge table — the trainer itself is [[bpeTrain]]
+    // (shared with bpe_encode; distributed shape documented there).
     QueryDef("bpe_merges",
       (s, dir) => {
-        val sy = split(col("syms"), " ")
-        var vocab = ProfilingQueries.widened(s, Tables(s, dir, "documents"))
-          .select(explode(tokens(col("text"))).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-          .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("syms"),
-            col("freq"))
-          .persist()
-        // ONE job per round: round r's argmax action is what
-        // materializes vocab_r's cache, so the parent cache is dropped
-        // only after that action returns (dropping it earlier would
-        // recompute the whole chain; a separate eager count() per
-        // round would double the job count), and the final round
-        // skips the merge-apply nobody consumes
-        var parent: org.apache.spark.sql.DataFrame = null
-        val merges = Seq.newBuilder[(Long, String, Long)]
-        try {
-          var prevN = Long.MaxValue
-          for (r <- 1 to BpeMergeRounds) {
-            val pairs = when(size(sy) >= 2,
-              transform(sequence(lit(1), size(sy) - 1),
-                i => concat(element_at(sy, i), lit(" "), element_at(sy, i + 1))))
-              .otherwise(array().cast("array<string>"))
-            val top = vocab.select(explode(pairs).as("pair"), col("freq"))
-              .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
-              .orderBy(col("n").desc, col("pair"))
-              .limit(1).first()
-            if (parent != null) { parent.unpersist(); parent = null }
-            val (pair, n) = (top.getString(0), top.getLong(1))
-            // merged-pair counts are provably non-increasing (every
-            // new pair a merge creates occurs at most as often as the
-            // merged pair did) — a violation is an engine bug
-            require(n <= prevN,
-              s"BPE round $r count $n exceeds previous round's $prevN")
-            prevN = n
-            merges += ((r.toLong, pair, n))
-            if (r < BpeMergeRounds) {
-              val Array(a, b) = pair.split(' ')
-              parent = vocab
-              vocab = vocab.select(
-                bpeApplyMerge(col("syms"), a, b).as("syms"),
-                col("freq")).persist()
-            }
-          }
-        } finally {
-          if (parent != null) parent.unpersist()
-          vocab.unpersist()
-        }
-        val rows = merges.result()
-        // the table must show COMPOUNDING — some selected pair built on
-        // an earlier round's merged symbol — or the "iteration" never
-        // went beyond round-1 statistics (holds from round 6-8 on every
-        // testdata SF; a corpus failing this needs more rounds)
-        require(rows.exists(_._2.split(' ').exists(_.length > 1)),
-          s"no compounded merge in $BpeMergeRounds BPE rounds")
+        val (rows, _) = bpeTrain(s, dir, applyLast = false)
         import s.implicits._
         rows.toDF("round", "pair", "n")
       },
-      Some(s"""WITH RECURSIVE
-              |wf AS (
-              |  SELECT w AS word, COUNT(*) AS freq FROM (
-              |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-              |    FROM documents)
-              |  GROUP BY 1),
-              |init AS (
-              |  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS syms, freq
-              |  FROM wf),
-              |bpe AS (
-              |  SELECT CAST(0 AS BIGINT) AS round, CAST(NULL AS VARCHAR) AS pair,
-              |         CAST(NULL AS BIGINT) AS n,
-              |         list({'syms': syms, 'freq': freq}) AS vocab
-              |  FROM init
-              |  UNION ALL
-              |  SELECT s.round + 1, best.pair, best.n,
-              |         list_transform(s.vocab, v -> {
-              |           'syms': list_reduce(string_split(v.syms, ' '), (acc, x) ->
-              |             CASE WHEN regexp_extract(acc, '[^ ]+$$') = string_split(best.pair, ' ')[1]
-              |                   AND x = string_split(best.pair, ' ')[2]
-              |               THEN regexp_replace(acc, '[^ ]+$$', replace(best.pair, ' ', ''))
-              |               ELSE acc || ' ' || x END),
-              |           'freq': v.freq})
-              |  FROM bpe s, LATERAL (
-              |    SELECT pr AS pair, CAST(SUM(freq) AS BIGINT) AS n FROM (
-              |      SELECT unnest(list_transform(range(1, len(sy)),
-              |               i -> sy[i] || ' ' || sy[i+1])) AS pr, freq
-              |      FROM (SELECT string_split(v.syms, ' ') AS sy, v.freq AS freq
-              |            FROM (SELECT unnest(s.vocab) AS v)))
-              |    GROUP BY pr ORDER BY n DESC, pr LIMIT 1) best
-              |  WHERE s.round < $BpeMergeRounds)
+      Some(s"""$bpeCteSql
               |SELECT round, pair, n FROM bpe WHERE round >= 1""".stripMargin)),
+
+    // tokenizer APPLICATION — encode the corpus with the merge table
+    // bpe_merges trains, closing the train→apply loop. Distributed
+    // shape: the corpus is never re-folded per occurrence — the merges
+    // are applied to the VOCAB (distinct words; ~1e7 rows at 100 TB,
+    // corpus-size-independent, the same collapse bpe_merges rides),
+    // and the encoded vocab joins back to the exploded corpus words.
+    // BPE merges only ever REMOVE separators, so the encoded symbol
+    // string concatenates back to exactly the original word — that
+    // reconstruction IS the join key, no id threading needed. The join
+    // is vocab-sized build vs corpus-sized probe: AQE broadcasts it at
+    // small scale; at 100 TB it hash-joins on `word` and hot words
+    // (Zipf skew on the PROBE side only) split under AQE skew
+    // handling. Output: per-doc char/token counts — the compression
+    // the tokenizer achieved, exact integers on both engines.
+    QueryDef("bpe_encode",
+      (s, dir) => {
+        val (_, vocab) = bpeTrain(s, dir, applyLast = true)
+        val enc = vocab.select(
+          regexp_replace(col("syms"), " ", "").as("word"),
+          size(split(col("syms"), " ")).cast("long").as("n_toks"))
+        ProfilingQueries.widened(s, Tables(s, dir, "documents"))
+          .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+          .join(enc, Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(length(col("word"))).cast("long").as("n_chars"),
+            sum(col("n_toks")).as("n_tokens"))
+      },
+      Some(s"""$bpeCteSql,
+              |final AS (
+              |  SELECT replace(v.syms, ' ', '') AS word,
+              |         len(string_split(v.syms, ' ')) AS n_toks
+              |  FROM (SELECT unnest(vocab) AS v FROM bpe
+              |        WHERE round = $BpeMergeRounds)),
+              |docw AS (
+              |  SELECT doc_id,
+              |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+              |  FROM documents)
+              |SELECT d.doc_id, COUNT(*) AS n_words,
+              |  CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
+              |  CAST(SUM(f.n_toks) AS BIGINT) AS n_tokens
+              |FROM docw d JOIN final f USING (word)
+              |GROUP BY d.doc_id""".stripMargin)),
 
     // sequence packing: concatenate documents into ~fixed-token-budget
     // packs (the standard prep step before fixed-context training —
@@ -440,6 +384,127 @@ object TextQueries {
               |  ${rollingHashSql("t")} AS fp_roll
               |FROM toks""".stripMargin))
   )
+
+  /** Iterated BPE merge training (Sennrich et al. 2016), shared by
+    * `bpe_merges` (wants the merge table) and `bpe_encode` (wants the
+    * encoded vocab). ONE corpus-sized shuffle collapses the corpus to
+    * the word-frequency table (the standard BPE-training trick — at
+    * 100 TB the vocab is ~1e7 rows, corpus-size-independent); every
+    * merge round after that runs on the vocab-sized cached frame.
+    * Each round is a superstep in the dedup_clusters style: a
+    * TakeOrdered 1-row argmax action picks the (count DESC, pair ASC)
+    * best pair — the documented 1-row driver-action contract, like the
+    * hot-cell guard — then the merge is applied with a left-fold over
+    * each word's symbol string ([[bpeApplyMerge]]). ONE job per round:
+    * round r's argmax action is what materializes vocab_r's cache, so
+    * the parent cache is dropped only after that action returns
+    * (dropping it earlier would recompute the whole chain; a separate
+    * eager count() per round would double the job count).
+    *
+    * `applyLast = false` skips the final round's merge-apply (nobody
+    * consumes it) and unpersists everything before returning.
+    * `applyLast = true` applies ALL rounds and returns the encoded
+    * vocab still persisted but UNMATERIALIZED — its parent stays
+    * cached until the caller's first action over it; the harness
+    * clearCache sweep releases both (the Verify/Bench contract). */
+  private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession,
+      dir: String, applyLast: Boolean)
+      : (Seq[(Long, String, Long)], org.apache.spark.sql.DataFrame) = {
+    val sy = split(col("syms"), " ")
+    var vocab = ProfilingQueries.widened(s, Tables(s, dir, "documents"))
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("syms"),
+        col("freq"))
+      .persist()
+    var parent: org.apache.spark.sql.DataFrame = null
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    var ok = false
+    try {
+      var prevN = Long.MaxValue
+      for (r <- 1 to BpeMergeRounds) {
+        val pairs = when(size(sy) >= 2,
+          transform(sequence(lit(1), size(sy) - 1),
+            i => concat(element_at(sy, i), lit(" "), element_at(sy, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val top = vocab.select(explode(pairs).as("pair"), col("freq"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(1).first()
+        if (parent != null) { parent.unpersist(); parent = null }
+        val (pair, n) = (top.getString(0), top.getLong(1))
+        // merged-pair counts are provably non-increasing (every
+        // new pair a merge creates occurs at most as often as the
+        // merged pair did) — a violation is an engine bug
+        require(n <= prevN,
+          s"BPE round $r count $n exceeds previous round's $prevN")
+        prevN = n
+        merges += ((r.toLong, pair, n))
+        if (r < BpeMergeRounds || applyLast) {
+          val Array(a, b) = pair.split(' ')
+          parent = vocab
+          vocab = vocab.select(
+            bpeApplyMerge(col("syms"), a, b).as("syms"),
+            col("freq")).persist()
+        }
+      }
+      ok = true
+    } finally {
+      if (!ok || !applyLast) {
+        if (parent != null) parent.unpersist()
+        vocab.unpersist()
+      }
+    }
+    val rows = merges.result()
+    // the table must show COMPOUNDING — some selected pair built on
+    // an earlier round's merged symbol — or the "iteration" never
+    // went beyond round-1 statistics (holds from round 6-8 on every
+    // testdata SF; a corpus failing this needs more rounds)
+    require(rows.exists(_._2.split(' ').exists(_.length > 1)),
+      s"no compounded merge in $BpeMergeRounds BPE rounds")
+    (rows, vocab)
+  }
+
+  /** The recursive-CTE DuckDB twin of [[bpeTrain]]: `bpe` carries the
+    * whole vocab as ONE list-of-structs row per round (aggregates +
+    * LATERAL in recursive terms — the mmr_rerank technique; prototyped
+    * against a pure-python reference BPE before landing, per SCALE.md).
+    * Round r's vocab has r merges applied; `bpe_merges` reads the
+    * pair/n columns, `bpe_encode` unnests round [[BpeMergeRounds]]'s
+    * vocab. Ends after the `bpe` CTE so callers can extend the WITH
+    * list or select directly. */
+  private def bpeCteSql: String =
+    s"""WITH RECURSIVE
+       |wf AS (
+       |  SELECT w AS word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |    FROM documents)
+       |  GROUP BY 1),
+       |init AS (
+       |  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS syms, freq
+       |  FROM wf),
+       |bpe AS (
+       |  SELECT CAST(0 AS BIGINT) AS round, CAST(NULL AS VARCHAR) AS pair,
+       |         CAST(NULL AS BIGINT) AS n,
+       |         list({'syms': syms, 'freq': freq}) AS vocab
+       |  FROM init
+       |  UNION ALL
+       |  SELECT s.round + 1, best.pair, best.n,
+       |         list_transform(s.vocab, v -> {
+       |           'syms': list_reduce(string_split(v.syms, ' '), (acc, x) ->
+       |             CASE WHEN regexp_extract(acc, '[^ ]+$$') = string_split(best.pair, ' ')[1]
+       |                   AND x = string_split(best.pair, ' ')[2]
+       |               THEN regexp_replace(acc, '[^ ]+$$', replace(best.pair, ' ', ''))
+       |               ELSE acc || ' ' || x END),
+       |           'freq': v.freq})
+       |  FROM bpe s, LATERAL (
+       |    SELECT pr AS pair, CAST(SUM(freq) AS BIGINT) AS n FROM (
+       |      SELECT unnest(list_transform(range(1, len(sy)),
+       |               i -> sy[i] || ' ' || sy[i+1])) AS pr, freq
+       |      FROM (SELECT string_split(v.syms, ' ') AS sy, v.freq AS freq
+       |            FROM (SELECT unnest(s.vocab) AS v)))
+       |    GROUP BY pr ORDER BY n DESC, pr LIMIT 1) best
+       |  WHERE s.round < $BpeMergeRounds)""".stripMargin
 
   /** Greedy leftmost-non-overlapping application of BPE merge (a, b)
     * to a space-joined symbol string: a left fold that replaces the

@@ -275,6 +275,24 @@ class TextDedupSpec extends SparkSuite {
       "no compounded merge — the loop never built on its own output")
   }
 
+  test("bpe_encode: every word covered, token counts bounded by chars, merges compress") {
+    val enc = q("bpe_encode").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = spark.read.parquet(sf("documents")).count()
+    assert(enc.length.toLong == docs) // every doc has >= 1 word on testdata
+    // per-doc: one token per word minimum (a word never encodes to
+    // zero tokens), one per char maximum (merges only ever shrink)
+    enc.foreach { case (id, nWords, nChars, nToks) =>
+      assert(nToks >= nWords && nToks <= nChars,
+        s"doc $id: n_words=$nWords n_chars=$nChars n_tokens=$nToks")
+    }
+    // corpus-level: 10 merge rounds actually compressed the encoding
+    // below the char count (else the trained merges were never applied)
+    val (chars, toks) = (enc.map(_._3).sum, enc.map(_._4).sum)
+    assert(toks < chars, s"no compression: $toks tokens vs $chars chars")
+    spark.catalog.clearCache() // release bpeTrain's applyLast persists
+  }
+
   test("MMR rerank: first pick is pure relevance, later picks diversify") {
     // Oracle precondition: the DuckDB twin argmaxes on the packed key
     // `score * 1e10 - n_id` (one BIGINT). The packing is a total order
