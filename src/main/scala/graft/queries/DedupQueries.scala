@@ -855,6 +855,21 @@ object DedupQueries {
     * arithmetic the Scala query ran ([[cellCountRows]]) — not a
     * constant that happens to match at one scale factor. */
   private def semanticOracleSql(targetRows: Long): String =
+    s"""${frozenCellsCteSql(targetRows)},
+       |drops AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM cells a JOIN cells b
+       |    ON a.c_id = b.c_id AND a.vec_id > b.vec_id
+       |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4)
+       |SELECT c.vec_id, c.c_id, CAST(1 AS BIGINT) AS kept
+       |FROM cells c
+       |WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.vec_id = c.vec_id)""".stripMargin
+
+  /** DuckDB twin of [[frozenCells]]: the p/cents/assign/cells CTE
+    * prefix (k recomputed with the SAME [[cellCountRows]] arithmetic)
+    * shared by [[semanticOracleSql]] and the `knn_graph` oracle. Ends
+    * after the `cells` CTE so callers extend the WITH list. */
+  private[queries] def frozenCellsCteSql(targetRows: Long): String =
     s"""WITH p AS (
        |  SELECT greatest(8, least(1048576, CAST(ceil(count(*) / $targetRows.0) AS BIGINT))) AS k
        |  FROM embeddings),
@@ -866,15 +881,7 @@ object DedupQueries {
        |    row_number() OVER (PARTITION BY vec_id
        |      ORDER BY ${cosineSql("e.embedding", "c_emb")} DESC, c_id) AS rk
        |  FROM embeddings e CROSS JOIN cents),
-       |cells AS (SELECT vec_id, embedding, c_id FROM assign WHERE rk = 1),
-       |drops AS (
-       |  SELECT DISTINCT a.vec_id
-       |  FROM cells a JOIN cells b
-       |    ON a.c_id = b.c_id AND a.vec_id > b.vec_id
-       |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4)
-       |SELECT c.vec_id, c.c_id, CAST(1 AS BIGINT) AS kept
-       |FROM cells c
-       |WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.vec_id = c.vec_id)""".stripMargin
+       |cells AS (SELECT vec_id, embedding, c_id FROM assign WHERE rk = 1)""".stripMargin
 
   /** SemDeDup cell-count sizing: one k-means cell per ~256 KiB of
     * embedding input (≈1024 64-dim float32 vectors), floor 8, capped at
@@ -935,6 +942,27 @@ object DedupQueries {
   private[graft] def semanticDropsFrozen(s: SparkSession, dir: String,
       tau: Double, targetRows: Long = CellTargetRows)
       : (DataFrame, DataFrame, Int) = {
+    val (assigned, k) = frozenCells(s, dir, targetRows)
+    val drops = assigned.as("a").join(assigned.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") > col("b.vec_id"))
+      .filter(cosineFast(col("a.embedding"), col("b.embedding"),
+        col("a.nrm"), col("b.nrm")) >= tau)
+      .select(col("a.vec_id").as("vec_id"))
+      .distinct()
+    (assigned, drops, k)
+  }
+
+  /** The frozen-centroid cell assignment shared by the SemDeDup prune
+    * ([[semanticDropsFrozen]]) and the k-NN graph build
+    * (SimilarityQueries `knn_graph`) — everything up to and including
+    * the hot-cell guard; consumers add their own within-cell join.
+    * Returns (assigned = vec_id, embedding, nrm, c_id — persisted;
+    * released by the caller's clearCache sweep, the Bench/Verify
+    * contract) and k. The corpus side shuffles exactly once (the
+    * groupBy argmin); every consumer's self-join is cell-bounded,
+    * never all-pairs. [[frozenCellsCteSql]] is the DuckDB twin. */
+  private[queries] def frozenCells(s: SparkSession, dir: String,
+      targetRows: Long = CellTargetRows): (DataFrame, Int) = {
     val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val rows = emb.count()
     // fail with a diagnosis, not the NPE the hot-cell guard's max()
@@ -964,13 +992,7 @@ object DedupQueries {
           s"vectors (bound $hotBound) — frozen stand-in centroids cannot block " +
           "this corpus; use the trained path (semanticDrops/KMeans) or raise k")
     }
-    val drops = assigned.as("a").join(assigned.as("b"),
-        col("a.c_id") === col("b.c_id") && col("a.vec_id") > col("b.vec_id"))
-      .filter(cosineFast(col("a.embedding"), col("b.embedding"),
-        col("a.nrm"), col("b.nrm")) >= tau)
-      .select(col("a.vec_id").as("vec_id"))
-      .distinct()
-    (assigned, drops, k)
+    (assigned, k)
   }
 
   /** Shared machinery for the TRAINED SemDeDup path and its brute-force test:

@@ -567,8 +567,47 @@ object SimilarityQueries {
            |  WHERE s.rank < $MmrK
            |  GROUP BY s.q_id, s.rank, s.sel_ids)
            |SELECT q_id, rank, n_id, mmr_u FROM sel""".stripMargin
-      })
+      }),
+
+    // k-NN GRAPH construction: top-K within-cell neighbor edges for
+    // EVERY corpus vector — the all-to-all step behind SemDeDup-style
+    // cluster pruning, graph-based diversity sampling, and label
+    // propagation over embeddings. The ann_* queries serve a fixed
+    // query set; here the corpus is both sides, so nothing broadcasts:
+    // the graph rides DedupQueries.frozenCells (one corpus shuffle to
+    // assign bounded cells, hot-cell guard included) and a cell-keyed
+    // SELF-join — |cell|²·k work total, linear in the corpus with the
+    // cell bound as the constant, never all-pairs. Per-source top-K is
+    // a row_number window partitioned by src: WindowGroupLimit
+    // pre-trims each partition to K before the window's exchange, so
+    // the shuffle moves O(K·|corpus|) edge candidates, not the full
+    // |cell|² candidate set.
+    QueryDef("knn_graph",
+      (s, dir) => {
+        val (cells, _) = DedupQueries.frozenCells(s, dir)
+        val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+        cells.as("a").join(cells.as("b"),
+            col("a.c_id") === col("b.c_id") && col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+            cosineFast(col("a.embedding"), col("b.embedding"),
+              col("a.nrm"), col("b.nrm")).as("cos"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= KnnGraphK)
+      },
+      Some(s"""${DedupQueries.frozenCellsCteSql(DedupQueries.CellTargetRows)},
+              |edges AS (
+              |  SELECT a.vec_id AS src, b.vec_id AS dst,
+              |    ${cosineSql("a.embedding", "b.embedding")} AS cos,
+              |    row_number() OVER (PARTITION BY a.vec_id
+              |      ORDER BY ${cosineSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+              |  FROM cells a JOIN cells b
+              |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id)
+              |SELECT src, dst, cos, rank FROM edges
+              |WHERE rank <= $KnnGraphK""".stripMargin))
   )
+
+  /** Edges kept per source vector in `knn_graph`. */
+  private def KnnGraphK = 3
 
   /** MMR sizing: rerank pool [[MmrCandK]] (what the ANN stage hands
     * over) cut to [[MmrK]] diverse results. defs, not vals — both are

@@ -269,10 +269,13 @@ class PlanAuditSpec extends SparkSuite {
     // per-query exchange, so a q_id task receives <= k·partitions rows,
     // not the corpus. SCALE.md claims it; this pins it on both the
     // brute-force ranker and mmr_rerank's candidate generator.
-    for (q <- Seq("ann_bruteforce", "mmr_rerank")) {
+    // knn_graph's window partitions by src over the corpus-sized edge
+    // candidate set — the pre-trim matters MOST there
+    for (q <- Seq("ann_bruteforce", "mmr_rerank", "knn_graph")) {
       val p = plan(SparkEntry.queries(q)(spark, dir))
       assert(p.contains("WindowGroupLimit"), s"$q: no WindowGroupLimit pre-trim\n$p")
     }
+    spark.catalog.clearCache() // knn_graph rides frozenCells' persist
   }
 
   test("compaction rewrite is shuffle-free: coalesce plans no Exchange (repartition would)") {
