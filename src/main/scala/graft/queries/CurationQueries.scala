@@ -542,8 +542,90 @@ object CurationQueries {
               |  COALESCE(s.sum_nlp_u, 0) AS sum_nlp_u,
               |  COALESCE(s.n_bg, 0) > 0 AND
               |    COALESCE(s.sum_nlp_u, 0) <= $LmNlpThresholdMicro * COALESCE(s.n_bg, 0) AS keep
-              |FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id""".stripMargin))
+              |FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id""".stripMargin)),
+
+    // Gopher rule battery (Rae et al. 2021 §A1.1): the NAMED hard
+    // pass/fail heuristics a curation pipeline runs before any
+    // model-based filter — word-count bounds, mean-word-length bounds,
+    // symbol-to-word ratio (# and ellipsis), alphabetic-word fraction,
+    // minimum stopword evidence. Complements text_quality (soft score)
+    // and text_repetition (the Gopher repetition rules): here every
+    // rule is a separate auditable flag plus the composed keep, and
+    // every comparison is an integer cross-multiplication (mean length
+    // in [3,10] is 3·n_words ≤ n_chars ≤ 10·n_words — no float ratio
+    // ever materializes, so the oracle is bit-exact). The synthetic
+    // corpus is symbol- and digit-free, so 1-in-7 docs (doc_id-keyed,
+    // the text_redact augmentation trick) get a deterministic tail of
+    // digit words + # / … noise appended BEFORE filtering — each rule
+    // then splits the corpus on both engines instead of vacuously
+    // passing. Scale: narrow codegen'd expressions, zero shuffles,
+    // scan speed at 100 TB.
+    QueryDef("gopher_rules",
+      (s, dir) => {
+        val aug = when(pmod(col("doc_id"), lit(7L)) === 0L,
+          concat(col("text"), lit(GopherNoise))).otherwise(col("text"))
+        val t = tokens(aug)
+        val nWords = size(t).cast("long")
+        // sum of token lengths == length of the delimiter-free join —
+        // codegen'd string ops, no interpreted fold
+        val nChars = length(concat_ws("", t)).cast("long")
+        val nAlpha = size(filter(t, w => w.rlike("[a-z]"))).cast("long")
+        val nSym = (size(regexp_extract_all(aug, lit("#"), lit(0))) +
+          size(regexp_extract_all(aug, lit("\\.\\.\\."), lit(0)))).cast("long")
+        val nStop = stopwordHits(t, stopwords.head._2).cast("long")
+        val rWords = nWords >= 50L && nWords <= 100000L
+        val rLen = nChars >= nWords * 3L && nChars <= nWords * 10L
+        val rAlpha = nAlpha * 5L >= nWords * 4L
+        val rSym = nSym * 10L <= nWords
+        val rStop = nStop >= 2L
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          rWords.cast("long").as("r_words"),
+          rLen.cast("long").as("r_word_len"),
+          rAlpha.cast("long").as("r_alpha"),
+          rSym.cast("long").as("r_symbol"),
+          rStop.cast("long").as("r_stopwords"),
+          (rWords && rLen && rAlpha && rSym && rStop)
+            .cast("long").as("keep"))
+      },
+      Some(s"""WITH aug AS (
+              |  SELECT doc_id,
+              |    CASE WHEN doc_id % 7 = 0 THEN text || '$GopherNoise'
+              |         ELSE text END AS a
+              |  FROM documents),
+              |f AS (
+              |  SELECT doc_id,
+              |    regexp_extract_all(lower(a), '[a-z0-9]+') AS t,
+              |    CAST(len(regexp_extract_all(a, '#')) +
+              |         len(regexp_extract_all(a, '\\.\\.\\.')) AS BIGINT) AS n_sym
+              |  FROM aug),
+              |m AS (
+              |  SELECT doc_id,
+              |    CAST(len(t) AS BIGINT) AS n_words,
+              |    CAST(length(array_to_string(t, '')) AS BIGINT) AS n_chars,
+              |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+              |    n_sym,
+              |    CAST(${stopwordHitsSql("t", stopwords.head._2)} AS BIGINT) AS n_stop
+              |  FROM f)
+              |SELECT doc_id,
+              |  CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_words,
+              |  CAST(n_chars >= n_words * 3 AND n_chars <= n_words * 10 AS BIGINT) AS r_word_len,
+              |  CAST(n_alpha * 5 >= n_words * 4 AS BIGINT) AS r_alpha,
+              |  CAST(n_sym * 10 <= n_words AS BIGINT) AS r_symbol,
+              |  CAST(n_stop >= 2 AS BIGINT) AS r_stopwords,
+              |  CAST(n_words >= 50 AND n_words <= 100000
+              |    AND n_chars >= n_words * 3 AND n_chars <= n_words * 10
+              |    AND n_alpha * 5 >= n_words * 4
+              |    AND n_sym * 10 <= n_words
+              |    AND n_stop >= 2 AS BIGINT) AS keep
+              |FROM m""".stripMargin))
   )
+
+  /** Deterministic augmentation tail for `gopher_rules`: three digit
+    * words (trip r_alpha on short docs) plus four `#` and two `…`
+    * symbol tokens (trip r_symbol below 60 words). Symbol-only tokens
+    * add no [a-z0-9]+ words, so n_words moves only by the digits. */
+  private def GopherNoise = " 404 12345 67 # # # ... ... #"
 
   /** lm_perplexity_filter keep threshold: mean negative log-prob ≤ 3.4
     * micro-nats… i.e. 3.4 nats (ppl ≈ 30) in integer micro-points.

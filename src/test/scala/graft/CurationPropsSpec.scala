@@ -123,4 +123,26 @@ class CurationPropsSpec extends SparkSuite {
       assert(sorted.map(_._3).toSeq == expected, s"$q rank order broken")
     }
   }
+
+  test("gopher_rules: keep composes the flags; the battery is non-vacuous on testdata") {
+    val rows = SparkEntry.queries("gopher_rules")(spark, "/root/testdata/sf0.001")
+      .collect()
+    spark.catalog.clearCache()
+    val flags = Seq("r_words", "r_word_len", "r_alpha", "r_symbol", "r_stopwords")
+    rows.foreach { r =>
+      val all = flags.forall(f => r.getAs[Long](f) == 1L)
+      assert((r.getAs[Long]("keep") == 1L) == all,
+        s"doc ${r.getLong(0)}: keep does not equal the AND of its flags")
+    }
+    // the battery must SPLIT the corpus, and so must the individual
+    // rules the augmentation tail exists for — a testdata or
+    // augmentation change that makes them vacuous should fail here,
+    // not silently weaken the oracle
+    val keeps = rows.count(_.getAs[Long]("keep") == 1L)
+    assert(keeps > 0 && keeps < rows.length, s"keep is degenerate: $keeps/${rows.length}")
+    for (f <- Seq("r_words", "r_symbol", "r_stopwords", "r_alpha")) {
+      val passes = rows.count(_.getAs[Long](f) == 1L)
+      assert(passes > 0 && passes < rows.length, s"$f is degenerate: $passes/${rows.length}")
+    }
+  }
 }
