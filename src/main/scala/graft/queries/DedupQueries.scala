@@ -843,8 +843,106 @@ object DedupQueries {
           .select(col("vec_id"), col("c_id"))
           .withColumn("kept", lit(1L))
       },
-      Some(semanticOracleSql(GrowthProbeTargetRows)))
+      Some(semanticOracleSql(GrowthProbeTargetRows))),
+
+    // WINNOWING duplicate-span audit (Schleimer, Wilkerson & Aiken 2003,
+    // the MOSS fingerprinting scheme): per doc, hash every K-char gram,
+    // keep the minimum hash of each sliding W-gram window, and flag docs
+    // whose fingerprint set intersects another doc's. Guarantee: any
+    // verbatim region of ≥ K+W−1 = 31 chars shared by two docs yields at
+    // least one common fingerprint — ALIGNMENT-FREE, unlike strided
+    // sampling, and span-level, unlike the whole-doc MinHash family
+    // above (a 31-char boilerplate block inside two otherwise-unrelated
+    // docs is invisible to J≥0.8 shingle dedup but caught here).
+    //
+    // Shape (measured at sf0.1, both cross-checked against the DuckDB
+    // prototype — 147/500 docs flagged at sf0.001): the explode-grams +
+    // sliding-Window-min form is ~1.7× faster warm on this box but
+    // shuffles the gram stream — one (doc_id, pos, md5) row PER CHARACTER
+    // of corpus, ~40× corpus bytes through the exchange feeding the
+    // per-doc sort; at 100 TB that plan is dead. This narrow form keeps
+    // fingerprinting inside the row (two stacked per-row projections —
+    // CollapseProject leaves them apart, verified on the optimized plan,
+    // so the gram array is built once per row, not once per window) and
+    // the ONLY shuffled data is the fingerprint set, ~0.2 rows per gram
+    // after windowing dedup. fp is eagerly persisted: it feeds the
+    // cross-doc dup count AND the per-doc rollup join (the AQE contract,
+    // see object scaladoc).
+    QueryDef("dedup_winnowing",
+      (s, dir) =>
+        winnowingAudit(ProfilingQueries.widened(s, Tables(s, dir, "documents"))),
+      Some(s"""WITH g AS (
+              |  SELECT doc_id, list_transform(range(1, length(text) - $WinnowK + 2),
+              |      i -> md5(substr(text, CAST(i AS INTEGER), $WinnowK))) AS gr
+              |  FROM documents),
+              |fp AS (
+              |  SELECT doc_id, unnest(list_distinct(
+              |    list_transform(range(0, greatest(len(gr) - $WinnowW + 1, 0)),
+              |      j -> list_aggregate(list_slice(gr, CAST(j + 1 AS INTEGER), CAST(j + $WinnowW AS INTEGER)), 'min')))) AS h
+              |  FROM g),
+              |dup AS (SELECT h FROM fp GROUP BY h HAVING count(*) > 1),
+              |per AS (SELECT f.doc_id, count(*) AS n_fp, count(d.h) AS n_dup
+              |        FROM fp f LEFT JOIN dup d USING (h) GROUP BY 1)
+              |SELECT doc.doc_id, CAST(COALESCE(n_fp, 0) AS BIGINT) AS n_fp,
+              |  CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup,
+              |  CAST(CASE WHEN COALESCE(n_dup, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+              |FROM documents doc LEFT JOIN per USING (doc_id)""".stripMargin))
   )
+
+  /** Winnowing gram width (chars) and window size (grams): any shared
+    * verbatim region of ≥ `WinnowK + WinnowW − 1` = 31 chars is
+    * guaranteed to surface a common fingerprint (Schleimer et al. 2003,
+    * §winnowing). K=24 keeps random 300-char testdata docs from
+    * colliding by chance; W=8 samples ~1 fingerprint per 4-5 grams.
+    * `def`, not `val`: `defs` above reads these during object init, and
+    * a forward-referenced val is still 0/null at that point (the
+    * recorded init-order trap — a val here once rendered `$WinnowK`
+    * as 0 inside the oracle SQL while the lazily-run Spark side used
+    * the real 24, failing the cross-engine gate). */
+  private[graft] def WinnowK: Int = 24
+  private[graft] def WinnowW: Int = 8
+
+  /** Winnowing fingerprint set: distinct (doc_id, h) where h is the
+    * minimum md5 of each sliding [[WinnowW]]-gram window over the doc's
+    * [[WinnowK]]-char grams. Both `sequence` calls are guarded — Spark's
+    * `sequence(1, 0)` DESCENDS (the recorded bpe gotcha), so a doc
+    * shorter than K (or with fewer than W grams) must short-circuit to
+    * an empty array, not an inverted range. */
+  private[graft] def winnowingFingerprints(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      transform(
+        when(length(col("text")) >= WinnowK,
+          sequence(lit(1), length(col("text")) - WinnowK + 1))
+          .otherwise(array().cast("array<int>")),
+        i => md5(col("text").substr(i, lit(WinnowK)))).as("gr"))
+    grams.select(col("doc_id"),
+      explode(array_distinct(transform(
+        when(size(col("gr")) >= WinnowW,
+          sequence(lit(0), size(col("gr")) - WinnowW))
+          .otherwise(array().cast("array<int>")),
+        j => array_min(slice(col("gr"), j + lit(1), lit(WinnowW)))))).as("h"))
+  }
+
+  /** Full winnowing duplicate-span audit over a (doc_id, text) frame:
+    * per-doc fingerprint count, cross-doc-shared fingerprint count, and
+    * the dup flag. Factored off the QueryDef so WinnowingSpec can drive
+    * it on constructed corpora (the ≥ K+W−1 guarantee needs docs with
+    * planted shared spans at controlled offsets). */
+  private[graft] def winnowingAudit(docs: DataFrame): DataFrame = {
+    val fp = winnowingFingerprints(docs).persist()
+    fp.count()
+    val dup = fp.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"), lit(1L).as("d"))
+    val per = fp.join(dup, Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), count(col("d")).as("n_dup"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_dup"), lit(0L)) > 0, 1L).otherwise(0L).as("is_dup"))
+  }
 
   /** Cell target for [[QueryDef dedup_semantic_k]] — small enough that
     * k leaves the floor of 8 at EVERY driver scale factor. */
