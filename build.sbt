@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST bare-JSON stdout line of `sbt runMain
+// graft.Bench`. A forked run's output goes through sbt's logger by
+// default, which prefixes every line with `[info] ` — four rounds of
+// BENCH_r{06..09}.json landed `parsed: null` because of it. Route the
+// forked JVM's stdout/stderr straight through, and drop the trailing
+// `[success] Total time …` decoration so the JSON line stays last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by the command engine, not a task
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -17,14 +17,15 @@ import org.apache.spark.sql.SparkSession
   *    interleaving spreads a noise window across one sample of many
   *    queries, and the per-query median across rounds shrugs it off;
   *  - TARGETED adaptive rounds: after the standard 3 measured rounds,
-  *    up to 4 MORE interleaved rounds run over ONLY the queries whose
-  *    own raw spread (max−min, deliberately burst-sensitive) still
-  *    exceeds 2× their median — the published medians are across all
-  *    of a query's rounds, so a contaminated recording gets more clean
-  *    samples instead of merely flagging itself. Re-timing the full
-  *    board (the r6 behavior) spent ≈5 min re-running ~100 calm
-  *    queries because ONE was bursty; the subset extension buys the
-  *    same statistical repair for the cost of the affected queries;
+  *    up to 6 MORE interleaved rounds run over ONLY the queries whose
+  *    recording is still untrustworthy — raw spread (max−min,
+  *    deliberately burst-sensitive) above 2× the median, OR the median
+  *    itself dragged off the clean cluster ([[medianPoisoned]]; the r9
+  *    gap) — so a contaminated recording gets more clean samples
+  *    instead of merely flagging itself. Re-timing the full board (the
+  *    r6 behavior) spent ≈5 min re-running ~100 calm queries because
+  *    ONE was bursty; the subset extension buys the same statistical
+  *    repair for the cost of the affected queries;
   *  - the PUBLISHED per-query spread (and the aggregate `noise` built
   *    from it) is MAD-based — 2 × median absolute deviation from the
   *    median — so it describes STEADY-STATE variance: a co-tenant
@@ -69,8 +70,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val BaseRounds = 3
-  private val MaxRounds = 7
+  private val MaxRounds = 9
   private[graft] val NoiseTarget = 2.0
+  private[graft] val PoisonRatio = 1.5
+  private[graft] val PoisonFloorSec = 0.25
 
   /** Median / MAD-based spread of one query's samples. Spread is
     * 2 × median(|t − median|): robust to bursts contaminating up to
@@ -110,6 +113,33 @@ object Bench {
     * unstable query). */
   private[graft] def stillBursty(ts: Seq[Double]): Boolean =
     burstContaminated(ts) && burstContaminated(ts.sortBy(-_).drop(1))
+
+  /** Median-poisoning detector — the gap the raw-spread trigger leaves
+    * open (BENCH_r09's `lm_perplexity_filter`: runs
+    * [2.3, 13.8, 2.2, 34.4, 5.9] stopped extending via the
+    * one-spike-forgiven recovery rule, yet the PUBLISHED median, 5.9,
+    * was 2.6× the calm cluster — bursts had landed in 2 of 5 samples,
+    * enough to drag the middle order statistic without keeping the
+    * raw-spread ratio above threshold).
+    *
+    * Detection: the overall median is only trustworthy if it agrees
+    * with the median of the recording's BEST half (bursts are always
+    * one-sided — co-tenant CPU theft makes runs slower, never faster,
+    * so the fastest samples are the clean cluster). Flag when the
+    * overall median exceeds the best-half median by >[[PoisonRatio]]×
+    * AND >[[PoisonFloorSec]] absolute (the floor keeps a 0.1 s-scale
+    * query's natural jitter from extending it round after round).
+    * A flagged query keeps extending — each extra round is one more
+    * almost-surely-clean sample pulling the middle statistic back into
+    * the calm cluster — until the cap ([[MaxRounds]]) stops it. */
+  private[graft] def medianPoisoned(ts: Seq[Double]): Boolean =
+    ts.nonEmpty && ts.forall(_ >= 0) && {
+      val s = ts.sorted
+      val m = s(s.length / 2)
+      val best = s.take((s.length + 1) / 2)
+      val mBest = best((best.length - 1) / 2)
+      m > mBest * PoisonRatio && m - mBest > PoisonFloorSec
+    }
 
   /** Shuffle-bytes gate: queries whose current bytes exceed the
     * committed record by BOTH >10% relative and >64 KiB absolute (the
@@ -186,6 +216,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // first failure message per query, for the summary JSON: the
+    // driver's ~2000-char tail kept only the STACK of r9's failures —
+    // the exception text itself was truncated away, so the one line
+    // that says WHY has to ride the parsed summary, not stderr
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
     /** One timed execution; elapsed computed before cache teardown. */
     def time(name: String): Double = {
       val t0 = System.nanoTime()
@@ -196,6 +232,10 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          errors.getOrElseUpdate(name, {
+            val m = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+            (if (m.length > 160) m.take(157) + "..." else m).replace('\n', ' ')
+          })
           -1.0
       } finally {
         // some queries persist intermediates (documented in
@@ -254,13 +294,18 @@ object Bench {
     }
     // targeted extension: re-time ONLY the burst-contaminated queries
     // (still interleaved across that subset), capped at MaxRounds total
-    var bursty = names.filter(n => burstContaminated(samples(n)))
+    var bursty = names.filter(n =>
+      burstContaminated(samples(n)) || medianPoisoned(samples(n)))
     while (bursty.nonEmpty && rounds < MaxRounds) {
       System.err.println(
         s"[bench] ${bursty.size} bursty queries after $rounds rounds — extending: ${bursty.mkString(", ")}")
       bursty.foreach(n => samples(n) = samples(n) :+ time(n))
       rounds += 1
-      bursty = bursty.filter(n => stillBursty(samples(n)))
+      // keep extending on EITHER signal: spikes still present beyond
+      // the forgiven one (stillBursty), or the median itself still
+      // dragged off the clean cluster (medianPoisoned) — r9 showed the
+      // first alone releases a query whose median is still wrong
+      bursty = bursty.filter(n => stillBursty(samples(n)) || medianPoisoned(samples(n)))
     }
 
     val stats = names.map { n =>
@@ -341,7 +386,18 @@ object Bench {
     // tail capture holds ~2000 chars, and the 122-entry per-query map
     // overflowed it (BENCH_r06/r07 landed with parsed:null). The full
     // per-query record lives in target/bench.json.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val failedNames = stats.collect { case (k, m, _, _) if m < 0 => k }
+    // one `err` line per failed query (not the whole board — the tail
+    // budget is ~2000 chars and failures should be rare)
+    val errJson = failedNames
+      .map(k => s"${jstr(k)}: ${jstr(errors.getOrElse(k, "unknown"))}")
+      .mkString("{", ",", "}")
     val top10 = stats.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, m, _, _) => "\"" + k + f"\":$m%.2f" }
       .mkString("{", ",", "}")
@@ -358,7 +414,16 @@ object Bench {
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
 
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${names.size},"failed":$failedJson,"queries":$top10,"noise":$noise%.2f,"raw_noise":$rawNoise%.2f,"spread_stat":"mad2","rounds":$rounds,"shuffle_regressions":$regJson,"sf":"$sfDir"}""")
+    val summary =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${names.size},"failed":$failedJson,"errors":$errJson,"queries":$top10,"noise":$noise%.2f,"raw_noise":$rawNoise%.2f,"spread_stat":"mad2","rounds":$rounds,"shuffle_regressions":$regJson,"sf":"$sfDir"}"""
+    // mirrored to disk so the summary survives even if a future harness
+    // change re-decorates or truncates stdout
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target", "bench_summary.json"),
+      (summary + "\n").getBytes("UTF-8"))
     spark.stop()
+    // LAST stdout line, after Spark's shutdown chatter (which goes to
+    // stderr) — the driver greps the tail for a bare-JSON line
+    println(summary)
   }
 }

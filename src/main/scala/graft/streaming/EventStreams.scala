@@ -35,30 +35,46 @@ object EventStreams {
     * discovered per micro-batch). `maxFilesPerTrigger` bounds batch
     * size — the streaming analog of the reference's extract batchSize.
     *
-    * `nanosTs = true` (default) handles the driver testdata's
-    * nanosecond-precision `ts` the same way the batch path
-    * ([[graft.Tables.events]]) does: read raw nanos as long, truncate
-    * to a microsecond timestamp. Pass false for ordinary
-    * microsecond-timestamp parquet. */
+    * File streams need the schema up front, and the testdata's `ts` has
+    * shipped with different physical encodings across generations
+    * (int64 nanos, `timestamp[us]` NTZ, session-zoned TIMESTAMP). By
+    * default (`nanosTs = None`) the encoding is DETECTED from the
+    * directory's parquet footers with a one-time batch schema probe —
+    * a driver-side metadata read, no data scan — and normalized to a
+    * microsecond `TimestampType` column, matching the batch path
+    * ([[graft.Tables.events]]). Pass `Some(true)` to force the legacy
+    * nanos-as-long decode, `Some(false)` to skip the probe for ordinary
+    * Spark-written timestamp parquet. */
   def readEventStream(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Int = 4, nanosTs: Boolean = true): DataFrame =
-    if (nanosTs) {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = StructType(eventSchema.map {
-        case f if f.name == "ts" => f.copy(dataType = LongType)
-        case f => f
-      })
-      spark.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", maxFilesPerTrigger)
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else {
-      spark.readStream
-        .schema(eventSchema)
-        .option("maxFilesPerTrigger", maxFilesPerTrigger)
-        .parquet(dir)
+      maxFilesPerTrigger: Int = 4, nanosTs: Option[Boolean] = None): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType: DataType = nanosTs match {
+      case Some(true)  => LongType
+      case Some(false) => TimestampType
+      case None        => spark.read.parquet(dir).schema("ts").dataType
     }
+    def stream(withTs: DataType): DataFrame = spark.readStream
+      .schema(StructType(eventSchema.map {
+        case f if f.name == "ts" => f.copy(dataType = withTs)
+        case f => f
+      }))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+    tsType match {
+      case LongType =>
+        // integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed a
+        // double's 2^53 integer range
+        stream(LongType).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => stream(TimestampType)
+      case TimestampNTZType =>
+        // UTC session: cast changes the schema, not the instant
+        stream(TimestampNTZType).withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events stream at $dir: unsupported ts type $other (expected " +
+            "INT64 nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
+  }
 
   /** Watermarked tumbling-window aggregation — the streaming twin of
     * the batch `events_hourly` query. Late events beyond the watermark

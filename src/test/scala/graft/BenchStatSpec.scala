@@ -77,6 +77,43 @@ class BenchStatSpec extends AnyFunSuite {
     assert(Bench.burstContaminated(Seq(1.4, 1.5, 16.4)))
   }
 
+  test("BENCH_r09 shape: median poisoned by 2-of-5 bursts keeps extending until clean") {
+    // lm_perplexity_filter's actual r9 recording: the one-spike-
+    // forgiven recovery rule released it after 5 rounds with a 5.9 s
+    // published median against a ~2.3 s calm cluster
+    val r9 = Seq(2.3, 13.8, 2.2, 34.4, 5.9)
+    assert(Bench.medianPoisoned(r9), "2-of-5 bursts must flag the median")
+    // synthetic burst-injection recovery: each extension round appends
+    // an (almost surely) clean sample; the median walks back into the
+    // calm cluster and the detector releases the query
+    var ts = r9
+    var extra = 0
+    while (Bench.medianPoisoned(ts) && extra < 6) { // MaxRounds-BaseRounds cap
+      ts = ts :+ 2.25 // a clean sample
+      extra += 1
+    }
+    assert(extra <= 2, s"recovery should take ~2 clean rounds, took $extra")
+    assert(math.abs(Bench.stat(ts)._1 - 2.3) < 0.1,
+      s"recovered median ${Bench.stat(ts)._1} must sit in the calm cluster")
+  }
+
+  test("median-poisoning detector: one-sided checks that must stay quiet") {
+    // one spike in 4 (already handled by stillBursty's forgiveness):
+    // median untouched — not poisoned
+    assert(!Bench.medianPoisoned(Seq(1.4, 1.5, 16.4, 1.5)))
+    // sub-floor jitter on a 0.1 s-scale query: ratio trips but the
+    // absolute floor holds — must not extend round after round
+    assert(!Bench.medianPoisoned(Seq(0.10, 0.16, 0.20)))
+    // calm recording
+    assert(!Bench.medianPoisoned(Seq(1.4, 1.5, 1.6)))
+    // failed runs never extend
+    assert(!Bench.medianPoisoned(Seq(-1.0, 1.5, 1.6)))
+    assert(!Bench.medianPoisoned(Nil))
+    // 2-of-3 bursts: the raw trigger can't see it (spread/median ≈ 1)
+    // but the best-half comparison can — this is the widened coverage
+    assert(Bench.medianPoisoned(Seq(2.0, 14.0, 16.0)))
+  }
+
   test("shuffle gate fires on an intentional regression and stays quiet otherwise") {
     val baseline = Map("big" -> (10L << 20), "small" -> (10L << 10), "gone" -> 5L)
     // +20% on a 10 MiB query: a real plan regression — fires

@@ -91,7 +91,7 @@ class StreamingSpec extends SparkSuite {
         .toDF().withColumn("props", lit("{}"))
         .write.mode("append").parquet(src)
     def run(): Unit = {
-      val q = EventStreams.readEventStream(spark, src, nanosTs = false)
+      val q = EventStreams.readEventStream(spark, src, nanosTs = Some(false))
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", chk)
         .start()
@@ -129,7 +129,7 @@ class StreamingSpec extends SparkSuite {
     (0 until 8).foreach(arrive) // 8-file backlog BEFORE the query exists
     def drain(): Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
       val q = EventStreams
-        .readEventStream(spark, src, maxFilesPerTrigger = 2, nanosTs = false)
+        .readEventStream(spark, src, maxFilesPerTrigger = 2, nanosTs = Some(false))
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", chk)
         .start()
@@ -249,7 +249,7 @@ class StreamingSpec extends SparkSuite {
       .toDF().withColumn("props", org.apache.spark.sql.functions.lit("{}"))
       .write.parquet(s"$dir/batch1")
     val stream = graft.streaming.EventStreams.readEventStream(
-      spark, s"$dir/batch1", nanosTs = false)
+      spark, s"$dir/batch1", nanosTs = Some(false))
     val q = graft.streaming.EventStreams.hourlyCounts(stream)
       .writeStream.format("memory").queryName(out).outputMode("update").start()
     try {
@@ -259,19 +259,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("readEventStream handles the real nanosecond-ts events table") {
-    // file stream sources need a directory: stage the ns-ts testdata
-    val dir = java.nio.file.Paths.get(tmpDir("nsev"))
+  test("readEventStream auto-detects the real events table's ts encoding") {
+    // file stream sources need a directory: stage the driver testdata
+    // (whatever ts encoding the current generation uses — the point of
+    // auto-detection is that this test never hard-codes it)
+    val dir = java.nio.file.Paths.get(tmpDir("autoev"))
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"))
-    val q = graft.streaming.EventStreams
-      .readEventStream(spark, dir.toString)
+    val stream = graft.streaming.EventStreams.readEventStream(spark, dir.toString)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType) // normalized, whatever the file held
+    val q = stream
       .groupBy().count()
-      .writeStream.format("memory").queryName("ns_events").outputMode("complete").start()
+      .writeStream.format("memory").queryName("auto_events").outputMode("complete").start()
     try {
       q.processAllAvailable()
-      assert(spark.table("ns_events").head().getLong(0) == 1000L)
+      assert(spark.table("auto_events").head().getLong(0) == 1000L)
+    } finally q.stop()
+  }
+
+  test("readEventStream auto-detects legacy int64-nanos ts and truncates to micros") {
+    import spark.implicits._
+    val dir = s"${tmpDir("nanoev")}/src"
+    val base = 1700000000000000000L // epoch nanos, beyond a double's 2^53
+    Seq((1L, base, 1L, "click", 1.0, "{}"),
+        (2L, base + 90L * 60 * 1000000000L, 2L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir)
+    val stream = graft.streaming.EventStreams.readEventStream(spark, dir)
+    assert(stream.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val q = stream.selectExpr("event_id", "unix_micros(ts) AS us")
+      .writeStream.format("memory").queryName("nano_events").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val us = spark.table("nano_events").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(us(1L) == base / 1000)      // exact integer truncation,
+      assert(us(2L) == (base + 90L * 60 * 1000000000L) / 1000) // no double rounding
     } finally q.stop()
   }
 
