@@ -603,8 +603,69 @@ object SimilarityQueries {
               |  FROM cells a JOIN cells b
               |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id)
               |SELECT src, dst, cos, rank FROM edges
+              |WHERE rank <= $KnnGraphK""".stripMargin)),
+
+    // k-NN graph with MULTI-PROBE ([[GraphNProbe]] = 2): `knn_graph`
+    // restricts each vector's neighbor search to its OWN cell, so a
+    // true nearest neighbor sitting just across a cell boundary is
+    // unreachable — the recall loss every IVF index pays at nprobe=1.
+    // Here each SOURCE vector probes its 2 nearest cells (the
+    // ann_ivf_nprobe routing applied corpus-wide) and the per-source
+    // top-K window runs over the UNION of both cells' candidates.
+    // Corpus vectors still live in exactly one cell (the index side is
+    // unchanged — frozenCells' argmin), so each (src, dst) candidate
+    // pair arises at most once and no dedup step is needed before the
+    // window. Cost: nprobe× the candidate rows of knn_graph — still
+    // |cell|·nprobe·|corpus| total, linear in the corpus with the cell
+    // bound as the constant, never all-pairs. The probe ranking is one
+    // more broadcast-centroids pass over the ALREADY-persisted
+    // assignment (frozenCells' contract), not a second parquet scan;
+    // WindowGroupLimit pre-trims each partition to K before the
+    // window's exchange exactly as in knn_graph. KnnRecallSpec measures
+    // the recall-vs-brute-force gain on a boundary-heavy corpus.
+    QueryDef("knn_graph_nprobe",
+      (s, dir) => {
+        val (cells, k) = DedupQueries.frozenCells(s, dir)
+        val cents = cells.filter(col("vec_id") < k)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+            col("nrm").as("c_nrm"))
+        val aw = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cos_c").desc, col("c_id"))
+        val probes = cells
+          .select(col("vec_id"), col("embedding"), col("nrm"))
+          .crossJoin(broadcast(cents))
+          .withColumn("cos_c",
+            cosineFast(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+          .withColumn("rk", row_number().over(aw))
+          .filter(col("rk") <= GraphNProbe)
+          .select(col("vec_id").as("src"), col("embedding").as("s_emb"),
+            col("nrm").as("s_nrm"), col("c_id").as("cell"))
+        val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+        probes.join(cells.as("b"),
+            col("cell") === col("b.c_id") && col("src") =!= col("b.vec_id"))
+          .select(col("src"), col("b.vec_id").as("dst"),
+            cosineFast(col("s_emb"), col("b.embedding"),
+              col("s_nrm"), col("b.nrm")).as("cos"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= KnnGraphK)
+      },
+      Some(s"""${DedupQueries.frozenCellsCteSql(DedupQueries.CellTargetRows)},
+              |probes AS (
+              |  SELECT vec_id, embedding, c_id FROM assign WHERE rk <= $GraphNProbe),
+              |edges AS (
+              |  SELECT p.vec_id AS src, b.vec_id AS dst,
+              |    ${cosineSql("p.embedding", "b.embedding")} AS cos,
+              |    row_number() OVER (PARTITION BY p.vec_id
+              |      ORDER BY ${cosineSql("p.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+              |  FROM probes p JOIN cells b
+              |    ON p.c_id = b.c_id AND p.vec_id <> b.vec_id)
+              |SELECT src, dst, cos, rank FROM edges
               |WHERE rank <= $KnnGraphK""".stripMargin))
   )
+
+  /** Cells each SOURCE vector probes in `knn_graph_nprobe` (corpus
+    * vectors stay in one cell; only the probe side fans out). */
+  private def GraphNProbe = 2
 
   /** Edges kept per source vector in `knn_graph`. */
   private def KnnGraphK = 3
