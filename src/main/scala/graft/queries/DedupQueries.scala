@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` corpus (and
@@ -886,7 +887,70 @@ object DedupQueries {
               |SELECT doc.doc_id, CAST(COALESCE(n_fp, 0) AS BIGINT) AS n_fp,
               |  CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup,
               |  CAST(CASE WHEN COALESCE(n_dup, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
-              |FROM documents doc LEFT JOIN per USING (doc_id)""".stripMargin))
+              |FROM documents doc LEFT JOIN per USING (doc_id)""".stripMargin)),
+
+    // WINNOWING span LOCALIZATION — the dedup_winnowing audit says
+    // WHETHER a doc shares fingerprints; this says WHERE. The window
+    // min carries its gram's char offset along with the hash (the
+    // min is taken over h‖zero-padded-pos strings, so the selected
+    // occurrence — leftmost minimal gram — rides for free; same trick
+    // in the oracle), matched fingerprints join per doc pair on h,
+    // and consecutive matched positions on the lower-id side merge
+    // into spans whenever they overlap within the K-char gram width
+    // (classic gaps-and-islands: running max of pos+K−1 over the
+    // ordered preceding rows marks island breaks). Output: one row
+    // per (doc_a, doc_b, span) with char range and fingerprint count.
+    //
+    // 100 TB shape: the ONLY shuffled data is the positional
+    // fingerprint set (~0.2 rows/gram, as dedup_winnowing) plus the
+    // matched-pair stream; the pair equi-join on h is guarded by a
+    // df cap ([[WinnowPairDfCap]], mirrored in the oracle) — a
+    // fingerprint present in >64 docs is boilerplate whose pair
+    // blow-up is quadratic and whose span signal is zero, the same
+    // discipline as [[dfCap]] on shingles. The islands window
+    // partitions by doc PAIR — bounded by the docs' span counts, no
+    // global sort. Distinct a_pos per pair before the window keeps
+    // the running-max frame deterministic (no peer-order ties).
+    QueryDef("dedup_winnowing_spans",
+      (s, dir) =>
+        winnowingSpans(ProfilingQueries.widened(s, Tables(s, dir, "documents"))),
+      Some(s"""WITH g AS (
+              |  SELECT doc_id, list_transform(range(1, length(text) - $WinnowK + 2),
+              |      i -> md5(substr(text, CAST(i AS INTEGER), $WinnowK))
+              |           || lpad(CAST(i AS VARCHAR), 10, '0')) AS gr
+              |  FROM documents),
+              |fp0 AS (
+              |  SELECT doc_id, unnest(list_distinct(
+              |    list_transform(range(0, greatest(len(gr) - $WinnowW + 1, 0)),
+              |      j -> list_aggregate(list_slice(gr, CAST(j + 1 AS INTEGER), CAST(j + $WinnowW AS INTEGER)), 'min')))) AS hp
+              |  FROM g),
+              |fp AS (
+              |  SELECT doc_id, substr(hp, 1, 32) AS h,
+              |         CAST(substr(hp, 33, 10) AS BIGINT) AS pos
+              |  FROM fp0),
+              |hot AS (
+              |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM fp GROUP BY h)
+              |  WHERE df > $WinnowPairDfCap),
+              |fc AS (SELECT * FROM fp WHERE h NOT IN (SELECT h FROM hot)),
+              |m AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS a_pos
+              |  FROM fc a JOIN fc b USING (h) WHERE a.doc_id < b.doc_id),
+              |isl AS (
+              |  SELECT doc_a, doc_b, a_pos,
+              |    CASE WHEN a_pos > COALESCE(max(a_pos + $WinnowK - 1) OVER
+              |        (PARTITION BY doc_a, doc_b ORDER BY a_pos
+              |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              |      THEN 1 ELSE 0 END AS brk
+              |  FROM m),
+              |grp AS (
+              |  SELECT doc_a, doc_b, a_pos,
+              |    sum(brk) OVER (PARTITION BY doc_a, doc_b ORDER BY a_pos
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gi
+              |  FROM isl)
+              |SELECT doc_a, doc_b, CAST(min(a_pos) AS BIGINT) AS span_start,
+              |  CAST(max(a_pos) + $WinnowK - 1 AS BIGINT) AS span_end,
+              |  CAST(count(*) AS BIGINT) AS n_fp
+              |FROM grp GROUP BY doc_a, doc_b, gi""".stripMargin))
   )
 
   /** Winnowing gram width (chars) and window size (grams): any shared
@@ -942,6 +1006,80 @@ object DedupQueries {
         coalesce(col("n_fp"), lit(0L)).as("n_fp"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
         when(coalesce(col("n_dup"), lit(0L)) > 0, 1L).otherwise(0L).as("is_dup"))
+  }
+
+  /** Pair-join doc-frequency cap for span localization: a fingerprint
+    * present in more than this many docs is boilerplate — its pair
+    * fan-out is quadratic and its span signal is noise. Mirrored
+    * verbatim in the `dedup_winnowing_spans` oracle. A def (the
+    * recorded init-order trap, see [[WinnowK]]). */
+  private[graft] def WinnowPairDfCap: Int = 64
+
+  /** Positional winnowing fingerprints: distinct (doc_id, h, pos)
+    * where pos is the 1-based char offset of the gram the window min
+    * selected. Identical selection to [[winnowingFingerprints]] — the
+    * min key is the md5 hex prefixed to a zero-padded offset, so
+    * comparing the concatenated string orders by hash first and
+    * breaks hash ties on the LEFTMOST occurrence, deterministically
+    * on both engines (binary collation both sides). Both `sequence`
+    * calls carry the same short-doc guards as the non-positional
+    * form. */
+  private[graft] def winnowingFingerprintsPos(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      transform(
+        when(length(col("text")) >= WinnowK,
+          sequence(lit(1), length(col("text")) - WinnowK + 1))
+          .otherwise(array().cast("array<int>")),
+        i => concat(md5(col("text").substr(i, lit(WinnowK))),
+          lpad(i.cast("string"), 10, "0"))).as("gr"))
+    grams.select(col("doc_id"),
+      explode(array_distinct(transform(
+        when(size(col("gr")) >= WinnowW,
+          sequence(lit(0), size(col("gr")) - WinnowW))
+          .otherwise(array().cast("array<int>")),
+        j => array_min(slice(col("gr"), j + lit(1), lit(WinnowW)))))).as("hp"))
+      .select(col("doc_id"),
+        substring(col("hp"), 1, 32).as("h"),
+        substring(col("hp"), 33, 10).cast("long").as("pos"))
+  }
+
+  /** Winnowing span localization over a (doc_id, text) frame: matched
+    * fingerprints per doc pair, rolled up into character spans on the
+    * lower-id side. Spans merge when matched gram positions overlap
+    * within the K-char gram width (pos ≤ running max of prior
+    * pos+K−1); a verbatim shared region ≥ K+W−1 chars therefore
+    * surfaces as one span covering it (fingerprint density is ≥ 1 per
+    * W grams inside the region, and consecutive selected grams are at
+    * most W ≤ K apart, so the islands chain). Factored off the
+    * QueryDef so WinnowingSpec can plant spans at known offsets. */
+  private[graft] def winnowingSpans(docs: DataFrame): DataFrame = {
+    val fp = winnowingFingerprintsPos(docs).persist()
+    fp.count()
+    // df cap before the pair join — tiny hot set by construction, AQE
+    // broadcasts the anti-join build side (the dfCap discipline)
+    val hot = fp.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > WinnowPairDfCap)
+      .select(col("h"))
+    val fc = fp.join(hot, Seq("h"), "left_anti")
+    val m = fc.select(col("doc_id").as("doc_a"), col("h"), col("pos").as("a_pos"))
+      .join(fc.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("a_pos"))
+      .distinct()
+    val wOrd = Window.partitionBy(col("doc_a"), col("doc_b")).orderBy(col("a_pos"))
+    val prevEnd = max(col("a_pos") + lit(WinnowK - 1))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    m.withColumn("brk",
+        when(col("a_pos") > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("gi", sum(col("brk"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_a"), col("doc_b"), col("gi"))
+      .agg(min(col("a_pos")).as("span_start"),
+        (max(col("a_pos")) + lit(WinnowK.toLong - 1)).as("span_end"),
+        count(lit(1)).as("n_fp"))
+      .select(col("doc_a"), col("doc_b"),
+        col("span_start"), col("span_end"), col("n_fp"))
   }
 
   /** Cell target for [[QueryDef dedup_semantic_k]] — small enough that
