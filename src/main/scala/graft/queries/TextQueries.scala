@@ -399,7 +399,12 @@ object TextQueries {
     * round r's argmax action is what materializes vocab_r's cache, so
     * the parent cache is dropped only after that action returns
     * (dropping it earlier would recompute the whole chain; a separate
-    * eager count() per round would double the job count).
+    * eager count() per round would double the job count). Every
+    * [[BpeCheckpointEvery]] rounds a localCheckpoint replaces the
+    * persist (one extra vocab-sized job), bounding the logical-plan
+    * depth — and so per-round analysis time — by the cadence constant
+    * instead of r. `onRound` receives (round, analyzed-plan node count
+    * of the merged vocab) — the lineage probe BpeRoundsSpec pins.
     *
     * `applyLast = false` skips the final round's merge-apply (nobody
     * consumes it) and unpersists everything before returning.
@@ -408,7 +413,8 @@ object TextQueries {
     * cached until the caller's first action over it; the harness
     * clearCache sweep releases both (the Verify/Bench contract). */
   private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession,
-      dir: String, applyLast: Boolean)
+      dir: String, applyLast: Boolean,
+      onRound: (Int, Int) => Unit = (_, _) => ())
       : (Seq[(Long, String, Long)], org.apache.spark.sql.DataFrame) = {
     val sy = split(col("syms"), " ")
     var vocab = ProfilingQueries.widened(s, Tables(s, dir, "documents"))
@@ -442,10 +448,29 @@ object TextQueries {
         merges += ((r.toLong, pair, n))
         if (r < BpeMergeRounds || applyLast) {
           val Array(a, b) = pair.split(' ')
-          parent = vocab
-          vocab = vocab.select(
+          val merged = vocab.select(
             bpeApplyMerge(col("syms"), a, b).as("syms"),
-            col("freq")).persist()
+            col("freq"))
+          if (r % BpeCheckpointEvery == 0) {
+            // cadence round: an eager localCheckpoint replaces the
+            // persist, truncating the r-deep select-chain lineage to a
+            // LogicalRDD. Without it, every round's argmax re-analyzes
+            // a plan one bpeApplyMerge fold DEEPER than the last —
+            // O(r) analysis per round, O(R²) total, and at R=50 the
+            // driver-side planning dominates the vocab-sized job
+            // (measured: see SCALE.md §bpe). The checkpoint job reads
+            // this round's already-materialized cache (the argmax
+            // action above populated it), so it costs one vocab-sized
+            // pass; the pre-checkpoint cache is dropped immediately —
+            // the checkpoint blocks, not the cache, back later rounds.
+            val cp = merged.localCheckpoint()
+            vocab.unpersist()
+            vocab = cp
+          } else {
+            parent = vocab
+            vocab = merged.persist()
+          }
+          onRound(r, vocab.queryExecution.analyzed.collect { case n => n }.size)
         }
       }
       ok = true
@@ -528,10 +553,21 @@ object TextQueries {
         .otherwise(concat(acc, lit(" "), x)))
   }
 
-  /** bpe_merges round count. 10 reaches compounded merges (a pair
-    * containing an earlier round's merged symbol) on every testdata SF
-    * — rounds 6-8 depending on frequencies. A def, not a val: it is
-    * interpolated into the oracle string at `defs` init (the round-7
-    * init-order gotcha). */
-  private def BpeMergeRounds = 10
+  /** bpe_merges round count. 50 is training scale for this corpus:
+    * compounded merges (a pair containing an earlier round's merged
+    * symbol) appear from rounds 6-8 on every testdata SF, and by 50
+    * the table is dominated by multi-char symbols (whole testdata
+    * words like 'vector'/'line' assemble by rounds 48-50). A def, not
+    * a val: it is interpolated into the oracle string at `defs` init
+    * (the round-7 init-order gotcha). */
+  private def BpeMergeRounds = 50
+
+  /** Lineage-truncation cadence for [[bpeTrain]]: localCheckpoint
+    * every this-many merge rounds. Bounds the logical-plan depth any
+    * argmax analyzes to ≤ this constant, holding per-round wall time
+    * flat (BpeRoundsSpec pins flatness; cost model in SCALE.md §bpe).
+    * 8 trades ~6 extra vocab-sized checkpoint jobs over R=50 against
+    * an 8-deep worst-case plan — both negligible next to the
+    * per-round pair-count shuffle. */
+  private def BpeCheckpointEvery = 8
 }

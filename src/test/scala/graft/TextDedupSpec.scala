@@ -263,7 +263,7 @@ class TextDedupSpec extends SparkSuite {
   test("bpe_merges: iterated merge table is non-trivial") {
     val rows = q("bpe_merges").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
-    assert(rows.length == 10)
+    assert(rows.length == 50)
     // a merged pair's adjacencies are all consumed — no pair repeats
     assert(rows.map(_._2).distinct.length == rows.length)
     // counts non-increasing (each round's new pairs occur at most as
@@ -286,7 +286,7 @@ class TextDedupSpec extends SparkSuite {
       assert(nToks >= nWords && nToks <= nChars,
         s"doc $id: n_words=$nWords n_chars=$nChars n_tokens=$nToks")
     }
-    // corpus-level: 10 merge rounds actually compressed the encoding
+    // corpus-level: 50 merge rounds actually compressed the encoding
     // below the char count (else the trained merges were never applied)
     val (chars, toks) = (enc.map(_._3).sum, enc.map(_._4).sum)
     assert(toks < chars, s"no compression: $toks tokens vs $chars chars")
