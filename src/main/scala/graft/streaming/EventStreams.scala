@@ -347,4 +347,89 @@ object EventStreams {
           }
       }
   }
+
+  /** Per-user funnel state: min event-time (ms) per step, MaxValue =
+    * unseen; `lastMs` is the max event time seen (the inactivity
+    * clock). */
+  final case class FunnelState(clickMs: Long, viewMs: Long,
+      purchaseMs: Long, lastMs: Long)
+  final case class FunnelOut(user_id: Long, step: Int,
+      click_ms: Option[Long], view_ms: Option[Long], purchase_ms: Option[Long])
+
+  /** Stateful funnel — the streaming twin of the batch `funnel_steps`
+    * query. Batch semantics, reproduced exactly: per user, the step
+    * reached is computed from the MIN timestamp of each event type
+    * (step 1 = any click; step 2 = min view strictly after min click;
+    * step 3 = step 2 and min purchase strictly after min view — a view
+    * that precedes every click kills step 2 even if later views
+    * follow, exactly like the batch conditional-min aggregation).
+    *
+    * State is three min-timestamps + an inactivity clock per user —
+    * O(1) per key, hash-partitioned on user_id — and min is a
+    * monotone merge, so late-but-in-watermark events fold in
+    * order-independently. A user's funnel row is emitted ONCE, when
+    * the event-time watermark passes `lastMs + idleMs` (the funnel
+    * report on inactivity; the batch twin reports at corpus end).
+    * The same timeout-arming guard as [[attributeStateful]]: a user
+    * whose idle horizon the watermark already passed emits inline
+    * instead of arming an un-armable timeout. Divergence by
+    * construction: an event arriving after its user's report emitted
+    * starts a NEW funnel (the old state is gone) — the cost of
+    * bounded state on an unbounded stream.
+    *
+    * Downstream `groupBy(step).count()` (or a conditional sum) gives
+    * the batch query's step counts; StreamingSpec pins the per-user
+    * agreement and restart exactly-once. */
+  def funnelStateful(events: Dataset[Event],
+      idleMs: Long = 2L * 3600 * 1000,
+      watermark: String = "2 hours"): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    def ms(t: java.sql.Timestamp): Long = t.getTime
+    val Unseen = Long.MaxValue
+    def emit(userId: Long, s: FunnelState): FunnelOut = {
+      val step1 = s.clickMs != Unseen
+      val step2 = step1 && s.viewMs != Unseen && s.viewMs > s.clickMs
+      val step3 = step2 && s.purchaseMs != Unseen && s.purchaseMs > s.viewMs
+      val step = if (step3) 3 else if (step2) 2 else if (step1) 1 else 0
+      def opt(v: Long) = if (v == Unseen) None else Some(v)
+      FunnelOut(userId, step, opt(s.clickMs), opt(s.viewMs), opt(s.purchaseMs))
+    }
+
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "view" ||
+        e.event_type == "purchase")
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(userId, s))
+          } else {
+            var s = state.getOption
+              .getOrElse(FunnelState(Unseen, Unseen, Unseen, Long.MinValue))
+            rows.foreach { e =>
+              val t = ms(e.ts)
+              s = e.event_type match {
+                case "click"    => s.copy(clickMs = math.min(s.clickMs, t))
+                case "view"     => s.copy(viewMs = math.min(s.viewMs, t))
+                case _          => s.copy(purchaseMs = math.min(s.purchaseMs, t))
+              }
+              s = s.copy(lastMs = math.max(s.lastMs, t))
+            }
+            if (s.lastMs + idleMs > state.getCurrentWatermarkMs()) {
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + idleMs)
+              Iterator.empty
+            } else {
+              // idle horizon already behind the watermark — the
+              // timeout could never arm; report inline
+              state.remove()
+              Iterator.single(emit(userId, s))
+            }
+          }
+      }
+  }
 }

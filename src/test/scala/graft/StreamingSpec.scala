@@ -471,6 +471,135 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stateful funnel reproduces the batch min-timestamp step semantics") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    // 30-min inactivity report, 10-min watermark so a single flusher
+    // event can push the watermark past every user's idle horizon
+    val q = EventStreams.funnelStateful(ms.toDS(),
+        idleMs = 30L * 60 * 1000, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      ms.addData(
+        // user 1: full ordered funnel → step 3
+        Event(1, ts(0), 1, "click", 0.0), Event(2, ts(10), 1, "view", 0.0),
+        Event(3, ts(20), 1, "purchase", 1.0),
+        // user 2: a view BEFORE every click — batch's min-view < min-click
+        // kills step 2 even though a later view follows → step 1
+        Event(4, ts(0), 2, "view", 0.0), Event(5, ts(10), 2, "click", 0.0),
+        Event(6, ts(15), 2, "view", 0.0),
+        // user 3: click then purchase, no view → step 1
+        Event(7, ts(0), 3, "click", 0.0), Event(8, ts(10), 3, "purchase", 1.0),
+        // user 4: view only → step 0
+        Event(9, ts(5), 4, "view", 0.0),
+        // user 5: purchase between click and view → min-purchase < min-view → step 2
+        Event(10, ts(0), 5, "click", 0.0), Event(11, ts(5), 5, "purchase", 1.0),
+        Event(12, ts(10), 5, "view", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("funnel").isEmpty) // nothing idle-closed yet
+      // flusher: watermark → 90 min, past every idle horizon (≤ 50 min)
+      ms.addData(Event(99, ts(100), 99, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("funnel").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("step")).toMap
+      assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 2),
+        s"per-user steps diverged from the batch semantics: $got")
+      // the flusher itself is still inside its idle window — no report
+      assert(!got.contains(99L))
+    } finally q.stop()
+  }
+
+  test("stateful funnel restart from checkpoint: reports are exactly-once") {
+    // the stateful-twin operational contract: stop the query, add
+    // data, restart on the SAME checkpoint — state (incl. armed
+    // event-time timeouts) resumes, committed micro-batches are not
+    // reprocessed, and each user's funnel report lands in the sink
+    // exactly once across incarnations
+    import spark.implicits._
+    val dir = tmpDir("funnel_restart")
+    val (src, out, chk) = (s"$dir/src", s"$dir/out", s"$dir/chk")
+    def writeFile(events: Event*): Unit =
+      events.toDF().withColumn("props", lit("{}"))
+        .repartition(1).write.mode("append").parquet(src)
+    def run(): Unit = {
+      val ds = EventStreams.readEventStream(spark, src, nanosTs = Some(false))
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      val q = EventStreams.funnelStateful(ds,
+          idleMs = 30L * 60 * 1000, watermark = "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeFile(
+      Event(1, ts(0), 1, "click", 0.0), Event(2, ts(10), 1, "view", 0.0),
+      Event(3, ts(5), 2, "click", 0.0))
+    run() // incarnation 1: both users' funnels still open
+    assert(spark.read.schema(implicitly[org.apache.spark.sql.Encoder[
+      EventStreams.FunnelOut]].schema).parquet(out).isEmpty)
+    // incarnation 2: a flusher file pushes the watermark to 190 min,
+    // past both idle horizons (40/35 min) — armed timeouts must have
+    // survived the restart
+    writeFile(Event(50, ts(200), 9, "click", 0.0))
+    run()
+    val after2 = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("step")))
+    assert(after2.sorted.toSeq == Seq((1L, 2), (2L, 1)),
+      s"exactly one report per closed user expected: ${after2.toSeq}")
+    // incarnation 3: nothing new — a restart must not replay batches
+    run()
+    assert(spark.read.parquet(out).count() == 2)
+    // incarnation 4: flush the flusher (watermark 390 > 200 + 30)
+    writeFile(Event(60, ts(400), 8, "view", 0.0))
+    run()
+    val finalRows = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("step")))
+    assert(finalRows.length == 3 && finalRows.count(_._1 == 9L) == 1,
+      s"user 9 must report exactly once after its horizon passes: ${finalRows.toSeq}")
+  }
+
+  test("stateful sessionize restart from checkpoint: closed sessions emit exactly-once") {
+    import spark.implicits._
+    val dir = tmpDir("sess_restart")
+    val (src, out, chk) = (s"$dir/src", s"$dir/out", s"$dir/chk")
+    def writeFile(events: Event*): Unit =
+      events.toDF().withColumn("props", lit("{}"))
+        .repartition(1).write.mode("append").parquet(src)
+    def run(): Unit = {
+      val ds = EventStreams.readEventStream(spark, src, nanosTs = Some(false))
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      val q = EventStreams.sessionizeStateful(ds)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeFile(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "click", 2.0))
+    run() // session open, nothing emitted
+    assert(spark.read.schema(implicitly[org.apache.spark.sql.Encoder[
+      EventStreams.SessionOut]].schema).parquet(out).isEmpty)
+    // a 120-min-later event in the NEXT incarnation closes the first
+    // session inline — session state carried across the restart
+    writeFile(Event(3, ts(120), 7, "click", 4.0))
+    run()
+    val after2 = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value")))
+    assert(after2.toSeq == Seq((7L, 2L, 3.0)),
+      s"first session must close exactly once across restarts: ${after2.toSeq}")
+    // idempotent restart with no new data
+    run()
+    assert(spark.read.parquet(out).count() == 1)
+    // close the second session too (inline, via the next gap-breaker)
+    writeFile(Event(4, ts(300), 7, "click", 8.0))
+    run()
+    val sessions = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("start_ms"), r.getAs[Long]("n_events")))
+    assert(sessions.length == 2 && sessions.distinct.length == 2,
+      s"each closed session exactly once: ${sessions.toSeq}")
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
