@@ -295,6 +295,22 @@ object EventQueries {
       // oracle query — TRY_CAST gives NULL like Spark
       Some("""SELECT event_id, TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k FROM events""".stripMargin)),
 
+    // semi-structured extraction through Spark 4's VARIANT type — the
+    // at-scale successor to `props_extract`'s regexp: `parse_json`
+    // shreds the JSON text into the binary VARIANT encoding once, and
+    // `try_variant_get` navigates it with a typed path (codegen'd, no
+    // per-row regex engine, and under a VARIANT-typed source column the
+    // parse itself would be amortized into the scan). The regexp twin
+    // stays registered so the two formulations cross-check each other;
+    // the oracle navigates real JSON (DuckDB json_extract_string), an
+    // independent third parser.
+    QueryDef("variant_extract",
+      (s, dir) => Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          try_variant_get(parse_json(col("props")), "$.k", "int").as("k")),
+      Some("""SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events""")),
+
     // Cohort retention — the day-0-cohort × day-N-return matrix every
     // product-analytics pipeline computes. Shape: (1) distinct
     // (user, active-day) pairs — one shuffle, partial-distinct
@@ -371,6 +387,124 @@ object EventQueries {
              |SELECT d.day, d.dau, COALESCE(f.n_new, 0) AS n_new,
              |  CAST(SUM(COALESCE(f.n_new, 0)) OVER (ORDER BY d.day
              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
-             |FROM dau d LEFT JOIN fs f ON f.day = d.day""".stripMargin))
+             |FROM dau d LEFT JOIN fs f ON f.day = d.day""".stripMargin)),
+
+    // Time-series resampling: each user's event stream regularized to a
+    // dense hourly grid between their first and last active hour, with
+    // zero-fill for the count/sum measures and forward-fill (last
+    // observation carried forward) for the level measure — the feature
+    // engineering step before any per-entity sequence model. Shape:
+    // hourly rollup (one user-keyed shuffle, partial aggs map-side) →
+    // per-user span → `sequence()` explode builds the grid WITHOUT a
+    // calendar cross join (each user pays only their own span, so a
+    // 100 TB corpus with short-lived users never materializes
+    // users × global-calendar) → co-partitioned left join back + one
+    // ffill window — every stage rides the same user_id keying.
+    QueryDef("events_gapfill",
+      (s, dir) => {
+        val us = unix_micros(col("ts"))
+        // FLOOR division to epoch-hours (see window_range_rolling: `div`
+        // truncates toward zero; subtract the positive remainder first)
+        val hr = ((us - pmod(us, lit(3600000000L))) / lit(3600000000L)).cast("long")
+        val hourly = Tables.events(s, dir)
+          .select(col("user_id"), hr.as("hr"),
+            QueryDef.cents(col("value")).as("v_cents"))
+          .groupBy(col("user_id"), col("hr"))
+          .agg(count(lit(1)).as("n_events"), sum(col("v_cents")).as("value_cents"))
+        val grid = hourly.groupBy(col("user_id"))
+          .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+          .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "hr"), "left")
+          .withColumn("ffill_cents", last(col("value_cents"), ignoreNulls = true).over(w))
+          .select(col("user_id"), col("hr"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            coalesce(col("value_cents"), lit(0L)).as("value_cents"),
+            col("ffill_cents"))
+      },
+      Some(s"""WITH hourly AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             |    COUNT(*) AS n_events,
+             |    CAST(SUM(${QueryDef.centsSql("value")}) AS BIGINT) AS value_cents
+             |  FROM events GROUP BY 1, 2),
+             |spans AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM hourly GROUP BY 1),
+             |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hr FROM spans)
+             |SELECT g.user_id, g.hr, COALESCE(h.n_events, 0) AS n_events,
+             |  COALESCE(h.value_cents, 0) AS value_cents,
+             |  last_value(h.value_cents IGNORE NULLS) OVER (
+             |    PARTITION BY g.user_id ORDER BY g.hr
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_cents
+             |FROM grid g LEFT JOIN hourly h
+             |  ON h.user_id = g.user_id AND h.hr = g.hr""".stripMargin)),
+
+    // Peak concurrency (interval sweep line): per day, the maximum
+    // number of simultaneously-open sessions — the capacity-planning /
+    // load-profile statistic. The textbook formulation sorts ALL ±1
+    // boundary deltas globally and takes a running sum, a single-node
+    // serial pass; here the running sum is decomposed by the
+    // histogram-offset pattern (rank_global_bucketed's): within-day
+    // prefix sums run partitioned by day, and the carry-in each day
+    // inherits is the cumulative net delta of the preceding days — a
+    // |days|-sized summary frame where the only serial window lives
+    // (shrink-then-serial). Global-sum identity: rows of one day are
+    // contiguous in the global (t, d DESC) order, so global prefix =
+    // day carry + within-day prefix, and per-day max commutes with the
+    // constant offset. Tie rule: at equal t, +1 sorts before -1 (d
+    // DESC), so a session starting the instant another ends counts as
+    // concurrent — and within a run of EQUAL deltas the prefix-max is
+    // order-independent, so no further tiebreak is needed for a
+    // deterministic per-day max. A day crossed by sessions but
+    // containing no boundary emits no row (no delta, no bucket); spans
+    // are attributed to their boundary days. Oracle = the serial
+    // global-sort formulation — an independent algorithm, same maxima.
+    QueryDef("session_concurrency",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val runW = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sessions = Tables.events(s, dir)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("new_session",
+            when(lag(col("us"), 1).over(byUser).isNull ||
+              col("us") - lag(col("us"), 1).over(byUser) > 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_seq", sum(col("new_session")).over(runW))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+        val deltas = sessions.select(col("s_us").as("t"), lit(1L).as("d"))
+          .unionByName(sessions.select(col("e_us").as("t"), lit(-1L).as("d")))
+          .withColumn("day",
+            ((col("t") - pmod(col("t"), lit(86400000000L))) / lit(86400000000L)).cast("long"))
+        val inDay = Window.partitionBy(col("day")).orderBy(col("t"), col("d").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val serial = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)
+        deltas.withColumn("c_in", sum(col("d")).over(inDay))
+          .groupBy(col("day"))
+          .agg(max(col("c_in")).as("peak_in"), sum(col("d")).as("net"))
+          .withColumn("carry", coalesce(sum(col("net")).over(serial), lit(0L)))
+          .select(col("day"), (col("peak_in") + col("carry")).as("peak_concurrency"))
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             |    CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+             |      OR epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+             |    THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             |), numbered AS (
+             |  SELECT user_id, epoch_us(ts) AS us,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             |  FROM flagged),
+             |sessions AS (
+             |  SELECT user_id, session_seq, min(us) AS s_us, max(us) AS e_us
+             |  FROM numbered GROUP BY 1, 2),
+             |deltas AS (
+             |  SELECT s_us AS t, 1 AS d FROM sessions
+             |  UNION ALL SELECT e_us, -1 FROM sessions),
+             |run AS (
+             |  SELECT t, d, SUM(d) OVER (ORDER BY t, d DESC ROWS UNBOUNDED PRECEDING) AS c
+             |  FROM deltas)
+             |SELECT t // 86400000000 AS day, CAST(max(c) AS BIGINT) AS peak_concurrency
+             |FROM run GROUP BY 1""".stripMargin))
   )
 }

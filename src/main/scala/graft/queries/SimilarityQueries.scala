@@ -583,27 +583,9 @@ object SimilarityQueries {
     // the shuffle moves O(K·|corpus|) edge candidates, not the full
     // |cell|² candidate set.
     QueryDef("knn_graph",
-      (s, dir) => {
-        val (cells, _) = DedupQueries.frozenCells(s, dir)
-        val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-        cells.as("a").join(cells.as("b"),
-            col("a.c_id") === col("b.c_id") && col("a.vec_id") =!= col("b.vec_id"))
-          .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-            cosineFast(col("a.embedding"), col("b.embedding"),
-              col("a.nrm"), col("b.nrm")).as("cos"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= KnnGraphK)
-      },
-      Some(s"""${DedupQueries.frozenCellsCteSql(DedupQueries.CellTargetRows)},
-              |edges AS (
-              |  SELECT a.vec_id AS src, b.vec_id AS dst,
-              |    ${cosineSql("a.embedding", "b.embedding")} AS cos,
-              |    row_number() OVER (PARTITION BY a.vec_id
-              |      ORDER BY ${cosineSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
-              |  FROM cells a JOIN cells b
-              |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id)
-              |SELECT src, dst, cos, rank FROM edges
-              |WHERE rank <= $KnnGraphK""".stripMargin)),
+      (s, dir) => knnEdges(s, dir),
+      Some(s"""$knnEdgesCteSql
+              |SELECT src, dst, cos, rank FROM kept""".stripMargin)),
 
     // k-NN graph with MULTI-PROBE ([[GraphNProbe]] = 2): `knn_graph`
     // restricts each vector's neighbor search to its OWN cell, so a
@@ -660,8 +642,104 @@ object SimilarityQueries {
               |  FROM probes p JOIN cells b
               |    ON p.c_id = b.c_id AND p.vec_id <> b.vec_id)
               |SELECT src, dst, cos, rank FROM edges
-              |WHERE rank <= $KnnGraphK""".stripMargin))
+              |WHERE rank <= $KnnGraphK""".stripMargin)),
+
+    // PageRank over the k-NN graph — graph centrality as a CURATION
+    // signal: a vector heavily linked by its neighborhood is a cluster
+    // core (keep / sample from), a low-rank leaf is an outlier. The
+    // power iteration runs [[PageRankIters]] fixed supersteps, each ONE
+    // co-keyed equi-join (edges ⋈ ranks on src — edges are
+    // localCheckpoint'ed ONCE with their out-degrees, so every
+    // superstep re-reads a materialized, lineage-free table) + one
+    // partial-agg'd groupBy(dst); the rank frame stays keyed by node
+    // throughout, so at 100 TB each iteration costs exactly one
+    // edge-table shuffle, and lineage is truncated per superstep
+    // exactly as in dedup_clusters' label propagation. All arithmetic
+    // is INTEGER micro-units — contribution = r div out_deg, damping =
+    // (85·acc) div 100 — so cross-engine parity is exact (both engines'
+    // integer division agrees on the non-negative ranks; no float mass
+    // ever materializes). The node set is the closed within-cell graph
+    // (dst ⊆ src set by construction: every dst lives in a ≥2-member
+    // cell, hence also sources edges). Oracle: the SAME recurrence
+    // unrolled as a plain CTE chain r1..r5 (fixed iteration count needs
+    // no recursion) — independent join order and aggregate machinery.
+    QueryDef("graph_pagerank",
+      (s, dir) => {
+        val e = knnEdges(s, dir).select(col("src"), col("dst"))
+        val edgesDeg = e
+          .join(e.groupBy(col("src")).agg(count(lit(1)).as("out_deg")), "src")
+          .localCheckpoint() // reused every superstep
+        val nodes = edgesDeg.select(col("src").as("node")).distinct().localCheckpoint()
+        var ranks = nodes.withColumn("r", lit(1000000L))
+        (1 to PageRankIters).foreach { _ =>
+          val acc = edgesDeg.join(ranks, edgesDeg("src") === ranks("node"))
+            .select(col("dst"), expr("r div out_deg").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("acc_v"))
+          ranks = nodes.join(acc, nodes("node") === acc("dst"), "left")
+            .select(col("node"),
+              (lit(150000L) + expr("(85 * coalesce(acc_v, 0L)) div 100")).as("r"))
+            .localCheckpoint()
+        }
+        ranks.select(col("node"), col("r").as("pr_micro"))
+      },
+      Some(pageRankOracleSql))
   )
+
+  /** Power-iteration supersteps for `graph_pagerank` (damping 0.85,
+    * teleport base 150000 micro-units on a 1e6 scale). */
+  private def PageRankIters = 5
+
+  /** DuckDB twin of the `graph_pagerank` recurrence: the fixed
+    * [[PageRankIters]] supersteps unrolled as a chain of plain CTEs
+    * over the shared [[knnEdgesCteSql]] edge list. */
+  private def pageRankOracleSql: String = {
+    val head = s"""$knnEdgesCteSql,
+      |deg AS (SELECT src, COUNT(*) AS out_deg FROM kept GROUP BY 1),
+      |nodes AS (SELECT src AS node FROM deg),
+      |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+    val steps = (1 to PageRankIters).map { i =>
+      s"""r$i AS (
+        |  SELECT n.node, 150000 + (85 * COALESCE(s.acc_v, 0)) // 100 AS r
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst, SUM(r.r // d.out_deg) AS acc_v
+        |    FROM kept e JOIN deg d ON d.src = e.src
+        |    JOIN r${i - 1} r ON r.node = e.src
+        |    GROUP BY e.dst) s ON s.dst = n.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT node, CAST(r AS BIGINT) AS pr_micro FROM r$PageRankIters"
+  }
+
+  /** Shared top-[[KnnGraphK]] within-cell neighbor edges — the frame
+    * behind `knn_graph` and the graph consumed by `graph_pagerank`. */
+  private def knnEdges(s: SparkSession, dir: String): DataFrame = {
+    val (cells, _) = DedupQueries.frozenCells(s, dir)
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+    cells.as("a").join(cells.as("b"),
+        col("a.c_id") === col("b.c_id") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        cosineFast(col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= KnnGraphK)
+  }
+
+  /** DuckDB twin of [[knnEdges]]: frozen cells + `kept` edge CTE. */
+  private def knnEdgesCteSql: String =
+    s"""${DedupQueries.frozenCellsCteSql(DedupQueries.CellTargetRows)},
+       |edges AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    ${cosineSql("a.embedding", "b.embedding")} AS cos,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${cosineSql("a.embedding", "b.embedding")} DESC, b.vec_id) AS rank
+       |  FROM cells a JOIN cells b
+       |    ON a.c_id = b.c_id AND a.vec_id <> b.vec_id),
+       |kept AS MATERIALIZED (
+       |  SELECT src, dst, cos, rank FROM edges WHERE rank <= $KnnGraphK)""".stripMargin
+  // MATERIALIZED: the pagerank oracle references `kept` once per
+  // superstep; inlined, DuckDB would re-expand the |cell|² cosine join
+  // 6× and OOM at sf0.1 (observed) — materialize the K·|corpus| edge
+  // list once instead.
 
   /** Cells each SOURCE vector probes in `knn_graph_nprobe` (corpus
     * vectors stay in one cell; only the probe side fans out). */

@@ -601,7 +601,10 @@ class PlanAuditSpec extends SparkSuite {
       // window whose input is already aggregated to a bounded summary
       // frame (|buckets| or |days| rows), never corpus-sized
       val allowed = Set("rank_global_bucketed", "histogram_equidepth",
-        "users_cumulative")
+        "users_cumulative",
+        // serial carry-offset window over the |days| summary frame
+        // (the sweep-line bucket decomposition)
+        "session_concurrency")
       val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
         try {
           if (funnels(SparkEntry.queries(name)(spark, dir))) Some(name) else None
