@@ -1,9 +1,10 @@
 package graft.queries
 
 import graft.core.Pipeline
-import graft.sinks.{CsvSink, JsonlSink, OrcSink, ParquetSink}
-import graft.sources.{CsvSource, JsonlSource, LineSource, OrcSource, ParquetSource}
+import graft.sinks.{CsvSink, JsonlSink, OrcSink, ParquetSink, XmlSink}
+import graft.sources.{CsvSource, JsonlSource, LineSource, OrcSource, ParquetSource, XmlSource}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** File/sink operators driven through the ORACLE gate, not just unit
   * tests: each query writes through a graft sink into a scratch
@@ -80,6 +81,34 @@ object FileQueries {
               |  ${QueryDef.centsSql("o_totalprice")} AS totalprice_cents,
               |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate
               |FROM orders""".stripMargin)),
+
+    // XML round-trip (engine extension — Spark 4's NATIVE xml source,
+    // SPARK-44265; the feeds/catalog interchange format): supplier →
+    // XmlSink (distributed parts, entity-escaped) → XmlSource with an
+    // EXPLICIT StructType (the 100-TB discipline: schema inference over
+    // XML is a full extra scan) — longs, ints, strings, and IEEE
+    // doubles must survive the text trip bit-exactly. Doubles are safe
+    // through decimal text because the writer emits Java's
+    // shortest-round-trip representation (Double.toString ∘
+    // parseDouble is the identity), then cents-rounded for the oracle.
+    QueryDef("xml_roundtrip",
+      (s, dir) => {
+        val out = scratch(dir, "xml_rt")
+        XmlSink(out).write(s.read.parquet(s"$dir/supplier.parquet")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            col("s_acctbal")))
+        XmlSource(out, schema = Some(StructType(Seq(
+            StructField("s_suppkey", LongType),
+            StructField("s_name", StringType),
+            StructField("s_nationkey", IntegerType),
+            StructField("s_acctbal", DoubleType)))))
+          .load(s)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            QueryDef.cents(col("s_acctbal")).as("acctbal_cents"))
+      },
+      Some(s"""SELECT s_suppkey, s_name, s_nationkey,
+              |  ${QueryDef.centsSql("s_acctbal")} AS acctbal_cents
+              |FROM supplier""".stripMargin)),
 
     // Small-file compaction — the 100-TB housekeeping operator every
     // streaming/incremental ingest eventually needs: micro-batch sinks

@@ -167,6 +167,17 @@ final case class JsonlSink(path: String, mode: SaveMode = SaveMode.Overwrite)
   def write(df: DataFrame): Unit = df.write.mode(mode).json(path)
 }
 
+/** XML out (engine extension — Spark 4's native XML writer): each part
+  * file is a `rootTag` document of `rowTag` elements, entity-escaped by
+  * the writer, so free text (quotes, `<`, `&`) survives the trip. The
+  * interchange format for feeds/catalogs that still speak XML. */
+final case class XmlSink(path: String, mode: SaveMode = SaveMode.Overwrite,
+    rootTag: String = "rows", rowTag: String = "row") extends Sink {
+  def write(df: DataFrame): Unit =
+    df.write.mode(mode).option("rootTag", rootTag).option("rowTag", rowTag)
+      .xml(path)
+}
+
 /** Keyed upsert — the reference's `DbLoader`
   * (`src/Laravel/Loaders/DbLoader.php:91-109`: per record, check
   * `whereFields` match, update-or-insert). JDBC `df.write` has no MERGE;

@@ -327,6 +327,25 @@ final case class JsonlSource(
     schema.fold(spark.read)(spark.read.schema).json(path)
 }
 
+/** XML scan (engine extension — Spark 4 ships the XML data source
+  * natively, SPARK-44265): one row per `rowTag` element. Same explicit-
+  * schema discipline as [[JsonlSource]] — at 100 TB a schema-inference
+  * pre-pass over XML is a full extra scan, so production reads state
+  * their StructType; inference stays the exploration convenience.
+  * XML files are splittable on the row tag, so the scan parallelizes
+  * like any text source. */
+final case class XmlSource(
+    path: String,
+    rowTag: String = "row",
+    schema: Option[StructType] = None,
+    override val limit: Option[Long] = None,
+    override val offset: Long = 0L,
+    override val orderedBy: Seq[String] = Nil) extends Source {
+  protected def scan(spark: SparkSession): DataFrame =
+    schema.fold(spark.read)(spark.read.schema)
+      .option("rowTag", rowTag).xml(path)
+}
+
 /** In-memory rows: the reference's `CallableExtractor` returning an array
   * (`src/Extractors/CallableExtractor.php:18-99`). For scale this is for
   * small dimension/config data only — it materializes on the driver. */

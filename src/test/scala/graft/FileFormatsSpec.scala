@@ -179,6 +179,27 @@ class FileFormatsSpec extends SparkSuite {
     assert(back == byId)
   }
 
+  test("XML: sink entity-escapes markup/quotes/unicode, source round-trips with explicit schema") {
+    import graft.sinks.XmlSink
+    import graft.sources.XmlSource
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = tmpDir("xml_rt")
+    // markup characters, quotes, unicode, an embedded newline — every
+    // one must survive the writer's entity escaping
+    val rows = Seq(
+      (1L, "a < b && c > d"),
+      (2L, "quote \" apos ' amp & done"),
+      (3L, "héllo\n微笑"))
+    val out = s"$dir/out"
+    XmlSink(out).write(rows.toDF("id", "txt"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("txt", StringType)))
+    val back = XmlSource(out, schema = Some(schema)).load(spark)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == rows.toMap)
+  }
+
   test("compact_files consolidates the staged small files to the sized target") {
     // run the driver query once, then audit the scratch directories it
     // leaves behind: 1000 events rolled at 500/file stage exactly 2
