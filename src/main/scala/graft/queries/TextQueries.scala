@@ -188,6 +188,57 @@ object TextQueries {
              |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk FROM documents)
              |GROUP BY tk ORDER BY freq DESC, tk LIMIT 100""".stripMargin)),
 
+    // NUCLEUS (top-p) vocabulary truncation: the smallest
+    // frequency-ranked prefix of the vocabulary covering ≥95% of corpus
+    // token mass — how tokenizer vocabularies and coverage-targeted
+    // phrase lists are actually cut. Domain is token BIGRAMS (the
+    // phrase-vocab case; ~930 entries and real frequency ties on the
+    // testdata corpus where the unigram vocab is a degenerate 31).
+    //
+    // The textbook form is a global running sum over the vocab sorted
+    // by (freq DESC, tk) — one serial window over EVERY distinct
+    // token, unacceptable at a 1e9-entry web-corpus vocab. Decomposed
+    // exactly, tier-then-bucket (the rank_global_bucketed pattern
+    // applied twice):
+    //  1. collapse the vocab to frequency TIERS (freq, n_tk, mass) —
+    //     the only serial window runs over this |distinct-freq| frame
+    //     (Zipf: tiny), producing each tier's carried-in mass;
+    //  2. tiers fully under the mass threshold keep ALL their tokens
+    //     via one semi join — no per-token ranking at all;
+    //  3. only the single BOUNDARY tier (first tier crossing the
+    //     threshold) ranks its tokens: first-character buckets give
+    //     counts → cumulative offsets (serial over ≤36 rows) → per-
+    //     bucket row_number, so even a freq=1 boundary tier with most
+    //     of the vocab in it never funnels through one task.
+    // All mass arithmetic is exact BIGINT cross-multiplication
+    // (20·prev_cum < 19·total) — no float share ever materializes.
+    // Oracle: the serial global-window formulation, independently.
+    QueryDef("vocab_top_p",
+      (s, dir) => {
+        val ts = tokens(col("text"))
+        val grams = when(size(ts) >= 2,
+          transform(sequence(lit(1), size(ts) - 1),
+            i => concat(element_at(ts, i), lit(" "), element_at(ts, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val vocab = Tables(s, dir, "documents")
+          .select(explode(grams).as("tk"))
+          .groupBy(col("tk")).agg(count(lit(1)).as("freq"))
+          .persist()
+        nucleusCut(vocab, pNum = 19L, pDen = 20L)
+      },
+      Some("""WITH tl AS (
+             |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+             |grams AS (
+             |  SELECT t[i] || ' ' || t[i+1] AS tk FROM tl, unnest(range(1, len(t))) AS u(i)),
+             |vocab AS (SELECT tk, count(*) AS freq FROM grams GROUP BY tk),
+             |tot AS (SELECT SUM(freq) AS total FROM vocab),
+             |run AS (
+             |  SELECT tk, freq, SUM(freq) OVER (
+             |    ORDER BY freq DESC, tk ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM vocab)
+             |SELECT tk, CAST(freq AS BIGINT) AS freq FROM run
+             |WHERE (cum - freq) * 20 < (SELECT total FROM tot) * 19""".stripMargin)),
+
     // BPE tokenizer training, merge round 1: count adjacent character
     // pairs inside every word token — the statistic the first BPE merge
     // is chosen from (Sennrich et al., ACL 2016). The full trainer
@@ -384,6 +435,50 @@ object TextQueries {
               |  ${rollingHashSql("t")} AS fp_roll
               |FROM toks""".stripMargin))
   )
+
+  /** The tier-then-bucket nucleus cut behind `vocab_top_p`: from a
+    * `(tk, freq)` vocabulary, the smallest (freq DESC, tk) prefix whose
+    * cumulative mass reaches pNum/pDen of the total — decomposed so no
+    * window ever runs over the full vocabulary (see the query's
+    * scaladoc). Takes the vocab as a frame so specs can drive the
+    * boundary machinery with crafted tie-heavy corpora. */
+  private[graft] def nucleusCut(vocab: org.apache.spark.sql.DataFrame,
+      pNum: Long, pDen: Long): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val tot = vocab.agg(sum(col("freq")).as("total"))
+    val wTier = w.orderBy(col("freq").desc)
+      .rowsBetween(w.unboundedPreceding, -1)
+    val tiers = vocab.groupBy(col("freq"))
+      .agg(count(lit(1)).as("n_tk"))
+      .withColumn("mass", col("freq") * col("n_tk"))
+      .withColumn("cum_higher", coalesce(sum(col("mass")).over(wTier), lit(0L)))
+      .crossJoin(broadcast(tot))
+      // last token of the tier still under the cut → whole tier kept
+      .withColumn("full_keep",
+        lit(pDen) * (col("cum_higher") + (col("n_tk") - 1) * col("freq"))
+          < lit(pNum) * col("total"))
+      // first token under the cut → tier at least touched
+      .withColumn("touch", lit(pDen) * col("cum_higher") < lit(pNum) * col("total"))
+    val keptFull = vocab.join(
+      tiers.filter(col("full_keep")).select(col("freq")), Seq("freq"), "left_semi")
+    val boundary = tiers.filter(col("touch") && !col("full_keep"))
+      .select(col("freq"), col("cum_higher"), col("total"))
+    val btoks = vocab.join(broadcast(boundary), Seq("freq"))
+      .withColumn("bkt", substring(col("tk"), 1, 1))
+    val wOff = w.partitionBy(col("freq")).orderBy(col("bkt"))
+      .rowsBetween(w.unboundedPreceding, -1)
+    val bOff = btoks.groupBy(col("freq"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("freq"), col("bkt"), col("off"))
+    val wIn = w.partitionBy(col("freq"), col("bkt")).orderBy(col("tk"))
+    val keptBoundary = btoks.join(broadcast(bOff), Seq("freq", "bkt"))
+      .withColumn("r", col("off") + row_number().over(wIn))
+      .filter(lit(pDen) * (col("cum_higher") + (col("r") - 1) * col("freq"))
+        < lit(pNum) * col("total"))
+      .select(col("tk"), col("freq"))
+    keptFull.select(col("tk"), col("freq")).unionByName(keptBoundary)
+  }
 
   /** Iterated BPE merge training (Sennrich et al. 2016), shared by
     * `bpe_merges` (wants the merge table) and `bpe_encode` (wants the

@@ -145,4 +145,27 @@ class CurationPropsSpec extends SparkSuite {
       assert(passes > 0 && passes < rows.length, s"$f is degenerate: $passes/${rows.length}")
     }
   }
+
+  test("vocab_top_p nucleus cut: tier+bucket decomposition equals the serial scan, boundary in the freq=1 tail") {
+    // the case the bucket machinery exists for: a Zipf head plus a
+    // freq=1 tail holding most of the vocabulary, with the mass cut
+    // landing INSIDE the tail — the within-tier lexicographic rank
+    // must agree with the serial (freq DESC, tk) scan exactly
+    import spark.implicits._
+    val entries = Seq(("alpha", 50L), ("beta", 30L), ("gamma", 20L)) ++
+      (1 to 200).map(i => (f"tail$i%03d", 1L))
+    val got = graft.queries.TextQueries
+      .nucleusCut(entries.toDF("tk", "freq"), pNum = 9L, pDen = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val sorted = entries.sortBy { case (tk, f) => (-f, tk) }
+    val total = sorted.map(_._2).sum
+    var cum = 0L
+    val want = sorted.takeWhile { case (_, f) =>
+      val keep = 10L * cum < 9L * total; cum += f; keep
+    }.toSet
+    assert(got == want)
+    // non-vacuous: the cut keeps part of the tail tier, not all of it
+    assert(want.exists(_._2 == 1L) && want.size < entries.size,
+      s"cut degenerate: kept ${want.size} of ${entries.size}")
+  }
 }

@@ -604,7 +604,10 @@ class PlanAuditSpec extends SparkSuite {
         "users_cumulative",
         // serial carry-offset window over the |days| summary frame
         // (the sweep-line bucket decomposition)
-        "session_concurrency")
+        "session_concurrency",
+        // serial tier window over the |distinct-freq| frame (nucleus
+        // cut — per-token work is tier/bucket-partitioned)
+        "vocab_top_p")
       val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
         try {
           if (funnels(SparkEntry.queries(name)(spark, dir))) Some(name) else None
