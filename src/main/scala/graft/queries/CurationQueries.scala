@@ -260,6 +260,48 @@ object CurationQueries {
            |FROM documents GROUP BY lang""".stripMargin
       }),
 
+    // TEMPERATURE-scaled mixture resampling (α = 1/2, the multilingual
+    // rebalancing rule q_l ∝ p_l^α of XLM-R / mT5): unlike
+    // `mixture_sample`'s operator-supplied rates, the rates here are
+    // DERIVED FROM THE CORPUS — each language keeps
+    // rate_l = sqrt(n_min / n_l), so the smallest language keeps
+    // everything and a k×-larger one keeps sqrt-proportionally less,
+    // flattening the distribution toward uniform without inverting it.
+    // No square root is ever computed: the hash coin h ∈ [0,1000)
+    // accepts iff h²·n_l < n_min·10⁶ — P(accept) = sqrt(n_min/n_l) to
+    // 0.1% granularity, every term an exact BIGINT product
+    // (h²·n_l ≤ 10⁶·n_l stays under 2⁶³ up to 9.2e12 docs per
+    // language). Language counts are a tiny broadcast frame; the
+    // sample decision is a scan-speed filter; membership is
+    // reproducible (content-hash coin, salt 23) and stable as the
+    // corpus grows — a language's members only shrink monotonically as
+    // its n_l rises, never reshuffle.
+    QueryDef("mixture_temperature",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+        val rates = counts.crossJoin(broadcast(counts.agg(min(col("n_l")).as("n_min"))))
+        val h = pmod(portableHash(col("doc_id").cast("string"), 23), lit(1000L))
+        val keep = h * h * col("n_l") < col("n_min") * lit(1000000L)
+        docs.join(broadcast(rates), Seq("lang"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(keep, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      },
+      Some {
+        val h = s"(${portableHashSql("CAST(d.doc_id AS VARCHAR)", 23)} % 1000)"
+        val keep = s"$h * $h * c.n_l < mn.n_min * 1000000"
+        s"""WITH counts AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+           |mn AS (SELECT MIN(n_l) AS n_min FROM counts)
+           |SELECT d.lang, COUNT(*) AS n_total,
+           |  CAST(SUM(CASE WHEN $keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(SUM(CASE WHEN $keep THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+           |FROM documents d JOIN counts c USING (lang), mn
+           |GROUP BY d.lang""".stripMargin
+      }),
+
     // token-length histogram: docs bucketed by token count (width 8,
     // top bucket open) — the length-distribution profile that sizes
     // packing budgets and truncation policies. Narrow bucket expression
