@@ -370,6 +370,58 @@ object ProfilingQueries {
              |    / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
              |    / sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 6)
              |    AS corr_qty_price
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Robust outlier fences (Tukey IQR rule) per group: values beyond
+    // [Q1 − 1.5·IQR, Q3 + 1.5·IQR] flagged as outliers — the
+    // distribution-free screen that survives the heavy tails where
+    // z-scores break. Two passes: exact per-group quartiles (the
+    // quantile_stats percentile ↔ quantile_cont round-6 parity
+    // contract), then the fence comparison against the fact rows with
+    // the quartile frame BROADCAST back (|groups| rows) — the fact
+    // table is scanned, never shuffled, for the flagging pass. All
+    // fence arithmetic runs in integer micro-points ((3·IQR) div 2 —
+    // both engines' integer division agrees), so the boundary decision
+    // is bit-identical cross-engine; at true scale the quartile pass
+    // swaps to approx_percentile exactly as quantile_stats documents.
+    QueryDef("outlier_fence",
+      (s, dir) => {
+        val mp = QueryDef.microPoints _
+        val events = Tables.events(s, dir)
+        val q = events
+          .groupBy(col("event_type"))
+          .agg(
+            mp(round(expr("percentile(value, 0.25)"), 6)).as("q1_mp"),
+            mp(round(expr("percentile(value, 0.75)"), 6)).as("q3_mp"))
+          .withColumn("iqr_mp", col("q3_mp") - col("q1_mp"))
+          .withColumn("lo_mp", col("q1_mp") - expr("(3 * iqr_mp) div 2"))
+          .withColumn("hi_mp", col("q3_mp") + expr("(3 * iqr_mp) div 2"))
+        events
+          .select(col("event_type"), mp(col("value")).as("v_mp"))
+          .join(broadcast(q), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("lo_mp")).as("lo_mp"), // constant within the group
+            min(col("hi_mp")).as("hi_mp"),
+            sum(when(col("v_mp") < col("lo_mp"), 1L).otherwise(0L)).as("n_low"),
+            sum(when(col("v_mp") > col("hi_mp"), 1L).otherwise(0L)).as("n_high"))
+      },
+      Some("""WITH q AS (
+             |  SELECT event_type,
+             |    CAST(floor(round(quantile_cont(value, 0.25), 6) * 1000000.0 + 0.5) AS BIGINT) AS q1_mp,
+             |    CAST(floor(round(quantile_cont(value, 0.75), 6) * 1000000.0 + 0.5) AS BIGINT) AS q3_mp
+             |  FROM events GROUP BY event_type),
+             |f AS (
+             |  SELECT event_type, q1_mp, q3_mp,
+             |    q1_mp - (3 * (q3_mp - q1_mp)) // 2 AS lo_mp,
+             |    q3_mp + (3 * (q3_mp - q1_mp)) // 2 AS hi_mp
+             |  FROM q)
+             |SELECT e.event_type, COUNT(*) AS n,
+             |  min(f.lo_mp) AS lo_mp, min(f.hi_mp) AS hi_mp,
+             |  CAST(SUM(CASE WHEN CAST(floor(e.value * 1000000.0 + 0.5) AS BIGINT) < f.lo_mp THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             |  CAST(SUM(CASE WHEN CAST(floor(e.value * 1000000.0 + 0.5) AS BIGINT) > f.hi_mp THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+             |FROM events e JOIN f USING (event_type)
+             |GROUP BY e.event_type""".stripMargin))
   )
 }
