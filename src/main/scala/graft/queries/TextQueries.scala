@@ -188,6 +188,48 @@ object TextQueries {
              |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk FROM documents)
              |GROUP BY tk ORDER BY freq DESC, tk LIMIT 100""".stripMargin)),
 
+    // Per-document unigram token ENTROPY — the information-density
+    // quality signal: template/boilerplate/keyword-stuffed documents
+    // have low H = −Σ (c/n)·ln(c/n) even when they pass length and
+    // repetition screens (which look only at adjacent structure).
+    // Shape: explode → (doc_id, tk) count → doc totals → weighted
+    // micro-nat rollup; the (doc_id, tk) shuffle is corpus-token-sized
+    // (the honest cost, same as BPE counting) and every later stage is
+    // doc_id-keyed. Cross-engine exactness follows lm_perplexity's
+    // contract: both engines take ln() of IDENTICAL doubles (the ratio
+    // of two exact BIGINTs) and round once to integer micro-nats; the
+    // per-doc mean is then an exact integer c·mp sum div n. The
+    // low-entropy flag (< 2.6 nats, ~p10 on this corpus) splits the
+    // corpus at every SF.
+    QueryDef("doc_entropy",
+      (s, dir) => {
+        val tc = ProfilingQueries.widened(s, Tables(s, dir, "documents"))
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+          .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+        val dn = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+        tc.join(dn, Seq("doc_id"))
+          .withColumn("mp", QueryDef.microPoints(
+            -log(col("c").cast("double") / col("n").cast("double"))))
+          .groupBy(col("doc_id"))
+          .agg(min(col("n")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            expr("sum(c * mp) div min(n)").as("h_u"))
+          .withColumn("low_entropy", (col("h_u") < lit(2600000L)).cast("long"))
+      },
+      Some(s"""WITH tks AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk
+             |  FROM documents),
+             |tc AS (SELECT doc_id, tk, COUNT(*) AS c FROM tks GROUP BY 1, 2),
+             |dn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+             |terms AS (
+             |  SELECT t.doc_id, t.c, d.n,
+             |    ${QueryDef.microPointsSql("-ln(CAST(t.c AS DOUBLE) / CAST(d.n AS DOUBLE))")} AS mp
+             |  FROM tc t JOIN dn d USING (doc_id))
+             |SELECT doc_id, CAST(min(n) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+             |  CAST(CAST(SUM(c * mp) AS BIGINT) // CAST(min(n) AS BIGINT) AS BIGINT) AS h_u,
+             |  CAST(CAST(SUM(c * mp) AS BIGINT) // CAST(min(n) AS BIGINT) < 2600000 AS BIGINT) AS low_entropy
+             |FROM terms GROUP BY doc_id""".stripMargin)),
+
     // NUCLEUS (top-p) vocabulary truncation: the smallest
     // frequency-ranked prefix of the vocabulary covering ≥95% of corpus
     // token mass — how tokenizer vocabularies and coverage-targeted
