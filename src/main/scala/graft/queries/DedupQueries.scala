@@ -950,7 +950,65 @@ object DedupQueries {
               |SELECT doc_a, doc_b, CAST(min(a_pos) AS BIGINT) AS span_start,
               |  CAST(max(a_pos) + $WinnowK - 1 AS BIGINT) AS span_end,
               |  CAST(count(*) AS BIGINT) AS n_fp
-              |FROM grp GROUP BY doc_a, doc_b, gi""".stripMargin))
+              |FROM grp GROUP BY doc_a, doc_b, gi""".stripMargin)),
+
+    // EXACT duplicated-SUBSTRING spans — the corpus-GLOBAL sibling of
+    // the pairwise winnowing audit, after Lee et al. 2022
+    // ("Deduplicating Training Data Makes Language Models Better",
+    // arXiv:2107.06499): any K-char gram occurring in ≥ 2 DISTINCT
+    // documents marks duplicated text, and consecutive duplicated gram
+    // positions merge into maximal char spans per doc (gaps-and-islands
+    // on the running max of pos+K−1, as the winnowing spans). The
+    // paper's suffix-array formulation is re-expressed as a gram
+    // doc-frequency computation — same ≥K-char exact-match guarantee,
+    // but linear and shuffle-friendly where a distributed suffix array
+    // needs a global sort. Output: one row per (doc_id, span) with the
+    // char range an exact-substring cleaner would cut. Within-doc
+    // repeats alone do NOT flag (df counts distinct docs); that
+    // intra-doc signal is `text_repetition`'s job.
+    //
+    // 100 TB shape: NO pair join anywhere — df is a per-hash
+    // count-distinct and duplicated positions come back via a
+    // left_semi against the tiny df≥2 hash set, so cost stays linear
+    // in corpus grams no matter how hot a gram is (boilerplate that
+    // blows up a pair join quadratically only bumps one df counter
+    // here — this is why the query needs no df cap). The gram stream
+    // is persisted (MEMORY_AND_DISK) so the df pass and the semi-join
+    // probe share one md5 computation; at cluster scale that trades a
+    // second full CPU pass for local spill. The islands window
+    // partitions per doc — bounded by one doc's gram count.
+    QueryDef("dedup_substring",
+      (s, dir) =>
+        substringSpans(ProfilingQueries.widened(s, Tables(s, dir, "documents"))),
+      Some(s"""WITH g AS (
+              |  SELECT doc_id, list_transform(range(1, length(text) - $SubstrK + 2),
+              |      i -> md5(substr(text, CAST(i AS INTEGER), $SubstrK))
+              |           || lpad(CAST(i AS VARCHAR), 10, '0')) AS gr
+              |  FROM documents),
+              |p AS (
+              |  SELECT doc_id, substr(hp, 1, 32) AS h,
+              |         CAST(substr(hp, 33, 10) AS BIGINT) AS pos
+              |  FROM (SELECT doc_id, unnest(gr) AS hp FROM g)),
+              |dup AS (
+              |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM p GROUP BY h)
+              |  WHERE df >= 2),
+              |d AS (SELECT doc_id, pos FROM p WHERE h IN (SELECT h FROM dup)),
+              |isl AS (
+              |  SELECT doc_id, pos,
+              |    CASE WHEN pos > COALESCE(max(pos + $SubstrK - 1) OVER
+              |        (PARTITION BY doc_id ORDER BY pos
+              |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              |      THEN 1 ELSE 0 END AS brk
+              |  FROM d),
+              |grp AS (
+              |  SELECT doc_id, pos,
+              |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gi
+              |  FROM isl)
+              |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+              |  CAST(max(pos) + $SubstrK - 1 AS BIGINT) AS span_end,
+              |  CAST(count(*) AS BIGINT) AS n_grams
+              |FROM grp GROUP BY doc_id, gi""".stripMargin))
   )
 
   /** Winnowing gram width (chars) and window size (grams): any shared
@@ -1080,6 +1138,54 @@ object DedupQueries {
         count(lit(1)).as("n_fp"))
       .select(col("doc_a"), col("doc_b"),
         col("span_start"), col("span_end"), col("n_fp"))
+  }
+
+  /** Exact-substring gram width (chars): the minimum duplicated region
+    * `dedup_substring` can certify. Every K-char window of a shared
+    * region ≥ K chars hashes identically in both docs, so ANY verbatim
+    * cross-doc region of ≥ K chars is covered gram-by-gram — no
+    * winnowing sampling gap. 24 matches [[WinnowK]]'s
+    * collision-vs-sensitivity tradeoff on the testdata corpus. A def,
+    * not a val (the recorded init-order trap, see [[WinnowK]]). */
+  private[graft] def SubstrK: Int = 24
+
+  /** Corpus-global exact duplicated-substring spans over a
+    * (doc_id, text) frame (Lee et al. 2022, arXiv:2107.06499 — the
+    * gram-df re-expression of their suffix-array dedup): positions
+    * whose K-gram md5 occurs in ≥ 2 distinct docs, merged into maximal
+    * char spans per doc. `posexplode` (0-based j → 1-based pos) keeps
+    * the 300-char text out of the exploded stream — only 32-hex-char
+    * hashes shuffle. (doc_id, pos) is unique by construction, so the
+    * islands window has no peer-order ties. Factored off the QueryDef
+    * so SubstringDedupSpec can plant shared regions at known offsets. */
+  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
+    val p = docs.select(col("doc_id"),
+        transform(
+          when(length(col("text")) >= SubstrK,
+            sequence(lit(1), length(col("text")) - SubstrK + 1))
+            .otherwise(array().cast("array<int>")),
+          i => md5(col("text").substr(i, lit(SubstrK)))).as("gr"))
+      .select(col("doc_id"), posexplode(col("gr")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
+      .persist()
+    p.count()
+    val dup = p.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("h"))
+    val d = p.join(dup, Seq("h"), "left_semi")
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(SubstrK - 1))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    d.withColumn("brk",
+        when(col("pos") > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("gi", sum(col("brk"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("gi"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(SubstrK.toLong - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
   }
 
   /** Cell target for [[QueryDef dedup_semantic_k]] — small enough that
