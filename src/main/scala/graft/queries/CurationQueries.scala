@@ -302,6 +302,44 @@ object CurationQueries {
            |GROUP BY d.lang""".stripMargin
       }),
 
+    // WEIGHTED sampling without replacement, k per stratum — priority
+    // sampling (Duffield–Lund–Thorup, JACM 2007): each doc draws
+    // priority w/u from its deterministic content-hash uniform u and
+    // weight w = n_chars, and the k highest-priority docs per language
+    // win — inclusion probability ∝ weight (length-proportional =
+    // token-budget-proportional selection, the "sample by tokens not
+    // by docs" rule training mixtures need; `mixture_sample` is its
+    // unweighted Bernoulli sibling). No transcendental ever runs: u is
+    // the hash folded to 2^30 grid cells and the priority is ONE ieee
+    // double division of two exactly-representable integers —
+    // bit-identical on any engine, so ranking and the exported
+    // micro-point priority reproduce everywhere (the portableHash
+    // determinism contract, salt 37).
+    //
+    // 100 TB shape: priority is a scan-speed column expression; the
+    // per-language top-k is a window whose partitions are language
+    // strata — Spark's WindowGroupLimit pre-trims each map partition
+    // to k rows before the exchange (the pinned window top-k
+    // discipline), so the shuffle moves O(k·langs·partitions), never
+    // the corpus. No global sort, no driver state.
+    QueryDef("weighted_sample",
+      (s, dir) => prioritySample(Tables(s, dir, "documents"), 8),
+      Some {
+        val u1 = s"(${portableHashSql("CAST(doc_id AS VARCHAR)", 37)} % 1073741824) + 1"
+        s"""WITH pr AS (
+           |  SELECT lang, doc_id, n_chars,
+           |    CAST(n_chars AS DOUBLE) / CAST($u1 AS DOUBLE) AS p
+           |  FROM documents),
+           |r AS (
+           |  SELECT lang, doc_id, n_chars, p,
+           |    row_number() OVER (PARTITION BY lang ORDER BY p DESC, doc_id) AS rk
+           |  FROM pr)
+           |SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+           |  ${QueryDef.microPointsSql("p")} AS pr_micro,
+           |  CAST(rk AS BIGINT) AS rk
+           |FROM r WHERE rk <= 8""".stripMargin
+      }),
+
     // token-length histogram: docs bucketed by token count (width 8,
     // top bucket open) — the length-distribution profile that sizes
     // packing budgets and truncation policies. Narrow bucket expression
@@ -676,4 +714,28 @@ object CurationQueries {
     * decision SPLITS the corpus — the round-7 quality_classifier
     * lesson. A def (defs-init-order contract). */
   private def LmNlpThresholdMicro = 3400000L
+
+  /** Priority sampling (Duffield–Lund–Thorup) over a
+    * (lang, doc_id, n_chars) frame: k highest-priority docs per lang,
+    * priority = n_chars / u with u the doc's content-hash uniform on a
+    * 2^30 grid (salt 37). One ieee double division of two
+    * exactly-representable integers — bit-identical on any engine.
+    * Factored off the `weighted_sample` QueryDef so WeightedSampleSpec
+    * can drive it on constructed weight distributions. */
+  private[graft] def prioritySample(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val u1 = pmod(portableHash(col("doc_id").cast("string"), 37),
+      lit(1073741824L)) + lit(1L)
+    val p = col("n_chars").cast("double") / u1.cast("double")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("p").desc, col("doc_id"))
+    docs
+      .select(col("lang"), col("doc_id"), col("n_chars"), p.as("p"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("doc_id"),
+        col("n_chars").as("w"),
+        QueryDef.microPoints(col("p")).as("pr_micro"),
+        col("rk"))
+  }
 }
