@@ -422,6 +422,77 @@ object ProfilingQueries {
              |  CAST(SUM(CASE WHEN CAST(floor(e.value * 1000000.0 + 0.5) AS BIGINT) < f.lo_mp THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
              |  CAST(SUM(CASE WHEN CAST(floor(e.value * 1000000.0 + 0.5) AS BIGINT) > f.hi_mp THEN 1 ELSE 0 END) AS BIGINT) AS n_high
              |FROM events e JOIN f USING (event_type)
-             |GROUP BY e.event_type""".stripMargin))
+             |GROUP BY e.event_type""".stripMargin)),
+
+    // Exact per-group median + MAD (median absolute deviation, the
+    // robust location/dispersion pair `stats_moments`' mean/stddev is
+    // not) via the HISTOGRAM-OFFSET method: the corpus is scanned ONCE
+    // into a (group, value) count histogram; the median is read off the
+    // histogram's cumulative counts (rank (n+1) div 2 / (n+2) div 2,
+    // averaged — the quantile_cont(0.5) contract for both parities);
+    // the deviation histogram is then derived FROM THE VALUE HISTOGRAM
+    // (|v − med| re-keyed, counts summed — never a second corpus scan)
+    // and the same rank read-off yields the MAD. Exactness: values are
+    // integers ≤ 50, so medians are x.0/x.5 and deviations multiples
+    // of 0.5 — every interpolation is IEEE-exact on both engines.
+    //
+    // 100 TB shape: this is the low-cardinality-domain answer to exact
+    // order statistics — percentile() buffers EVERY group value in the
+    // aggregation state (the documented cost of `quantiles_exact`),
+    // while the histogram caps state at |distinct values| per group
+    // (50 here) regardless of row count; both windows and both median
+    // read-offs run on the tiny histogram frame. Same discipline as
+    // `curation_quota`'s histogram-offset exact rank.
+    QueryDef("group_mad",
+      (s, dir) => {
+        val h = Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_quantity").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val med = histMedian(h, "l_returnflag").withColumnRenamed("m", "med")
+        val dev = h.join(broadcast(med), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"), abs(col("v") - col("med")).as("v"))
+          .agg(sum(col("c")).as("c"))
+        val mad = histMedian(dev, "l_returnflag").withColumnRenamed("m", "mad")
+        val n = h.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
+        n.join(med, Seq("l_returnflag")).join(mad, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n"),
+            round(col("med"), 6).as("median_qty"),
+            round(col("mad"), 6).as("mad_qty"))
+      },
+      Some("""WITH med AS (
+             |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+             |  FROM lineitem GROUP BY 1),
+             |d AS (
+             |  SELECT l.l_returnflag, abs(l.l_quantity - m.med) AS dv
+             |  FROM lineitem l JOIN med m USING (l_returnflag)),
+             |mad AS (
+             |  SELECT l_returnflag, quantile_cont(dv, 0.5) AS mad
+             |  FROM d GROUP BY 1),
+             |n AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1)
+             |SELECT n.l_returnflag, n.n,
+             |  round(med.med, 6) AS median_qty,
+             |  round(mad.mad, 6) AS mad_qty
+             |FROM n JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)""".stripMargin))
   )
+
+  /** Exact median read-off over a (g, v, c) count histogram: cumulative
+    * counts locate the elements at ranks (n+1) div 2 and (n+2) div 2
+    * (equal when n is odd), whose average IS quantile_cont(0.5) for
+    * either parity. All arithmetic on the tiny histogram frame; ranks
+    * are pure integer ops (no float rank positions to drift). */
+  private[graft] def histMedian(hist: org.apache.spark.sql.DataFrame,
+      g: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wcum = Window.partitionBy(col(g)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col(g))
+    hist
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(wall))
+      .withColumn("rlo", expr("(n + 1) div 2"))
+      .withColumn("rhi", expr("(n + 2) div 2"))
+      .groupBy(col(g))
+      .agg(((min(when(col("cum") >= col("rlo"), col("v"))) +
+        min(when(col("cum") >= col("rhi"), col("v")))) / lit(2.0)).as("m"))
+  }
 }

@@ -271,7 +271,10 @@ class PlanAuditSpec extends SparkSuite {
     // brute-force ranker and mmr_rerank's candidate generator.
     // knn_graph's window partitions by src over the corpus-sized edge
     // candidate set — the pre-trim matters MOST there
-    for (q <- Seq("ann_bruteforce", "mmr_rerank", "knn_graph")) {
+    // weighted_sample's per-language priority top-k leans on the same
+    // pre-trim: without it the exchange moves the corpus, with it
+    // <= k rows per input partition per language
+    for (q <- Seq("ann_bruteforce", "mmr_rerank", "knn_graph", "weighted_sample")) {
       val p = plan(SparkEntry.queries(q)(spark, dir))
       assert(p.contains("WindowGroupLimit"), s"$q: no WindowGroupLimit pre-trim\n$p")
     }
