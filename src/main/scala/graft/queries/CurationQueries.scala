@@ -417,6 +417,43 @@ object CurationQueries {
     // bounded-cardinality funnel (|queries| tasks own the whole
     // score-positive corpus at 100 TB). Per-shard top-k is a superset
     // of global top-k, so the oracle mirrors only the final ranking.
+    // exact PHRASE search — the positional retrieval capability BM25's
+    // bag-of-words scoring cannot express ("batch stream" as adjacent
+    // tokens, not co-occurrence). Token adjacency is ONE codegen'd
+    // array expression per doc (filter over the 1..n−1 position range,
+    // guarded: `sequence(1, 0)` DESCENDS on a 1-token doc — the
+    // recorded trap), so matching runs at scan speed with zero shuffle
+    // and zero token explode. At serving scale the same adjacency
+    // predicate probes a PREBUILT positional postings index (term →
+    // (doc, pos) lists, the `bm25_search` df machinery widened with
+    // positions) instead of scanning the corpus — the scan form here is
+    // the right plan for a one-off analytical pass, the index for
+    // repeated queries.
+    QueryDef("phrase_search",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        val ps = when(size(t) >= 2,
+          filter(sequence(lit(1), size(t) - 1),
+            i => element_at(t, i) === lit(PhraseW1) &&
+              element_at(t, i + 1) === lit(PhraseW2)))
+          .otherwise(array().cast("array<int>"))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), ps.as("ps"))
+          .filter(size(col("ps")) > 0)
+          .select(col("doc_id"),
+            size(col("ps")).cast("long").as("n_hits"),
+            element_at(col("ps"), 1).cast("long").as("first_pos"))
+      },
+      Some(s"""$toksCte,
+             |m AS (
+             |  SELECT doc_id, list_filter(range(1, len(t)),
+             |    i -> t[CAST(i AS INTEGER)] = '$PhraseW1'
+             |         AND t[CAST(i AS INTEGER) + 1] = '$PhraseW2') AS ps
+             |  FROM toks)
+             |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_hits,
+             |  CAST(ps[1] AS BIGINT) AS first_pos
+             |FROM m WHERE len(ps) > 0""".stripMargin)),
+
     QueryDef("bm25_search",
       (s, dir) => {
         val terms = BmQueries.flatMap(_._2).distinct
@@ -714,6 +751,12 @@ object CurationQueries {
     * decision SPLITS the corpus — the round-7 quality_classifier
     * lesson. A def (defs-init-order contract). */
   private def LmNlpThresholdMicro = 3400000L
+
+  /** `phrase_search` query phrase: adjacent tokens with non-trivial hit
+    * counts at every testdata SF (28/37/290 matching docs at
+    * sf0.001/0.01/0.1). Defs, not vals (defs-init-order contract). */
+  private def PhraseW1 = "batch"
+  private def PhraseW2 = "stream"
 
   /** Priority sampling (Duffield–Lund–Thorup) over a
     * (lang, doc_id, n_chars) frame: k highest-priority docs per lang,
