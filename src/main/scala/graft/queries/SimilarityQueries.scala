@@ -41,6 +41,9 @@ object SimilarityQueries {
   private val NCentroids = 16
   private val NProbe = 4
 
+  /** Negatives per anchor for `negative_sample`. */
+  private val NNeg = 4
+
   val defs: Seq[QueryDef] = Seq(
 
     // IVF-style ANN: assign every vector to its nearest coarse-quantizer
@@ -292,6 +295,62 @@ object SimilarityQueries {
               |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
               |  WHERE q.vec_id < $NQueries) t
               |WHERE rank <= $TopK""".stripMargin)),
+
+    // NEGATIVE sampling for contrastive training (InfoNCE/triplet
+    // mining): per anchor, [[NNeg]] deterministic uniform negatives
+    // drawn from the corpus MINUS the anchor's true top-[[TopK]]
+    // neighborhood — sampling a true positive as a "negative" is the
+    // classic false-negative poisoning of contrastive losses, so the
+    // exclusion is exact (the brute-force rank, computed in the same
+    // joined frame — no second corpus pass). "Random" is the
+    // per-(anchor, candidate) content hash (salt 41): reproducible
+    // across runs/engines, and ranking by it is uniform sampling
+    // without replacement. Two windows share one q_id partition: cos
+    // rank excludes positives, hash rank picks negatives.
+    //
+    // 100 TB shape: same broadcast-queries × streamed-corpus scan as
+    // ann_bruteforce (|Q| is the small side by contract); both top-k
+    // windows ride WindowGroupLimit map-side pre-trims, so the
+    // exchange moves O((TopK + NNeg)·partitions) rows per anchor,
+    // never the corpus. When exact positive exclusion is overkill,
+    // the cos window drops and this becomes a pure hash-top-k — one
+    // scan, no cos arithmetic at all.
+    QueryDef("negative_sample",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"))
+        val q = e.filter(col("vec_id") < NQueries)
+        val wPos = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        val wNeg = Window.partitionBy(col("q_id")).orderBy(col("h"), col("n_id"))
+        broadcast(q.as("q")).join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+          .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+            cosineFast(col("q.embedding"), col("c.embedding"),
+              col("q.nrm"), col("c.nrm")).as("cos"),
+            portableHash(concat(col("q.vec_id").cast("string"), lit(":"),
+              col("c.vec_id").cast("string")), 41).as("h"))
+          .withColumn("pos_rank", row_number().over(wPos))
+          .filter(col("pos_rank") > TopK)
+          .withColumn("rk", row_number().over(wNeg).cast("long"))
+          .filter(col("rk") <= NNeg)
+          .select(col("q_id"), col("n_id").as("neg_id"), col("rk"), col("cos"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+              |    ${cosineSql("q.embedding", "c.embedding")} AS cos,
+              |    ${portableHashSql(
+                     "CAST(q.vec_id AS VARCHAR) || ':' || CAST(c.vec_id AS VARCHAR)", 41)} AS h,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS pos_rank
+              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < $NQueries),
+              |f AS (SELECT q_id, n_id, cos, h FROM p WHERE pos_rank > $TopK),
+              |r AS (
+              |  SELECT q_id, n_id, cos,
+              |    row_number() OVER (PARTITION BY q_id ORDER BY h, n_id) AS rk
+              |  FROM f)
+              |SELECT q_id, n_id AS neg_id, CAST(rk AS BIGINT) AS rk, cos
+              |FROM r WHERE rk <= $NNeg""".stripMargin)),
 
     QueryDef("ann_lsh",
       (s, dir) => {
