@@ -428,6 +428,65 @@ object TextQueries {
              |  min(doc_id) AS first_doc
              |FROM cums GROUP BY lang, shard, (cum - n_tokens) // 256""".stripMargin)),
 
+    // T5-style SPAN-CORRUPTION mask planning (Raffel et al. 2020,
+    // JMLR §3.1.4 denoising objective): which token spans of each doc
+    // get masked, planned DETERMINISTICALLY — span starts are the
+    // positions whose (doc_id, pos) content-hash coin hits 1-in-20
+    // (salt 43), each start draws length 2 + hash%3 ∈ {2,3,4} (salt
+    // 47; mean 3, the T5 default), overlapping spans merge — realized
+    // mask rate ≈ 1/20 · 3 = 15%, the T5 corruption rate. Determinism
+    // is the point: a reproducible mask plan means a restarted/
+    // re-sharded preprocessing job masks identical spans, and any
+    // engine can re-derive the plan (the portableHash contract).
+    // Span merging needs NO stateful fold: the covered-position set is
+    // sort(distinct(flatten(per-start ranges))) and the span count is
+    // 1 + (#adjacency breaks) — pure array ops, one pass, zero
+    // shuffle, codegen'd; at 100 TB this runs at scan speed next to
+    // the tokenizer. Both `sequence` calls carry the descending-range
+    // guard (the recorded trap).
+    QueryDef("span_corruption",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        val n = size(t)
+        def h(i: Column, salt: Int) = portableHash(
+          concat(col("doc_id").cast("string"), lit(":"), i.cast("string")), salt)
+        val starts = filter(
+          when(n >= 1, sequence(lit(1), n)).otherwise(array().cast("array<int>")),
+          i => pmod(h(i, 43), lit(20L)) === 0L)
+        val covered = array_sort(array_distinct(flatten(transform(starts,
+          i => sequence(i.cast("long"),
+            least(i.cast("long") + lit(1L) + pmod(h(i, 47), lit(3L)),
+              n.cast("long")))))))
+        val breaks = when(size(col("p")) >= 2,
+          size(filter(sequence(lit(2), size(col("p"))),
+            j => element_at(col("p"), j) > element_at(col("p"), j - 1) + 1)))
+          .otherwise(0)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), n.cast("long").as("n_tokens"), covered.as("p"))
+          .select(col("doc_id"), col("n_tokens"),
+            when(size(col("p")) > 0, lit(1) + breaks).otherwise(0)
+              .cast("long").as("n_spans"),
+            size(col("p")).cast("long").as("n_masked"))
+      },
+      Some {
+        def h(salt: Int) = portableHashSql(
+          "CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)", salt)
+        s"""$toksCte,
+           |s AS (
+           |  SELECT doc_id, len(t) AS n_tokens,
+           |    list_sort(list_distinct(flatten(list_transform(
+           |      list_filter(range(1, len(t) + 1), i -> ${h(43)} % 20 = 0),
+           |      i -> range(i, least(i + 2 + ${h(47)} % 3, len(t) + 1)))))) AS p
+           |  FROM toks)
+           |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(CASE WHEN len(p) = 0 THEN 0 ELSE 1 + len(list_filter(
+           |    range(2, len(p) + 1),
+           |    j -> p[CAST(j AS INTEGER)] > p[CAST(j AS INTEGER) - 1] + 1)) END
+           |    AS BIGINT) AS n_spans,
+           |  CAST(len(p) AS BIGINT) AS n_masked
+           |FROM s""".stripMargin
+      }),
+
     // PII redaction: emails and long digit runs replaced by tags, with
     // per-doc redaction counts — scan-speed narrow ops, codegen'd. The
     // corpus is synthetic and PII-free, so deterministic doc_id-derived
