@@ -1008,7 +1008,65 @@ object DedupQueries {
               |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
               |  CAST(max(pos) + $SubstrK - 1 AS BIGINT) AS span_end,
               |  CAST(count(*) AS BIGINT) AS n_grams
-              |FROM grp GROUP BY doc_id, gi""".stripMargin))
+              |FROM grp GROUP BY doc_id, gi""".stripMargin)),
+
+    // exact-substring CLEANING — the deliverable `dedup_substring`'s
+    // audit exists for (as `corpus_cleaned` is to `dedup_clusters`),
+    // with Lee et al.'s keep-one-copy rule: for every duplicated gram
+    // the LOWEST doc_id carrying it keeps its text; every later doc's
+    // occurrence is cut. Cut positions merge into spans (islands) and
+    // roll up to per-doc char accounting: n_chars, cut_chars,
+    // kept_chars, n_spans — the corpus-size reduction a training run
+    // would see, doc by doc.
+    //
+    // 100 TB shape: one extra hash-keyed aggregation over the SAME
+    // persisted gram stream (min doc_id + df per hash — no pair join,
+    // as dedup_substring), then a co-keyed h-join of positions against
+    // the tiny dup-hash frame. The keep-first rule is an integer
+    // comparison (doc_id > min_doc), so survivorship needs no second
+    // corpus pass and no global ordering beyond doc_id itself.
+    QueryDef("substring_cleaned",
+      (s, dir) =>
+        substringCleaned(ProfilingQueries.widened(s, Tables(s, dir, "documents"))),
+      Some(s"""WITH g AS (
+              |  SELECT doc_id, list_transform(range(1, length(text) - $SubstrK + 2),
+              |      i -> md5(substr(text, CAST(i AS INTEGER), $SubstrK))
+              |           || lpad(CAST(i AS VARCHAR), 10, '0')) AS gr
+              |  FROM documents),
+              |p AS (
+              |  SELECT doc_id, substr(hp, 1, 32) AS h,
+              |         CAST(substr(hp, 33, 10) AS BIGINT) AS pos
+              |  FROM (SELECT doc_id, unnest(gr) AS hp FROM g)),
+              |dup AS (
+              |  SELECT h, min(doc_id) AS min_doc
+              |  FROM p GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+              |cut AS (
+              |  SELECT p.doc_id, p.pos FROM p JOIN dup USING (h)
+              |  WHERE p.doc_id > dup.min_doc),
+              |isl AS (
+              |  SELECT doc_id, pos,
+              |    CASE WHEN pos > COALESCE(max(pos + $SubstrK - 1) OVER
+              |        (PARTITION BY doc_id ORDER BY pos
+              |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              |      THEN 1 ELSE 0 END AS brk
+              |  FROM (SELECT DISTINCT doc_id, pos FROM cut)),
+              |grp AS (
+              |  SELECT doc_id, pos,
+              |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gi
+              |  FROM isl),
+              |spans AS (
+              |  SELECT doc_id, gi, min(pos) AS s, max(pos) + $SubstrK - 1 AS e
+              |  FROM grp GROUP BY doc_id, gi),
+              |per_doc AS (
+              |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS cut_chars,
+              |         CAST(count(*) AS BIGINT) AS n_spans
+              |  FROM spans GROUP BY doc_id)
+              |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+              |  COALESCE(pd.cut_chars, 0) AS cut_chars,
+              |  CAST(d.n_chars AS BIGINT) - COALESCE(pd.cut_chars, 0) AS kept_chars,
+              |  COALESCE(pd.n_spans, 0) AS n_spans
+              |FROM documents d LEFT JOIN per_doc pd USING (doc_id)""".stripMargin))
   )
 
   /** Winnowing gram width (chars) and window size (grams): any shared
@@ -1158,8 +1216,12 @@ object DedupQueries {
     * hashes shuffle. (doc_id, pos) is unique by construction, so the
     * islands window has no peer-order ties. Factored off the QueryDef
     * so SubstringDedupSpec can plant shared regions at known offsets. */
-  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
-    val p = docs.select(col("doc_id"),
+  /** The (doc_id, pos, h) K-gram position stream `dedup_substring` and
+    * `substring_cleaned` both consume — one definition of the gram
+    * hashing so the audit and the cleaner can never disagree on what
+    * counts as duplicated text. */
+  private[graft] def gramPositions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         transform(
           when(length(col("text")) >= SubstrK,
             sequence(lit(1), length(col("text")) - SubstrK + 1))
@@ -1167,7 +1229,9 @@ object DedupQueries {
           i => md5(col("text").substr(i, lit(SubstrK)))).as("gr"))
       .select(col("doc_id"), posexplode(col("gr")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
-      .persist()
+
+  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
+    val p = gramPositions(docs).persist()
     p.count()
     val dup = p.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -1186,6 +1250,45 @@ object DedupQueries {
         (max(col("pos")) + lit(SubstrK.toLong - 1)).as("span_end"),
         count(lit(1)).as("n_grams"))
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** Keep-one-copy exact-substring cleaning over a (doc_id, text,
+    * n_chars) frame: per-hash min doc_id survives, later docs' cut
+    * positions merge into spans (same islands arithmetic as
+    * [[substringSpans]]) and roll up to per-doc char accounting. All
+    * docs are reported (LEFT join), cut-free docs with zeros —
+    * the cleaner's report covers the corpus, not just the damage. */
+  private[graft] def substringCleaned(docs: DataFrame): DataFrame = {
+    val p = gramPositions(docs).persist()
+    p.count()
+    val dup = p.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("min_doc"),
+        countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("h"), col("min_doc"))
+    val cut = p.join(dup, Seq("h"))
+      .filter(col("doc_id") > col("min_doc"))
+      .select(col("doc_id"), col("pos"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(SubstrK - 1))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = cut
+      .withColumn("brk",
+        when(col("pos") > coalesce(prevEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("gi", sum(col("brk"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("gi"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + lit(SubstrK.toLong - 1)).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(sum(col("e") - col("s") + 1).as("cut_chars"),
+        count(lit(1)).as("n_spans"))
+    docs.select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("cut_chars"), lit(0L)).as("cut_chars"),
+        (col("n_chars") - coalesce(col("cut_chars"), lit(0L))).as("kept_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
   }
 
   /** Cell target for [[QueryDef dedup_semantic_k]] — small enough that

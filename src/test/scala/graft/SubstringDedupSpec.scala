@@ -76,6 +76,45 @@ class SubstringDedupSpec extends SparkSuite {
     assert(r.isEmpty, s"sub-K docs can share nothing certifiable: $r")
   }
 
+  private def cleaned(docs: (Long, String)*): Map[Long, (Long, Long, Long, Long)] = {
+    val out = DedupQueries.substringCleaned(
+      spark.createDataFrame(docs.map { case (id, t) => (id, t, t.length.toLong) })
+        .toDF("doc_id", "text", "n_chars"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    spark.catalog.clearCache()
+    out
+  }
+
+  test("cleaning keeps the first copy whole and cuts exactly the shared span from later docs") {
+    // prefixes end in DIFFERENT chars ('5' vs '4') — a common last
+    // prefix char genuinely extends the duplicated region one char
+    // left, which is correct behavior but not this test's target
+    val shared = "THEQUICKBROWNFOXJUMPSOVERTHELAZYDOGAGAIN" // 40 chars
+    val preB = "z9y8x7w6v4"
+    val sufB = "u4t3s2r1q0k1l2"
+    val docA = "a1b2c3d4e5" + shared + "f6g7h8i9j0"
+    val docB = preB + shared + sufB
+    val docC = "entirely unrelated text with no shared grams whatsoever here"
+    val r = cleaned(1L -> docA, 2L -> docB, 3L -> docC)
+    assert(r(1L) == ((docA.length.toLong, 0L, docA.length.toLong, 0L)),
+      s"lowest doc_id must keep everything: $r")
+    assert(r(2L) == ((docB.length.toLong, 40L, docB.length.toLong - 40L, 1L)),
+      s"later doc must lose exactly the 40 shared chars as one span: $r")
+    assert(r(3L) == ((docC.length.toLong, 0L, docC.length.toLong, 0L)),
+      s"unique doc untouched: $r")
+  }
+
+  test("cleaning a doc-id-reversed corpus flips who survives") {
+    val shared = "WHOLLYSHAREDREGIONBETWEENBOTHDOCS012345"
+    val r = cleaned(
+      5L -> ("m1n2o3p4q5" + shared),
+      2L -> (shared + "r6s7t8u9v0"))
+    assert(r(2L)._2 == 0L, s"doc 2 is now the first copy: $r")
+    assert(r(5L)._2 == shared.length.toLong, s"doc 5 loses the region: $r")
+  }
+
   test("identical docs are covered end to end by one span") {
     val text = "the very same document body verbatim in both copies 1 2 3 ok"
     val r = spans(1L -> text, 2L -> text)
