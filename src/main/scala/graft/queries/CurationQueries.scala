@@ -417,6 +417,64 @@ object CurationQueries {
     // bounded-cardinality funnel (|queries| tasks own the whole
     // score-positive corpus at 100 TB). Per-shard top-k is a superset
     // of global top-k, so the oracle mirrors only the final ranking.
+    // per-SOURCE distribution drift — Pearson χ² of each source's
+    // unigram distribution against the corpus-wide one, the skewed-/
+    // broken-source detector a 100 TB multi-source ingest runs before
+    // mixing (a crawler gone wrong shows up as a χ² outlier long
+    // before eyeballing samples would catch it). χ² instead of KL/JS
+    // BY DESIGN: no transcendental ever runs — log differs in the last
+    // ulp across engines, while (o−e)²/e is three IEEE ops of one
+    // fixed shape. The per-source sum folds over the TOKEN-SORTED term
+    // list (struct sort → strict left fold, the foldSum contract) so
+    // partial-agg order can never perturb the double.
+    //
+    // 100 TB shape: the exploded token stream collapses immediately to
+    // (source, token) counts (map-side combinable, the word-count
+    // shape); the global token counts join co-keyed on token (vocab-
+    // scale, the lm_perplexity discipline — never broadcast), while
+    // per-source totals and the 1-row corpus total ARE broadcast. The
+    // fold runs on |vocab|-length arrays per source.
+    QueryDef("source_divergence",
+      (s, dir) => {
+        val tok = Tables(s, dir, "documents")
+          .select(col("source"), explode(tokens(col("text"))).as("token"))
+        val o = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("o"))
+        val g = tok.groupBy(col("token")).agg(count(lit(1)).as("g"))
+        val ns = tok.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        val tot = tok.agg(count(lit(1)).as("n"))
+        val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        val terms = o.join(g, Seq("token"))
+          .join(broadcast(ns), Seq("source"))
+          .crossJoin(broadcast(tot))
+          .withColumn("e", d(col("n_s")) * d(col("g")) / d(col("n")))
+          .withColumn("dv", d(col("o")) - col("e"))
+          .withColumn("term", col("dv") * col("dv") / col("e"))
+        terms.groupBy(col("source"))
+          .agg(max(col("n_s")).as("n_tokens"),
+            sort_array(collect_list(struct(col("token"), col("term")))).as("l"))
+          .select(col("source"), col("n_tokens"),
+            QueryDef.microPoints(
+              foldSum(transform(col("l"), x => x.getField("term"))))
+              .as("chi2_micro"))
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+             |  FROM documents),
+             |o AS (SELECT source, token, COUNT(*) AS o FROM tok GROUP BY 1, 2),
+             |g AS (SELECT token, COUNT(*) AS g FROM tok GROUP BY 1),
+             |ns AS (SELECT source, COUNT(*) AS n_s FROM tok GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS n FROM tok),
+             |terms AS (
+             |  SELECT o.source, o.token, ns.n_s,
+             |    (CAST(o.o AS DOUBLE) - CAST(ns.n_s AS DOUBLE) * CAST(g.g AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             |    * (CAST(o.o AS DOUBLE) - CAST(ns.n_s AS DOUBLE) * CAST(g.g AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             |    / (CAST(ns.n_s AS DOUBLE) * CAST(g.g AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS term
+             |  FROM o JOIN g USING (token) JOIN ns USING (source), tot)
+             |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+             |  ${QueryDef.microPointsSql(
+                  "list_reduce(list_prepend(0.0, list(term ORDER BY token, term)), (a, b) -> a + b)")} AS chi2_micro
+             |FROM terms GROUP BY source""".stripMargin)),
+
     // exact PHRASE search — the positional retrieval capability BM25's
     // bag-of-words scoring cannot express ("batch stream" as adjacent
     // tokens, not co-occurrence). Token adjacency is ONE codegen'd
