@@ -32,6 +32,50 @@ object EventQueries {
              |  COUNT(DISTINCT user_id) AS n_users
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // 3-sigma RATE-SPIKE detection over hourly counts — the
+    // ops-monitoring pass a 100 TB event pipeline runs on its own
+    // throughput: an hour whose count sits > 3σ from its event-type's
+    // mean is flagged. ZERO floats anywhere: |c − μ| > 3σ is
+    // cross-multiplied to (n·c − S)² > 9·(n·SS − S²) — every term an
+    // exact BIGINT product (μ = S/n and σ² = (n·SS − S²)/n² never
+    // materialize), so the flag is bit-reproducible on any engine, the
+    // `stats_moments` discipline applied to thresholding. Overflow
+    // headroom: terms stay under 2⁶³ to ~3·10⁹ events/hour-bucket at a
+    // year of hourly buckets.
+    //
+    // 100 TB shape: the corpus collapses to (type, hour) counts at
+    // scan time (map-side combinable); the per-type moment frame is
+    // |event types| rows, broadcast back over the tiny hourly frame.
+    // Only flagged hours are emitted.
+    QueryDef("rate_anomaly",
+      (s, dir) => {
+        val h = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+          .agg(count(lit(1)).as("c"))
+        val st = h.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+            sum(col("c") * col("c")).as("ss"))
+        val dev = col("n") * col("c") - col("s")
+        h.join(broadcast(st), Seq("event_type"))
+          .filter(dev * dev > lit(9L) * (col("n") * col("ss") - col("s") * col("s")))
+          .select(col("event_type"), col("hour"), col("c").as("n_events"),
+            when(dev > 0, lit("high")).otherwise(lit("low")).as("tail"))
+      },
+      Some("""WITH h AS (
+             |  SELECT event_type,
+             |    strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+             |    COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |st AS (
+             |  SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ss
+             |  FROM h GROUP BY 1)
+             |SELECT h.event_type, h.hour, h.c AS n_events,
+             |  CASE WHEN st.n * h.c - st.s > 0 THEN 'high' ELSE 'low' END AS tail
+             |FROM h JOIN st USING (event_type)
+             |WHERE (st.n * h.c - st.s) * (st.n * h.c - st.s)
+             |      > 9 * (st.n * st.ss - st.s * st.s)""".stripMargin)),
+
     // sliding-window aggregation (1 h window, 15 min slide): the
     // window() generator fans each event into its 4 containing windows
     // BEFORE the aggregation — batch twin of
