@@ -417,6 +417,48 @@ object CurationQueries {
     // bounded-cardinality funnel (|queries| tasks own the whole
     // score-positive corpus at 100 TB). Per-shard top-k is a superset
     // of global top-k, so the oracle mirrors only the final ranking.
+    // quality-score CALIBRATION against duplication — "does the cheap
+    // quality signal predict the expensive dedup label?", the check
+    // run before trusting a scalar filter to gate a 100 TB corpus.
+    // Docs bucket into FIXED-WIDTH score bins (floor(q·10), top bin
+    // closed) — fixed bins, not ntile deciles, BY DESIGN: a global
+    // ntile is one all-corpus sort partition (the rank_global_bucketed
+    // anti-pattern), while the bin is a scan-speed expression; the
+    // round-6 quality score is cross-engine identical (the
+    // dedup_canonical ranking contract) so bin edges cannot straddle.
+    // The dup label is dedup_exact's fingerprint with group size > 1.
+    // Output: per-bin doc and dup counts — the calibration curve as
+    // exact integers.
+    //
+    // 100 TB shape: one scan computes fp + score; the fp group-size
+    // frame joins back co-keyed on the 16-byte fp (the exact-dedup
+    // shuffle key); the final rollup is 10 bins of map-side-combined
+    // counters.
+    QueryDef("quality_calibration",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(regexp_replace(lower(nfcNormalize(col("text"))), "\\s+", " ")).as("fp"),
+            TextQueries.qualityScore(col("text")).as("q"))
+        val groups = docs.groupBy(col("fp")).agg(count(lit(1)).as("grp_n"))
+        docs.join(groups, Seq("fp"))
+          .select(least(floor(col("q") * 10), lit(9.0)).cast("long").as("bin"),
+            when(col("grp_n") > 1, 1L).otherwise(0L).as("d"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("d")).as("n_dup"))
+      },
+      Some(s"""$toksCte,
+             |d AS (
+             |  SELECT doc_id,
+             |    md5(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS fp,
+             |    ${TextQueries.qualityScoreSql("text", "t")} AS q
+             |  FROM toks),
+             |g AS (SELECT fp, COUNT(*) AS grp_n FROM d GROUP BY 1)
+             |SELECT CAST(least(floor(d.q * 10), 9.0) AS BIGINT) AS bin,
+             |  COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN g.grp_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+             |FROM d JOIN g USING (fp) GROUP BY 1""".stripMargin)),
+
     // per-SOURCE distribution drift — Pearson χ² of each source's
     // unigram distribution against the corpus-wide one, the skewed-/
     // broken-source detector a 100 TB multi-source ingest runs before
