@@ -54,58 +54,8 @@ object SimilarityQueries {
     // scale: centroids broadcast, one corpus pass to assign (linear),
     // search touches |corpus|/cells candidates per query.
     QueryDef("ann_ivf",
-      (s, dir) => {
-        val e = Tables(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"))
-        val cents = e.filter(col("vec_id") < NCentroids)
-          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-            col("nrm").as("c_nrm"))
-        val aw = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cos_c").desc, col("c_id"))
-        // per-vector centroid ranking is independent of every other
-        // vector (the window partitions by vec_id), so the QUERY side
-        // runs its own |Q|×k assignment instead of filtering the
-        // corpus-wide one — the expensive corpus assignment subplan is
-        // then consumed exactly ONCE (the join's probe side), not
-        // twice, with no persist needed
-        def assignRanked(v: org.apache.spark.sql.DataFrame) =
-          v.crossJoin(broadcast(cents))
-            .withColumn("cos_c",
-              cosineFast(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
-            .withColumn("rk", row_number().over(aw))
-        val cells = assignRanked(e).filter(col("rk") === 1)
-          .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cell"))
-        val q = assignRanked(e.filter(col("vec_id") < NQueries))
-          .filter(col("rk") === 1)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("nrm").as("q_nrm"), col("c_id").as("cell"))
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-        broadcast(q).join(cells.as("c"),
-            q("cell") === col("c.cell") && col("q_id") =!= col("c.vec_id"))
-          .select(col("q_id"), col("c.vec_id").as("n_id"),
-            q("cell").as("cell"),
-            cosineFast(col("q_emb"), col("c.embedding"),
-              col("q_nrm"), col("c.nrm")).as("cos"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= TopK)
-      },
-      Some(s"""WITH cents AS (
-              |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NCentroids),
-              |assign AS (
-              |  SELECT vec_id, embedding, c_id,
-              |    row_number() OVER (PARTITION BY vec_id
-              |      ORDER BY ${cosineSql("e.embedding", "c_emb")} DESC, c_id) AS rk
-              |  FROM embeddings e CROSS JOIN cents),
-              |cells AS (SELECT vec_id, embedding, c_id AS cell FROM assign WHERE rk = 1)
-              |SELECT * FROM (
-              |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.cell AS cell,
-              |    ${cosineSql("q.embedding", "c.embedding")} AS cos,
-              |    row_number() OVER (PARTITION BY q.vec_id
-              |      ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
-              |  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
-              |  WHERE q.vec_id < $NQueries) t
-              |WHERE rank <= $TopK""".stripMargin)),
+      (s, dir) => ivfTopK(s, dir),
+      Some(s"WITH $ivfCellsCteSql\n$ivfTopKSql")),
 
     // IVF with nprobe=4: queries probe their 4 nearest cells instead of
     // 1, trading 4× the candidates for recall — the knob every IVF
@@ -271,30 +221,50 @@ object SimilarityQueries {
       }),
 
     QueryDef("ann_bruteforce",
+      (s, dir) => bruteTopK(s, dir),
+      Some(bruteTopKSql)),
+
+    // RECALL@k EVALUATION as a query — the continuous accuracy monitor
+    // an ANN serving path runs against exact ground truth (IVF nprobe=1
+    // vs brute force here; the knob the `ann_ivf_nprobe` variant and
+    // KnnRecallSpec study, now measurable per anchor in production).
+    // Truth and candidate sets come from the SAME shared definitions
+    // the search queries run (`bruteTopK`/`ivfTopK`, and their SQL
+    // twins below) — an eval that reimplements its subject can only
+    // drift. Per-query k_true/k_found in exact integers; recall is ONE
+    // ieee division exported in micro-points.
+    //
+    // 100 TB shape: at scale the truth side is a frozen labeled sample
+    // (ground truth for every anchor is the brute-force cost this
+    // whole family avoids), so |truth| is small by construction; the
+    // intersection is a semi join on (q_id, n_id) and the rollup is
+    // |anchors| rows.
+    QueryDef("ann_recall_eval",
       (s, dir) => {
-        // norms projected once per vector; the small query set is the
-        // broadcast side, the corpus scan streams — per-partition top-k
-        // after one hash partition on q_id
-        val e = Tables(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"))
-        val q = e.filter(col("vec_id") < NQueries)
-        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-        broadcast(q.as("q")).join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
-          .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
-            cosineFast(col("q.embedding"), col("c.embedding"),
-              col("q.nrm"), col("c.nrm")).as("cos"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= TopK)
+        val truth = bruteTopK(s, dir).select(col("q_id"), col("n_id"))
+        val got = ivfTopK(s, dir).select(col("q_id"), col("n_id"))
+        val h = truth.join(got, Seq("q_id", "n_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("k_found"))
+        val k = truth.groupBy(col("q_id")).agg(count(lit(1)).as("k_true"))
+        k.join(h, Seq("q_id"), "left_outer")
+          .select(col("q_id"), col("k_true"),
+            coalesce(col("k_found"), lit(0L)).as("k_found"),
+            QueryDef.microPoints(
+              coalesce(col("k_found"), lit(0L)).cast("double") /
+                col("k_true").cast("double")).as("recall_micro"))
       },
-      Some(s"""SELECT * FROM (
-              |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-              |    ${cosineSql("q.embedding", "c.embedding")} AS cos,
-              |    row_number() OVER (PARTITION BY q.vec_id
-              |      ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
-              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-              |  WHERE q.vec_id < $NQueries) t
-              |WHERE rank <= $TopK""".stripMargin)),
+      Some(s"""WITH $ivfCellsCteSql,
+              |got AS (SELECT q_id, n_id FROM ($ivfTopKSql) gv),
+              |truth AS (SELECT q_id, n_id FROM ($bruteTopKSql) tv),
+              |h AS (
+              |  SELECT t.q_id, COUNT(*) AS k_found
+              |  FROM truth t JOIN got g ON t.q_id = g.q_id AND t.n_id = g.n_id
+              |  GROUP BY 1),
+              |k AS (SELECT q_id, COUNT(*) AS k_true FROM truth GROUP BY 1)
+              |SELECT k.q_id, k.k_true, COALESCE(h.k_found, 0) AS k_found,
+              |  ${QueryDef.microPointsSql(
+                   "CAST(COALESCE(h.k_found, 0) AS DOUBLE) / CAST(k.k_true AS DOUBLE)")} AS recall_micro
+              |FROM k LEFT JOIN h USING (q_id)""".stripMargin)),
 
     // NEGATIVE sampling for contrastive training (InfoNCE/triplet
     // mining): per anchor, [[NNeg]] deterministic uniform negatives
@@ -743,6 +713,99 @@ object SimilarityQueries {
       },
       Some(pageRankOracleSql))
   )
+
+  /** (vec_id, embedding, nrm) corpus projection — norms computed once
+    * per vector, shared by the brute-force and IVF search paths. */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"))
+
+  /** Brute-force exact top-[[TopK]]: broadcast query set × streamed
+    * corpus scan, per-partition heap after one hash partition on q_id.
+    * ONE definition serving `ann_bruteforce` AND `ann_recall_eval`'s
+    * ground truth — an eval that reimplements its subject can drift. */
+  private[graft] def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") < NQueries)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q.as("q")).join(e.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+        cosineFast(col("q.embedding"), col("c.embedding"),
+          col("q.nrm"), col("c.nrm")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+  }
+
+  /** IVF nprobe=1 top-[[TopK]]: nearest-cell assignment + cell-local
+    * search. Shared by `ann_ivf` and `ann_recall_eval`'s candidate
+    * side. Per-vector centroid ranking is independent of every other
+    * vector (window partitions by vec_id), so the QUERY side runs its
+    * own |Q|×k assignment instead of filtering the corpus-wide one —
+    * the expensive corpus assignment subplan is consumed exactly ONCE
+    * (the join's probe side), not twice, with no persist needed. */
+  private[graft] def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = e.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("c_id"))
+    def assignRanked(v: DataFrame) =
+      v.crossJoin(broadcast(cents))
+        .withColumn("cos_c",
+          cosineFast(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+        .withColumn("rk", row_number().over(aw))
+    val cells = assignRanked(e).filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("cell"))
+    val q = assignRanked(e.filter(col("vec_id") < NQueries))
+      .filter(col("rk") === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("c_id").as("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    broadcast(q).join(cells.as("c"),
+        q("cell") === col("c.cell") && col("q_id") =!= col("c.vec_id"))
+      .select(col("q_id"), col("c.vec_id").as("n_id"),
+        q("cell").as("cell"),
+        cosineFast(col("q_emb"), col("c.embedding"),
+          col("q_nrm"), col("c.nrm")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+  }
+
+  /** Shared cents/assign/cells CTE text of the IVF oracles. */
+  private def ivfCellsCteSql: String =
+    s"""cents AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < $NCentroids),
+       |assign AS (
+       |  SELECT vec_id, embedding, c_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ${cosineSql("e.embedding", "c_emb")} DESC, c_id) AS rk
+       |  FROM embeddings e CROSS JOIN cents),
+       |cells AS (SELECT vec_id, embedding, c_id AS cell FROM assign WHERE rk = 1)""".stripMargin
+
+  /** DuckDB twin of [[ivfTopK]]'s final search (expects
+    * [[ivfCellsCteSql]] in scope). */
+  private def ivfTopKSql: String =
+    s"""SELECT * FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.cell AS cell,
+       |    ${cosineSql("q.embedding", "c.embedding")} AS cos,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+       |  FROM cells q JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NQueries) t
+       |WHERE rank <= $TopK""".stripMargin
+
+  /** DuckDB twin of [[bruteTopK]]. */
+  private def bruteTopKSql: String =
+    s"""SELECT * FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${cosineSql("q.embedding", "c.embedding")} AS cos,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosineSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < $NQueries) t
+       |WHERE rank <= $TopK""".stripMargin
 
   /** Power-iteration supersteps for `graph_pagerank` (damping 0.85,
     * teleport base 150000 micro-units on a 1e6 scale). */
