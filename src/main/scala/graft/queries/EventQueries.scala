@@ -32,6 +32,35 @@ object EventQueries {
              |  COUNT(DISTINCT user_id) AS n_users
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // event-flow TRANSITION matrix — per-user next-event pairs counted
+    // into the (from, to) Markov matrix behind funnel design and
+    // user-flow analysis ("what actually follows a click?"). One lead()
+    // window per user (ts order, event_id tiebreak — same-timestamp
+    // rows stay deterministic on both engines), then a
+    // map-side-combinable rollup over the |types|² key space. The
+    // window partitions by user_id — millions of small partitions, the
+    // scalable shape (`sessionize`'s discipline); the transition pair
+    // never materializes more than (type, next_type) per event row.
+    QueryDef("event_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH nx AS (
+             |  SELECT user_id, event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+             |  FROM events)
+             |SELECT event_type AS from_type, to_type, COUNT(*) AS n
+             |FROM nx WHERE to_type IS NOT NULL
+             |GROUP BY 1, 2""".stripMargin)),
+
     // 3-sigma RATE-SPIKE detection over hourly counts — the
     // ops-monitoring pass a 100 TB event pipeline runs on its own
     // throughput: an hour whose count sits > 3σ from its event-type's

@@ -322,6 +322,53 @@ object SimilarityQueries {
               |SELECT q_id, n_id AS neg_id, CAST(rk AS BIGINT) AS rk, cos
               |FROM r WHERE rk <= $NNeg""".stripMargin)),
 
+    // per-DIMENSION embedding moments — the dimension-collapse /
+    // dead-axis check run on a representation before trusting it
+    // (a dim whose variance ≈ 0 carries no information; a batch of
+    // them means the encoder collapsed). The `stats_moments`
+    // discipline on floats: each component is rounded ONCE to integer
+    // micro-points, so every sum is exact BIGINT arithmetic and
+    // partial-agg order cannot perturb anything; mean and variance
+    // come out of the integer sums by integer division (micro and
+    // micro² units), and the dead flag is a pure integer comparison.
+    // Overflow headroom: Σv² in micro² stays under 2⁶³ to ~10⁸ rows
+    // per dim at unit-norm magnitudes; past that, DECIMAL(38,0) sums
+    // (same shape) — the stats_moments swap.
+    //
+    // 100 TB shape: posexplode emits (dim, v) pairs that collapse
+    // immediately into per-dim partial sums (64 keys — map-side
+    // combinable, the word-count shape); the final frame is |dims|
+    // rows.
+    QueryDef("embedding_dim_stats",
+      (s, dir) => {
+        val mp = QueryDef.microPoints(col("v").cast("double"))
+        Tables(s, dir, "embeddings")
+          .select(posexplode(col("embedding")))
+          .select((col("pos") + 1).cast("long").as("dim"), col("col").as("v"))
+          .select(col("dim"), mp.as("u"))
+          .groupBy(col("dim"))
+          .agg(count(lit(1)).as("n"), sum(col("u")).as("s"),
+            sum(col("u") * col("u")).as("ss"))
+          .select(col("dim"), col("n"),
+            expr("s div n").as("mean_u"),
+            expr("(n * ss - s * s) div (n * n)").as("var_u2"),
+            when(expr("n * ss - s * s") < expr("n * n") * lit(100000000L), 1L)
+              .otherwise(0L).as("is_dead"))
+      },
+      Some(s"""WITH ex AS (
+              |  SELECT unnest(list_transform(range(1, len(embedding) + 1),
+              |    i -> struct_pack(dim := i,
+              |      u := ${QueryDef.microPointsSql("CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)")}))) AS e
+              |  FROM embeddings),
+              |agg AS (
+              |  SELECT e.dim AS dim, COUNT(*) AS n, SUM(e.u) AS s, SUM(e.u * e.u) AS ss
+              |  FROM ex GROUP BY 1)
+              |SELECT CAST(dim AS BIGINT) AS dim, n,
+              |  CAST(s // n AS BIGINT) AS mean_u,
+              |  CAST((n * ss - s * s) // (n * n) AS BIGINT) AS var_u2,
+              |  CAST(CASE WHEN n * ss - s * s < n * n * 100000000 THEN 1 ELSE 0 END AS BIGINT) AS is_dead
+              |FROM agg""".stripMargin)),
+
     QueryDef("ann_lsh",
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
