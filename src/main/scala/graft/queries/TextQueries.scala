@@ -100,27 +100,36 @@ object TextQueries {
     QueryDef("lang_id",
       (s, dir) => {
         val t = tokens(col("text"))
-        val scores = stopwords.map { case (l, ws) => l -> stopwordHits(t, ws).cast("long") }
-        val pred = scores.zipWithIndex.foldRight(lit(stopwords.last._1)) {
-          case (((l, sc), i), els) =>
-            if (i == scores.size - 1) els
-            else when(scores.drop(i + 1).map(o => sc >= o._2).reduce(_ && _), lit(l)).otherwise(els)
-        }
+        val scores = langScores(t)
         Tables(s, dir, "documents").select(
-          col("doc_id") +: scores.map { case (l, sc) => sc.as(s"s_$l") } :+ pred.as("lang_pred"): _*)
+          col("doc_id") +: scores.map { case (l, sc) => sc.as(s"s_$l") } :+
+            langPred(t).as("lang_pred"): _*)
       },
       Some {
         val scoreSql = stopwords.map { case (l, ws) => l -> stopwordHitsSql("t", ws) }
-        val cases = scoreSql.zipWithIndex.dropRight(1).map { case ((l, sc), i) =>
-          val cond = scoreSql.drop(i + 1).map { case (_, o) => s"$sc >= $o" }.mkString(" AND ")
-          s"WHEN $cond THEN '$l'"
-        }.mkString(" ")
         s"""$toksCte
            |SELECT doc_id,
            |  ${scoreSql.map { case (l, sc) => s"$sc AS s_$l" }.mkString(",\n  ")},
-           |  CASE $cases ELSE '${stopwords.last._1}' END AS lang_pred
+           |  $langPredSqlExpr AS lang_pred
            |FROM toks""".stripMargin
       }),
+
+    // language-ID CONFUSION matrix — the eval loop of the classifier
+    // above closed as a query (as `ann_recall_eval` closes the ANN
+    // loop): predicted vs labeled language counted per cell, the
+    // accuracy/confusion report a curation pipeline publishes before
+    // trusting `lang_id` to route or drop documents. The prediction
+    // expression is THE shared definition `lang_id` runs ([[langPred]]
+    // / [[langPredSqlExpr]]) — an eval that reimplements its subject
+    // can only drift. One scan, |langs|² map-side-combined counters.
+    QueryDef("langid_confusion",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("lang"), langPred(tokens(col("text"))).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n")),
+      Some(s"""$toksCte
+              |SELECT lang, $langPredSqlExpr AS lang_pred, COUNT(*) AS n
+              |FROM toks GROUP BY 1, 2""".stripMargin)),
 
     // document chunking: fixed-size token windows with overlap (chunk =
     // 16 tokens, stride 12 → 4-token overlap) — the standard prep step
@@ -608,6 +617,32 @@ object TextQueries {
     * vocab still persisted but UNMATERIALIZED — its parent stays
     * cached until the caller's first action over it; the harness
     * clearCache sweep releases both (the Verify/Bench contract). */
+  /** Per-language stopword-evidence scores over a token array — the
+    * shared scoring of `lang_id` and `langid_confusion`. */
+  private def langScores(t: Column): Seq[(String, Column)] =
+    stopwords.map { case (l, ws) => l -> stopwordHits(t, ws).cast("long") }
+
+  /** Argmax language prediction (first-listed language wins ties —
+    * mirrored exactly by the SQL CASE order in [[langPredSqlExpr]]). */
+  private[graft] def langPred(t: Column): Column = {
+    val scores = langScores(t)
+    scores.zipWithIndex.foldRight(lit(stopwords.last._1)) {
+      case (((l, sc), i), els) =>
+        if (i == scores.size - 1) els
+        else when(scores.drop(i + 1).map(o => sc >= o._2).reduce(_ && _), lit(l)).otherwise(els)
+    }
+  }
+
+  /** DuckDB twin of [[langPred]] over the `toks` CTE's `t` column. */
+  private def langPredSqlExpr: String = {
+    val scoreSql = stopwords.map { case (l, ws) => l -> stopwordHitsSql("t", ws) }
+    val cases = scoreSql.zipWithIndex.dropRight(1).map { case ((l, sc), i) =>
+      val cond = scoreSql.drop(i + 1).map { case (_, o) => s"$sc >= $o" }.mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE '${stopwords.last._1}' END"
+  }
+
   private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession,
       dir: String, applyLast: Boolean,
       onRound: (Int, Int) => Unit = (_, _) => ())
