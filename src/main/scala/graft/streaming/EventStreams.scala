@@ -104,6 +104,33 @@ object EventStreams {
         count(lit(1)).as("n_events"),
         sum(graft.queries.QueryDef.cents(col("value"))).as("sum_value_cents"))
 
+  /** Streaming twin of the batch `rate_anomaly` query: live hourly
+    * counts flagged against a FROZEN per-type baseline of historical
+    * count moments (event_type, n, s, ss) — the production shape,
+    * where the control chart's limits come from yesterday's batch job
+    * and the stream only compares. Same float-free 3-sigma contract:
+    * (n·c − S)² > 9·(n·SS − S²), every term BIGINT-exact.
+    *
+    * Structure note: the static baseline joins BEFORE the windowed
+    * aggregation (carried through via min(), constant per type) —
+    * Spark does not allow joins after a streaming aggregation, and the
+    * pre-agg stream-static broadcast join is the supported, cheaper
+    * plan anyway. */
+  def rateAnomalyStream(events: DataFrame, baseline: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    val dev = col("n") * col("n_events") - col("s")
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(baseline), Seq("event_type"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("n")).as("n"), min(col("s")).as("s"), min(col("ss")).as("ss"))
+      .select(col("window"), col("event_type"), col("n_events"),
+        when(dev * dev > lit(9L) * (col("n") * col("ss") - col("s") * col("s")), 1L)
+          .otherwise(0L).as("is_spike"),
+        when(dev > 0, lit("high")).otherwise(lit("low")).as("tail"))
+  }
+
   /** Session windows via the built-in `session_window` (30-minute gap)
     * — the declarative path, preferred when the semantics fit. */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes",

@@ -620,4 +620,31 @@ class StreamingSpec extends SparkSuite {
       assert(closed.toSeq == Seq((7L, 2L, 3.0)))
     } finally q.stop()
   }
+
+  test("rateAnomalyStream: live hours flagged against a frozen batch baseline") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // history of 4 hourly click counts [9,10,10,11]: n=4, S=40, SS=402
+    // → 9·(n·SS−S²) = 72. An hour with 2 events: (4·2−40)² = 1024 > 72
+    // → low-tail spike; an hour with 10: (40−40)² = 0 → clean.
+    val baseline = spark.createDataFrame(Seq(("click", 4L, 40L, 402L)))
+      .toDF("event_type", "n", "s", "ss")
+    val ms = MemoryStream[Event]
+    val q = EventStreams.rateAnomalyStream(ms.toDF(), baseline)
+      .writeStream.format("memory").queryName("rate_anom").outputMode("update").start()
+    try {
+      ms.addData((1 to 10).map(i => Event(i.toLong, ts(i), i.toLong, "click", 1.0)): _*)
+      ms.addData(Event(11, ts(65), 1, "click", 1.0), Event(12, ts(70), 2, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("rate_anom")
+        .select(col("window.start").cast("string"), col("n_events"),
+          col("is_spike"), col("tail"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      assert(rows.contains(("2024-01-01 00:00:00", 10L, 0L, "low")),
+        s"the in-band hour must not flag: $rows")
+      assert(rows.contains(("2024-01-01 01:00:00", 2L, 1L, "low")),
+        s"the starved hour must flag low: $rows")
+    } finally q.stop()
+  }
 }
