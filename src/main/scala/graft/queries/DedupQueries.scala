@@ -1028,46 +1028,99 @@ object DedupQueries {
     QueryDef("substring_cleaned",
       (s, dir) =>
         substringCleaned(ProfilingQueries.widened(s, Tables(s, dir, "documents"))),
-      Some(s"""WITH g AS (
-              |  SELECT doc_id, list_transform(range(1, length(text) - $SubstrK + 2),
-              |      i -> md5(substr(text, CAST(i AS INTEGER), $SubstrK))
-              |           || lpad(CAST(i AS VARCHAR), 10, '0')) AS gr
-              |  FROM documents),
-              |p AS (
-              |  SELECT doc_id, substr(hp, 1, 32) AS h,
-              |         CAST(substr(hp, 33, 10) AS BIGINT) AS pos
-              |  FROM (SELECT doc_id, unnest(gr) AS hp FROM g)),
-              |dup AS (
-              |  SELECT h, min(doc_id) AS min_doc
-              |  FROM p GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-              |cut AS (
-              |  SELECT p.doc_id, p.pos FROM p JOIN dup USING (h)
-              |  WHERE p.doc_id > dup.min_doc),
-              |isl AS (
-              |  SELECT doc_id, pos,
-              |    CASE WHEN pos > COALESCE(max(pos + $SubstrK - 1) OVER
-              |        (PARTITION BY doc_id ORDER BY pos
-              |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-              |      THEN 1 ELSE 0 END AS brk
-              |  FROM (SELECT DISTINCT doc_id, pos FROM cut)),
-              |grp AS (
-              |  SELECT doc_id, pos,
-              |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gi
-              |  FROM isl),
-              |spans AS (
-              |  SELECT doc_id, gi, min(pos) AS s, max(pos) + $SubstrK - 1 AS e
-              |  FROM grp GROUP BY doc_id, gi),
-              |per_doc AS (
-              |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS cut_chars,
-              |         CAST(count(*) AS BIGINT) AS n_spans
-              |  FROM spans GROUP BY doc_id)
-              |SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
-              |  COALESCE(pd.cut_chars, 0) AS cut_chars,
-              |  CAST(d.n_chars AS BIGINT) - COALESCE(pd.cut_chars, 0) AS kept_chars,
-              |  COALESCE(pd.n_spans, 0) AS n_spans
-              |FROM documents d LEFT JOIN per_doc pd USING (doc_id)""".stripMargin))
+      // concatenated, NOT interpolated into a stripMargin string — the
+      // chain's `||` concat lines would lose a bar to a second strip
+      Some("WITH " + substringCleanedCteSql + "\n" +
+        """SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+          |  COALESCE(pd.cut_chars, 0) AS cut_chars,
+          |  CAST(d.n_chars AS BIGINT) - COALESCE(pd.cut_chars, 0) AS kept_chars,
+          |  COALESCE(pd.n_spans, 0) AS n_spans
+          |FROM documents d LEFT JOIN per_doc pd USING (doc_id)""".stripMargin)),
+
+    // the DEDUP FUNNEL report — per-stage corpus accounting (docs +
+    // chars surviving raw → exact dedup → substring cleaning), the
+    // one-page answer to "how much corpus is left after each cleaning
+    // stage" that gates a training-data token budget. Stages reuse THE
+    // shared definitions the stage queries run (the exact-dedup fp
+    // expression, [[substringCleaned]] + its CTE twin) — a report that
+    // reimplements its stages can only drift. Exact-dedup chars count
+    // the SURVIVOR's length (min doc per fingerprint, min_by/arg_min
+    // on both engines). Three tiny aggregates unioned.
+    QueryDef("dedup_funnel_report",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val raw = docs
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+          .select(lit("raw").as("stage"), col("n_docs"), col("n_chars"))
+        val exact = docs
+          .select(
+            md5(regexp_replace(lower(nfcNormalize(col("text"))), "\\s+", " ")).as("fp"),
+            col("doc_id"), col("n_chars"))
+          .groupBy(col("fp"))
+          .agg(min_by(col("n_chars"), col("doc_id")).as("keep_chars"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("keep_chars")).as("n_chars"))
+          .select(lit("exact_dedup").as("stage"), col("n_docs"), col("n_chars"))
+        val sub = substringCleaned(ProfilingQueries.widened(s, docs))
+          .agg(count(lit(1)).as("n_docs"), sum(col("kept_chars")).as("n_chars"))
+          .select(lit("substring_cleaned").as("stage"), col("n_docs"), col("n_chars"))
+        raw.unionByName(exact).unionByName(sub)
+      },
+      Some("WITH " + substringCleanedCteSql + ",\n" +
+        """raw AS (
+          |  SELECT 'raw' AS stage, COUNT(*) AS n_docs,
+          |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+          |  FROM documents),
+          |ex AS (
+          |  SELECT 'exact_dedup' AS stage, COUNT(*) AS n_docs,
+          |    CAST(SUM(keep_chars) AS BIGINT) AS n_chars
+          |  FROM (
+          |    SELECT arg_min(n_chars, doc_id) AS keep_chars FROM documents
+          |    GROUP BY md5(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')))),
+          |sub AS (
+          |  SELECT 'substring_cleaned' AS stage, COUNT(*) AS n_docs,
+          |    CAST(SUM(CAST(d.n_chars AS BIGINT) - COALESCE(pd.cut_chars, 0)) AS BIGINT) AS n_chars
+          |  FROM documents d LEFT JOIN per_doc pd USING (doc_id))
+          |SELECT * FROM raw UNION ALL SELECT * FROM ex UNION ALL SELECT * FROM sub""".stripMargin))
   )
+
+  /** The substring-cleaning CTE chain (grams → dup hashes → cut
+    * positions → islands → per-doc accounting), shared by the
+    * `substring_cleaned` and `dedup_funnel_report` oracles. */
+  private def substringCleanedCteSql: String =
+    s"""g AS (
+       |  SELECT doc_id, list_transform(range(1, length(text) - $SubstrK + 2),
+       |      i -> md5(substr(text, CAST(i AS INTEGER), $SubstrK))
+       |           || lpad(CAST(i AS VARCHAR), 10, '0')) AS gr
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, substr(hp, 1, 32) AS h,
+       |         CAST(substr(hp, 33, 10) AS BIGINT) AS pos
+       |  FROM (SELECT doc_id, unnest(gr) AS hp FROM g)),
+       |dup AS (
+       |  SELECT h, min(doc_id) AS min_doc
+       |  FROM p GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |cut AS (
+       |  SELECT p.doc_id, p.pos FROM p JOIN dup USING (h)
+       |  WHERE p.doc_id > dup.min_doc),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos > COALESCE(max(pos + $SubstrK - 1) OVER
+       |        (PARTITION BY doc_id ORDER BY pos
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM (SELECT DISTINCT doc_id, pos FROM cut)),
+       |grp AS (
+       |  SELECT doc_id, pos,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gi
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, gi, min(pos) AS s, max(pos) + $SubstrK - 1 AS e
+       |  FROM grp GROUP BY doc_id, gi),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS cut_chars,
+       |         CAST(count(*) AS BIGINT) AS n_spans
+       |  FROM spans GROUP BY doc_id)""".stripMargin
 
   /** Winnowing gram width (chars) and window size (grams): any shared
     * verbatim region of ≥ `WinnowK + WinnowW − 1` = 31 chars is
