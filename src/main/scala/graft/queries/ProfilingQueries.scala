@@ -424,6 +424,39 @@ object ProfilingQueries {
              |FROM events e JOIN f USING (event_type)
              |GROUP BY e.event_type""".stripMargin)),
 
+    // SHUFFLE-LOAD forecast — per-partition row counts for a
+    // prospective shuffle key, BEFORE paying for the shuffle: hash the
+    // key with the engine-portable hash into P=32 buckets (one
+    // map-side-combinable count), and report each bucket's load factor
+    // (n·P/total; 1.0 = perfectly balanced). The pre-flight skew
+    // diagnostic behind the salting decision `join_salted_skew`
+    // demonstrates — at 100 TB you run THIS (a scan-speed count)
+    // before committing a multi-hour job to a key that puts 40% of the
+    // data in one task. Deterministic buckets (content hash, salt 53),
+    // load factor = one ieee multiply + divide of exact integers.
+    QueryDef("shuffle_load_forecast",
+      (s, dir) => {
+        import graft.functions.TextFunctions.portableHash
+        val h = Tables.events(s, dir)
+          .select(pmod(portableHash(col("user_id").cast("string"), 53), lit(32L))
+            .as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        h.crossJoin(broadcast(h.agg(sum(col("n")).as("total"))))
+          .select(col("bucket"), col("n"),
+            QueryDef.microPoints(
+              col("n").cast("double") * lit(32.0) / col("total").cast("double"))
+              .as("load_micro"))
+      },
+      Some {
+        val b = s"${graft.functions.TextFunctions.portableHashSql("CAST(user_id AS VARCHAR)", 53)} % 32"
+        s"""WITH h AS (
+           |  SELECT $b AS bucket, COUNT(*) AS n FROM events GROUP BY 1),
+           |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h)
+           |SELECT h.bucket, h.n,
+           |  ${QueryDef.microPointsSql("CAST(h.n AS DOUBLE) * 32.0 / CAST(t.total AS DOUBLE)")} AS load_micro
+           |FROM h, t""".stripMargin
+      }),
+
     // Exact per-group median + MAD (median absolute deviation, the
     // robust location/dispersion pair `stats_moments`' mean/stddev is
     // not) via the HISTOGRAM-OFFSET method: the corpus is scanned ONCE

@@ -69,6 +69,34 @@ object TextQueries {
               |    / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS avg_token_len
               |FROM toks""".stripMargin)),
 
+    // tokenizer FERTILITY per language — sub-word tokens per word, THE
+    // efficiency metric a tokenizer is judged by per language (a lang
+    // with fertility 2× pays 2× the compute per word; the number that
+    // drives vocab-allocation decisions in multilingual training).
+    // Integer word/token sums (map-side combinable), fertility = ONE
+    // ieee division of the two exact sums, exported in micro-points.
+    QueryDef("tokenizer_fertility",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("lang"),
+          size(tokens(col("text"))).cast("long").as("w"),
+          size(bpeTokens(col("text"))).cast("long").as("bt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("n_words"), sum(col("bt")).as("n_bpe"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
+          QueryDef.microPoints(
+            col("n_bpe").cast("double") /
+              greatest(col("n_words"), lit(1L)).cast("double"))
+            .as("fertility_micro")),
+      Some(s"""$toksCte
+              |SELECT lang, COUNT(*) AS n_docs,
+              |  CAST(SUM(len(t)) AS BIGINT) AS n_words,
+              |  CAST(SUM(len(regexp_extract_all(lower(text), '$bpeTokenPattern'))) AS BIGINT) AS n_bpe,
+              |  ${QueryDef.microPointsSql(
+                   "CAST(SUM(len(regexp_extract_all(lower(text), '" + bpeTokenPattern +
+                     "'))) AS DOUBLE) / CAST(greatest(SUM(len(t)), 1) AS DOUBLE)")} AS fertility_micro
+              |FROM toks GROUP BY lang""".stripMargin)),
+
     // quality scoring: length + punctuation + stopword-density features
     // composed into one bounded score
     QueryDef("text_quality",
