@@ -55,6 +55,37 @@ object Aggregators {
     def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
   }
 
+  /** K-Minimum-Values distinct-count sketch (Bar-Yossef et al.,
+    * "Counting distinct elements in a data stream", RANDOM 2002): keep
+    * the k smallest DISTINCT hash values seen; with hashes uniform on
+    * [0, 2^60) the k-th minimum m yields the estimate
+    * (k-1) · 2^60 / m. State is O(k); merge is union-then-retrim —
+    * associative, commutative, and idempotent on duplicates — the
+    * mergeable-summary contract that lets every executor sketch its
+    * partition independently and combine map-side before one tiny
+    * shuffle. Unlike HyperLogLog the estimator needs no leading-zero
+    * rank (a libm-free formula the DuckDB oracle reproduces
+    * bit-for-bit from the same md5-derived hashes), and the sketch is
+    * fully deterministic: the k smallest distinct values of a set do
+    * not depend on arrival order or partitioning.
+    *
+    * Buffer invariant: sorted ascending, distinct, length ≤ k — so the
+    * common reduce case (full buffer, uncompetitive hash) is O(1). A
+    * not-yet-full sketch IS the exact distinct hash set; finishers use
+    * its size as the exact count. */
+  final class Kmv(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
+    private def trim(l: List[Long]): List[Long] = l.distinct.sorted.take(k)
+    def zero: List[Long] = Nil
+    def reduce(b: List[Long], h: Long): List[Long] =
+      if (b.lengthCompare(k) >= 0 && h >= b.last) b
+      else if (b.contains(h)) b
+      else trim(h :: b)
+    def merge(a: List[Long], b: List[Long]): List[Long] = trim(a ++ b)
+    def finish(r: List[Long]): Seq[Long] = r
+    def bufferEncoder: Encoder[List[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+  }
+
   import org.apache.spark.sql.functions.udaf
   /** Column form of [[TopK]] for untyped DataFrames (a tuple-input
     * aggregator takes its fields as separate argument columns). */
@@ -63,4 +94,7 @@ object Aggregators {
 
   def stableSample(n: Int, rank: Column, tag: Column): Column =
     udaf(new StableSample(n)).apply(rank, tag)
+
+  def kmv(k: Int, hash: Column): Column =
+    udaf(new Kmv(k)).apply(hash)
 }

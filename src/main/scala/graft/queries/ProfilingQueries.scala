@@ -505,7 +505,69 @@ object ProfilingQueries {
              |SELECT n.l_returnflag, n.n,
              |  round(med.med, 6) AS median_qty,
              |  round(mad.mad, 6) AS mad_qty
-             |FROM n JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)""".stripMargin))
+             |FROM n JOIN med USING (l_returnflag) JOIN mad USING (l_returnflag)""".stripMargin)),
+
+    // approximate distinct counting via the KMV sketch
+    // ([[graft.operators.Aggregators.Kmv]]): per event_type, the exact
+    // distinct-user count next to the k=64 sketch estimate and its
+    // relative error in micro-points. THE cardinality primitive a
+    // 100 TB pipeline runs where countDistinct cannot: exact distinct
+    // shuffles every distinct (group, user) pair — O(distinct) rows —
+    // while the sketch shuffles ≤ 64 longs per group per map task,
+    // pre-merged map-side, and two sketches union into one (the
+    // mergeable-summary property countDistinct lacks: daily sketches
+    // roll up into monthly cardinalities without re-scanning). The
+    // exact count rides along here only because the query IS the
+    // accuracy audit; production drops it. Estimator is libm-free
+    // ((k-1)·2^60 / kth-min — pure IEEE multiply/divide), so the
+    // DuckDB oracle reproduces it bit-for-bit from the same
+    // md5-derived hashes; a not-yet-full sketch is the exact distinct
+    // hash set and estimates by its size (exercised at sf0.001, where
+    // each event_type has 15 users < k).
+    QueryDef("distinct_kmv",
+      (s, dir) => {
+        val K = 64
+        graft.Tables.events(s, dir)
+          .select(col("event_type"), col("user_id"),
+            graft.functions.TextFunctions
+              .portableHash(col("user_id").cast("string"), 71).as("h"))
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact"),
+            graft.operators.Aggregators.kmv(K, col("h")).as("sk"))
+          .select(col("event_type"), col("n_exact"),
+            when(size(col("sk")) < K, size(col("sk")).cast("long"))
+              .otherwise(floor(lit(63.0) * lit(1152921504606846976.0) /
+                element_at(col("sk"), K).cast("double") + lit(0.5)).cast("long"))
+              .as("n_est"))
+          .withColumn("err_micro", QueryDef.microPoints(
+            abs(col("n_est") - col("n_exact")).cast("double") /
+              col("n_exact").cast("double")))
+      },
+      Some {
+        val h = graft.functions.TextFunctions
+          .portableHashSql("CAST(user_id AS VARCHAR)", 71)
+        s"""WITH hs AS (
+           |  SELECT DISTINCT event_type, $h AS h FROM events),
+           |rk AS (
+           |  SELECT event_type, h,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           |  FROM hs),
+           |ex AS (
+           |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+           |  FROM events GROUP BY 1),
+           |est AS (
+           |  SELECT rk.event_type,
+           |    coalesce(
+           |      max(CASE WHEN rn = 64 THEN
+           |        CAST(floor(63.0 * 1152921504606846976.0 / CAST(h AS DOUBLE) + 0.5) AS BIGINT) END),
+           |      count(*)) AS n_est
+           |  FROM rk GROUP BY 1)
+           |SELECT ex.event_type, CAST(ex.n_exact AS BIGINT) AS n_exact,
+           |  CAST(est.n_est AS BIGINT) AS n_est,
+           |  ${QueryDef.microPointsSql(
+              "CAST(abs(est.n_est - ex.n_exact) AS DOUBLE) / CAST(ex.n_exact AS DOUBLE)")} AS err_micro
+           |FROM ex JOIN est ON est.event_type = ex.event_type""".stripMargin
+      })
   )
 
   /** Exact median read-off over a (g, v, c) count histogram: cumulative
