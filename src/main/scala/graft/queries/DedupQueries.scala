@@ -140,7 +140,7 @@ object DedupQueries {
     * persisted `sh` — the plan consumes it 3-4× (sizes + both join
     * sides) and recomputing the tokenize/shingle/distinct chain per
     * branch dominates runtime otherwise. */
-  private[queries] def jaccardPairs(sh: DataFrame, cand: Option[DataFrame]): DataFrame = {
+  private[graft] def jaccardPairs(sh: DataFrame, cand: Option[DataFrame]): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val base = cand match {
       case Some(c) =>
@@ -1080,8 +1080,80 @@ object DedupQueries {
           |  SELECT 'substring_cleaned' AS stage, COUNT(*) AS n_docs,
           |    CAST(SUM(CAST(d.n_chars AS BIGINT) - COALESCE(pd.cut_chars, 0)) AS BIGINT) AS n_chars
           |  FROM documents d LEFT JOIN per_doc pd USING (doc_id))
-          |SELECT * FROM raw UNION ALL SELECT * FROM ex UNION ALL SELECT * FROM sub""".stripMargin))
+          |SELECT * FROM raw UNION ALL SELECT * FROM ex UNION ALL SELECT * FROM sub""".stripMargin)),
+
+    // EXACT set-similarity self-join via prefix filtering (Chaudhuri et
+    // al. SSJoin / Bayardo et al. "Scaling Up All Pairs Similarity
+    // Search", WWW 2007) — the deterministic complement of the
+    // MinHash-LSH path: same shingle sets, same τ=0.8, but ZERO false
+    // negatives by construction instead of w.h.p. Where LSH trades
+    // recall for candidate volume, prefix filtering prunes exactly:
+    // order every doc's shingles by ascending global document
+    // frequency (rarest first) and index only the first
+    // n - ⌈τ·n⌉ + 1 of them — any pair with J ≥ τ must overlap on at
+    // least ⌈τ·n_a⌉ shingles, which cannot all hide in the ⌈τ·n_a⌉-1
+    // suffix, so its prefix meets the partner's full set and the pair
+    // surfaces. Cost shape at 100 TB: the candidate join streams
+    // prefix postings (the RAREST ~20% of each doc's shingles — short
+    // posting lists by construction) against the full posting index;
+    // hot shingles never enter a prefix (df-descending order pushes
+    // them to the suffix) AND are df-capped away besides. The oracle
+    // is the full quadratic shared-shingle join — a different
+    // algorithm reaching the same answer, so agreement proves the
+    // pruning exact rather than echoing it; SetSimSpec additionally
+    // pins equality against [[allPairsJaccard]] and measures the
+    // candidate reduction.
+    QueryDef("dedup_setsim_prefix",
+      (s, dir) => {
+        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
+        jaccardPairs(sh, Some(prefixCandidates(sh, SetSimTau)))
+          .filter(col("jaccard") >= SetSimTau)
+      },
+      Some(s"""$shCte,
+              |inter AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b,
+              |  round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+              |FROM inter
+              |JOIN sizes sa ON sa.doc_id = doc_a
+              |JOIN sizes sb ON sb.doc_id = doc_b
+              |WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= $SetSimTau""".stripMargin))
   )
+
+  /** Jaccard threshold of `dedup_setsim_prefix` — τ such that τ·n is a
+    * multiple of 1/5, so a rational Jaccard i/u can never land inside
+    * the 6-decimal rounding guard band just below τ (the verify filter
+    * compares ROUNDED values; at τ=0.8 the nearest non-equal rational
+    * is ≥ 0.2/u away, far outside round-off). */
+  private[graft] def SetSimTau: Double = 0.8
+
+  /** Prefix-filtered candidate pairs for an exact τ-Jaccard self-join
+    * over a (doc_id, s) set table: rank each doc's elements by
+    * (global df asc, s asc) — one total order shared by all docs —
+    * and join only the first n - ⌈τ·n⌉ + 1 ranks ("the prefix")
+    * against the full table. Complete for J ≥ τ (see the QueryDef
+    * comment for the pigeonhole argument); candidate volume is what
+    * makes it subquadratic: prefixes hold each doc's rarest elements,
+    * so the posting lists entering the join are the corpus's
+    * shortest. Three shuffles: df count (s), rank window (doc_id),
+    * candidate join (s). */
+  private[graft] def prefixCandidates(sh: DataFrame, tau: Double): DataFrame = {
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ranked = sh.join(df, Seq("s"))
+      .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("s"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+    val prefix = ranked
+      .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      .select(col("doc_id").as("p_doc"), col("s"))
+    prefix.join(sh, Seq("s"))
+      .filter(col("p_doc") =!= col("doc_id"))
+      .select(least(col("p_doc"), col("doc_id")).as("doc_a"),
+        greatest(col("p_doc"), col("doc_id")).as("doc_b"))
+      .distinct()
+  }
 
   /** The substring-cleaning CTE chain (grams → dup hashes → cut
     * positions → islands → per-doc accounting), shared by the
