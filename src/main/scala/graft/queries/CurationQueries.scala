@@ -835,8 +835,70 @@ object CurationQueries {
               |    AND n_alpha * 5 >= n_words * 4
               |    AND n_sym * 10 <= n_words
               |    AND n_stop >= 2 AS BIGINT) AS keep
-              |FROM m""".stripMargin))
+              |FROM m""".stripMargin)),
+
+    // DSIR-shaped data selection (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling", NeurIPS 2023):
+    // score every document by how much its hashed-unigram profile
+    // resembles a target domain (here: the English subcorpus) relative
+    // to the raw corpus, then keep the top-K. The published method
+    // sums log-likelihood ratios over hashed n-gram buckets; this
+    // engine-exact variant sums Laplace-smoothed RATIO weights in
+    // integer parts-per-million — ((tgt_b+1)·1e6) div (raw_b+1), pure
+    // integer arithmetic both engines reproduce bit-for-bit (the same
+    // rational-surrogate policy as BM25's log-free idf, documented
+    // there) — so ranking favors the same target-heavy buckets while
+    // the oracle stays a hash-match. Scale shape: bucket profiles are
+    // two map-side-combinable counts into B=64 cells; the per-doc
+    // score joins token occurrences against the broadcast 64-row
+    // weight table and sums BIGINTs at scan speed; top-K is
+    // TakeOrderedAndProject (no global sort materializes). The hashed
+    // feature space is what makes DSIR run at 100 TB: the model is B
+    // integers, never a vocabulary.
+    QueryDef("dsir_select",
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(tokens(col("text"))).as("tok"))
+          .withColumn("b", pmod(portableHash(col("tok"), 97), lit(DsirBuckets.toLong)))
+        val raw = toks.groupBy(col("b")).agg(count(lit(1)).as("raw"))
+        val tgt = toks.filter(col("lang") === DsirTargetLang)
+          .groupBy(col("b")).agg(count(lit(1)).as("tgt"))
+        val w = raw.join(tgt, Seq("b"), "left_outer")
+          .select(col("b"),
+            expr("((coalesce(tgt, 0) + 1) * 1000000) div (raw + 1)").as("w"))
+        toks.join(broadcast(w), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("w")).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(DsirTopK)
+      },
+      Some {
+        val h = portableHashSql("tok", 97)
+        s"""WITH tk AS (
+           |  SELECT doc_id, lang,
+           |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           |  FROM documents),
+           |bk AS (SELECT doc_id, lang, $h % $DsirBuckets AS b FROM tk),
+           |raw AS (SELECT b, count(*) AS raw FROM bk GROUP BY 1),
+           |tgt AS (SELECT b, count(*) AS tgt FROM bk WHERE lang = '$DsirTargetLang' GROUP BY 1),
+           |w AS (
+           |  SELECT raw.b, ((coalesce(tgt.tgt, 0) + 1) * 1000000) // (raw.raw + 1) AS w
+           |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b),
+           |sc AS (
+           |  SELECT doc_id, SUM(w.w) AS score
+           |  FROM bk JOIN w ON w.b = bk.b GROUP BY 1)
+           |SELECT doc_id, CAST(score AS BIGINT) AS score
+           |FROM sc ORDER BY score DESC, doc_id LIMIT $DsirTopK""".stripMargin
+      })
   )
+
+  /** `dsir_select` contract constants: B hashed buckets (the model
+    * size — B integers, vocabulary-free), the target subcorpus
+    * predicate, and the selection size. */
+  private[graft] def DsirBuckets: Int = 64
+  private[graft] def DsirTargetLang: String = "en"
+  private[graft] def DsirTopK: Int = 100
 
   /** Deterministic augmentation tail for `gopher_rules`: three digit
     * words (trip r_alpha on short docs) plus four `#` and two `…`

@@ -1,0 +1,67 @@
+package graft
+
+import graft.queries.CurationQueries
+import org.apache.spark.sql.functions._
+
+/** Pins the semantic promise of `dsir_select`: the importance-weighted
+  * top-K is genuinely ENRICHED in the target domain relative to the
+  * corpus base rate — the property that makes importance resampling a
+  * selection method rather than a random sample — plus the weight
+  * table's direction on a planted two-domain corpus.
+  */
+class DsirSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("selection is enriched in the target domain on a mixed corpus") {
+    import spark.implicits._
+    // The real testdata's lang labels carry no token signal (all five
+    // languages draw from ONE 31-word vocabulary), so the resampling
+    // property is pinned on a planted corpus where it can hold:
+    // 60 en docs lean toward vocab A, 180 others toward vocab B, with
+    // shared common words keeping every bucket populated. DSIR top-100
+    // must hold more en than the 25% base rate.
+    val d = tmpDir("dsir_mix")
+    def doc(lean: String, i: Long) =
+      s"common words shared here $lean $lean $lean item$i"
+    val rows =
+      (0L until 60L).map(i => (i, doc("apple banana cherry", i), "en", "s", 40L)) ++
+        (60L until 240L).map(i => (i, doc("xylon zephyr quartz", i), "de", "s", 40L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val sel = CurationQueries.defs.find(_.name == "dsir_select").get
+      .fn(spark, d).collect().map(_.getLong(0))
+    val selRate = sel.count(_ < 60L).toDouble / sel.length
+    assert(sel.length == 100)
+    assert(selRate > 0.25, s"selected en-share $selRate not above base rate 0.25")
+  }
+
+  test("on the real corpus: deterministic full-size selection") {
+    val q = CurationQueries.defs.find(_.name == "dsir_select").get
+    val a = q.fn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = q.fn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a.length == 100)
+    assert(a == b)
+    // scores arrive in selection order: non-increasing
+    assert(a.map(_._2).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("planted two-domain corpus: target-vocabulary docs outscore off-target") {
+    import spark.implicits._
+    val d = tmpDir("dsir")
+    // target docs (lang=en) use vocabulary A; off-target use B; one
+    // probe doc of each vocabulary carries lang=zz so only its CONTENT
+    // decides its score
+    val rows =
+      (0L to 19L).map(i => (i, "apple banana cherry apple banana", "en", "s", 30L)) ++
+        (20L to 39L).map(i => (i, "xylon zephyr quartz xylon zephyr", "de", "s", 30L)) ++
+        Seq((40L, "apple banana cherry cherry", "zz", "s", 26L),
+          (41L, "xylon zephyr quartz quartz", "zz", "s", 26L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val scores = CurationQueries.defs.find(_.name == "dsir_select").get
+      .fn(spark, d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores(40L) > scores(41L),
+      s"target-vocab probe ${scores(40L)} should outscore off-target ${scores(41L)}")
+  }
+}
