@@ -578,6 +578,65 @@ object EventQueries {
              |  SELECT t, d, SUM(d) OVER (ORDER BY t, d DESC ROWS UNBOUNDED PRECEDING) AS c
              |  FROM deltas)
              |SELECT t // 86400000000 AS day, CAST(max(c) AS BIGINT) AS peak_concurrency
-             |FROM run GROUP BY 1""".stripMargin))
+             |FROM run GROUP BY 1""".stripMargin)),
+
+    // LINEAR multi-touch attribution — the fractional-credit complement
+    // of `asof_attribution`'s last-touch model: every click in the 7
+    // days before a purchase (same user, strictly earlier by
+    // (ts, event_id)) shares that purchase's revenue equally, and a
+    // click's value is the sum of its shares across all purchases it
+    // influenced. Credit arithmetic is exact: revenue in integer cents,
+    // per-touch share = cents div n_touches (floor; the ≤ n_touches-1
+    // remainder cents are deliberately unassigned rather than
+    // arbitrarily parked on one touch — documented, deterministic, and
+    // sums are auditable against cents div/mod). Plan shape: one
+    // equi-join on user_id with the time window as a residual predicate
+    // (both sides shuffle-partitioned by user — at 100 TB the join
+    // never fans out beyond a user's own events), a window count per
+    // purchase, then re-aggregation by click. Three user/entity-keyed
+    // shuffles, no global anything.
+    QueryDef("attribution_linear",
+      (s, dir) => {
+        import QueryDef.cents
+        val ev = Tables.events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            unix_micros(col("ts")).as("p_us"), cents(col("value")).as("p_cents"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id"),
+            unix_micros(col("ts")).as("c_us"))
+        val joined = p.join(c, Seq("user_id"))
+          .filter((col("c_us") < col("p_us") ||
+            (col("c_us") === col("p_us") && col("c_id") < col("p_id"))) &&
+            col("c_us") >= col("p_us") - lit(AttrWindowUs))
+        joined
+          .withColumn("n_touch", count(lit(1)).over(Window.partitionBy(col("p_id"))))
+          .withColumn("share", expr("p_cents div n_touch"))
+          .groupBy(col("c_id"))
+          .agg(countDistinct(col("p_id")).as("n_conversions"),
+            sum(col("share")).as("attributed_cents"))
+          .select(col("c_id").as("click_event_id"), col("n_conversions"),
+            col("attributed_cents"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT event_id AS p_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+              |    ${QueryDef.centsSql("value")} AS p_cents
+              |  FROM events WHERE event_type = 'purchase'),
+              |c AS (
+              |  SELECT event_id AS c_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+              |  FROM events WHERE event_type = 'click'),
+              |j AS (
+              |  SELECT p.p_id, c.c_id, p.p_cents,
+              |    count(*) OVER (PARTITION BY p.p_id) AS n_touch
+              |  FROM p JOIN c ON c.user_id = p.user_id
+              |    AND (c.c_us < p.p_us OR (c.c_us = p.p_us AND c.c_id < p.p_id))
+              |    AND c.c_us >= p.p_us - $AttrWindowUs)
+              |SELECT c_id AS click_event_id,
+              |  count(DISTINCT p_id) AS n_conversions,
+              |  CAST(SUM(p_cents // n_touch) AS BIGINT) AS attributed_cents
+              |FROM j GROUP BY 1""".stripMargin))
   )
+
+  /** `attribution_linear` lookback window: 7 days in epoch micros. */
+  private[graft] def AttrWindowUs: Long = 7L * 86400L * 1000000L
 }
