@@ -759,6 +759,64 @@ object SimilarityQueries {
         ranks.select(col("node"), col("r").as("pr_micro"))
       },
       Some(pageRankOracleSql))
+  ) ++ Seq(
+
+    // INT8 scalar quantization of the embedding corpus — the standard
+    // 4× memory compression an ANN serving tier applies before PQ is
+    // worth its codebook (FAISS's SQ8; per-dimension affine map to
+    // 0..255). Per-dim min/max is one map-side-combinable aggregate;
+    // the 64-row stats table broadcasts to the quantization scan, so
+    // the whole operator is scan-speed with ONE tiny shuffle — at
+    // 100 TB the codes write out 8× narrower than float32 vectors and
+    // the stats table is still 64 rows. The audit reports per-vector
+    // reconstruction error: each dim's squared error rounds to integer
+    // pico-points (floor(e²·1e12 + 0.5) — the cents convention at 1e12,
+    // every step one IEEE op) and the BIGINT sum is order-insensitive,
+    // so Spark's shuffle order and DuckDB agree exactly. q_min/q_max
+    // ride along to pin code-range sanity (0..255) in the same pass.
+    QueryDef("embedding_quantize",
+      (s, dir) => {
+        val ex = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+            col("col").cast("double").as("x"))
+        val stats = ex.groupBy(col("dim"))
+          .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        ex.join(broadcast(stats), Seq("dim"))
+          .withColumn("qv",
+            when(col("mx") === col("mn"), lit(0L))
+              .otherwise(floor((col("x") - col("mn")) *
+                (lit(255.0) / (col("mx") - col("mn"))) + lit(0.5)).cast("long")))
+          .withColumn("deq",
+            col("mn") + col("qv").cast("double") * ((col("mx") - col("mn")) / lit(255.0)))
+          .withColumn("se_pico",
+            floor((col("x") - col("deq")) * (col("x") - col("deq")) *
+              lit(1000000000000.0) + lit(0.5)).cast("long"))
+          .groupBy(col("vec_id"))
+          .agg(sum(col("se_pico")).as("sse_pico"),
+            min(col("qv")).as("q_min"), max(col("qv")).as("q_max"))
+      },
+      Some("""WITH ex AS (
+             |  SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+             |    i -> struct_pack(dim := i,
+             |      x := CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)))) AS e
+             |  FROM embeddings),
+             |flat AS (SELECT vec_id, e.dim AS dim, e.x AS x FROM ex),
+             |stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM flat GROUP BY 1),
+             |q AS (
+             |  SELECT vec_id,
+             |    CASE WHEN mx = mn THEN 0
+             |         ELSE CAST(floor((x - mn) * (255.0 / (mx - mn)) + 0.5) AS BIGINT) END AS qv,
+             |    x, mn, mx
+             |  FROM flat JOIN stats USING (dim)),
+             |d AS (
+             |  SELECT vec_id, qv,
+             |    x - (mn + CAST(qv AS DOUBLE) * ((mx - mn) / 255.0)) AS e
+             |  FROM q)
+             |SELECT vec_id,
+             |  CAST(SUM(CAST(floor(e * e * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sse_pico,
+             |  CAST(min(qv) AS BIGINT) AS q_min, CAST(max(qv) AS BIGINT) AS q_max
+             |FROM d GROUP BY 1""".stripMargin))
   )
 
   /** (vec_id, embedding, nrm) corpus projection — norms computed once
