@@ -86,6 +86,34 @@ object Aggregators {
     def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
   }
 
+  /** Bloom-filter bitmap builder: aggregates bit POSITIONS (the caller
+    * derives k positions per element from a portable hash) into one
+    * `numBits`-wide bitmap packed as Array[Long]. reduce sets a bit in
+    * place; merge ORs word-wise — associative, commutative, idempotent,
+    * so every map task builds its partition's bitmap locally and the
+    * shuffle carries one bitmap per task, not one row per element. The
+    * finished bitmap is a broadcastable membership summary (numBits/8
+    * bytes — 128 KB at 2^20 bits): the classic join-pruning/dedup-probe
+    * primitive for "test 10 TB of arrivals against 100 TB of corpus
+    * without shuffling the corpus". Deterministic: the final bitmap is
+    * the OR of per-element bitmaps, order- and partition-independent. */
+  final class BloomBits(numBits: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(numBits % 64 == 0, s"numBits must be a multiple of 64, got $numBits")
+    def zero: Array[Long] = new Array[Long](numBits / 64)
+    def reduce(b: Array[Long], pos: Long): Array[Long] = {
+      b((pos >> 6).toInt) |= 1L << (pos & 63)
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
   import org.apache.spark.sql.functions.udaf
   /** Column form of [[TopK]] for untyped DataFrames (a tuple-input
     * aggregator takes its fields as separate argument columns). */
@@ -97,4 +125,7 @@ object Aggregators {
 
   def kmv(k: Int, hash: Column): Column =
     udaf(new Kmv(k)).apply(hash)
+
+  def bloomBits(numBits: Int, pos: Column): Column =
+    udaf(new BloomBits(numBits)).apply(pos)
 }

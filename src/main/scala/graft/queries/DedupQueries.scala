@@ -1119,8 +1119,96 @@ object DedupQueries {
               |FROM inter
               |JOIN sizes sa ON sa.doc_id = doc_a
               |JOIN sizes sb ON sb.doc_id = doc_b
-              |WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= $SetSimTau""".stripMargin))
+              |WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= $SetSimTau""".stripMargin)),
+
+    // BLOOM-FILTER batch-vs-corpus probe — the constant-memory front
+    // of incremental exact dedup: the corpus's normalized-text
+    // fingerprints compress into a 2^20-bit bitmap (128 KB, built by
+    // [[graft.operators.Aggregators.BloomBits]]: per-map-task bitmaps
+    // OR-merged, ONE bitmap crosses the wire per task), the bitmap
+    // broadcasts to the arriving batch, and only bloom HITS pay the
+    // exact fingerprint join. No false negatives by construction (a
+    // present fingerprint's bits are all set), so non-hits are clean
+    // with zero join cost — at 100 TB the corpus is never reshuffled
+    // to answer "seen before?", and the exact join touches |hits|, not
+    // |batch|. k=4 positions per fingerprint via Kirsch-Mitzenmacher
+    // double hashing (h0 + i·low32(h1) mod m — two md5s, pure integer
+    // ops both engines agree on). The oracle tests the SAME positions
+    // against the corpus position SET — logically identical to the
+    // bitmap (a bit is set iff some corpus element hashed to it), via
+    // a different mechanism, so agreement checks the bitmap machinery
+    // rather than echoing it. Batch split reuses dedup_incremental's
+    // top-10% doc_id convention. Output per batch doc: bloom verdict +
+    // exact verdict (false positives = 1,0 — none at testdata scale
+    // with m=2^20; BloomSpec drives a small-m corpus where they occur).
+    QueryDef("dedup_bloom_probe",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val mx = docs.agg(max(col("doc_id")).as("mx"))
+        val withPos = docs.crossJoin(broadcast(mx))
+          .select(col("doc_id"),
+            (col("doc_id") * 10 >= (col("mx") + 1) * 9).as("is_batch"),
+            md5(regexp_replace(lower(nfcNormalize(col("text"))), "\\s+", " ")).as("fp"))
+          .withColumn("h0", portableHash(col("fp"), 101))
+          .withColumn("h1", portableHash(col("fp"), 103))
+          .select(Seq(col("doc_id"), col("is_batch"), col("fp")) ++
+            (0 until BloomK).map(i => pmod(
+              col("h0") + lit(i.toLong) * col("h1").bitwiseAND(lit(4294967295L)),
+              lit(BloomM.toLong)).as(s"p$i")): _*)
+        val corpus = withPos.filter(!col("is_batch"))
+        val bloom = corpus
+          .select(explode(array((0 until BloomK).map(i => col(s"p$i")): _*)).as("pos"))
+          .agg(graft.operators.Aggregators.bloomBits(BloomM, col("pos")).as("bm"))
+        val probed = withPos.filter(col("is_batch"))
+          .crossJoin(broadcast(bloom))
+          .withColumn("bloom_hit",
+            (0 until BloomK).map(i => expr(
+              s"(shiftright(element_at(bm, cast(p$i div 64 as int) + 1), " +
+                s"cast(p$i % 64 as int)) & 1) = 1"))
+              .reduce(_ && _).cast("long"))
+        val corpusFps = corpus.select(col("fp")).distinct()
+          .withColumn("in_corpus", lit(1L))
+        val exact = probed.filter(col("bloom_hit") === 1)
+          .join(corpusFps, Seq("fp"), "left_outer")
+          .select(col("doc_id"), coalesce(col("in_corpus"), lit(0L)).as("exact_dup"))
+        probed.select(col("doc_id"), col("bloom_hit"))
+          .join(exact, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("bloom_hit"),
+            coalesce(col("exact_dup"), lit(0L)).as("exact_dup"))
+      },
+      Some {
+        val h0 = portableHashSql("fp", 101)
+        val h1 = portableHashSql("fp", 103)
+        val ps = (0 until BloomK)
+          .map(i => s"(h0 + $i * (h1 & 4294967295)) % $BloomM AS p$i").mkString(",\n    ")
+        val hitPred = (0 until BloomK)
+          .map(i => s"p$i IN (SELECT pos FROM cp)").mkString(" AND ")
+        s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+           |f AS (
+           |  SELECT doc_id, doc_id * 10 >= 9 * ((SELECT m FROM mx) + 1) AS is_batch,
+           |    md5(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS fp
+           |  FROM documents),
+           |h AS (SELECT doc_id, is_batch, fp, $h0 AS h0, $h1 AS h1 FROM f),
+           |p AS (
+           |  SELECT doc_id, is_batch, fp,
+           |    $ps
+           |  FROM h),
+           |cp AS (
+           |  SELECT DISTINCT unnest([p0, p1, p2, p3]) AS pos
+           |  FROM p WHERE NOT is_batch),
+           |cfp AS (SELECT DISTINCT fp FROM p WHERE NOT is_batch)
+           |SELECT doc_id,
+           |  CAST($hitPred AS BIGINT) AS bloom_hit,
+           |  CAST(($hitPred) AND fp IN (SELECT fp FROM cfp) AS BIGINT) AS exact_dup
+           |FROM p WHERE is_batch""".stripMargin
+      })
   )
+
+  /** `dedup_bloom_probe` sizing: m = 2^20 bits (128 KB bitmap), k = 4
+    * positions per fingerprint — false-positive rate (kn/m)^k ≈ 1e-11
+    * at testdata corpus sizes, ~0.02 at n = 10M per bitmap shard. */
+  private[graft] def BloomM: Int = 1 << 20
+  private[graft] def BloomK: Int = 4
 
   /** Jaccard threshold of `dedup_setsim_prefix` — τ such that τ·n is a
     * multiple of 1/5, so a rational Jaccard i/u can never land inside
