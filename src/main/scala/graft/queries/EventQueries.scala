@@ -634,9 +634,67 @@ object EventQueries {
               |SELECT c_id AS click_event_id,
               |  count(DISTINCT p_id) AS n_conversions,
               |  CAST(SUM(p_cents // n_touch) AS BIGINT) AS attributed_cents
-              |FROM j GROUP BY 1""".stripMargin))
+              |FROM j GROUP BY 1""".stripMargin)),
+
+    // TOP SESSION PATHS — behavioral path mining over the sessionize
+    // contract (SAME 30-minute-gap session derivation, so paths explain
+    // exactly the sessions the session reports count): each session's
+    // ordered event_type sequence collapses to one 'a>b>c' path string,
+    // and the corpus's PathTopK most common paths surface with their
+    // session counts. Path assembly is deterministic under ties: events
+    // sort by (ts, event_id) inside the session (array_sort over
+    // structs — pure per-group list algebra, no second window pass),
+    // matching the oracle's ORDER BY in string_agg. Scale: the heavy
+    // frame is per-session rows (user-keyed window + one groupBy on
+    // (user, session) — both already paid by sessionize); path counting
+    // is a map-side-combinable rollup on the path string and top-K is
+    // TakeOrderedAndProject. Unbounded-path guard: sessions are
+    // gap-bounded so paths are session-length-bounded; a pathological
+    // never-idle entity would need the session cap documented in
+    // streaming/EventStreams before this query.
+    QueryDef("session_paths",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_seq", sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(array_sort(collect_list(struct(
+            unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+            col("event_type").as("et")))).as("evs"))
+          .select(concat_ws(">", transform(col("evs"), e => e.getField("et"))).as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path"))
+          .limit(EventQueries.PathTopK)
+      },
+      Some(s"""WITH flagged AS (
+              |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+              |    CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+              |      OR epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+              |    THEN 1 ELSE 0 END AS new_session
+              |  FROM events
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+              |), sessions AS (
+              |  SELECT user_id, event_id, ts, event_type,
+              |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+              |  FROM flagged),
+              |paths AS (
+              |  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+              |  FROM sessions GROUP BY user_id, session_seq)
+              |SELECT path, COUNT(*) AS n_sessions
+              |FROM paths GROUP BY 1
+              |ORDER BY n_sessions DESC, path LIMIT ${EventQueries.PathTopK}""".stripMargin))
   )
 
   /** `attribution_linear` lookback window: 7 days in epoch micros. */
   private[graft] def AttrWindowUs: Long = 7L * 86400L * 1000000L
+
+  /** `session_paths` result size. */
+  private[graft] def PathTopK: Int = 20
 }

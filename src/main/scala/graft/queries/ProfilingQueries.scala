@@ -567,6 +567,103 @@ object ProfilingQueries {
            |  ${QueryDef.microPointsSql(
               "CAST(abs(est.n_est - ex.n_exact) AS DOUBLE) / CAST(ex.n_exact AS DOUBLE)")} AS err_micro
            |FROM ex JOIN est ON est.event_type = ex.event_type""".stripMargin
+      }),
+
+    // KMV sketch ALGEBRA — the reason sketches beat exact counts at
+    // scale is that they COMPOSE: two per-segment sketches answer
+    // union/intersection cardinality questions ("users who click AND
+    // purchase") without touching the source again. Per event-type
+    // pair: union sketch = k smallest of the merged hash sets, θ = its
+    // k-th min → |A∪B| by the KMV estimator; intersection via the
+    // theta-sketch rule (Dasgupta et al., "Theta sketches") — matches
+    // = union-sketch elements present in BOTH input sketches, |A∩B| ≈
+    // (matches · est_union)/k, here in exact integer arithmetic. Exact
+    // counts ride along as ground truth (the audit IS the query; at
+    // 100 TB only the 64-long sketches exist and the exact pair join
+    // is precisely what the sketch avoids: distinct (type, user) pairs
+    // self-joined on user). Sub-k unions degrade to EXACT set algebra
+    // — the sketch holds the whole hash set (exercised at sf0.001).
+    // All set ops are array expressions over broadcast-sized 5-row
+    // frames; the oracle rebuilds the same sketches from ranked
+    // hashes and the same list algebra.
+    QueryDef("distinct_kmv_setops",
+      (s, dir) => {
+        val K = 64
+        val ut = graft.Tables.events(s, dir)
+          .select(col("event_type"), col("user_id"),
+            graft.functions.TextFunctions
+              .portableHash(col("user_id").cast("string"), 71).as("h"))
+          .distinct()
+        val sk = ut.groupBy(col("event_type"))
+          .agg(graft.operators.Aggregators.kmv(K, col("h")).as("sk"),
+            countDistinct(col("user_id")).as("nd"))
+        val pairs = sk.as("a").join(sk.as("b"),
+            col("a.event_type") < col("b.event_type"))
+          .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+            col("a.nd").as("nda"), col("b.nd").as("ndb"),
+            col("a.sk").as("ska"), col("b.sk").as("skb"))
+          .withColumn("u", slice(array_sort(array_union(col("ska"), col("skb"))), 1, K))
+          .withColumn("matches", size(filter(col("u"),
+            h => array_contains(col("ska"), h) && array_contains(col("skb"), h))).cast("long"))
+          .withColumn("n_union_est",
+            when(size(col("u")) < K, size(col("u")).cast("long"))
+              .otherwise(floor(lit(63.0) * lit(1152921504606846976.0) /
+                element_at(col("u"), K).cast("double") + lit(0.5)).cast("long")))
+          .withColumn("n_inter_est",
+            when(size(col("u")) < K, col("matches"))
+              .otherwise(expr(s"(matches * n_union_est) div $K")))
+        val interExact = ut.as("x").join(ut.as("y"),
+            col("x.user_id") === col("y.user_id") &&
+              col("x.event_type") < col("y.event_type"))
+          .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+          .agg(countDistinct(col("x.user_id")).as("ni"))
+        pairs.join(interExact, Seq("type_a", "type_b"), "left_outer")
+          .select(col("type_a"), col("type_b"),
+            (col("nda") + col("ndb") - coalesce(col("ni"), lit(0L))).as("n_union_exact"),
+            col("n_union_est"),
+            coalesce(col("ni"), lit(0L)).as("n_inter_exact"),
+            col("n_inter_est"))
+      },
+      Some {
+        val h = graft.functions.TextFunctions
+          .portableHashSql("CAST(user_id AS VARCHAR)", 71)
+        s"""WITH ut AS (
+           |  SELECT DISTINCT event_type, user_id, $h AS h FROM events),
+           |rk AS (
+           |  SELECT event_type, h,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           |  FROM (SELECT DISTINCT event_type, h FROM ut)),
+           |sk AS (
+           |  SELECT event_type, list(h ORDER BY h) AS sk
+           |  FROM rk WHERE rn <= 64 GROUP BY 1),
+           |nd AS (SELECT event_type, count(DISTINCT user_id) AS nd FROM ut GROUP BY 1),
+           |p AS (
+           |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+           |    na.nd AS nda, nb.nd AS ndb, a.sk AS ska, b.sk AS skb,
+           |    list_sort(list_distinct(a.sk || b.sk))[1:64] AS u
+           |  FROM sk a JOIN sk b ON a.event_type < b.event_type
+           |  JOIN nd na ON na.event_type = a.event_type
+           |  JOIN nd nb ON nb.event_type = b.event_type),
+           |m AS (
+           |  SELECT *, len(list_filter(u,
+           |    x -> list_contains(ska, x) AND list_contains(skb, x))) AS matches,
+           |    CASE WHEN len(u) < 64 THEN len(u)
+           |         ELSE CAST(floor(63.0 * 1152921504606846976.0 / CAST(u[64] AS DOUBLE) + 0.5) AS BIGINT)
+           |    END AS n_union_est
+           |  FROM p),
+           |ie AS (
+           |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+           |    count(DISTINCT x.user_id) AS ni
+           |  FROM ut x JOIN ut y ON y.user_id = x.user_id
+           |    AND x.event_type < y.event_type
+           |  GROUP BY 1, 2)
+           |SELECT m.type_a, m.type_b,
+           |  CAST(nda + ndb - coalesce(ie.ni, 0) AS BIGINT) AS n_union_exact,
+           |  CAST(n_union_est AS BIGINT) AS n_union_est,
+           |  CAST(coalesce(ie.ni, 0) AS BIGINT) AS n_inter_exact,
+           |  CAST(CASE WHEN len(u) < 64 THEN matches
+           |       ELSE (matches * n_union_est) // 64 END AS BIGINT) AS n_inter_est
+           |FROM m LEFT JOIN ie ON ie.type_a = m.type_a AND ie.type_b = m.type_b""".stripMargin
       })
   )
 
