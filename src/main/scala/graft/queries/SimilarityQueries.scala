@@ -816,7 +816,98 @@ object SimilarityQueries {
              |SELECT vec_id,
              |  CAST(SUM(CAST(floor(e * e * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sse_pico,
              |  CAST(min(qv) AS BIGINT) AS q_min, CAST(max(qv) AS BIGINT) AS q_max
-             |FROM d GROUP BY 1""".stripMargin))
+             |FROM d GROUP BY 1""".stripMargin)),
+
+    // SQ8-SERVED ANN with recall audit — closes the loop on
+    // `embedding_quantize`: search runs against the DEQUANTIZED int8
+    // codes (what a serving tier holding 4×-compressed vectors actually
+    // scores), and every query reports recall vs the float32
+    // brute-force truth (`bruteTopK` — the SAME shared definition the
+    // other ANN evals use). Dequantization happens IN-ROW (per-dim
+    // min/max arrays broadcast as ONE stats row; codes never
+    // materialize as a second corpus copy here), and the approximate
+    // cosine folds over the dequantized arrays in array order — the
+    // same left-fold determinism contract as the exact path, so the
+    // DuckDB twin (ordered list agg + list_reduce) is bit-exact. At
+    // 100 TB the corpus side stores codes + the 64-row stats table;
+    // scan cost is unchanged, memory is quartered, and this query IS
+    // the continuous monitor that the compression's recall cost stays
+    // paid-for.
+    QueryDef("ann_sq8",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val flat = emb.select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("pos"), col("col").cast("double").as("x"))
+        val stats = flat.groupBy(col("pos"))
+          .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx")))).as("st"))
+          .select(transform(col("st"), e => e.getField("mn")).as("mna"),
+            transform(col("st"), e => e.getField("mx")).as("mxa"))
+        val dq = emb.crossJoin(broadcast(stats))
+          .select(col("vec_id"),
+            transform(sequence(lit(0), size(col("embedding")) - 1), i => {
+              val x = element_at(col("embedding"), i + 1).cast("double")
+              val mn = element_at(col("mna"), i + 1)
+              val mx = element_at(col("mxa"), i + 1)
+              val qv = when(mx === mn, lit(0.0))
+                .otherwise(floor((x - mn) * (lit(255.0) / (mx - mn)) + lit(0.5)))
+              mn + qv * ((mx - mn) / lit(255.0))
+            }).as("dq"))
+        val q = dq.filter(col("vec_id") < NQueries)
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        val got = broadcast(q.as("q")).join(dq.as("c"),
+            col("q.vec_id") =!= col("c.vec_id"))
+          .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+            cosine(col("q.dq"), col("c.dq")).as("cos"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TopK)
+          .select(col("q_id"), col("n_id"))
+        val truth = bruteTopK(s, dir).select(col("q_id"), col("n_id"))
+        val h = truth.join(got, Seq("q_id", "n_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("k_found"))
+        val k = truth.groupBy(col("q_id")).agg(count(lit(1)).as("k_true"))
+        k.join(h, Seq("q_id"), "left_outer")
+          .select(col("q_id"), col("k_true"),
+            coalesce(col("k_found"), lit(0L)).as("k_found"),
+            QueryDef.microPoints(
+              coalesce(col("k_found"), lit(0L)).cast("double") /
+                col("k_true").cast("double")).as("recall_micro"))
+      },
+      Some {
+        val cosDq = graft.functions.TextFunctions.cosineSql("q.dq", "c.dq")
+        s"""WITH fl AS (
+           |  SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+           |    i -> struct_pack(dim := i,
+           |      x := CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)))) AS e
+           |  FROM embeddings),
+           |flat AS (SELECT vec_id, e.dim AS dim, e.x AS x FROM fl),
+           |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM flat GROUP BY 1),
+           |dq AS (
+           |  SELECT vec_id,
+           |    list(mn + (CASE WHEN mx = mn THEN 0.0
+           |      ELSE floor((x - mn) * (255.0 / (mx - mn)) + 0.5) END)
+           |      * ((mx - mn) / 255.0) ORDER BY dim) AS dq
+           |  FROM flat JOIN st USING (dim) GROUP BY vec_id),
+           |scored AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cosDq AS cos
+           |  FROM dq q JOIN dq c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id),
+           |got AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           |    FROM scored) t
+           |  WHERE rank <= $TopK),
+           |truth AS (SELECT q_id, n_id FROM ($bruteTopKSql) tv),
+           |h AS (
+           |  SELECT t.q_id, COUNT(*) AS k_found
+           |  FROM truth t JOIN got g ON t.q_id = g.q_id AND t.n_id = g.n_id
+           |  GROUP BY 1),
+           |k AS (SELECT q_id, COUNT(*) AS k_true FROM truth GROUP BY 1)
+           |SELECT k.q_id, k.k_true, COALESCE(h.k_found, 0) AS k_found,
+           |  ${QueryDef.microPointsSql(
+              "CAST(COALESCE(h.k_found, 0) AS DOUBLE) / CAST(k.k_true AS DOUBLE)")} AS recall_micro
+           |FROM k LEFT JOIN h USING (q_id)""".stripMargin
+      })
   )
 
   /** (vec_id, embedding, nrm) corpus projection — norms computed once

@@ -33,6 +33,19 @@ class QuantizeSpec extends SparkSuite {
       s"sse ${r.getLong(1)} above bound $boundPico"))
   }
 
+  test("ann_sq8: quantized serving keeps high recall on real error") {
+    val rows = SimilarityQueries.defs.find(_.name == "ann_sq8").get
+      .fn(spark, dir).collect()
+    assert(rows.length == 8)
+    val avgRecall = rows.map(_.getLong(3)).sum.toDouble / rows.length / 1e6
+    assert(avgRecall >= 0.8, s"avg recall $avgRecall")
+    // the audit is not vacuous: quantization introduces real error
+    // (per-vector SSE > 0 for essentially every vector)
+    val withErr = SimilarityQueries.defs.find(_.name == "embedding_quantize").get
+      .fn(spark, dir).filter(org.apache.spark.sql.functions.col("sse_pico") > 0).count()
+    assert(withErr > 400, s"only $withErr vectors carry quantization error")
+  }
+
   test("constant dimension quantizes losslessly to code 0") {
     import spark.implicits._
     val d = tmpDir("quant")
