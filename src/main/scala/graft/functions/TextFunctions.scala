@@ -40,6 +40,16 @@ object TextFunctions {
   def portableHashSql(valueSql: String, salt: Int): String =
     s"CAST(('0x' || substr(md5('$salt:' || $valueSql), 1, 15)) AS BIGINT)"
 
+  /** JVM twin of [[portableHash]] — for executor-side state logic
+    * (streaming sketches) and tests that must produce the SAME hash a
+    * column expression would. Keep the three in lockstep. */
+  def portableHashJvm(value: String, salt: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$salt:$value".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** Word n-gram shingles over a token array: positions i..i+n-1 joined
     * by a single space; empty when the doc has fewer than n tokens.
     * DuckDB: `[array_to_string(t[i:i+n-1], ' ') for i in range(1, greatest(len(t)-(n-2), 1))]`. */

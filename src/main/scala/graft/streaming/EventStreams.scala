@@ -459,4 +459,38 @@ object EventStreams {
           }
       }
   }
+
+  final case class DistinctEst(event_type: String, n_est: Long, sketch_size: Int)
+
+  /** Streaming distinct-user cardinality per event type — the
+    * streaming twin of the batch `distinct_kmv` query, running the
+    * SAME sketch ([[graft.operators.Aggregators.Kmv]] reduce over the
+    * same [[graft.functions.TextFunctions.portableHashJvm]] hashes),
+    * so a stream restarted from a checkpoint and the batch query over
+    * the same events land on the IDENTICAL sketch. This is the point
+    * of mergeable summaries in streaming: the state is the bounded
+    * k-smallest-distinct-hash list (O(k) per group, no timeout — a
+    * cardinality never expires), which unbounded countDistinct state
+    * could never be. Emits the running estimate per group per
+    * micro-batch (Update mode): exact below k, (k-1)·2^60 / kth-min
+    * past it — the same libm-free estimator the batch oracle checks. */
+  def distinctSketchStream(events: Dataset[Event], k: Int = 64): Dataset[DistinctEst] = {
+    import events.sparkSession.implicits._
+    val sketch = new graft.operators.Aggregators.Kmv(k)
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[List[Long], DistinctEst](GroupStateTimeout.NoTimeout()) {
+        (eventType: String, rows: Iterator[Event], state: GroupState[List[Long]]) =>
+          val s = rows.foldLeft(state.getOption.getOrElse(sketch.zero)) { (b, e) =>
+            sketch.reduce(b,
+              graft.functions.TextFunctions.portableHashJvm(e.user_id.toString, 71))
+          }
+          state.update(s)
+          val est =
+            if (s.size < k) s.size.toLong
+            else math.floor((k - 1).toDouble * 1152921504606846976.0 /
+              s(k - 1).toDouble + 0.5).toLong
+          DistinctEst(eventType, est, s.size)
+      }
+  }
 }

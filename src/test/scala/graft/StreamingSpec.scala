@@ -647,4 +647,47 @@ class StreamingSpec extends SparkSuite {
         s"the starved hour must flag low: $rows")
     } finally q.stop()
   }
+
+  test("streaming KMV sketch: exact below k, identical to the batch fold") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = EventStreams.distinctSketchStream(ms.toDF().as[Event], k = 16)
+      .writeStream.format("memory").queryName("kmv_stream").outputMode("update").start()
+    try {
+      // batch 1: users 1..10 — below k, estimate must be EXACT
+      ms.addData((1 to 10).map(i => Event(i.toLong, ts(i), i.toLong, "click", 0.0)): _*)
+      q.processAllAvailable()
+      val first = spark.table("kmv_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(first("click") == 10L)
+
+      // batch 2: users 6..30 overlap + growth — state crossed k; the
+      // running sketch must equal the ONE-SHOT batch fold over all
+      // users seen (order/batching independence = restart consistency)
+      ms.addData((6 to 30).map(i => Event(100L + i, ts(30 + i), i.toLong, "click", 0.0)): _*)
+      q.processAllAvailable()
+      val est = spark.table("kmv_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .filter(_._1 == "click").last
+      val sketch = new graft.operators.Aggregators.Kmv(16)
+      val expected = (1 to 30).map(i =>
+        graft.functions.TextFunctions.portableHashJvm(i.toString, 71))
+        .foldLeft(sketch.zero)(sketch.reduce)
+      val expectedEst =
+        math.floor(15.0 * 1152921504606846976.0 / expected(15).toDouble + 0.5).toLong
+      assert(est._3 == 16)
+      assert(est._2 == expectedEst, s"stream est ${est._2} != batch fold $expectedEst")
+    } finally q.stop()
+  }
+
+  test("portableHashJvm matches the column expression") {
+    import spark.implicits._
+    val vals = Seq("42", "user7", "the fast key")
+    val fromCol = vals.toDF("v")
+      .select(graft.functions.TextFunctions.portableHash(col("v"), 71))
+      .collect().map(_.getLong(0)).toSeq
+    val fromJvm = vals.map(graft.functions.TextFunctions.portableHashJvm(_, 71))
+    assert(fromCol == fromJvm)
+  }
 }
