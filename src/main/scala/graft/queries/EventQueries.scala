@@ -689,7 +689,114 @@ object EventQueries {
               |  FROM sessions GROUP BY user_id, session_seq)
               |SELECT path, COUNT(*) AS n_sessions
               |FROM paths GROUP BY 1
-              |ORDER BY n_sessions DESC, path LIMIT ${EventQueries.PathTopK}""".stripMargin))
+              |ORDER BY n_sessions DESC, path LIMIT ${EventQueries.PathTopK}""".stripMargin)),
+
+    // FORWARD as-of join — the mirror of `asof_attribution`'s
+    // backward-looking last-touch: for every click, the user's NEXT
+    // purchase strictly after it in (ts, event_id) order, plus the
+    // conversion latency. The canonical "event → next outcome" shape
+    // (trade → next quote, exposure → next conversion, error → next
+    // recovery). Same plan discipline as the backward form: ONE
+    // user-keyed window (no join), the forward neighbor read from a
+    // (1 FOLLOWING, UNBOUNDED FOLLOWING) frame with ignoreNulls first —
+    // clicks with no later purchase NULL out instead of dropping, so
+    // the result accounts for every click. Oracle: rank-1 purchase
+    // after each click via a windowed join — a different mechanism
+    // agreeing on the same neighbor.
+    QueryDef("asof_forward",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(1L, Window.unboundedFollowing)
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("next_p",
+            first(
+              when(col("event_type") === "purchase",
+                struct(unix_micros(col("ts")).as("p_us"), col("event_id").as("p_id"))),
+              ignoreNulls = true).over(byUser))
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_event_id"), col("user_id"),
+            unix_micros(col("ts")).as("click_us"),
+            col("next_p.p_id").as("purchase_event_id"),
+            col("next_p.p_us").as("purchase_us"),
+            (col("next_p.p_us") - unix_micros(col("ts"))).as("latency_us"))
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |ranked AS (
+             |  SELECT c.event_id, p.event_id AS p_id, p.ts AS p_ts,
+             |    row_number() OVER (PARTITION BY c.event_id
+             |      ORDER BY p.ts, p.event_id) AS rn
+             |  FROM c JOIN p ON p.user_id = c.user_id
+             |    AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id)))
+             |SELECT c.event_id AS click_event_id, c.user_id,
+             |  epoch_us(c.ts) AS click_us,
+             |  r.p_id AS purchase_event_id, epoch_us(r.p_ts) AS purchase_us,
+             |  epoch_us(r.p_ts) - epoch_us(c.ts) AS latency_us
+             |FROM c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+             |  ON r.event_id = c.event_id""".stripMargin)),
+
+    // MOSUM mean-shift detection (moving-sum changepoint statistic —
+    // the level-shift complement of `rate_anomaly`'s single-hour spike
+    // flag): per event type, the trailing-6-observed-hour mean is
+    // flagged when it departs the type's overall mean by more than 3
+    // standard ERRORS of a 6-hour mean — |T/W − μ| > 3σ/√W — with the
+    // whole inequality cross-multiplied to exact BIGINTs:
+    // (n·T − W·S)² > 9·W·(n·SS − S²), where (n, S, SS) are the type's
+    // hourly-count moments. Zero floats anywhere (the rate_anomaly /
+    // stats_moments discipline), so flags are bit-reproducible. Plan:
+    // hourly counts collapse map-side (types·hours keys), the per-type
+    // moment frame broadcasts back, ONE type-keyed window computes the
+    // trailing sum; windows shorter than W (the first W−1 hours) are
+    // excluded rather than under-powered. Gaps: the statistic runs
+    // over OBSERVED hours (documented; an idle-hour-as-zero variant
+    // would compose with events_gapfill's calendar spine first).
+    QueryDef("rate_mosum",
+      (s, dir) => {
+        val W = 6
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("hr"))
+          .agg(count(lit(1)).as("c"))
+        val mom = hourly.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+            sum(col("c") * col("c")).as("ss"))
+        val wTrail = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+          .rowsBetween(-(W - 1).toLong, Window.currentRow)
+        val wSeq = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        hourly
+          .withColumn("t6", sum(col("c")).over(wTrail))
+          .withColumn("pos", row_number().over(wSeq))
+          .filter(col("pos") >= W)
+          .join(mom, Seq("event_type"))
+          .select(col("event_type"), col("hr"), col("t6"),
+            when(expr(s"(n * t6 - $W * s) * (n * t6 - $W * s) > 9 * $W * (n * ss - s * s)"),
+              1L).otherwise(0L).as("shifted"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             |    COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |mom AS (
+             |  SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ss
+             |  FROM hourly GROUP BY 1),
+             |tr AS (
+             |  SELECT event_type, hr,
+             |    SUM(c) OVER (PARTITION BY event_type ORDER BY hr
+             |      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS t6,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY hr) AS pos
+             |  FROM hourly)
+             |SELECT tr.event_type, CAST(tr.hr AS BIGINT) AS hr,
+             |  CAST(tr.t6 AS BIGINT) AS t6,
+             |  CAST(CASE WHEN (n * t6 - 6 * s) * (n * t6 - 6 * s) > 9 * 6 * (n * ss - s * s)
+             |    THEN 1 ELSE 0 END AS BIGINT) AS shifted
+             |FROM tr JOIN mom ON mom.event_type = tr.event_type
+             |WHERE tr.pos >= 6""".stripMargin))
   )
 
   /** `attribution_linear` lookback window: 7 days in epoch micros. */

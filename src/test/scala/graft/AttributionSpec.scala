@@ -42,6 +42,63 @@ class AttributionSpec extends SparkSuite {
     assert(attributed <= total)
   }
 
+  test("asof_forward: next purchase by (ts, event_id), NULL when none") {
+    import spark.implicits._
+    val d = tmpDir("asoffwd")
+    val base = 1723600000000000L
+    val hour = 3600000000L
+    val rows = Seq(
+      (1L, base, 1L, "click", 0.0, "{}"),
+      (2L, base + hour, 1L, "purchase", 5.0, "{}"),
+      (3L, base + 2 * hour, 1L, "purchase", 7.0, "{}"), // later: not the neighbor
+      (4L, base + 3 * hour, 2L, "click", 0.0, "{}"), // no purchase ever
+      // tie: purchase at the SAME instant with larger id counts as next
+      (5L, base + 4 * hour, 3L, "click", 0.0, "{}"),
+      (6L, base + 4 * hour, 3L, "purchase", 1.0, "{}"))
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = EventQueries.defs.find(_.name == "asof_forward").get
+      .fn(spark, d).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(1L) == ((Some(2L), Some(hour)))) // earliest later purchase wins
+    assert(out(4L) == ((None, None)))
+    assert(out(5L) == ((Some(6L), Some(0L)))) // same-instant tie by event_id
+  }
+
+  test("rate_mosum: planted level shift flags, steady series does not") {
+    import spark.implicits._
+    val d = tmpDir("mosum")
+    val base = 1723600000000000L
+    val hour = 3600000000L
+    // type 'steady': 10 events every hour for 48 hours → never shifts.
+    // type 'shift': 10/hour for 40 hours, then 40/hour for 8 → the
+    // trailing-6h mean must flag inside the elevated regime.
+    def burst(tpe: String, hr: Int, n: Int, idBase: Long) =
+      (0 until n).map(i => (idBase + hr * 100L + i,
+        base + hr * hour + i * 1000000L, 1L, tpe, 0.0, "{}"))
+    val rows =
+      (0 until 48).flatMap(h => burst("steady", h, 10, 0L)) ++
+        (0 until 40).flatMap(h => burst("shift", h, 10, 1000000L)) ++
+        (40 until 48).flatMap(h => burst("shift", h, 40, 1000000L))
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = EventQueries.defs.find(_.name == "rate_mosum").get
+      .fn(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val steady = out.filter(_._1 == "steady")
+    assert(steady.nonEmpty && steady.forall(_._3 == 0L), "steady series must not flag")
+    val shifted = out.filter(t => t._1 == "shift" && t._3 == 1L)
+    assert(shifted.nonEmpty, "planted level shift must flag")
+    // flags concentrate in the elevated regime (trailing windows that
+    // include shifted hours)
+    assert(shifted.forall(_._2 >= out.filter(_._1 == "shift").map(_._2).min + 40 - 5))
+  }
+
   test("equal shares on a hand-built history") {
     import spark.implicits._
     val d = tmpDir("attr")
