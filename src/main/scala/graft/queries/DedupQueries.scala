@@ -1202,13 +1202,64 @@ object DedupQueries {
            |  CAST(($hitPred) AND fp IN (SELECT fp FROM cfp) AS BIGINT) AS exact_dup
            |FROM p WHERE is_batch""".stripMargin
       })
-  )
+  ) :+ lshEvalDef
 
   /** `dedup_bloom_probe` sizing: m = 2^20 bits (128 KB bitmap), k = 4
     * positions per fingerprint — false-positive rate (kn/m)^k ≈ 1e-11
     * at testdata corpus sizes, ~0.02 at n = 10M per bitmap shard. */
   private[graft] def BloomM: Int = 1 << 20
   private[graft] def BloomK: Int = 4
+
+  /** LSH discovery recall eval — `ann_recall_eval`'s sibling for the
+    * dedup stack: precision of the MinHash-LSH path is 1.0 by
+    * construction (every candidate is exact-Jaccard-verified), so what
+    * needs continuous monitoring is candidate-discovery RECALL, and
+    * the ground truth is the EXACT prefix-filtered join — zero false
+    * negatives by pigeonhole (SetSimSpec), so even the truth side is
+    * subquadratic; no all-pairs join exists anywhere in this eval on
+    * the Spark side. Both pair sets reuse THE shared definitions the
+    * production queries run (an eval that reimplements its subject
+    * can only drift). One row: true pairs, found pairs, recall in
+    * micro-points. The DuckDB truth side IS the quadratic all-pairs
+    * join — a third, independent mechanism agreeing on the same truth. */
+  private[graft] def lshEvalDef: QueryDef =
+    QueryDef("dedup_lsh_eval",
+      (s, dir) => {
+        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
+        val truth = jaccardPairs(sh, Some(prefixCandidates(sh, SetSimTau)))
+          .filter(col("jaccard") >= SetSimTau)
+          .select(col("doc_a"), col("doc_b"))
+        val lsh = jaccardPairs(sh, Some(lshCandidates(sh)))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("doc_a"), col("doc_b"))
+        val found = truth.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(found.agg(count(lit(1)).as("n_found")))
+          .select(col("n_true"), col("n_found"),
+            QueryDef.microPoints(col("n_found").cast("double") /
+              col("n_true").cast("double")).as("recall_micro"))
+      },
+      Some(s"""$shCte,
+              |$candCteSql,
+              |$interCteSql,
+              |$pairsCteSql,
+              |ap AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |truth AS (
+              |  SELECT doc_a, doc_b FROM ap
+              |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+              |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.8),
+              |f AS (
+              |  SELECT COUNT(*) AS n_found
+              |  FROM truth t JOIN pairs p ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b),
+              |k AS (SELECT COUNT(*) AS n_true FROM truth)
+              |SELECT CAST(k.n_true AS BIGINT) AS n_true,
+              |  CAST(f.n_found AS BIGINT) AS n_found,
+              |  ${QueryDef.microPointsSql(
+                   "CAST(f.n_found AS DOUBLE) / CAST(k.n_true AS DOUBLE)")} AS recall_micro
+              |FROM k, f""".stripMargin))
 
   /** Jaccard threshold of `dedup_setsim_prefix` — τ such that τ·n is a
     * multiple of 1/5, so a rational Jaccard i/u can never land inside

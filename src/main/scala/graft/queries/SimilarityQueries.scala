@@ -907,8 +907,80 @@ object SimilarityQueries {
            |  ${QueryDef.microPointsSql(
               "CAST(COALESCE(h.k_found, 0) AS DOUBLE) / CAST(k.k_true AS DOUBLE)")} AS recall_micro
            |FROM k LEFT JOIN h USING (q_id)""".stripMargin
-      })
+      }),
+
+    // TRIANGLE COUNT + global clustering coefficient over the k-NN
+    // graph — the standard graph-cohesion diagnostic (a high
+    // transitivity means near-dup clusters are dense cliques worth
+    // collapsing; a low one means the kNN edges are chains worth
+    // keeping): triangles via the canonical ordered two-path join —
+    // (u<v) ⋈ (v<w) closed by (u,w) — so each triangle is counted
+    // exactly once and the join never materializes a node's full
+    // neighborhood square; wedges = Σ C(deg, 2) per node (one tiny
+    // aggregate), transitivity = 3·triangles/wedges in exact ppm
+    // integer division. Edge list is the SAME shared knnEdges the
+    // graph family runs, symmetrized to undirected (least/greatest +
+    // distinct) and localCheckpoint'ed — three downstream consumers
+    // (two join sides + degrees) read the materialized list, never the
+    // cosine-join lineage. At 100 TB the triangle join shuffles the
+    // edge list twice on its endpoints — O(E) rows, E = k·|corpus|,
+    // never a neighborhood blow-up, because k-NN bounds every degree.
+    QueryDef("graph_triangles",
+      (s, dir) => {
+        val e = knnEdges(s, dir).select(col("src"), col("dst"))
+        triangleStats(
+          e.select(least(col("src"), col("dst")).as("u"),
+              greatest(col("src"), col("dst")).as("v"))
+            .distinct()
+            .localCheckpoint())
+      },
+      Some(s"""$knnEdgesCteSql,
+              |und AS (
+              |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              |  FROM kept),
+              |deg AS (
+              |  SELECT n, COUNT(*) AS d FROM (
+              |    SELECT u AS n FROM und UNION ALL SELECT v FROM und) t
+              |  GROUP BY 1),
+              |w AS (
+              |  SELECT COUNT(*) AS n_nodes,
+              |    CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+              |  FROM deg),
+              |t3 AS (
+              |  SELECT COUNT(*) AS n_triangles
+              |  FROM und e1
+              |  JOIN und e2 ON e2.u = e1.v
+              |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+              |e AS (SELECT COUNT(*) AS n_edges FROM und)
+              |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+              |  CAST(n_edges AS BIGINT) AS n_edges,
+              |  CAST(n_wedges AS BIGINT) AS n_wedges,
+              |  CAST(n_triangles AS BIGINT) AS n_triangles,
+              |  CAST((3 * n_triangles * 1000000) // n_wedges AS BIGINT) AS closure_ppm
+              |FROM w, t3, e""".stripMargin))
   )
+
+  /** Triangle/wedge/transitivity stats over an UNDIRECTED distinct
+    * (u < v) edge table (`graph_triangles` core, factored for planted
+    * graph tests). Caller materializes `und` — three subtrees (two
+    * join sides + degrees) consume it. */
+  private[graft] def triangleStats(und: DataFrame): DataFrame = {
+    val deg = und.select(col("u").as("n"))
+      .unionByName(und.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val wedges = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.v") === col("e2.u"))
+      .join(und.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val ne = und.agg(count(lit(1)).as("n_edges"))
+    wedges.crossJoin(tri).crossJoin(ne)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("(3 * n_triangles * 1000000) div n_wedges").as("closure_ppm"))
+  }
 
   /** (vec_id, embedding, nrm) corpus projection — norms computed once
     * per vector, shared by the brute-force and IVF search paths. */
