@@ -571,8 +571,67 @@ object TextQueries {
               |SELECT doc_id,
               |  md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_md5,
               |  ${rollingHashSql("t")} AS fp_roll
-              |FROM toks""".stripMargin))
+              |FROM toks""".stripMargin)),
+
+    // COLLOCATION mining (document-level lift): token pairs that
+    // co-occur in documents far beyond what their individual
+    // frequencies predict — the classic phrase/entity discovery signal
+    // behind vocabulary curation and multi-word tokenizer entries. The
+    // textbook statistic is PMI = log P(x,y)/(P(x)P(y)); this is its
+    // log-free rational surrogate (monotone in PMI, the BM25 idf
+    // policy): lift_ppm = (N·df_xy·1e6) div (df_x·df_y), pure BIGINT.
+    // Pair generation is a per-doc self-join of the DISTINCT-token
+    // stream, support-filtered on BOTH sides first (df ≥ MinColloc) —
+    // the frequency floor is what bounds fan-out at scale: pairs are
+    // drawn from the support-qualified vocabulary only, and the join
+    // is doc-keyed (never a corpus-wide cross). Top-20 by
+    // (lift DESC, x, y) via TakeOrderedAndProject.
+    QueryDef("collocations_lift",
+      (s, dir) => {
+        val dt = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+          .distinct()
+        val dfs = dt.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= MinCollocDf)
+        val nDocs = Tables(s, dir, "documents").agg(count(lit(1)).as("n"))
+        val qual = dt.join(dfs, Seq("tk"))
+        val pairs = qual.as("a").join(qual.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.tk") < col("b.tk"))
+          .groupBy(col("a.tk").as("x"), col("b.tk").as("y"),
+            col("a.df").as("dfx"), col("b.df").as("dfy"))
+          .agg(count(lit(1)).as("df_xy"))
+          .filter(col("df_xy") >= MinCollocDf)
+        pairs.crossJoin(broadcast(nDocs))
+          .select(col("x"), col("y"), col("df_xy"),
+            expr("(n * df_xy * 1000000) div (dfx * dfy)").as("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("x"), col("y"))
+          .limit(20)
+      },
+      Some(s"""$toksCte,
+              |dt AS (SELECT DISTINCT doc_id, unnest(t) AS tk FROM toks),
+              |dfs AS (
+              |  SELECT tk, COUNT(*) AS df FROM dt GROUP BY 1
+              |  HAVING COUNT(*) >= $MinCollocDf),
+              |nd AS (SELECT COUNT(*) AS n FROM documents),
+              |qual AS (SELECT dt.doc_id, dt.tk, dfs.df FROM dt JOIN dfs USING (tk)),
+              |pairs AS (
+              |  SELECT a.tk AS x, b.tk AS y, a.df AS dfx, b.df AS dfy,
+              |    COUNT(*) AS df_xy
+              |  FROM qual a JOIN qual b
+              |    ON b.doc_id = a.doc_id AND a.tk < b.tk
+              |  GROUP BY 1, 2, 3, 4
+              |  HAVING COUNT(*) >= $MinCollocDf)
+              |SELECT x, y, CAST(df_xy AS BIGINT) AS df_xy,
+              |  CAST(((SELECT n FROM nd) * df_xy * 1000000) // (dfx * dfy) AS BIGINT) AS lift_ppm
+              |FROM pairs
+              |ORDER BY lift_ppm DESC, x, y LIMIT 20""".stripMargin))
   )
+
+  /** Support floor for `collocations_lift`: both tokens and the pair
+    * itself must appear in at least this many documents — the bound
+    * that keeps pair fan-out proportional to the qualified vocabulary,
+    * not the raw one. */
+  private[graft] def MinCollocDf: Int = 5
 
   /** The tier-then-bucket nucleus cut behind `vocab_top_p`: from a
     * `(tk, freq)` vocabulary, the smallest (freq DESC, tk) prefix whose

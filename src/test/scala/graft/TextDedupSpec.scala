@@ -338,4 +338,27 @@ class TextDedupSpec extends SparkSuite {
     assert((mmrPicks -- pureTop8).nonEmpty, "MMR never diverged from pure relevance")
     mmr.unpersist()
   }
+
+  test("collocations_lift: an always-together planted pair tops the ranking") {
+    import spark.implicits._
+    val d = tmpDir("colloc")
+    // 'neural network' co-occur in exactly their 8 shared docs and
+    // nowhere else → lift = N·8/(8·8) = N/8, the maximum possible for
+    // df=8; filler tokens co-occur broadly → lift ≈ 1
+    val fill = "alpha beta gamma delta epsilon zeta"
+    val rows =
+      (0L until 8L).map(i => (i, s"neural network study $fill", "en", "s", 40L)) ++
+        (8L until 40L).map(i => (i, s"plain $fill document", "en", "s", 30L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val top = TextQueries.defs.find(_.name == "collocations_lift").get
+      .fn(spark, d).collect()
+    val first = (top(0).getString(0), top(0).getString(1))
+    val planted = Set(("network", "neural"), ("network", "study"), ("neural", "study"))
+    assert(planted.contains(first), s"top pair $first not from the planted clique")
+    // every planted-clique pair must outrank every filler-only pair
+    val liftOf = top.map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val fillerPair = ("alpha", "beta")
+    assert(liftOf.get(fillerPair).forall(_ < liftOf((("network", "neural")))))
+  }
 }
