@@ -71,24 +71,31 @@ object HeavyHitters {
       if (set.isEmpty) { byCount.remove(c); () }
     }
 
-    def offer(key: String): Unit = {
-      processed += 1
+    def offer(key: String): Unit = offerWeighted(key, 1L)
+
+    /** Weighted offer (the standard Space-Saving generalization:
+      * increment by w, evicted keys inherit min + w). `offer` is the
+      * w=1 case; streaming state restoration seeds a fresh summary
+      * with the checkpointed (key, estimate) pairs through this. */
+    def offerWeighted(key: String, w: Long): Unit = {
+      require(w > 0, s"w=$w")
+      processed += w
       counts.get(key) match {
         case Some(c) =>
-          counts.update(key, c + 1)
+          counts.update(key, c + w)
           indexRemove(key, c)
-          indexAdd(key, c + 1)
+          indexAdd(key, c + w)
         case None if counts.size < capacity =>
-          counts.update(key, 1L)
-          indexAdd(key, 1L)
+          counts.update(key, w)
+          indexAdd(key, w)
         case None =>
           val minEntry = byCount.firstEntry()
           val minC = minEntry.getKey
           val victim = minEntry.getValue.first()
           indexRemove(victim, minC)
           counts.remove(victim)
-          counts.update(key, minC + 1)
-          indexAdd(key, minC + 1)
+          counts.update(key, minC + w)
+          indexAdd(key, minC + w)
       }
     }
 

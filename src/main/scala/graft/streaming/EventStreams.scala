@@ -460,6 +460,46 @@ object EventStreams {
       }
   }
 
+  final case class HeavyUser(event_type: String, user_id: String, est: Long, n: Long)
+  final case class HhState(entries: List[(String, Long)], n: Long)
+
+  /** Streaming heavy-hitter monitoring per event type — the streaming
+    * twin of the batch [[graft.operators.HeavyHitters]] CANDIDATE pass
+    * (the batch operator's exact-verify second scan has no streaming
+    * analog; candidates-with-overcount is the honest streaming
+    * contract). State per group is a Space-Saving summary serialized
+    * as its (key, estimate) list plus the true processed count; each
+    * micro-batch reseeds the summary via the weighted offer (the
+    * standard SS merge direction — estimates only ever over-count, so
+    * presence of true heavies survives checkpoint round-trips). Emits
+    * the current candidates each batch: users whose estimate clears
+    * perMille/1000 of the type's stream so far. O(capacity) state
+    * where exact per-user counting state is unbounded; the pigeonhole
+    * presence guarantee (share > 1/capacity ⇒ present) and the
+    * overcount bound (est ≤ true + n/capacity ⇒ sub-threshold users
+    * with margin stay absent) are pinned in StreamingSpec. */
+  def heavyHittersStream(events: Dataset[Event], capacity: Int = 64,
+      perMille: Long = 100): Dataset[HeavyUser] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HhState, HeavyUser](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (tpe: String, rows: Iterator[Event], state: GroupState[HhState]) =>
+          val prev = state.getOption.getOrElse(HhState(Nil, 0L))
+          val ss = new graft.operators.HeavyHitters.SpaceSaving(capacity)
+          prev.entries.foreach { case (k, c) => ss.offerWeighted(k, c) }
+          var n = prev.n
+          rows.foreach { e => ss.offer(e.user_id.toString); n += 1 }
+          state.update(HhState(ss.entries.toList.sorted, n))
+          val total = n
+          ss.entries.collect {
+            case (u, est) if 1000L * est >= perMille * total =>
+              HeavyUser(tpe, u, est, total)
+          }.toList.sortBy(_.user_id).iterator
+      }
+  }
+
   final case class DistinctEst(event_type: String, n_est: Long, sketch_size: Int)
 
   /** Streaming distinct-user cardinality per event type — the

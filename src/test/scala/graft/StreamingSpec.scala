@@ -681,6 +681,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: true heavy present across batches, light user absent") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    // capacity 4, threshold 30%: user 1 holds ~50% share (must always
+    // surface: share > 1/4 pigeonhole), user 9 ~2% (must never: even
+    // with the maximal overcount n/4 its estimate stays under 30%)
+    val q = EventStreams.heavyHittersStream(ms.toDF().as[Event],
+        capacity = 4, perMille = 300)
+      .writeStream.format("memory").queryName("hh_stream").outputMode("update").start()
+    try {
+      def mkBatch(idBase: Long, minuteBase: Int): Seq[Event] =
+        (0 until 25).map { i =>
+          val user = if (i < 13) 1L else if (i < 24) (2L + i % 5) else 9L
+          Event(idBase + i, ts(minuteBase + i / 10), user, "click", 0.0)
+        }
+      ms.addData(mkBatch(0L, 0): _*)
+      q.processAllAvailable()
+      val b1 = spark.table("hh_stream").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(b1.exists(_._1 == "1"), s"heavy user missing in batch 1: ${b1.toSeq}")
+
+      ms.addData(mkBatch(100L, 30): _*)
+      q.processAllAvailable()
+      val b2 = spark.table("hh_stream").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+        .filter(_._3 == 50L) // rows from the second batch (n = 50)
+      assert(b2.exists(_._1 == "1"), s"heavy user missing after restart-merge: ${b2.toSeq}")
+      assert(!b2.exists(_._1 == "9"), s"light user surfaced: ${b2.toSeq}")
+      // estimates only over-count: heavy user's estimate >= true 26
+      assert(b2.find(_._1 == "1").get._2 >= 26L)
+    } finally q.stop()
+  }
+
   test("portableHashJvm matches the column expression") {
     import spark.implicits._
     val vals = Seq("42", "user7", "the fast key")
