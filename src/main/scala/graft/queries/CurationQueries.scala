@@ -891,7 +891,7 @@ object CurationQueries {
            |SELECT doc_id, CAST(score AS BIGINT) AS score
            |FROM sc ORDER BY score DESC, doc_id LIMIT $DsirTopK""".stripMargin
       })
-  )
+  ) :+ rankNormalizeDef
 
   /** `dsir_select` contract constants: B hashed buckets (the model
     * size — B integers, vocabulary-free), the target subcorpus
@@ -899,6 +899,50 @@ object CurationQueries {
   private[graft] def DsirBuckets: Int = 64
   private[graft] def DsirTargetLang: String = "en"
   private[graft] def DsirTopK: Int = 100
+
+  /** Percentile-rank normalization per source — the cross-source
+    * comparability step before any global threshold touches
+    * heterogeneous feeds (a "long" doc from a tweets source and a
+    * "long" doc from a books source live on different raw scales;
+    * their PERCENTILES are comparable). pct_ppm = (#strictly-smaller
+    * in source)·1e6 div (n_source − 1), min-rank ties, pure BIGINT.
+    * Plan: the per-source (value → count) histogram + one cumulative
+    * window over the TINY histogram frame (|distinct values| rows per
+    * source), joined back to the scan — the curation_quota /
+    * rank_global_bucketed discipline; the obvious per-source
+    * row_number window would funnel whole sources into single tasks.
+    * Single-doc sources pin to 0 (greatest guard, not a div-0). */
+  private[graft] def rankNormalizeDef: QueryDef =
+    QueryDef("score_rank_normalize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val hist = docs.groupBy(col("source"), col("n_chars"))
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAll = Window.partitionBy(col("source"))
+        val offsets = hist
+          .withColumn("below", coalesce(sum(col("c")).over(wCum), lit(0L)))
+          .withColumn("n_src", sum(col("c")).over(wAll))
+        docs.select(col("doc_id"), col("source"), col("n_chars"))
+          .join(offsets, Seq("source", "n_chars"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            expr("(below * 1000000) div greatest(n_src - 1, 1)").as("pct_ppm"))
+      },
+      Some("""WITH hist AS (
+             |  SELECT source, n_chars, COUNT(*) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |off AS (
+             |  SELECT source, n_chars, c,
+             |    COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+             |    SUM(c) OVER (PARTITION BY source) AS n_src
+             |  FROM hist)
+             |SELECT d.doc_id, d.source, d.n_chars,
+             |  CAST((below * 1000000) // greatest(n_src - 1, 1) AS BIGINT) AS pct_ppm
+             |FROM documents d JOIN off
+             |  ON off.source = d.source AND off.n_chars = d.n_chars""".stripMargin))
 
   /** Deterministic augmentation tail for `gopher_rules`: three digit
     * words (trip r_alpha on short docs) plus four `#` and two `…`

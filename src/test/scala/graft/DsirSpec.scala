@@ -46,6 +46,27 @@ class DsirSpec extends SparkSuite {
     assert(a.map(_._2).sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("score_rank_normalize: per-source percentiles, ties share min rank") {
+    val out = CurationQueries.defs.find(_.name == "score_rank_normalize").get
+      .fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 500)
+    out.groupBy(_._2).foreach { case (src, docs) =>
+      // the source minimum sits at percentile 0
+      val minChars = docs.map(_._3).min
+      docs.filter(_._3 == minChars).foreach(d => assert(d._4 == 0L, s"$src min: $d"))
+      // percentile is monotone in the value, ties share one rank
+      val byVal = docs.groupBy(_._3).view.mapValues(_.map(_._4).distinct).toMap
+      byVal.values.foreach(ps => assert(ps.size == 1, s"$src tie split: $byVal"))
+      val sorted = byVal.toSeq.sortBy(_._1).map(_._2.head)
+      assert(sorted == sorted.sorted, s"$src not monotone")
+      // a unique source maximum sits at exactly 1e6
+      val maxChars = docs.map(_._3).max
+      if (docs.count(_._3 == maxChars) == 1)
+        assert(byVal(maxChars).head == 1000000L)
+    }
+  }
+
   test("planted two-domain corpus: target-vocabulary docs outscore off-target") {
     import spark.implicits._
     val d = tmpDir("dsir")
