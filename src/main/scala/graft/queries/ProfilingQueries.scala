@@ -518,7 +518,12 @@ object ProfilingQueries {
     // mergeable-summary property countDistinct lacks: daily sketches
     // roll up into monthly cardinalities without re-scanning). The
     // exact count rides along here only because the query IS the
-    // accuracy audit; production drops it. Estimator is libm-free
+    // accuracy audit; production drops it — note the plan cost of the
+    // ride-along: countDistinct re-keys the first partial aggregate on
+    // (group, user), so THIS query still shuffles O(distinct) rows.
+    // The sketch-only production form partial-aggregates per map task
+    // and ships one bounded buffer per group (plan pinned in
+    // PlanAuditSpec "KMV production shape"). Estimator is libm-free
     // ((k-1)·2^60 / kth-min — pure IEEE multiply/divide), so the
     // DuckDB oracle reproduces it bit-for-bit from the same
     // md5-derived hashes; a not-yet-full sketch is the exact distinct

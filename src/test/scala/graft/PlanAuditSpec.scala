@@ -654,4 +654,44 @@ class PlanAuditSpec extends SparkSuite {
     val p = plan(SparkEntry.queries("limit_offset")(spark, dir))
     assert(p.contains("GlobalLimit") || p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("KMV production shape: partial sketch per map task, ONE tiny exchange") {
+    // the driver query `distinct_kmv` deliberately rides countDistinct
+    // along for its accuracy audit, which re-keys the first aggregate
+    // on (group, user) — O(distinct) shuffle rows. The PRODUCTION form
+    // is sketch-only; its plan must partial-aggregate the sketch before
+    // a single group-keyed exchange (O(k) bytes per group per task).
+    val df = graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        graft.functions.TextFunctions.portableHash(col("user_id").cast("string"), 71).as("h"))
+      .groupBy(col("event_type"))
+      .agg(graft.operators.Aggregators.kmv(64, col("h")).as("sk"))
+    val p = plan(df)
+    assert(p.contains("partial_kmv"), p)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p)
+  }
+
+  test("dsir_select: weight table broadcasts, top-K never sorts globally") {
+    val p = plan(SparkEntry.queries("dsir_select")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("dedup_setsim_prefix: candidate join is an equi-join, never nested-loop") {
+    val p = plan(SparkEntry.queries("dedup_setsim_prefix")(spark, dir))
+    // the ONLY nested-loop allowed is dfCap's documented 1-row
+    // threshold broadcast (shingleSet internals) — the candidate and
+    // verify joins themselves must all be equi-joins
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache() // shingleSet persists internally
+  }
+
+  test("attribution_linear and session_paths keep their promised shapes") {
+    val pa = plan(SparkEntry.queries("attribution_linear")(spark, dir))
+    assert(!pa.contains("BroadcastNestedLoopJoin") && !pa.contains("CartesianProduct"), pa)
+    val ps = plan(SparkEntry.queries("session_paths")(spark, dir))
+    assert(ps.contains("TakeOrderedAndProject"), ps)
+  }
 }
