@@ -891,7 +891,7 @@ object CurationQueries {
            |SELECT doc_id, CAST(score AS BIGINT) AS score
            |FROM sc ORDER BY score DESC, doc_id LIMIT $DsirTopK""".stripMargin
       })
-  ) :+ rankNormalizeDef
+  ) :+ rankNormalizeDef :+ budgetApportionDef
 
   /** `dsir_select` contract constants: B hashed buckets (the model
     * size — B integers, vocabulary-free), the target subcorpus
@@ -899,6 +899,62 @@ object CurationQueries {
   private[graft] def DsirBuckets: Int = 64
   private[graft] def DsirTargetLang: String = "en"
   private[graft] def DsirTopK: Int = 100
+
+  /** `token_budget_apportion` slot budget. */
+  private[graft] def BudgetSlots: Long = 1000000L
+
+  /** Token-budget apportionment across languages by Hamilton's
+    * largest-remainder method — the planning step that turns "train on
+    * B tokens" into exact per-language allocations: float-proportional
+    * splits don't sum to B (rounding drift compounds across hundreds
+    * of sources); largest-remainder is the classic apportionment
+    * algorithm whose allocations are integers that sum to EXACTLY B by
+    * construction. base = (B·c_l) div T, remainders ranked
+    * (rem DESC, lang ASC), the leftover r = B − Σ base slots go one
+    * each to the top-r remainders. Everything is BIGINT products over
+    * a |languages|-row frame — the corpus is scanned once for token
+    * counts and never again. */
+  private[graft] def budgetApportionDef: QueryDef =
+    QueryDef("token_budget_apportion",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables(s, dir, "documents")
+          .select(col("lang"), explode(tokens(col("text"))).as("tk"))
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_tokens"))
+        val tot = counts.agg(sum(col("n_tokens")).as("t"))
+        val base = counts.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_tokens"),
+            expr(s"($BudgetSlots * n_tokens) div t").as("base_quota"),
+            expr(s"($BudgetSlots * n_tokens) % t").as("rem"))
+        val wRem = Window.orderBy(col("rem").desc, col("lang"))
+        val wAll = Window.partitionBy()
+        base
+          .withColumn("r", lit(BudgetSlots) - sum(col("base_quota")).over(wAll))
+          .withColumn("rk", row_number().over(wRem))
+          .select(col("lang"), col("n_tokens"), col("base_quota"),
+            when(col("rk") <= col("r"), 1L).otherwise(0L).as("extra"))
+          .withColumn("alloc", col("base_quota") + col("extra"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+              |  FROM documents),
+              |counts AS (SELECT lang, COUNT(*) AS n_tokens FROM tk GROUP BY 1),
+              |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM counts),
+              |base AS (
+              |  SELECT lang, n_tokens,
+              |    ($BudgetSlots * n_tokens) // (SELECT t FROM tot) AS base_quota,
+              |    ($BudgetSlots * n_tokens) % (SELECT t FROM tot) AS rem
+              |  FROM counts),
+              |rk AS (
+              |  SELECT *,
+              |    $BudgetSlots - SUM(base_quota) OVER () AS r,
+              |    row_number() OVER (ORDER BY rem DESC, lang) AS rk
+              |  FROM base)
+              |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+              |  CAST(base_quota AS BIGINT) AS base_quota,
+              |  CAST(CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT) AS extra,
+              |  CAST(base_quota + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT) AS alloc
+              |FROM rk""".stripMargin))
 
   /** Percentile-rank normalization per source — the cross-source
     * comparability step before any global threshold touches

@@ -1202,13 +1202,65 @@ object DedupQueries {
            |  CAST(($hitPred) AND fp IN (SELECT fp FROM cfp) AS BIGINT) AS exact_dup
            |FROM p WHERE is_batch""".stripMargin
       })
-  ) :+ lshEvalDef
+  ) :+ lshEvalDef :+ editDistanceDef
 
   /** `dedup_bloom_probe` sizing: m = 2^20 bits (128 KB bitmap), k = 4
     * positions per fingerprint — false-positive rate (kn/m)^k ≈ 1e-11
     * at testdata corpus sizes, ~0.02 at n = 10M per bitmap shard. */
   private[graft] def BloomM: Int = 1 << 20
   private[graft] def BloomK: Int = 4
+
+  /** `dedup_edit_distance` report threshold: 90% character-level
+    * similarity marks a pair an edit-level duplicate. */
+  private[graft] def EditSimPpm: Long = 900000L
+
+  /** Edit-distance verification of LSH candidates — the
+    * character-level fuzzy-dup metric where Jaccard's bag-of-shingles
+    * is blind: token REORDERING keeps shingle sets close while
+    * levenshtein exposes it, and small in-word edits (OCR noise,
+    * diacritics) shred shingles while levenshtein stays small. The
+    * quadratic-per-pair O(len²) cost is exactly why it only ever runs
+    * on LSH candidates (never the corpus cross); texts flow through
+    * the SAME normalization as exact dedup (NFC → lower → whitespace
+    * collapse) so the two metrics disagree only on content. Reports
+    * every candidate with its distance, similarity ppm
+    * ((mx − lev)·1e6 div mx, exact integers), and the ≥ 90% dup flag
+    * rather than filtering — the query IS the metric audit. Both
+    * engines' levenshtein is the standard unit-cost edit distance. */
+  private[graft] def editDistanceDef: QueryDef =
+    QueryDef("dedup_edit_distance",
+      (s, dir) => {
+        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
+        val norm = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_replace(lower(nfcNormalize(col("text"))), "\\s+", " ").as("nt"))
+        lshCandidates(sh)
+          .join(norm.as("a"), col("doc_a") === col("a.doc_id"))
+          .join(norm.as("b"), col("doc_b") === col("b.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("a.nt"), col("b.nt")).cast("long").as("lev"),
+            greatest(length(col("a.nt")), length(col("b.nt"))).cast("long").as("mx"))
+          .select(col("doc_a"), col("doc_b"), col("lev"),
+            expr("((mx - lev) * 1000000) div mx").as("sim_ppm"))
+          .withColumn("is_dup",
+            when(col("sim_ppm") >= EditSimPpm, 1L).otherwise(0L))
+      },
+      Some(s"""$shCte,
+              |$candCteSql,
+              |nt AS (
+              |  SELECT doc_id,
+              |    regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g') AS nt
+              |  FROM documents),
+              |m AS (
+              |  SELECT doc_a, doc_b,
+              |    CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS lev,
+              |    CAST(greatest(length(a.nt), length(b.nt)) AS BIGINT) AS mx
+              |  FROM cand JOIN nt a ON a.doc_id = doc_a JOIN nt b ON b.doc_id = doc_b)
+              |SELECT doc_a, doc_b, lev,
+              |  CAST(((mx - lev) * 1000000) // mx AS BIGINT) AS sim_ppm,
+              |  CAST(CASE WHEN ((mx - lev) * 1000000) // mx >= $EditSimPpm
+              |    THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+              |FROM m""".stripMargin))
 
   /** LSH discovery recall eval — `ann_recall_eval`'s sibling for the
     * dedup stack: precision of the MinHash-LSH path is 1.0 by

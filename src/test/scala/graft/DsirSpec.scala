@@ -67,6 +67,26 @@ class DsirSpec extends SparkSuite {
     }
   }
 
+  test("token_budget_apportion: allocations are integers summing to EXACTLY B") {
+    import spark.implicits._
+    val d = tmpDir("apportion")
+    // three languages with equal thirds — the float-proportional split
+    // would give 333333.33…, the classic drift case Hamilton's method
+    // exists for
+    val rows = (0L until 9L).map(i =>
+      (i, "one two three four five", Seq("aa", "bb", "cc")((i % 3).toInt), "s", 23L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = CurationQueries.defs.find(_.name == "token_budget_apportion").get
+      .fn(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._4).sum == 1000000L, s"allocations must sum to B: ${out.toSeq}")
+    assert(out.map(_._2).forall(_ == 333333L))
+    assert(out.map(_._3).sum == 1L) // one remainder seat
+    // deterministic seat assignment: equal remainders break by lang asc
+    assert(out.find(_._3 == 1L).get._1 == "aa")
+  }
+
   test("planted two-domain corpus: target-vocabulary docs outscore off-target") {
     import spark.implicits._
     val d = tmpDir("dsir")

@@ -38,6 +38,29 @@ class SetSimSpec extends SparkSuite {
     assert(nPrefix > 0)
   }
 
+  test("dedup_edit_distance: one-char OCR noise flags, real dups score high") {
+    import spark.implicits._
+    val d = tmpDir("editdist")
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val rows = Seq(
+      (0L, base, "en", "s", base.length.toLong),
+      // one-character in-word edit (OCR-style): shingles break at 3
+      // windows but the char distance is 1 → edit-level dup
+      (1L, base.replaceFirst("quick", "quzck"), "en", "s", base.length.toLong),
+      // unrelated filler so the corpus isn't a single LSH bucket
+      (2L, "completely different content about databases and queries", "en", "s", 56L),
+      (3L, "yet another unrelated document with its own words", "en", "s", 49L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = DedupQueries.defs.find(_.name == "dedup_edit_distance").get
+      .fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(4))).toMap
+    spark.catalog.clearCache()
+    assert(out.contains((0L, 1L)), s"noisy twin not an LSH candidate: $out")
+    val (lev, isDup) = out((0L, 1L))
+    assert(lev == 1L && isDup == 1L, s"lev=$lev isDup=$isDup")
+  }
+
   test("boundary pair: J exactly at tau is found, just below is not") {
     import spark.implicits._
     // sets over elements e1..e10 as one-token "shingles": A = e1..e9,
