@@ -797,10 +797,65 @@ object EventQueries {
              |    THEN 1 ELSE 0 END AS BIGINT) AS shifted
              |FROM tr JOIN mom ON mom.event_type = tr.event_type
              |WHERE tr.pos >= 6""".stripMargin))
-  )
+  ) :+ conversionLatencyDef
 
   /** `attribution_linear` lookback window: 7 days in epoch micros. */
   private[graft] def AttrWindowUs: Long = 7L * 86400L * 1000000L
+
+  /** Conversion-latency distribution by click day-of-week — the
+    * report a growth/attribution team reads next to the funnel: for
+    * clicks that DO convert ([[asof_forward]]'s strictly-next purchase
+    * contract, re-derived with the same one-window no-join shape),
+    * exact median and p90 of the click→purchase latency, segmented by
+    * the click's day of week. The weekday comes from pure epoch-day
+    * integer arithmetic — (epoch_days + 4) % 7, 0 = Monday — never a
+    * timezone/locale function two engines could disagree on; the
+    * quantiles ride the established percentile ↔ quantile_cont
+    * round-6 contract (approx_percentile is the documented at-scale
+    * swap, `quantile_stats`). One user-keyed window + one 7-key
+    * aggregate. */
+  private[graft] def conversionLatencyDef: QueryDef =
+    QueryDef("conversion_latency",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(1L, Window.unboundedFollowing)
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("next_us",
+            first(when(col("event_type") === "purchase", unix_micros(col("ts"))),
+              ignoreNulls = true).over(byUser))
+          .filter(col("event_type") === "click" && col("next_us").isNotNull)
+          .select(
+            expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("dow"),
+            // WHOLE SECONDS before the percentile: quantile interpolation
+            // on epoch-micro magnitudes (~1e11) differs between engines
+            // in the last ulp, which round-6 cannot absorb — the sf0.01
+            // gate caught a .49994-vs-.5 boundary on dow=5. Seconds keep
+            // values ≤ ~1e6 where the round-6 contract provably holds
+            // (quantile_stats).
+            expr("(next_us - unix_micros(ts)) div 1000000").as("lat_s"))
+          .groupBy(col("dow"))
+          .agg(count(lit(1)).as("n"),
+            round(expr("percentile(lat_s, 0.5)"), 6).as("median_lat_s"),
+            round(expr("percentile(lat_s, 0.9)"), 6).as("p90_lat_s"))
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events WHERE event_type = 'purchase'),
+             |nxt AS (
+             |  SELECT c.event_id, c.us,
+             |    min(p.us) AS next_us
+             |  FROM c JOIN p ON p.user_id = c.user_id
+             |    AND (p.us > c.us OR (p.us = c.us AND p.event_id > c.event_id))
+             |  GROUP BY 1, 2)
+             |SELECT ((us // 86400000000) + 4) % 7 AS dow, COUNT(*) AS n,
+             |  round(quantile_cont((next_us - us) // 1000000, 0.5), 6) AS median_lat_s,
+             |  round(quantile_cont((next_us - us) // 1000000, 0.9), 6) AS p90_lat_s
+             |FROM nxt GROUP BY 1""".stripMargin))
 
   /** `session_paths` result size. */
   private[graft] def PathTopK: Int = 20
