@@ -610,7 +610,10 @@ class PlanAuditSpec extends SparkSuite {
         "session_concurrency",
         // serial tier window over the |distinct-freq| frame (nucleus
         // cut — per-token work is tier/bucket-partitioned)
-        "vocab_top_p")
+        "vocab_top_p",
+        // Hamilton remainder ranking over the |languages|-row frame —
+        // the corpus collapses to per-language counts first
+        "token_budget_apportion")
       val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
         try {
           if (funnels(SparkEntry.queries(name)(spark, dir))) Some(name) else None
