@@ -32,9 +32,16 @@ object TextFunctions {
   /** Deterministic 60-bit hash usable identically from any engine with
     * md5: interpret the first 15 hex chars of md5(salt ++ ":" ++ value)
     * as an unsigned integer (always fits a positive Long).
-    * DuckDB equivalent: `CAST(('0x' || substr(md5(...),1,15)) AS BIGINT)`. */
+    * DuckDB equivalent: `CAST(('0x' || substr(md5(...),1,15)) AS BIGINT)`.
+    *
+    * Evaluated by the native codegen'd
+    * [[org.apache.spark.sql.graft.PortableHashExpr]] — same value as
+    * the composed `conv(substring(md5(concat(...)),1,15),16,10)` chain
+    * (parity pinned in ExpressionsSpec) but digest-to-long directly,
+    * with no per-row hex string. This hash underlies every
+    * shingle/minhash/band/bloom/split computation. */
   def portableHash(value: Column, salt: Int): Column =
-    conv(substring(md5(concat(lit(s"$salt:"), value)), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graft.VectorExpressions.phashNative(value, salt)
 
   /** SQL text of [[portableHash]] for DuckDB oracles. */
   def portableHashSql(valueSql: String, salt: Int): String =

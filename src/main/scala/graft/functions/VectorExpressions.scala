@@ -123,6 +123,65 @@ object NfcNormalizeExpr {
   }
 }
 
+/** Native portable hash — the engine's cross-engine md5-derived 60-bit
+  * hash (`graft.functions.TextFunctions.portableHash`), computed
+  * without the composed chain's intermediate materializations. The
+  * composed form (`conv(substring(md5(concat(...)), 1, 15), 16, 10)`)
+  * builds a 32-char hex STRING per row, substrings it, and re-parses
+  * the digits; this expression digests the salt prefix + value bytes
+  * and assembles the same 60-bit integer (the first 15 hex chars ARE
+  * the first 7.5 digest bytes) with eight shifts — no hex string ever
+  * exists. The hash sits under every shingle/minhash/band/bloom/split
+  * computation in the engine, so this is the hottest scalar in the
+  * dedup stack. Value-identical to the composed form by construction
+  * (parity property-pinned in ExpressionsSpec over unicode inputs) —
+  * every DuckDB oracle is untouched.
+  */
+case class PortableHashExpr(child: Expression, salt: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_phash"
+
+  private lazy val prefix: Array[Byte] =
+    s"$salt:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override protected def nullSafeEval(v: Any): Any =
+    PortableHashExpr.hash(prefix, v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val prefixRef = ctx.addReferenceObj("phashPrefix", prefix, "byte[]")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.PortableHashExpr.hash($prefixRef, $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PortableHashExpr =
+    copy(child = newChild)
+}
+
+object PortableHashExpr {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Static so generated code calls it without capturing `this`.
+    * Returns the integer value of the digest's first 15 hex digits:
+    * bytes 0..6 in full plus the high nibble of byte 7. */
+  def hash(prefix: Array[Byte], s: UTF8String): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    md.update(prefix)
+    md.update(s.getBytes)
+    val b = md.digest()
+    ((b(0) & 0xffL) << 52) | ((b(1) & 0xffL) << 44) |
+      ((b(2) & 0xffL) << 36) | ((b(3) & 0xffL) << 28) |
+      ((b(4) & 0xffL) << 20) | ((b(5) & 0xffL) << 12) |
+      ((b(6) & 0xffL) << 4) | ((b(7) & 0xffL) >>> 4)
+  }
+}
+
 object VectorExpressions {
   /** Column API for [[DotProductExpr]]. */
   def dotNative(a: Column, b: Column): Column =
@@ -132,4 +191,8 @@ object VectorExpressions {
   /** Column API for [[NfcNormalizeExpr]]. */
   def nfcNative(c: Column): Column =
     ExpressionUtils.column(NfcNormalizeExpr(ExpressionUtils.expression(c)))
+
+  /** Column API for [[PortableHashExpr]]. */
+  def phashNative(c: Column, salt: Int): Column =
+    ExpressionUtils.column(PortableHashExpr(ExpressionUtils.expression(c), salt))
 }

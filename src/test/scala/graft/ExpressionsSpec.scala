@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Pins the native PortableHashExpr against its contracts: value
+  * parity with the composed conv/substring/md5 chain it replaced (the
+  * DuckDB oracles encode that chain, so parity here IS oracle
+  * correctness for every hash consumer), parity with the JVM twin, and
+  * whole-stage-codegen participation.
+  */
+class ExpressionsSpec extends SparkSuite {
+
+  private val inputs = Seq(
+    "", "a", "the fast key", "42", "user7",
+    "café", "café", // composed vs decomposed accents (distinct inputs!)
+    "中文处理", "emoji 😀 tail",
+    "line\nbreak\ttab", "sp  aces   ", "0" * 200)
+
+  test("native hash equals the composed md5 chain on unicode inputs, all salts") {
+    import spark.implicits._
+    for (salt <- Seq(0, 1, 13, 21, 37, 41, 43, 47, 71, 97, 101, 103)) {
+      val rows = inputs.toDF("v")
+        .select(
+          TextFunctions.portableHash(col("v"), salt).as("native"),
+          conv(substring(md5(concat(lit(s"$salt:"), col("v"))), 1, 15), 16, 10)
+            .cast("long").as("composed"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"salt=$salt native=${r.getLong(0)} composed=${r.getLong(1)}"))
+    }
+  }
+
+  test("native hash equals the JVM twin") {
+    import spark.implicits._
+    val fromCol = inputs.toDF("v")
+      .select(TextFunctions.portableHash(col("v"), 71))
+      .collect().map(_.getLong(0)).toSeq
+    assert(fromCol == inputs.map(TextFunctions.portableHashJvm(_, 71)))
+  }
+
+  test("native hash participates in whole-stage codegen") {
+    // a real parquet scan: local relations constant-fold the projection
+    // away (ConvertToLocalRelation), hiding the codegen question
+    val df = spark.read.parquet(sf("documents"))
+      .select(TextFunctions.portableHash(col("text"), 71).as("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the `*(n)` prefix is the executed plan's whole-stage-codegen marker
+    assert(plan.linesIterator.next().startsWith("*("), plan)
+    assert(df.queryExecution.analyzed.toString.contains("graft_phash"),
+      df.queryExecution.analyzed.toString)
+    // and it actually runs compiled (collect exercises the generated path)
+    assert(df.collect().length == 500)
+  }
+}
