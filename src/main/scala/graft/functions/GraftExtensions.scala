@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.nfcFunction)
+    ext.injectFunction(GraftExtensions.phashFunction)
+    // whole-operator extension: lowers the custom AsOfJoinPlan node
+    // (graft.plans.AsOf) during optimization
+    ext.injectOptimizerRule(session =>
+      RewriteAsOfJoin(session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]))
   }
 }
 
@@ -51,11 +56,29 @@ object GraftExtensions {
   private[graft] val nfcFunction =
     (FunctionIdentifier("graft_nfc"), nfcInfo, (children: Seq[Expression]) => buildNfc(children))
 
+  private val phashInfo = new ExpressionInfo(
+    classOf[PortableHashExpr].getCanonicalName, "graft_phash")
+
+  private def buildPhash(children: Seq[Expression]): Expression = {
+    require(children.size == 2, s"graft_phash expects 2 arguments, got ${children.size}")
+    val salt = children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_phash salt must be an integer literal, got $other")
+    }
+    PortableHashExpr(children.head, salt)
+  }
+
+  private[graft] val phashFunction =
+    (FunctionIdentifier("graft_phash"), phashInfo, (children: Seq[Expression]) => buildPhash(children))
+
   /** Register the engine's SQL functions into an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_dot", build, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_nfc", buildNfc, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_phash", buildPhash, "built-in")
   }
 }

@@ -796,7 +796,49 @@ object EventQueries {
              |  CAST(CASE WHEN (n * t6 - 6 * s) * (n * t6 - 6 * s) > 9 * 6 * (n * ss - s * s)
              |    THEN 1 ELSE 0 END AS BIGINT) AS shifted
              |FROM tr JOIN mom ON mom.event_type = tr.event_type
-             |WHERE tr.pos >= 6""".stripMargin))
+             |WHERE tr.pos >= 6""".stripMargin)),
+
+    // The CUSTOM-PLAN as-of join — the same last-touch semantics as
+    // `asof_attribution`, but expressed through the engine's
+    // whole-operator extension ([[graft.plans.AsOf]]: a first-class
+    // AsOfJoinPlan logical node lowered by an injected optimizer rule
+    // into the key-partitioned windowed-join form). Sharing
+    // asof_attribution's oracle makes the driver gate a THREE-way
+    // agreement: single-table window form, custom-plan lowering, and
+    // DuckDB's ranked join must all land on identical rows — the
+    // correctness proof for the extension machinery itself.
+    QueryDef("asof_plan_node",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("purchase_us"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_event_id"), col("user_id").as("c_user"),
+            unix_micros(col("ts")).as("click_us"))
+        graft.plans.AsOf.join(p, c,
+            leftKey = "user_id", rightKey = "c_user",
+            leftTime = "purchase_us", rightTime = "click_us",
+            leftId = "event_id", rightId = "click_event_id")
+          .select(col("event_id"), col("user_id"), col("purchase_us"),
+            col("click_event_id"), col("click_us"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'click'),
+             |ranked AS (
+             |  SELECT p.event_id, c.event_id AS c_id, c.ts AS c_ts,
+             |    row_number() OVER (PARTITION BY p.event_id
+             |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+             |  FROM p JOIN c ON c.user_id = p.user_id
+             |    AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id)))
+             |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+             |  r.c_id AS click_event_id, epoch_us(r.c_ts) AS click_us
+             |FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+             |  ON r.event_id = p.event_id""".stripMargin))
   ) :+ conversionLatencyDef
 
   /** `attribution_linear` lookback window: 7 days in epoch micros. */
