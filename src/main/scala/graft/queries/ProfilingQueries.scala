@@ -210,6 +210,92 @@ object ProfilingQueries {
              |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
              |FROM documents GROUP BY lang, $splitSql""".stripMargin)),
 
+    // EXACT-COUNT stratified split — what `split_assign`'s hash-coin
+    // cannot give: per language, train/val/test sizes that hit the
+    // 80/10/10 targets EXACTLY (a 500-doc eval set that is actually
+    // 500, per stratum). Targets per language come from Hamilton's
+    // largest-remainder method over the three weights (integers
+    // summing to n_l by construction — `token_budget_apportion`'s
+    // algorithm at 3 seats); membership comes from each doc's rank in
+    // a deterministic content-hash order within its language, so the
+    // split is reproducible and stable under partitioning. Ranking
+    // avoids the per-language window funnel via the engine's
+    // histogram-offset discipline: docs land in 1024 hash buckets,
+    // per-(lang, bucket) counts build cumulative offsets over a TINY
+    // frame, and row_number runs per (lang, bucket) — parallelism
+    // scales with corpus size, never capped at |languages|. Output is
+    // the per-(lang, split) accounting the gate can hash.
+    QueryDef("split_stratified_exact",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = graft.functions.TextFunctions
+          .portableHash(col("doc_id").cast("string"), 53)
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), h.as("h"))
+          .withColumn("b", expr("h div 1125899906842624")) // 2^50 → 1024 buckets
+        val offsets = docs.groupBy(col("lang"), col("b")).agg(count(lit(1)).as("c"))
+          .withColumn("off", coalesce(sum(col("c")).over(
+            Window.partitionBy(col("lang")).orderBy(col("b"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("n_l", sum(col("c")).over(Window.partitionBy(col("lang"))))
+        val ranked = docs.join(offsets, Seq("lang", "b"))
+          .withColumn("rk", col("off") + row_number().over(
+            Window.partitionBy(col("lang"), col("b")).orderBy(col("h"), col("doc_id"))))
+        // Hamilton at 3 parts with weights 80/10/10: bases, then the
+        // r = n_l - Σbase leftover seats (0..2) go by remainder rank
+        // with the deterministic tie order train > val > test
+        ranked
+          .withColumn("base_tr", expr("(n_l * 80) div 100"))
+          .withColumn("base_va", expr("(n_l * 10) div 100"))
+          .withColumn("base_te", expr("(n_l * 10) div 100"))
+          .withColumn("r", col("n_l") - col("base_tr") - col("base_va") - col("base_te"))
+          .withColumn("rem_tr", expr("(n_l * 80) % 100"))
+          .withColumn("rem_va", expr("(n_l * 10) % 100"))
+          .withColumn("rem_te", expr("(n_l * 10) % 100"))
+          // seat ranks: train first on ties (rem_tr >= others), then val, then test
+          .withColumn("seat_tr", expr(
+            "CASE WHEN r >= 1 + (CASE WHEN rem_va > rem_tr THEN 1 ELSE 0 END) + (CASE WHEN rem_te > rem_tr THEN 1 ELSE 0 END) THEN 1 ELSE 0 END"))
+          .withColumn("seat_va", expr(
+            "CASE WHEN r >= 1 + (CASE WHEN rem_tr >= rem_va THEN 1 ELSE 0 END) + (CASE WHEN rem_te > rem_va THEN 1 ELSE 0 END) THEN 1 ELSE 0 END"))
+          .withColumn("n_tr", col("base_tr") + col("seat_tr"))
+          .withColumn("n_va", col("base_va") + col("seat_va"))
+          .withColumn("split",
+            when(col("rk") <= col("n_tr"), "train")
+              .when(col("rk") <= col("n_tr") + col("n_va"), "val")
+              .otherwise("test"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      },
+      Some {
+        val h = graft.functions.TextFunctions
+          .portableHashSql("CAST(doc_id AS VARCHAR)", 53)
+        s"""WITH d AS (
+           |  SELECT doc_id, lang, $h AS h FROM documents),
+           |rk AS (
+           |  SELECT doc_id, lang,
+           |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk,
+           |    COUNT(*) OVER (PARTITION BY lang) AS n_l
+           |  FROM d),
+           |t AS (
+           |  SELECT *,
+           |    (n_l * 80) // 100 AS base_tr, (n_l * 10) // 100 AS base_va,
+           |    (n_l * 10) // 100 AS base_te,
+           |    (n_l * 80) % 100 AS rem_tr, (n_l * 10) % 100 AS rem_va,
+           |    (n_l * 10) % 100 AS rem_te,
+           |    n_l - (n_l * 80) // 100 - 2 * ((n_l * 10) // 100) AS r
+           |  FROM rk),
+           |s AS (
+           |  SELECT doc_id, lang, rk,
+           |    base_tr + (CASE WHEN r >= 1 + (CASE WHEN rem_va > rem_tr THEN 1 ELSE 0 END) + (CASE WHEN rem_te > rem_tr THEN 1 ELSE 0 END) THEN 1 ELSE 0 END) AS n_tr,
+           |    base_va + (CASE WHEN r >= 1 + (CASE WHEN rem_tr >= rem_va THEN 1 ELSE 0 END) + (CASE WHEN rem_te > rem_va THEN 1 ELSE 0 END) THEN 1 ELSE 0 END) AS n_va
+           |  FROM t)
+           |SELECT lang,
+           |  CASE WHEN rk <= n_tr THEN 'train'
+           |       WHEN rk <= n_tr + n_va THEN 'val' ELSE 'test' END AS split,
+           |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+           |FROM s GROUP BY 1, 2""".stripMargin
+      }),
+
     // Z-order (Morton) clustering key — the multi-dimensional data
     // LAYOUT lever: sort-by-z before a range-partitioned write gives
     // every file a small bounding box in (customer, day) space, so

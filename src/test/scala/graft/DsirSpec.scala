@@ -67,6 +67,28 @@ class DsirSpec extends SparkSuite {
     }
   }
 
+  test("split_stratified_exact: per-language counts hit Hamilton targets") {
+    import spark.implicits._
+    val d = tmpDir("strat")
+    // lang aa: 7 docs → 80/10/10 bases are 5/0/0 with two leftover
+    // seats; remainders (60, 70, 70) seat val and test → 5/1/1.
+    // lang bb: 10 docs → exact 8/1/1, no leftovers.
+    val rows = (0L until 7L).map(i => (i, s"doc $i", "aa", "s", 10L)) ++
+      (100L until 110L).map(i => (i, s"doc $i", "bb", "s", 10L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val q = queries.ProfilingQueries.defs.find(_.name == "split_stratified_exact").get
+    val out = q.fn(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("aa", "train")) == 5L && out(("aa", "val")) == 1L && out(("aa", "test")) == 1L, out)
+    assert(out(("bb", "train")) == 8L && out(("bb", "val")) == 1L && out(("bb", "test")) == 1L, out)
+    // deterministic across runs
+    assert(q.fn(spark, d).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet ==
+      q.fn(spark, d).collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet)
+  }
+
   test("token_budget_apportion: allocations are integers summing to EXACTLY B") {
     import spark.implicits._
     val d = tmpDir("apportion")
