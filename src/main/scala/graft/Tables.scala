@@ -51,7 +51,7 @@ object Tables {
       case other =>
         throw new IllegalArgumentException(
           s"events.ts: unsupported physical type $other (expected " +
-            "INT64 nanos, TIMESTAMP, or TIMESTAMP_NTZ) in $dir/events.parquet")
+            s"INT64 nanos, TIMESTAMP, or TIMESTAMP_NTZ) in $dir/events.parquet")
     }
   }
 }

@@ -32,7 +32,11 @@ import org.apache.spark.sql.functions._
   * `experimental.extraOptimizations` install; cluster SQL users get
   * the same rule via [[GraftExtensions]]'s injectOptimizerRule).
   * Column names across the two sides must be disjoint — the operator's
-  * output is their concatenation.
+  * output is their concatenation. `leftId` must uniquely identify a
+  * left row WITHIN its key (the natural event-id-per-entity contract);
+  * the lowering's rank window partitions on (key, id), so duplicate
+  * ids under different keys are fine, while a duplicate (key, id)
+  * pair would collapse to one output row.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -72,7 +76,12 @@ case class RewriteAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
             (col(s"gr.$rt") === col(s"gl.$lt") &&
               col(s"gr.$rid") < col(s"gl.$lid"))),
         "left_outer")
-      val w = Window.partitionBy(col(s"gl.$lid"))
+      // partition by (key, id), not id alone: leftId's uniqueness
+      // contract is WITHIN its key (event ids per entity) — two left
+      // rows under different keys may legitimately share an id value,
+      // and an id-only partition would silently collapse them into one
+      // output row
+      val w = Window.partitionBy(col(s"gl.$lk"), col(s"gl.$lid"))
         .orderBy(col(s"gr.$rt").desc_nulls_last, col(s"gr.$rid").desc_nulls_last)
       val rewritten = joined
         .withColumn("__graft_asof_rn", row_number().over(w))

@@ -168,33 +168,13 @@ object EventQueries {
     // twin of streaming session windows; one shuffle on user_id, window
     // work stays within the user partition.
     QueryDef("sessionize",
-      (s, dir) => {
-        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        Tables.events(s, dir)
-          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
-          .withColumn("new_session",
-            when(col("prev_us").isNull ||
-              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
-          .withColumn("session_seq", sum(col("new_session")).over(
-            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy(col("user_id"), col("session_seq"))
-          .agg(
-            count(lit(1)).as("n_events"),
-            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
-            sum(QueryDef.cents(col("value"))).as("session_value_cents"))
-      },
-      Some(s"""WITH flagged AS (
-             |  SELECT user_id, event_id, ts, value,
-             |    CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
-             |      OR epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
-             |    THEN 1 ELSE 0 END AS new_session
-             |  FROM events
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
-             |), sessions AS (
-             |  SELECT user_id, ts, value,
-             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-             |  FROM flagged)
+      (s, dir) => sessionized(Tables.events(s, dir))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          sum(QueryDef.cents(col("value"))).as("session_value_cents")),
+      Some(s"""WITH $sessCteSql, sessions AS (SELECT * FROM sess)
              |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
              |  strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
              |  CAST(SUM(${QueryDef.centsSql("value")}) AS BIGINT) AS session_value_cents
@@ -533,14 +513,8 @@ object EventQueries {
     // global-sort formulation — an independent algorithm, same maxima.
     QueryDef("session_concurrency",
       (s, dir) => {
-        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val runW = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val sessions = Tables.events(s, dir)
+        val sessions = sessionized(Tables.events(s, dir))
           .withColumn("us", unix_micros(col("ts")))
-          .withColumn("new_session",
-            when(lag(col("us"), 1).over(byUser).isNull ||
-              col("us") - lag(col("us"), 1).over(byUser) > 1800000000L, 1L).otherwise(0L))
-          .withColumn("session_seq", sum(col("new_session")).over(runW))
           .groupBy(col("user_id"), col("session_seq"))
           .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
         val deltas = sessions.select(col("s_us").as("t"), lit(1L).as("d"))
@@ -556,21 +530,10 @@ object EventQueries {
           .withColumn("carry", coalesce(sum(col("net")).over(serial), lit(0L)))
           .select(col("day"), (col("peak_in") + col("carry")).as("peak_concurrency"))
       },
-      Some("""WITH flagged AS (
-             |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-             |    CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
-             |      OR epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
-             |    THEN 1 ELSE 0 END AS new_session
-             |  FROM events
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
-             |), numbered AS (
-             |  SELECT user_id, epoch_us(ts) AS us,
-             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-             |  FROM flagged),
+      Some(s"""WITH $sessCteSql,
              |sessions AS (
              |  SELECT user_id, session_seq, min(us) AS s_us, max(us) AS e_us
-             |  FROM numbered GROUP BY 1, 2),
+             |  FROM sess GROUP BY 1, 2),
              |deltas AS (
              |  SELECT s_us AS t, 1 AS d FROM sessions
              |  UNION ALL SELECT e_us, -1 FROM sessions),
@@ -654,14 +617,7 @@ object EventQueries {
     // streaming/EventStreams before this query.
     QueryDef("session_paths",
       (s, dir) => {
-        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        Tables.events(s, dir)
-          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
-          .withColumn("new_session",
-            when(col("prev_us").isNull ||
-              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
-          .withColumn("session_seq", sum(col("new_session")).over(
-            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sessionized(Tables.events(s, dir))
           .groupBy(col("user_id"), col("session_seq"))
           .agg(array_sort(collect_list(struct(
             unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
@@ -672,21 +628,10 @@ object EventQueries {
           .orderBy(col("n_sessions").desc, col("path"))
           .limit(EventQueries.PathTopK)
       },
-      Some(s"""WITH flagged AS (
-              |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
-              |    CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
-              |      OR epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
-              |    THEN 1 ELSE 0 END AS new_session
-              |  FROM events
-              |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
-              |), sessions AS (
-              |  SELECT user_id, event_id, ts, event_type,
-              |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-              |  FROM flagged),
+      Some(s"""WITH $sessCteSql,
               |paths AS (
               |  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
-              |  FROM sessions GROUP BY user_id, session_seq)
+              |  FROM sess GROUP BY user_id, session_seq)
               |SELECT path, COUNT(*) AS n_sessions
               |FROM paths GROUP BY 1
               |ORDER BY n_sessions DESC, path LIMIT ${EventQueries.PathTopK}""".stripMargin)),
@@ -840,6 +785,46 @@ object EventQueries {
              |FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
              |  ON r.event_id = p.event_id""".stripMargin))
   ) :+ conversionLatencyDef
+
+  /** THE 30-minute-gap sessionization contract — ONE definition
+    * (lag → new-session flag → running sum over the (ts, event_id)
+    * user window) shared by `sessionize`, `session_concurrency`, and
+    * `session_paths`: a report that re-derived sessions could silently
+    * diverge from the sessions it claims to explain. Adds `session_seq`
+    * (1-based per user) and carries every input column. One shuffle on
+    * user_id; keep [[sessCteSql]] in lockstep term-for-term. */
+  private[graft] def sessionized(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_us", "new_session")
+  }
+
+  private[graft] def SessionGapUs: Long = 1800000000L
+
+  /** DuckDB twin of [[sessionized]]: CTE list ending in `sess`
+    * (user_id, event_id, ts TIMESTAMP, event_type, value, us,
+    * session_seq). A def, not a val: it is interpolated into oracle
+    * strings at `defs` init, which runs before this object's later
+    * vals (the round-7 init-order gotcha). */
+  private[graft] def sessCteSql: String =
+    """flagged AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+      |    CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+      |      OR epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, ts, event_type, value, epoch_us(ts) AS us,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged)""".stripMargin
 
   /** `attribution_linear` lookback window: 7 days in epoch micros. */
   private[graft] def AttrWindowUs: Long = 7L * 86400L * 1000000L

@@ -44,14 +44,35 @@ object EventStreams {
     * microsecond `TimestampType` column, matching the batch path
     * ([[graft.Tables.events]]). Pass `Some(true)` to force the legacy
     * nanos-as-long decode, `Some(false)` to skip the probe for ordinary
-    * Spark-written timestamp parquet. */
+    * Spark-written timestamp parquet.
+    *
+    * The probe tolerates a missing/empty directory (the normal
+    * consumer-before-producer stream deployment order) by falling back
+    * to the standard `TimestampType` schema and letting the stream
+    * wait for files — a legacy nanos producer that starts AFTER the
+    * consumer must state `Some(true)` explicitly, since no footer
+    * existed to detect it from. The `nanosAsLong` session conf is set
+    * only on the paths that read nano footers (probe and forced-nanos)
+    * — never as a side effect of an ordinary timestamp stream. */
   def readEventStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Int = 4, nanosTs: Option[Boolean] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def enableNanosDecode(): Unit =
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tsType: DataType = nanosTs match {
-      case Some(true)  => LongType
+      case Some(true) =>
+        enableNanosDecode()
+        LongType
       case Some(false) => TimestampType
-      case None        => spark.read.parquet(dir).schema("ts").dataType
+      case None =>
+        enableNanosDecode() // the probe itself must survive nano footers
+        try spark.read.parquet(dir).schema("ts").dataType
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getErrorClass != null &&
+                (e.getErrorClass.startsWith("PATH_NOT_FOUND") ||
+                  e.getErrorClass.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+            TimestampType
+        }
     }
     def stream(withTs: DataType): DataFrame = spark.readStream
       .schema(StructType(eventSchema.map {

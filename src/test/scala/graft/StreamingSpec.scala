@@ -715,6 +715,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("readEventStream on an empty/missing dir: waits for files instead of throwing") {
+    import spark.implicits._
+    // consumer-before-producer deployment order: the schema probe must
+    // fall back to the standard timestamp schema, not fail. (The
+    // directory itself must exist — Spark's file stream source checks
+    // the path at construction; what must NOT be required is a parquet
+    // footer inside it.)
+    val dir = tmpDir("stream_empty")
+    val q = EventStreams.hourlyCounts(EventStreams.readEventStream(spark, dir))
+      .writeStream.format("memory").queryName("empty_start").outputMode("update").start()
+    try {
+      q.processAllAvailable() // no files: no batches, no failure
+      assert(spark.table("empty_start").isEmpty)
+      // the producer arrives late; the stream picks its file up
+      Seq((1L, ts(5), 1L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(dir)
+      q.processAllAvailable()
+      assert(spark.table("empty_start").count() == 1)
+    } finally q.stop()
+  }
+
+  test("readEventStream(Some(false)) does not flip the session-wide nanos conf") {
+    val saved = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try {
+      val dir = tmpDir("stream_conf")
+      spark.range(1).selectExpr("id AS event_id", "current_timestamp() AS ts",
+          "id AS user_id", "'click' AS event_type", "0.0 AS value", "'{}' AS props")
+        .write.mode("overwrite").parquet(dir)
+      EventStreams.readEventStream(spark, dir, nanosTs = Some(false))
+      // unset → the registered default "false"; the construction must
+      // not have flipped it to "true" session-wide
+      assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false",
+        "ordinary-timestamp stream construction must not set the legacy conf")
+    } finally saved.foreach(spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", _))
+  }
+
   test("portableHashJvm matches the column expression") {
     import spark.implicits._
     val vals = Seq("42", "user7", "the fast key")
