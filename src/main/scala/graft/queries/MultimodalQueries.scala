@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
 
 /** Multimodal decode/feature-extract/frame-sample plumbing
   * ([[graft.operators.Multimodal]]) exposed as driver-checkable queries.
@@ -39,6 +40,26 @@ object MultimodalQueries {
       Some(s"""$featsCte
               |SELECT doc_id, u.frame_idx,
               |  md5(fp || ':' || CAST(u.frame_idx AS VARCHAR)) AS frame_fp
-              |FROM feats, unnest(range(0, n_frames)) AS u(frame_idx)""".stripMargin))
+              |FROM feats, unnest(range(0, n_frames)) AS u(frame_idx)""".stripMargin)),
+
+    // CONTENT-HASH dedup of media payloads — the modality twin of
+    // `dedup_exact`: identical bytes (mirrored uploads, re-crawled
+    // assets) collapse on the payload fingerprint the decode pass
+    // already computed, per media type. The scale rules of the module
+    // hold: the 16-byte fp is the shuffle key, the payload itself
+    // never enters an exchange; the canonical survivor is the min
+    // doc_id (the corpus-stable pick). n_copies > 1 rows are the
+    // storage the dedup reclaims — at 100 TB of media that figure,
+    // not document text, dominates the bill.
+    QueryDef("multimodal_dedup",
+      (s, dir) => Multimodal.features(s, Tables(s, dir, "documents"))
+        .groupBy(col("media_type"), col("fp"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc"),
+          sum(col("byte_len")).as("bytes_total")),
+      Some(s"""$featsCte
+              |SELECT media_type, fp, COUNT(*) AS n_copies,
+              |  MIN(doc_id) AS keep_doc,
+              |  CAST(SUM(byte_len) AS BIGINT) AS bytes_total
+              |FROM feats GROUP BY 1, 2""".stripMargin))
   )
 }
