@@ -4,12 +4,13 @@
  * operators. graft.plans.AsOf re-exports the public API. */
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.Attribute
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeSet}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Custom WHOLE-OPERATOR extension — the (c) tier of the engine's
   * design rules (compose built-ins > custom Expression > custom
@@ -21,9 +22,15 @@ import org.apache.spark.sql.functions._
   * left row, the latest right row with the same key strictly before it
   * in ((time, id)) order, NULLs when none") and
   * [[RewriteAsOfJoin]] lowers it during OPTIMIZATION into the
-  * windowed-join form Catalyst already plans well (key-partitioned
-  * equi-join with a residual time predicate + per-left-row rank-1
-  * window — both sides shuffle once on the key at any scale).
+  * union-tag-window MERGE form (tag both sides, one shuffle on the
+  * key, `last(right-payload, ignoreNulls)` over the (time, id, side)
+  * ordered window, keep left rows) — LINEAR per key. The previously
+  * shipped lowering (left_outer join on key with a residual time
+  * predicate + rank-1) materialized a C×P intermediate per hot key
+  * before the rank filter; at 100 TB a power user with C clicks and
+  * P purchases turns that into a per-key quadratic blow-up. The merge
+  * form is the same algorithm `asof_attribution` uses
+  * (queries/EventQueries.scala) and never pairs rows at all.
   *
   * The node is self-resolving (output = children's attributes, right
   * side nullability widened) so analysis passes it through; planning
@@ -32,11 +39,13 @@ import org.apache.spark.sql.functions._
   * `experimental.extraOptimizations` install; cluster SQL users get
   * the same rule via [[GraftExtensions]]'s injectOptimizerRule).
   * Column names across the two sides must be disjoint — the operator's
-  * output is their concatenation. `leftId` must uniquely identify a
-  * left row WITHIN its key (the natural event-id-per-entity contract);
-  * the lowering's rank window partitions on (key, id), so duplicate
-  * ids under different keys are fine, while a duplicate (key, id)
-  * pair would collapse to one output row.
+  * output is their concatenation — and unique WITHIN each side too
+  * (the lowering resolves by name). `leftId` must uniquely identify a
+  * left row WITHIN its key (the natural event-id-per-entity contract)
+  * and should be non-null; `leftTime`/`rightTime` and
+  * `leftId`/`rightId` are compared against each other, so they must be
+  * of union-coercible types. Right rows with a NULL time never match
+  * (strictly-before is undefined), matching SQL three-valued logic.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -52,47 +61,87 @@ case class AsOfJoinPlan(
   // strip "unused" child columns the lowering still needs (observed:
   // the right key vanished when the final projection didn't select it).
   // Every child output is semantically referenced — say so.
-  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(left.output ++ right.output)
+  override def references: AttributeSet = AttributeSet(left.output ++ right.output)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
 }
 
-/** Lowers [[AsOfJoinPlan]] to the windowed-join form. Runs in the
-  * optimizer (the node resolves itself, so analysis needs no help);
-  * attribute identity is preserved by building the rewrite FROM the
-  * node's own children and projecting back to their attributes, so
-  * downstream operators' references stay valid. */
+/** Lowers [[AsOfJoinPlan]] to the union-tag-window merge form. Runs in
+  * the optimizer (the node resolves itself, so analysis needs no help).
+  *
+  * The merge: both sides project to an aligned shape
+  * `(left payload…, __k, __t, __i, __side, __r)` — left rows carry
+  * their payload, side 0, NULL right-struct; right rows carry NULL
+  * payload, side 1, their columns packed in `__r` — then ONE shuffle
+  * partitions the union by `__k`, and within each key the window
+  * ordered by `(__t asc_nulls_first, __i asc_nulls_last, __side)`
+  * carries `last(__r, ignoreNulls)` forward. The ordering encodes the
+  * STRICT before-ness exactly: a right row tied on both (time, id)
+  * sorts AFTER the left row (side 1 > 0) and is excluded; a right row
+  * tied on time with a NULL id sorts after every concrete left id
+  * (nulls_last) and is excluded, matching the old predicate's
+  * `rid < lid → NULL → no match`; a left row with a NULL time sorts
+  * before every (time-non-null) right row and matches nothing.
+  * Right rows with NULL time are filtered before the union — they can
+  * never satisfy strictly-before. Cost: linear in rows per key, no
+  * pairing anywhere; the payload columns ride the single exchange
+  * once (left key/time/id are duplicated into the routing columns —
+  * ~24 B/row — so union type-widening can never silently change the
+  * output column types).
+  *
+  * Attribute identity: the union mints fresh exprIds, so the rewrite
+  * re-anchors the result under a final [[Project]] whose aliases REUSE
+  * the node's original output exprIds — downstream operators'
+  * references stay valid without any re-analysis. */
 case class RewriteAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private val K = "__graft_asof_k"
+  private val T = "__graft_asof_t"
+  private val I = "__graft_asof_i"
+  private val S = "__graft_asof_side"
+  private val R = "__graft_asof_r"
+  private val LR = "__graft_asof_last_r"
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
     case n @ AsOfJoinPlan(l, r, lk, rk, lt, rt, lid, rid) =>
-      val lDf = Dataset.ofRows(spark, l).as("gl")
-      val rDf = Dataset.ofRows(spark, r).as("gr")
-      val joined = lDf.join(rDf,
-        col(s"gl.$lk") === col(s"gr.$rk") &&
-          (col(s"gr.$rt") < col(s"gl.$lt") ||
-            (col(s"gr.$rt") === col(s"gl.$lt") &&
-              col(s"gr.$rid") < col(s"gl.$lid"))),
-        "left_outer")
-      // partition by (key, id), not id alone: leftId's uniqueness
-      // contract is WITHIN its key (event ids per entity) — two left
-      // rows under different keys may legitimately share an id value,
-      // and an id-only partition would silently collapse them into one
-      // output row
-      val w = Window.partitionBy(col(s"gl.$lk"), col(s"gl.$lid"))
-        .orderBy(col(s"gr.$rt").desc_nulls_last, col(s"gr.$rid").desc_nulls_last)
-      val rewritten = joined
-        .withColumn("__graft_asof_rn", row_number().over(w))
-        .filter(col("__graft_asof_rn") === 1)
-        .select(n.output.map(a => col(a.name)): _*)
+      val lDf = Dataset.ofRows(spark, l)
+      val rDf = Dataset.ofRows(spark, r)
+      val lCols = l.output.map(_.name)
+      val rCols = r.output.map(_.name)
+      val lTypes = l.output.map(a => a.name -> a.dataType).toMap
+      // right payload struct, every field nullability-widened (the
+      // operator's output contract) so the NULL literal on the left
+      // side casts losslessly
+      val rStructType = StructType(rDf.schema.fields.map(_.copy(nullable = true)))
+      val lTagged = lDf.select(
+        lCols.map(c => col(c)) ++ Seq(
+          col(lk).as(K), col(lt).as(T), col(lid).as(I), lit(0).as(S),
+          lit(null).cast(rStructType).as(R)): _*)
+      val rTagged = rDf
+        .filter(col(rt).isNotNull)
+        .select(
+          lCols.map(c => lit(null).cast(lTypes(c)).as(c)) ++ Seq(
+            col(rk).as(K), col(rt).as(T), col(rid).as(I), lit(1).as(S),
+            struct(rCols.map(c => col(c)): _*).as(R)): _*)
+      val w = Window.partitionBy(col(K))
+        .orderBy(col(T).asc_nulls_first, col(I).asc_nulls_last, col(S).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rewritten = lTagged.union(rTagged)
+        .withColumn(LR, last(col(R), ignoreNulls = true).over(w))
+        .filter(col(S) === 0)
+        .select(lCols.map(c => col(c)) ++
+          rCols.map(c => col(s"$LR.$c").as(c)): _*)
       // OPTIMIZED, not analyzed: this rule runs in
       // experimental.extraOptimizations — the tail of the optimizer —
       // so the substituted subtree gets no further optimizer passes,
       // and an analyzed subtree still carries SubqueryAlias nodes the
       // planner refuses ("No plan for SubqueryAlias", observed)
-      rewritten.queryExecution.optimizedPlan
+      val opt = rewritten.queryExecution.optimizedPlan
+      Project(n.output.zip(opt.output).map { case (orig, cur) =>
+        Alias(cur, orig.name)(exprId = orig.exprId)
+      }, opt)
   }
 }
 
@@ -108,7 +157,11 @@ object AsOfJoin {
 
   /** Public constructor: an as-of-joined DataFrame carrying the custom
     * logical node (visible in `.queryExecution.logical`; gone after
-    * optimization). */
+    * optimization). Validates up front what the lowering's by-name
+    * resolution requires — cross-side disjoint names, per-side unique
+    * names, no dots or backticks (they would mis-resolve as struct
+    * paths / break quoting deep inside the optimizer, far from this
+    * call site). */
   def df(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
@@ -116,6 +169,17 @@ object AsOfJoin {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"as-of join sides must have disjoint column names; overlap: $overlap")
+    def sideCheck(side: String, cols: Seq[String]): Unit = {
+      val dups = cols.groupBy(identity).collect { case (c, vs) if vs.size > 1 => c }
+      require(dups.isEmpty,
+        s"as-of join $side side has duplicate column names: ${dups.mkString(", ")}")
+      val bad = cols.filter(c => c.contains(".") || c.contains("`"))
+      require(bad.isEmpty,
+        s"as-of join $side side has column names with '.' or '`' " +
+          s"(unsupported by the by-name lowering): ${bad.mkString(", ")}")
+    }
+    sideCheck("left", left.columns.toSeq)
+    sideCheck("right", right.columns.toSeq)
     val spark = left.sparkSession.asInstanceOf[SparkSession]
     ensureInstalled(spark)
     Dataset.ofRows(spark, AsOfJoinPlan(

@@ -747,7 +747,8 @@ object EventQueries {
     // `asof_attribution`, but expressed through the engine's
     // whole-operator extension ([[graft.plans.AsOf]]: a first-class
     // AsOfJoinPlan logical node lowered by an injected optimizer rule
-    // into the key-partitioned windowed-join form). Sharing
+    // into the union-tag-window MERGE form — same linear-per-key
+    // algorithm as asof_attribution, no join anywhere). Sharing
     // asof_attribution's oracle makes the driver gate a THREE-way
     // agreement: single-table window form, custom-plan lowering, and
     // DuckDB's ranked join must all land on identical rows — the

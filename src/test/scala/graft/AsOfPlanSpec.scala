@@ -47,4 +47,69 @@ class AsOfPlanSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("disjoint"))
   }
+
+  test("duplicate and dotted column names within one side are rejected up front") {
+    import spark.implicits._
+    val l = Seq((1L, 2L)).toDF("k", "k")   // duplicate name on one side
+    val r = Seq((1L, 2L)).toDF("rk", "rt")
+    val dup = intercept[IllegalArgumentException] {
+      graft.plans.AsOf.join(l, r, "k", "rk", "k", "rt", "k", "rk")
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    val dotted = Seq((1L, 2L, 3L)).toDF("a.b", "t", "i")
+    val dot = intercept[IllegalArgumentException] {
+      graft.plans.AsOf.join(dotted, r, "a.b", "rk", "t", "rt", "i", "rk")
+    }
+    assert(dot.getMessage.contains("'.'"))
+  }
+
+  test("the lowering is the linear merge form: NO join in the optimized plan") {
+    // The round-10 scale-killer: the old lowering (left_outer join on
+    // key + rank-1) built a C×P intermediate per hot key. The merge
+    // form unions the tagged sides and windows once — assert the join
+    // is GONE and the window's input is the one key exchange.
+    val df = EventQueries.defs.find(_.name == "asof_plan_node").get.fn(spark, dir)
+    val opt = df.queryExecution.optimizedPlan
+    val joins = opt.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, s"as-of lowering reintroduced a join:\n${opt.treeString}")
+    assert(opt.collectFirst {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isDefined, opt.treeString)
+    // physical: exactly one exchange feeds the as-of window, keyed on
+    // the join key (high cardinality — never a single-partition
+    // funnel). AQE off so the exchanges are visible (with AQE on,
+    // executedPlan is a leaf AdaptiveSparkPlanExec collect() can't
+    // descend into — same caveat as the funnel sweep).
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = EventQueries.defs.find(_.name == "asof_plan_node").get.fn(spark, dir)
+        .queryExecution.executedPlan
+      val wins = phys.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(wins.nonEmpty, phys.treeString)
+      assert(wins.forall(_.child.outputPartitioning.numPartitions > 1),
+        phys.treeString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("null right times never match; strict (time, id) tie semantics hold") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 10L), (1L, 100L, 11L), (2L, 50L, 20L))
+      .toDF("lk", "lt", "lid")
+    // right rows: id 5 ties left (100, 10) exactly on time with a
+    // SMALLER id → matches lid 10 and 11; id 99 ties (100, 11) on both
+    // time and id ordering edge; null-time row must never match
+    val r = Seq((1L, java.lang.Long.valueOf(100L), 5L),
+        (1L, java.lang.Long.valueOf(100L), 11L),
+        (2L, null.asInstanceOf[java.lang.Long], 1L))
+      .toDF("rk", "rt", "rid")
+    val out = graft.plans.AsOf.join(l, r, "lk", "rk", "lt", "rt", "lid", "rid")
+      .collect().map(x => (x.getLong(0), x.getLong(2), Option(x.get(5)).map(_.asInstanceOf[Long])))
+      .toSet
+    // (lk=1, lid=10): rights at time 100 with rid<10 → rid 5 ✓ (rid 11 excluded)
+    // (lk=1, lid=11): rid 5 and... rid 11 == lid 11 at equal time → strictly-before
+    //   requires rid < lid → 11 excluded, latest is 5
+    // (lk=2, lid=20): only right has NULL time → no match
+    assert(out == Set((1L, 10L, Some(5L)), (1L, 11L, Some(5L)), (2L, 20L, None)), out)
+  }
 }
