@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * typed metadata, and decode/feature-extraction runs as a typed
   * `mapPartitions` over the payload bytes — the Spark-side shape
   * (schema, encoders, partitioning, per-partition batching) is real and
-  * tested; only the codec call itself is stubbed.
+  * tested. The IMAGE codec is real (JDK `javax.imageio`, zero extra
+  * dependencies — PNG/JPEG/GIF/BMP decode with true width/height);
+  * audio/video decode is stubbed behind the same seam (no codec libs in
+  * this environment), deterministically derived from the payload hash.
   *
   * At scale the rules this module encodes:
   *  - payloads stay OUT of shuffle keys and aggregations — all keyed
@@ -25,9 +28,9 @@ object Multimodal {
     * carries alongside (media_type discriminates the decode path). */
   final case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Decoded per-item features. A real decoder would emit
-    * width/height/duration from the codec; the stub derives them
-    * deterministically from the payload hash so tests and the DuckDB
+  /** Decoded per-item features. Image payloads get REAL width/height
+    * from ImageIO; audio/video (and unreadable payloads) get the
+    * deterministic hash-derived stand-ins so tests and the DuckDB
     * oracle can reproduce them bit-for-bit. */
   final case class MediaFeatures(
       doc_id: Long, media_type: String, byte_len: Long, fp: String,
@@ -39,11 +42,49 @@ object Multimodal {
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
 
-  /** STUB decode: a real implementation would hand `payload` to an
-    * image/audio codec here (not available in this environment). The
-    * stand-in derives every "decoded" attribute from md5(payload), so it
-    * is deterministic, engine-independent, and exercises the exact same
-    * plumbing (bytes in → typed features out). */
+  /** Magic-byte sniff for the container formats the JDK's built-in
+    * ImageIO readers handle (PNG / JPEG / GIF / BMP). Content sniffing,
+    * not trial decode: non-image payloads (the synthetic text stand-ins,
+    * audio, video) skip the codec entirely instead of paying an
+    * exception per record. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
+  /** REAL image decode via the JDK's `javax.imageio` (zero extra
+    * dependencies): full pixel decode, real width/height, single frame.
+    * Returns None when ImageIO has no reader for the bytes (corrupt
+    * payload, or a format the JDK lacks) — the caller falls back to the
+    * deterministic stub so a bad record degrades instead of killing the
+    * task. */
+  private def decodeImage(r: MediaRecord): Option[MediaFeatures] = {
+    // NonFatal, not just IOException: a payload whose first bytes sniff
+    // as an image but whose body is garbage can drive a reader into any
+    // runtime error — degrade to the stub, never kill the task
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    Option(img).map { i =>
+      MediaFeatures(
+        doc_id = r.doc_id,
+        media_type = r.media_type,
+        byte_len = r.payload.length.toLong,
+        fp = md5hex(r.payload),
+        width = i.getWidth.toLong,
+        height = i.getHeight.toLong,
+        n_frames = 1L)
+    }
+  }
+
+  /** STUB decode for the modalities whose codecs are NOT in this
+    * environment (audio/video), and for image payloads ImageIO cannot
+    * read. The stand-in derives every "decoded" attribute from
+    * md5(payload), so it is deterministic, engine-independent, and
+    * exercises the exact same plumbing (bytes in → typed features
+    * out). */
   private def decodeStub(r: MediaRecord): MediaFeatures = {
     val fp = md5hex(r.payload)
     val h = java.lang.Long.parseLong(fp.take(15), 16)
@@ -57,13 +98,21 @@ object Multimodal {
       n_frames = if (r.media_type == "video") 1 + h % 16 else 1L)
   }
 
-  /** Decode/feature-extract each payload. Partition-wise so a real
-    * codec initializes once per partition. */
+  /** Decode/feature-extract each payload. Partition-wise so codec init
+    * amortizes once per partition. The image path is a REAL decode
+    * (JDK ImageIO — PNG/JPEG/GIF/BMP); audio/video remain behind the
+    * deterministic stub seam until their codecs exist in the image. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real pipeline: init codec/native libs here, once per partition
-      it.map(decodeStub)
+      // per-partition codec init: ImageIO scans its reader SPI registry
+      // lazily on first use; disk caching off keeps decode in-memory
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        if (r.media_type == "image" && looksLikeImage(r.payload))
+          decodeImage(r).getOrElse(decodeStub(r))
+        else decodeStub(r)
+      }
     }
   }
 

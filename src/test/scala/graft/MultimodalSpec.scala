@@ -31,6 +31,43 @@ class MultimodalSpec extends SparkSuite {
     assert(row.fp.length == 32)
   }
 
+  test("real image payloads decode through ImageIO with true dimensions") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // non-trivial pixels so the decode isn't of an all-zero buffer
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xFFFFFF)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val p1 = png(17, 23)
+    val p2 = png(640, 1)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", p1),
+      Multimodal.MediaRecord(2L, "image", p2),
+      // an "image" record whose bytes are NOT an image → deterministic
+      // stub fallback, no task failure
+      Multimodal.MediaRecord(3L, "image", "not an image".getBytes("UTF-8")),
+      // audio stays on the stub seam even if bytes sniff as PNG
+      Multimodal.MediaRecord(4L, "audio", p1)).toDS()
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).width == 17L && feats(1L).height == 23L && feats(1L).n_frames == 1L)
+    assert(feats(2L).width == 640L && feats(2L).height == 1L)
+    // fp is still md5(payload) on the real-decode path (dedup contract)
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(p1)
+      .map("%02x".format(_)).mkString
+    assert(feats(1L).fp == md5)
+    assert(feats(1L).byte_len == p1.length.toLong)
+    // fallback record got stub (hash-derived) dimensions, not a crash
+    assert(feats(3L).width >= 320L && feats(3L).width < 1920L)
+    // audio record ignored its PNG-sniffing bytes: stub path
+    assert(feats(4L).media_type == "audio")
+    assert(!(feats(4L).width == 17L && feats(4L).height == 23L))
+  }
+
   test("frame sampling fans out n_frames rows per item, no payload carried") {
     val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
     val frames = Multimodal.sampleFrames(feats)
