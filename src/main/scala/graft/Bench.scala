@@ -67,6 +67,15 @@ import org.apache.spark.sql.SparkSession
   * can't flake the gate) is listed in `shuffle_regressions` in both
   * JSON outputs. Accepting an intentional plan change = regenerating
   * the baseline from target/shuffle_current.tsv in the same commit.
+  *
+  * Wall-time regression gate ([[timeRegressions]]): the bytes gate is
+  * blind to same-plan slow-creep (more work per row, a lost cache, a
+  * regressed custom expression), so per-query MEDIANS are also gated
+  * against a committed record `bench/time_baseline.tsv` — fire only
+  * when slower by >25% AND beyond a noise-aware band (3× the larger of
+  * the two recordings' MAD spreads, floored at 0.3 s). Findings land in
+  * `time_regressions` in both JSONs; target/time_current.tsv is the
+  * regeneration snapshot.
   */
 object Bench {
   private val BaseRounds = 3
@@ -157,6 +166,33 @@ object Bench {
         case Some(prev) if cur > prev + floorBytes &&
             cur.toDouble > prev.toDouble * (1.0 + tolerance) =>
           Some(s"$q: $prev -> $cur bytes (+${(100.0 * (cur - prev) / prev.max(1)).round}%)")
+        case _ => None
+      }
+    }
+
+  /** Wall-time gate: queries whose current median exceeds the committed
+    * record's by BOTH >25% relative AND more than a noise-aware band —
+    * 3× the LARGER of the two recordings' MAD spreads, floored at
+    * 0.3 s. The band uses whichever recording is noisier so a calm
+    * baseline cannot flag a merely-noisy current run (and vice versa);
+    * the relative guard keeps a slow-but-stable query from firing on an
+    * absolute-seconds blip; the floor keeps 0.1 s-scale queries out
+    * entirely (their medians are noise-limited — the shuffle-bytes gate
+    * is the plan-property check at that scale). Queries absent from the
+    * baseline are not findings — they enter the record when it is next
+    * regenerated from target/time_current.tsv. Fires ONLY slower:
+    * faster is not a regression. */
+  private[graft] def timeRegressions(
+      current: Map[String, (Double, Double)],
+      baseline: Map[String, (Double, Double)],
+      ratio: Double = 1.25, bandMult: Double = 3.0,
+      floorSec: Double = 0.3): Seq[String] =
+    current.toSeq.sortBy(_._1).flatMap { case (q, (curM, curSp)) =>
+      baseline.get(q) match {
+        case Some((baseM, baseSp)) if curM > 0 && baseM > 0 &&
+            curM > baseM * ratio &&
+            curM - baseM > math.max(bandMult * math.max(baseSp, curSp), floorSec) =>
+          Some(f"$q: $baseM%.2f -> $curM%.2f s (+${100.0 * (curM - baseM) / baseM}%.0f%%, band ${math.max(bandMult * math.max(baseSp, curSp), floorSec)}%.2f)")
         case _ => None
       }
     }
@@ -340,32 +376,35 @@ object Bench {
       }
       found.getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
     }
-    val baselinePath = repoRoot.resolve("bench").resolve("shuffle_baseline.tsv")
-    val baseline: Map[String, Long] =
-      if (java.nio.file.Files.exists(baselinePath)) {
+    // shared sf-matched TSV loader for both gates: returns the data
+    // rows when the baseline's recorded sf matches this run's, else
+    // empty with a LOUD stderr note (a silently inactive gate looks
+    // like a clean one)
+    def baselineRows(path: java.nio.file.Path, gate: String): Seq[Array[String]] =
+      if (java.nio.file.Files.exists(path)) {
         val lines = scala.jdk.CollectionConverters
-          .ListHasAsScala(java.nio.file.Files.readAllLines(baselinePath)).asScala.toSeq
+          .ListHasAsScala(java.nio.file.Files.readAllLines(path)).asScala.toSeq
         val sfLine = lines.find(_.startsWith("# sf=")).map(_.stripPrefix("# sf="))
         if (sfLine.contains(sfName))
-          lines.filterNot(_.startsWith("#")).flatMap { l =>
-            l.split('\t') match {
-              // negative rows (a hand-committed failed-run sentinel)
-              // are rejected — prev = -1 would flag every healthy run
-              case Array(q, b, _*) =>
-                scala.util.Try(q -> b.toLong).toOption.filter(_._2 >= 0)
-              case _ => None
-            }
-          }.toMap
+          lines.filterNot(_.startsWith("#")).map(_.split('\t'))
         else {
-          System.err.println(s"[bench] shuffle gate INACTIVE: baseline " +
-            s"$baselinePath is for sf=${sfLine.getOrElse("?")}, this run is sf=$sfName")
-          Map.empty
+          System.err.println(s"[bench] $gate gate INACTIVE: baseline " +
+            s"$path is for sf=${sfLine.getOrElse("?")}, this run is sf=$sfName")
+          Seq.empty
         }
       } else {
-        System.err.println(
-          s"[bench] shuffle gate INACTIVE: no baseline at $baselinePath")
-        Map.empty
+        System.err.println(s"[bench] $gate gate INACTIVE: no baseline at $path")
+        Seq.empty
       }
+    val baseline: Map[String, Long] =
+      baselineRows(repoRoot.resolve("bench").resolve("shuffle_baseline.tsv"), "shuffle")
+        .flatMap {
+          // negative rows (a hand-committed failed-run sentinel)
+          // are rejected — prev = -1 would flag every healthy run
+          case Array(q, b, _*) =>
+            scala.util.Try(q -> b.toLong).toOption.filter(_._2 >= 0)
+          case _ => None
+        }.toMap
     val currentBytes = shuffleStats.collect { case (q, (b, _, _)) if b >= 0 => q -> b }.toMap
     val regressions = shuffleRegressions(currentBytes, baseline)
     regressions.foreach(r => System.err.println(s"[bench] SHUFFLE REGRESSION $r"))
@@ -381,7 +420,31 @@ object Bench {
         .map(n => s"$n\t${shuffleStats(n)._1}").mkString("\n") + "\n")
         .getBytes("UTF-8"))
 
+    // wall-time gate vs the committed record (median + MAD spread per
+    // query, sf-matched) — catches the slow-creep regressions the
+    // bytes gate is blind to (same plan, more work per row)
+    val timeBaseline: Map[String, (Double, Double)] =
+      baselineRows(repoRoot.resolve("bench").resolve("time_baseline.tsv"), "time")
+        .flatMap {
+          case Array(q, m, sp, _*) =>
+            scala.util.Try(q -> (m.toDouble, sp.toDouble)).toOption
+              .filter(_._2._1 >= 0)
+          case _ => None
+        }.toMap
+    val currentTimes = stats.collect {
+      case (q, m, sp, _) if m >= 0 => q -> (m, sp)
+    }.toMap
+    val timeRegs = timeRegressions(currentTimes, timeBaseline)
+    timeRegs.foreach(r => System.err.println(s"[bench] TIME REGRESSION $r"))
+    // snapshot for regenerating the committed time baseline
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target", "time_current.tsv"),
+      (s"# sf=$sfName\n" + names.filter(n => currentTimes.contains(n))
+        .map { n => val (m, sp) = currentTimes(n); f"$n\t$m%.3f\t$sp%.3f" }
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+
     val regJson = regressions.map(r => "\"" + r + "\"").mkString("[", ",", "]")
+    val timeRegJson = timeRegs.map(r => "\"" + r + "\"").mkString("[", ",", "]")
     // stdout carries only the 10 most expensive medians: the driver's
     // tail capture holds ~2000 chars, and the 122-entry per-query map
     // overflowed it (BENCH_r06/r07 landed with parsed:null). The full
@@ -408,14 +471,14 @@ object Bench {
         val (sb, sr, or) = shuffleStats(k)
         "\"" + k + f"""\":{"median":$m%.3f,"spread":$sp%.3f,"raw_spread":${rawSpread(ts)}%.3f,"shuffle_bytes":$sb,"shuffle_records":$sr,"out_rows":$or,"runs":$runs}"""
       }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"noise":$noise%.3f,"raw_noise":$rawNoise%.3f,"spread_stat":"mad2","shuffle_regressions":$regJson,"queries":$perQuery,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"noise":$noise%.3f,"raw_noise":$rawNoise%.3f,"spread_stat":"mad2","shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"queries":$perQuery,"sf":"$sfDir"}"""
     }
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
 
     val summary =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${names.size},"failed":$failedJson,"errors":$errJson,"queries":$top10,"noise":$noise%.2f,"raw_noise":$rawNoise%.2f,"spread_stat":"mad2","rounds":$rounds,"shuffle_regressions":$regJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${names.size},"failed":$failedJson,"errors":$errJson,"queries":$top10,"noise":$noise%.2f,"raw_noise":$rawNoise%.2f,"spread_stat":"mad2","rounds":$rounds,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"sf":"$sfDir"}"""
     // mirrored to disk so the summary survives even if a future harness
     // change re-decorates or truncates stdout
     java.nio.file.Files.write(

@@ -129,4 +129,29 @@ class BenchStatSpec extends AnyFunSuite {
     // shrinking is never a finding
     assert(Bench.shuffleRegressions(Map("big" -> (1L << 20)), baseline).isEmpty)
   }
+
+  test("time gate: noise-aware band — fires on real creep, quiet on noisy recordings") {
+    val base = Map(
+      "slow_stable" -> (8.0, 0.2),   // calm 8 s query
+      "noisy" -> (4.0, 1.5),         // co-tenant-noisy recording
+      "tiny" -> (0.12, 0.02))
+    // +50% on a calm query, far beyond 3x spread: a real regression
+    val fired = Bench.timeRegressions(Map("slow_stable" -> (12.0, 0.3)), base)
+    assert(fired.size == 1 && fired.head.startsWith("slow_stable:"), fired)
+    // +26% but within 3x the noisy recording's spread (4.5 s band) — quiet
+    assert(Bench.timeRegressions(Map("noisy" -> (5.1, 0.2)), base).isEmpty)
+    // a CURRENT noisy recording also widens the band symmetrically
+    assert(Bench.timeRegressions(Map("slow_stable" -> (10.2, 4.0)), base).isEmpty)
+    // 2x on a 0.12 s query: relative jump but under the 0.3 s floor
+    // (sub-second medians are noise-limited; the bytes gate owns them)
+    assert(Bench.timeRegressions(Map("tiny" -> (0.25, 0.02)), base).isEmpty)
+    // +24% on a calm query: inside the relative guard even though the
+    // absolute jump clears the band — quiet
+    assert(Bench.timeRegressions(Map("slow_stable" -> (9.9, 0.2)), base).isEmpty)
+    // faster is never a finding; unknown queries are never findings
+    assert(Bench.timeRegressions(Map("slow_stable" -> (4.0, 0.2)), base).isEmpty)
+    assert(Bench.timeRegressions(Map("brand_new" -> (60.0, 0.1)), base).isEmpty)
+    // failed sentinel (-1) on either side never fires
+    assert(Bench.timeRegressions(Map("slow_stable" -> (-1.0, 0.0)), base).isEmpty)
+  }
 }
