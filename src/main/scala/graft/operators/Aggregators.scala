@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.{element_at, floor, lit, size, when}
 
 /** Custom typed aggregators (`Aggregator[IN, BUF, OUT]`) — the engine's
   * sketch/custom-aggregation machinery (SURVEY §7 step 9; the reference
@@ -125,6 +126,34 @@ object Aggregators {
 
   def kmv(k: Int, hash: Column): Column =
     udaf(new Kmv(k)).apply(hash)
+
+  /** THE KMV closed-form estimator — the single definition every
+    * consumer uses (batch queries, set-algebra union sketches, the
+    * streaming twin), so a future k or hash-width change cannot
+    * desynchronize them. Hashes are uniform on [0, 2^60)
+    * ([[graft.functions.TextFunctions.portableHash]]); a sketch of
+    * fewer than k values IS the exact distinct hash set and estimates
+    * by its size; a full sketch estimates (k−1)·2^60 / kth-min,
+    * floor(x + 0.5)-rounded. Deliberately libm-free (one IEEE multiply
+    * and divide) so DuckDB reproduces it bit-for-bit — the oracle SQL
+    * and specs restate the formula INDEPENDENTLY by design (that
+    * restatement is the cross-check; keep them in lockstep with this
+    * definition when k or the hash width changes). */
+  val KmvHashSpace: Double = 1152921504606846976.0 // 2^60
+
+  /** Column form of the estimator over a finished sketch column
+    * (ascending Array/Seq[Long], length ≤ k). */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("long"))
+      .otherwise(floor(lit((k - 1).toDouble) * lit(KmvHashSpace) /
+        element_at(sketch, k).cast("double") + lit(0.5)).cast("long"))
+
+  /** JVM form — the streaming state path ([[graft.streaming.EventStreams
+    * .distinctSketchStream]]) evaluates per group inside
+    * mapGroupsWithState, outside Catalyst. */
+  def kmvEstimateJvm(sketch: Seq[Long], k: Int): Long =
+    if (sketch.size < k) sketch.size.toLong
+    else math.floor((k - 1).toDouble * KmvHashSpace / sketch(k - 1).toDouble + 0.5).toLong
 
   def bloomBits(numBits: Int, pos: Column): Column =
     udaf(new BloomBits(numBits)).apply(pos)

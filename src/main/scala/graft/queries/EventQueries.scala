@@ -691,7 +691,7 @@ object EventQueries {
     // flag): per event type, the trailing-6-observed-hour mean is
     // flagged when it departs the type's overall mean by more than 3
     // standard ERRORS of a 6-hour mean — |T/W − μ| > 3σ/√W — with the
-    // whole inequality cross-multiplied to exact BIGINTs:
+    // whole inequality cross-multiplied to exact DECIMAL(38,0):
     // (n·T − W·S)² > 9·W·(n·SS − S²), where (n, S, SS) are the type's
     // hourly-count moments. Zero floats anywhere (the rate_anomaly /
     // stats_moments discipline), so flags are bit-reproducible. Plan:
@@ -719,8 +719,19 @@ object EventQueries {
           .withColumn("pos", row_number().over(wSeq))
           .filter(col("pos") >= W)
           .join(mom, Seq("event_type"))
+          // DECIMAL(38,0), not BIGINT, for the cross-multiplied terms:
+          // (n·T − W·S)² squares a per-type event TOTAL — at 100 TB a
+          // BIGINT wraps silently (non-ANSI) exactly where the
+          // bit-reproducible claim matters, and DuckDB would raise
+          // instead, so the engines diverge. 38 digits keeps the form
+          // exact for any terrestrial corpus (bound: 9·W·n·SS < 10³⁸ —
+          // e.g. 10⁶ observed hours of 10¹² events each leaves 6
+          // orders of magnitude headroom); the oracle mirrors with
+          // HUGEINT (int128).
           .select(col("event_type"), col("hr"), col("t6"),
-            when(expr(s"(n * t6 - $W * s) * (n * t6 - $W * s) > 9 * $W * (n * ss - s * s)"),
+            when(expr(s"(CAST(n AS DECIMAL(38,0)) * t6 - $W * s) * " +
+                s"(CAST(n AS DECIMAL(38,0)) * t6 - $W * s) > " +
+                s"9 * $W * (CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s)"),
               1L).otherwise(0L).as("shifted"))
       },
       Some("""WITH hourly AS (
@@ -738,7 +749,8 @@ object EventQueries {
              |  FROM hourly)
              |SELECT tr.event_type, CAST(tr.hr AS BIGINT) AS hr,
              |  CAST(tr.t6 AS BIGINT) AS t6,
-             |  CAST(CASE WHEN (n * t6 - 6 * s) * (n * t6 - 6 * s) > 9 * 6 * (n * ss - s * s)
+             |  CAST(CASE WHEN (CAST(n AS HUGEINT) * t6 - 6 * s) * (CAST(n AS HUGEINT) * t6 - 6 * s)
+             |      > 9 * 6 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
              |    THEN 1 ELSE 0 END AS BIGINT) AS shifted
              |FROM tr JOIN mom ON mom.event_type = tr.event_type
              |WHERE tr.pos >= 6""".stripMargin)),

@@ -626,10 +626,7 @@ object ProfilingQueries {
           .agg(countDistinct(col("user_id")).as("n_exact"),
             graft.operators.Aggregators.kmv(K, col("h")).as("sk"))
           .select(col("event_type"), col("n_exact"),
-            when(size(col("sk")) < K, size(col("sk")).cast("long"))
-              .otherwise(floor(lit(63.0) * lit(1152921504606846976.0) /
-                element_at(col("sk"), K).cast("double") + lit(0.5)).cast("long"))
-              .as("n_est"))
+            graft.operators.Aggregators.kmvEstimate(col("sk"), K).as("n_est"))
           .withColumn("err_micro", QueryDef.microPoints(
             abs(col("n_est") - col("n_exact")).cast("double") /
               col("n_exact").cast("double")))
@@ -697,9 +694,7 @@ object ProfilingQueries {
           .withColumn("matches", size(filter(col("u"),
             h => array_contains(col("ska"), h) && array_contains(col("skb"), h))).cast("long"))
           .withColumn("n_union_est",
-            when(size(col("u")) < K, size(col("u")).cast("long"))
-              .otherwise(floor(lit(63.0) * lit(1152921504606846976.0) /
-                element_at(col("u"), K).cast("double") + lit(0.5)).cast("long")))
+            graft.operators.Aggregators.kmvEstimate(col("u"), K))
           .withColumn("n_inter_est",
             when(size(col("u")) < K, col("matches"))
               .otherwise(expr(s"(matches * n_union_est) div $K")))

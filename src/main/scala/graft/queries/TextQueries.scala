@@ -601,9 +601,15 @@ object TextQueries {
             col("a.df").as("dfx"), col("b.df").as("dfy"))
           .agg(count(lit(1)).as("df_xy"))
           .filter(col("df_xy") >= MinCollocDf)
+        // DECIMAL(38,0) numerator: n·df_xy·10⁶ wraps a BIGINT already
+        // at ~3M documents (n² · 10⁶ when the pair is corpus-wide);
+        // decimal keeps the ppm exact to 10³⁸ and DuckDB mirrors with
+        // HUGEINT. `div` (IntegralDivide) accepts decimals and returns
+        // BIGINT, so the output schema is unchanged.
         pairs.crossJoin(broadcast(nDocs))
           .select(col("x"), col("y"), col("df_xy"),
-            expr("(n * df_xy * 1000000) div (dfx * dfy)").as("lift_ppm"))
+            expr("(CAST(n AS DECIMAL(38,0)) * df_xy * 1000000) div " +
+              "(CAST(dfx AS DECIMAL(38,0)) * dfy)").as("lift_ppm"))
           .orderBy(col("lift_ppm").desc, col("x"), col("y"))
           .limit(20)
       },
@@ -622,7 +628,8 @@ object TextQueries {
               |  GROUP BY 1, 2, 3, 4
               |  HAVING COUNT(*) >= $MinCollocDf)
               |SELECT x, y, CAST(df_xy AS BIGINT) AS df_xy,
-              |  CAST(((SELECT n FROM nd) * df_xy * 1000000) // (dfx * dfy) AS BIGINT) AS lift_ppm
+              |  CAST((CAST((SELECT n FROM nd) AS HUGEINT) * df_xy * 1000000)
+              |    // (CAST(dfx AS HUGEINT) * dfy) AS BIGINT) AS lift_ppm
               |FROM pairs
               |ORDER BY lift_ppm DESC, x, y LIMIT 20""".stripMargin))
   )

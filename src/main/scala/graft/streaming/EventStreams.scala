@@ -64,15 +64,34 @@ object EventStreams {
         LongType
       case Some(false) => TimestampType
       case None =>
-        enableNanosDecode() // the probe itself must survive nano footers
-        try spark.read.parquet(dir).schema("ts").dataType
-        catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getErrorClass != null &&
-                (e.getErrorClass.startsWith("PATH_NOT_FOUND") ||
-                  e.getErrorClass.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
-            TimestampType
+        // the probe itself must survive nano footers, so the decode
+        // conf is enabled for its duration — but it must not LEAK: if
+        // the footer turns out to be an ordinary TIMESTAMP (or the
+        // directory is missing), restore the prior value, else later
+        // unrelated batch reads of nanos-footer parquet in this session
+        // would silently decode as LongType instead of failing loudly.
+        // It stays enabled ONLY when the probe actually finds INT64
+        // nanos (the stream's own micro-batch reads then need it).
+        val key = "spark.sql.legacy.parquet.nanosAsLong"
+        val prior = spark.conf.getOption(key)
+        def restore(): Unit = prior match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
         }
+        enableNanosDecode()
+        val probed =
+          try {
+            try spark.read.parquet(dir).schema("ts").dataType
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getErrorClass != null &&
+                    (e.getErrorClass.startsWith("PATH_NOT_FOUND") ||
+                      e.getErrorClass.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+                TimestampType
+            }
+          } catch { case e: Throwable => restore(); throw e }
+        if (probed != LongType) restore()
+        probed
     }
     def stream(withTs: DataType): DataFrame = spark.readStream
       .schema(StructType(eventSchema.map {
@@ -547,11 +566,8 @@ object EventStreams {
               graft.functions.TextFunctions.portableHashJvm(e.user_id.toString, 71))
           }
           state.update(s)
-          val est =
-            if (s.size < k) s.size.toLong
-            else math.floor((k - 1).toDouble * 1152921504606846976.0 /
-              s(k - 1).toDouble + 0.5).toLong
-          DistinctEst(eventType, est, s.size)
+          DistinctEst(eventType,
+            graft.operators.Aggregators.kmvEstimateJvm(s, k), s.size)
       }
   }
 }

@@ -753,6 +753,33 @@ class StreamingSpec extends SparkSuite {
     } finally saved.foreach(spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", _))
   }
 
+  test("the DEFAULT probe restores the nanos conf unless the footer is INT64 nanos") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val saved = spark.conf.getOption(key)
+    spark.conf.unset(key)
+    try {
+      // ordinary TIMESTAMP footer: the probe enables the conf for its
+      // own metadata read, then must restore it
+      val dir = tmpDir("stream_conf_probe")
+      spark.range(1).selectExpr("id AS event_id", "current_timestamp() AS ts",
+          "id AS user_id", "'click' AS event_type", "0.0 AS value", "'{}' AS props")
+        .write.mode("overwrite").parquet(dir)
+      EventStreams.readEventStream(spark, dir) // nanosTs = None → probe
+      assert(spark.conf.get(key) == "false",
+        "probe of an ordinary-timestamp footer leaked nanosAsLong=true")
+      // empty directory (consumer-before-producer): same restore contract
+      val empty = tmpDir("stream_conf_probe_empty")
+      EventStreams.readEventStream(spark, empty)
+      assert(spark.conf.get(key) == "false",
+        "probe of a footerless directory leaked nanosAsLong=true")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("portableHashJvm matches the column expression") {
     import spark.implicits._
     val vals = Seq("42", "user7", "the fast key")
