@@ -5,7 +5,9 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** SparkSessionExtensions integration — the production path for making
   * the engine's native expressions available to plain SQL users on a
@@ -26,7 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.nfcFunction)
     ext.injectFunction(GraftExtensions.phashFunction)
     // whole-operator extension: lowers the custom AsOfJoinPlan node
-    // (graft.plans.AsOf) during optimization
+    // (graft.plans.AsOf) during optimization; the table function is the
+    // SQL surface constructing that node, so spark.sql(...) users get
+    // the operator too:
+    //   SELECT * FROM asof_join('purchases', 'clicks',
+    //     'user_id', 'c_user', 'purchase_us', 'click_us',
+    //     'event_id', 'click_event_id')
+    ext.injectTableFunction(GraftExtensions.asofTableFunction)
     ext.injectOptimizerRule(session =>
       RewriteAsOfJoin(session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]))
   }
@@ -72,6 +80,38 @@ object GraftExtensions {
   private[graft] val phashFunction =
     (FunctionIdentifier("graft_phash"), phashInfo, (children: Seq[Expression]) => buildPhash(children))
 
+  private val asofInfo = new ExpressionInfo(
+    classOf[AsOfJoinPlan].getCanonicalName, "asof_join")
+
+  /** SQL TABLE-function surface of the as-of operator: 8 string
+    * literals — two (possibly qualified) table/view names, then the
+    * key/time/id column names of each side. Builds the same
+    * [[AsOfJoinPlan]] node the Scala API builds, over
+    * [[UnresolvedRelation]] children the analyzer resolves in place
+    * (the node itself self-resolves once they do); [[RewriteAsOfJoin]]
+    * then lowers it, re-validating the name contract there since this
+    * path has no earlier choke point. */
+  private def buildAsOf(children: Seq[Expression]): LogicalPlan = {
+    require(children.size == 8,
+      "asof_join expects 8 string-literal arguments (left_table, " +
+        "right_table, left_key, right_key, left_time, right_time, " +
+        s"left_id, right_id), got ${children.size}")
+    val args = children.map {
+      case l: Literal if l.dataType == org.apache.spark.sql.types.StringType &&
+          l.value != null => l.value.toString
+      case other => throw new IllegalArgumentException(
+        s"asof_join arguments must be non-null string literals, got $other")
+    }
+    AsOfJoinPlan(
+      UnresolvedRelation(args(0).split('.').toSeq),
+      UnresolvedRelation(args(1).split('.').toSeq),
+      args(2), args(3), args(4), args(5), args(6), args(7))
+  }
+
+  private[graft] val asofTableFunction =
+    (FunctionIdentifier("asof_join"), asofInfo,
+      (children: Seq[Expression]) => buildAsOf(children))
+
   /** Register the engine's SQL functions into an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
@@ -80,5 +120,11 @@ object GraftExtensions {
       .createOrReplaceTempFunction("graft_nfc", buildNfc, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_phash", buildPhash, "built-in")
+    spark.sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction("asof_join", buildAsOf, "built-in")
+    // the SQL surface needs the lowering rule too (cluster deployments
+    // get both atomically via spark.sql.extensions)
+    AsOfJoin.ensureInstalled(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
   }
 }

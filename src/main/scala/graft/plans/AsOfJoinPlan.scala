@@ -60,8 +60,13 @@ case class AsOfJoinPlan(
   // expression-derived references are empty and ColumnPruning would
   // strip "unused" child columns the lowering still needs (observed:
   // the right key vanished when the final projection didn't select it).
-  // Every child output is semantically referenced — say so.
-  override def references: AttributeSet = AttributeSet(left.output ++ right.output)
+  // Every child output is semantically referenced — say so. Guarded on
+  // childrenResolved: the SQL table-function path constructs this node
+  // over UnresolvedRelations, whose `output` throws until the analyzer
+  // resolves them.
+  override def references: AttributeSet =
+    if (childrenResolved) AttributeSet(left.output ++ right.output)
+    else AttributeSet.empty
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -106,6 +111,18 @@ case class RewriteAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
     case n @ AsOfJoinPlan(l, r, lk, rk, lt, rt, lid, rid) =>
+      // the SQL table-function path (asof_join(...)) constructs the node
+      // without going through AsOfJoin.df, so the name contract is
+      // re-validated here where both sides are finally resolved
+      AsOfJoin.validateNames(l.output.map(_.name), r.output.map(_.name))
+      Seq(("left", l, Seq(lk, lt, lid)), ("right", r, Seq(rk, rt, rid)))
+        .foreach { case (side, child, cols) =>
+          val have = child.output.map(_.name).toSet
+          val missing = cols.filterNot(have)
+          require(missing.isEmpty,
+            s"as-of join: $side side has no column(s) ${missing.mkString(", ")} " +
+              s"(available: ${have.toSeq.sorted.mkString(", ")})")
+        }
       val lDf = Dataset.ofRows(spark, l)
       val rDf = Dataset.ofRows(spark, r)
       val lCols = l.output.map(_.name)
@@ -162,11 +179,14 @@ object AsOfJoin {
     * names, no dots or backticks (they would mis-resolve as struct
     * paths / break quoting deep inside the optimizer, far from this
     * call site). */
-  def df(left: DataFrame, right: DataFrame,
-      leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String,
-      leftId: String, rightId: String): DataFrame = {
-    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+  /** The name contract the by-name lowering requires: cross-side
+    * disjoint, per-side unique, no dots or backticks (they would
+    * mis-resolve as struct paths / break quoting deep inside the
+    * optimizer, far from the user's call site). Shared by the API
+    * constructor (fail-fast at `df`) and the rewrite rule (the SQL
+    * table-function path has no earlier choke point). */
+  private[graft] def validateNames(lCols: Seq[String], rCols: Seq[String]): Unit = {
+    val overlap = lCols.toSet.intersect(rCols.toSet)
     require(overlap.isEmpty,
       s"as-of join sides must have disjoint column names; overlap: $overlap")
     def sideCheck(side: String, cols: Seq[String]): Unit = {
@@ -178,8 +198,15 @@ object AsOfJoin {
         s"as-of join $side side has column names with '.' or '`' " +
           s"(unsupported by the by-name lowering): ${bad.mkString(", ")}")
     }
-    sideCheck("left", left.columns.toSeq)
-    sideCheck("right", right.columns.toSeq)
+    sideCheck("left", lCols)
+    sideCheck("right", rCols)
+  }
+
+  def df(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      leftId: String, rightId: String): DataFrame = {
+    validateNames(left.columns.toSeq, right.columns.toSeq)
     val spark = left.sparkSession.asInstanceOf[SparkSession]
     ensureInstalled(spark)
     Dataset.ofRows(spark, AsOfJoinPlan(

@@ -92,6 +92,43 @@ class AsOfPlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("SQL surface: asof_join table function equals the custom-plan API path") {
+    // spark.sql users get the operator too — same node, same lowering
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val ev = graft.Tables.events(spark, dir)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+      .createOrReplaceTempView("asof_purchases")
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_event_id"), col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("click_us"))
+      .createOrReplaceTempView("asof_clicks")
+    try {
+      val viaSql = spark.sql(
+        """SELECT event_id, user_id, purchase_us, click_event_id, click_us
+          |FROM asof_join('asof_purchases', 'asof_clicks',
+          |  'user_id', 'c_user', 'purchase_us', 'click_us',
+          |  'event_id', 'click_event_id')""".stripMargin)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+      assert(viaSql == rows("asof_plan_node"),
+        s"missing=${(rows("asof_plan_node") -- viaSql).take(3)} extra=${(viaSql -- rows("asof_plan_node")).take(3)}")
+      // misuse errors are loud and near the call site
+      val bad = intercept[Exception] {
+        spark.sql("SELECT * FROM asof_join('asof_purchases', 'asof_clicks', " +
+          "'no_such_col', 'c_user', 'purchase_us', 'click_us', " +
+          "'event_id', 'click_event_id')").collect()
+      }
+      assert(bad.getMessage.contains("no_such_col"), bad.getMessage)
+    } finally {
+      spark.catalog.dropTempView("asof_purchases")
+      spark.catalog.dropTempView("asof_clicks")
+    }
+  }
+
   test("null right times never match; strict (time, id) tie semantics hold") {
     import spark.implicits._
     val l = Seq((1L, 100L, 10L), (1L, 100L, 11L), (2L, 50L, 20L))
