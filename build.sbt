@@ -9,6 +9,16 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Live PostgreSQL-dialect (ON CONFLICT) upsert coverage: DuckDB's JDBC
+// driver already sits in the pre-warmed local coursier cache, and
+// DuckDB executes that dialect. Test-only, UNMANAGED (no new resolvable
+// dependency is declared), and optional — JdbcIntegrationSpec cancels
+// its dialect case when the jar is absent.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props.getOrElse("user.home", "/root")) / ".cache" / "coursier"
+  (if (cache.exists) (cache ** "duckdb_jdbc-*.jar").get else Seq.empty)
+    .take(1).map(Attributed.blank(_))
+}
 Test / fork := true
 run / fork := true
 // The driver parses the LAST bare-JSON stdout line of `sbt runMain

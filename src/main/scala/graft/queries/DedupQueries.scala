@@ -192,6 +192,16 @@ object DedupQueries {
     val pairs = jaccardPairs(sh, Some(lshCandidates(sh)))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"))
+    propagateMinLabels(pairs)
+  }
+
+  /** Min-label propagation over an undirected near-dup pair list
+    * (doc_a, doc_b) — the connected-components superstep loop of
+    * [[clusterLabels]], factored so the cap/throw contract is testable
+    * against synthetic degenerate graphs without crafting a corpus
+    * whose LSH pairs happen to chain. */
+  private[graft] def propagateMinLabels(pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
     // symmetric edge list, persisted: re-joined every superstep
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -220,7 +230,7 @@ object DedupQueries {
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < maxIter) {
       // min over {own label} ∪ {neighbors' labels} as ONE join + one
       // groupBy: unioning the current labels in, instead of joining
       // the neighbor-min back against them, drops a join stage per

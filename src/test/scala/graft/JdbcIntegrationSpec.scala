@@ -112,6 +112,56 @@ class JdbcIntegrationSpec extends SparkSuite {
       (13L, "new_13", 13.0), (14L, "new_14", 14.0)))
   }
 
+  test("JdbcUpsertSink postgresql dialect: live ON CONFLICT upsert (DuckDB engine), idempotent") {
+    // DuckDB executes the PostgreSQL ON CONFLICT (...) DO UPDATE SET
+    // ... = excluded.... dialect, and its JDBC driver sits in the local
+    // coursier cache (wired as a test-only unmanaged jar) — so the
+    // single-statement dialect path runs against a REAL database here,
+    // not just its SQL builder. Canceled (not failed) when the jar is
+    // absent. Composite key exercises multi-column conflict targets.
+    assume(
+      try { Class.forName("org.duckdb.DuckDBDriver"); true }
+      catch { case _: ClassNotFoundException => false },
+      "duckdb_jdbc not on the test classpath")
+    val duckUrl = s"jdbc:duckdb:${tmpDir("graft-duck")}/up.db"
+    def withDuck[A](f: java.sql.Connection => A): A = {
+      val c = java.sql.DriverManager.getConnection(duckUrl)
+      try f(c) finally c.close()
+    }
+    withDuck { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE dst_pg (k BIGINT, grp VARCHAR, v DOUBLE, " +
+        "PRIMARY KEY (k, grp))")
+      st.execute("INSERT INTO dst_pg VALUES (1, 'a', 0.0)")
+      st.execute("INSERT INTO dst_pg VALUES (1, 'b', 0.0)")
+      st.execute("INSERT INTO dst_pg VALUES (3, 'a', 3.0)")
+    }
+    // (1,a) and (1,b) collide → DO UPDATE; (10..12,a) are new → insert;
+    // (3,a) untouched. 2 partitions → two concurrent connections to the
+    // same database file (distinct rows, so optimistic MVCC never
+    // conflicts — the same property a sharded upsert relies on).
+    val incoming = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, "a", 1.0), Row(1L, "b", 2.0)) ++
+          (10L until 13L).map(i => Row(i, "a", i * 1.0)), 2),
+      new org.apache.spark.sql.types.StructType()
+        .add("k", "long").add("grp", "string").add("v", "double"))
+    val sink = JdbcUpsertSink(duckUrl, "dst_pg", keyCols = Seq("k", "grp"),
+      batchSize = 2, dialect = "postgresql")
+    sink.write(incoming)
+    // idempotency: a task retry replays its rows — same end state
+    sink.write(incoming)
+    val got = withDuck { c =>
+      val rs = c.createStatement()
+        .executeQuery("SELECT k, grp, v FROM dst_pg ORDER BY k, grp")
+      Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getString(2), r.getDouble(3))).toList
+    }
+    assert(got === List(
+      (1L, "a", 1.0), (1L, "b", 2.0), (3L, "a", 3.0),
+      (10L, "a", 10.0), (11L, "a", 11.0), (12L, "a", 12.0)))
+  }
+
   test("streaming upsert: foreachBatch drives JdbcUpsertSink(ansi) into Derby") {
     // the batch-only upsert sink becomes a streaming sink through
     // foreachBatch (update-mode agg emits changed keys per micro-batch;

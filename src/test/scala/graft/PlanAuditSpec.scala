@@ -624,6 +624,72 @@ class PlanAuditSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("AQE-on funnel sweep: runtime re-planning cannot hide a single-partition window") {
+    // The static sweep above runs with AQE OFF (exchanges only visible
+    // pre-adaptive). This pass audits the FINAL physical plan AFTER
+    // execution with AQE ON, descending through AdaptiveSparkPlanExec
+    // and materialized QueryStageExec nodes, so a funnel introduced by
+    // runtime re-planning can never hide. Partition COALESCING is
+    // disabled for the sweep only: at sf0.001 AQE rightly coalesces
+    // tiny shuffles to one partition — that is scale-ADAPTIVE, not a
+    // plan funnel — and with it on the detector cannot tell the two
+    // apart. With coalescing off, a 1-partition window input is the
+    // same plan property the static sweep flags.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def deep(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+        case s: QueryStageExec => deep(s.plan)
+        case _ => Seq.empty
+      }
+      (p +: p.children.flatMap(deep)) ++ nested
+    }
+    def funnelsAfterExec(df: DataFrame): Boolean = {
+      df.queryExecution.toRdd.foreach(_ => ()) // materialize THIS QueryExecution
+      deep(df.queryExecution.executedPlan).exists {
+        case w: WindowExec => w.child.outputPartitioning.numPartitions == 1
+        case _ => false
+      }
+    }
+    val keep = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // positive control: a deliberately global window must trip the
+      // detector THROUGH the adaptive plan, or the sweep is vacuous
+      import org.apache.spark.sql.expressions.Window
+      val control = spark.read.parquet(s"$dir/orders.parquet")
+        .withColumn("r", row_number().over(Window.orderBy(col("o_orderkey"))))
+        .groupBy(lit(1)).agg(sum(col("r"))) // an agg above, so AQE has stages to re-plan
+      assert(funnelsAfterExec(control), "detector failed its positive control")
+
+      // representative subset: every allow-listed shrink-then-serial
+      // query (they must remain the ONLY acceptable hits) plus the
+      // window-heaviest production shapes
+      val allowed = Set("rank_global_bucketed", "histogram_equidepth",
+        "users_cumulative", "session_concurrency", "vocab_top_p",
+        "token_budget_apportion")
+      val subset = (allowed.toSeq ++ Seq(
+        "sessionize", "window_topk", "window_running", "window_range_rolling",
+        "pack_sequences", "asof_attribution", "asof_plan_node", "asof_forward",
+        "bm25_search", "merge_upsert", "dedup_canonical", "scd2_history")).sorted
+      val offenders = subset.flatMap { name =>
+        try {
+          if (funnelsAfterExec(SparkEntry.queries(name)(spark, dir))) Some(name) else None
+        } finally spark.catalog.clearCache()
+      }
+      assert(offenders.toSet.subsetOf(allowed),
+        s"AQE-final-plan window funnels: ${offenders.filterNot(allowed).mkString(", ")}")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("CBO: ANALYZE column statistics drive the optimizer's cardinality estimates") {
     // At cluster scale, join ordering and build-side choice run off
     // catalog statistics (spark.sql.cbo.*) — pin that ANALYZE'd column
