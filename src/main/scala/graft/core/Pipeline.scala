@@ -63,10 +63,11 @@ final case class PipelineReport(
   *    [[graft.operators.Transformers.Callable]].
   */
 final class Pipeline private (private val steps: Vector[Pipeline.Step],
-    private val durableFanout: Boolean = false) {
+    private val durableFanout: Boolean = false,
+    private val orderedConcat: Boolean = false) {
   import Pipeline._
 
-  private def append(s: Step) = new Pipeline(steps :+ s, durableFanout)
+  private def append(s: Step) = new Pipeline(steps :+ s, durableFanout, orderedConcat)
 
   /** Durable-ID mode (the README "chained loaders" caveat): fan-out
     * points `checkpoint()` (reliable, eager) instead of `persist()`.
@@ -82,7 +83,27 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step],
     * can read (HDFS/S3 at scale); checkpoint-file lifecycle is the
     * caller's (or `spark.cleaner.referenceTracking.cleanCheckpoints`).
     * Branch sub-flows inherit the mode at compile time. */
-  def durable(): Pipeline = new Pipeline(steps, durableFanout = true)
+  def durable(): Pipeline = new Pipeline(steps, durableFanout = true, orderedConcat)
+
+  /** Ordered-concat mode — the reference's AggregateExtractor consumes
+    * its shards "in the order they were added" (`README.md:174`,
+    * `src/Extractors/AggregateExtractor.php:22-63`), and by default this
+    * engine relaxes that to set semantics (SURVEY §7.4.1: a distributed
+    * union has no inherent order). Opting in restores the observable
+    * behavior END-TO-END: every source is tagged with its declaration
+    * sequence plus a within-source ordinal
+    * (`monotonically_increasing_id` — partition-major, i.e. file/read
+    * order for file sources, the extractor's own order for `orderedBy`
+    * JDBC pagination), and every SINK write (and [[toDF]]) totally
+    * orders by (source_seq, ordinal) before dropping the bookkeeping
+    * columns. Cost: ONE range exchange per sink — the honest price of a
+    * total output order, paid only here. Scope: output order, which is
+    * the reference-observable surface; joins/aggregations downstream
+    * reorder rows in any engine. Internal `__graft_*` columns are
+    * invisible to whole-record transformers ([[graft.operators
+    * .Transformers.PerColumn]]/[[graft.operators.Transformers.PerLeaf]]
+    * skip the namespace). */
+  def ordered(): Pipeline = new Pipeline(steps, durableFanout, orderedConcat = true)
 
   /** Add the (first) source — `src/YaEtl.php:89-99`. A second `from` with
     * `aggregate = true` concatenates sources like the reference's
@@ -252,6 +273,15 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step],
     def gate(d: DataFrame, signal: DataFrame): DataFrame =
       d.join(broadcast(signal), lit(true), "left_anti")
 
+    /** Ordered mode's emission form: total (source_seq, ordinal) order,
+      * bookkeeping columns dropped — applied per SINK write and to the
+      * [[toDF]] result, never to the flowing stream (a mid-flow sink's
+      * continuation keeps the tags). */
+    def emitForm(d: DataFrame): DataFrame =
+      if (orderedConcat && d.columns.contains(SrcSeqCol))
+        d.orderBy(col(SrcSeqCol), col(SrcOrdCol)).drop(SrcSeqCol, SrcOrdCol)
+      else d
+
     def observed(d: DataFrame, name: String): DataFrame = {
       // globally unique observation AND report key: branch sub-flows
       // reuse step indices, so a bare "load_3" would collide both in
@@ -296,7 +326,15 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step],
         case Label(_)     => () // position marker for sendTo, no lineage
         case BaseDf(base) => df = base
         case From(src, agg) =>
-          val loaded = observed(src.load(spark), s"extract_$i")
+          // ordered mode: tag source sequence + within-source ordinal.
+          // The seq comes from a process-global counter so branch
+          // sub-flow sources slot in after their parent's in declaration
+          // order; only RELATIVE order within one compiled plan matters.
+          def tag(d: DataFrame): DataFrame =
+            if (!orderedConcat) d
+            else d.withColumn(SrcSeqCol, lit(srcSeqCounter.incrementAndGet()))
+              .withColumn(SrcOrdCol, monotonically_increasing_id())
+          val loaded = observed(tag(src.load(spark)), s"extract_$i")
           df = if (df == null) loaded
           else if (agg) df.unionByName(loaded, allowMissingColumns = false)
           else throw new IllegalStateException(
@@ -352,11 +390,12 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step],
           dirtyTail = true
         case To(sink) =>
           persistIfShared(last = idx == n - 1)
-          writes += ((observed(df, s"load_$i"), sink))
+          writes += ((observed(emitForm(df), s"load_$i"), sink))
           dirtyTail = false
         case Branch(sub) =>
           persistIfShared(last = idx == n - 1)
-          val b = sub.withDurable(durableFanout).withBase(df).compile(spark, forExec)
+          val b = sub.withDurable(durableFanout).withOrdered(orderedConcat)
+            .withBase(df).compile(spark, forExec)
           writes ++= b.writes
           observations ++= b.observations
           persisted ++= b.persisted
@@ -373,9 +412,11 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step],
     // sink — still executes fully (reference exec() semantics): drive
     // the tail through a NoOp write so counters materialize
     if (writes.isEmpty || dirtyTail)
+      // the NoOp drive stays UN-ordered: it exists to run counters, and
+      // a range sort no sink observes would be a wasted exchange
       writes += ((observed(df, s"load_${i + 1}"), NoOpSink))
-    Compiled(df, writes.toSeq, observations.toSeq, truncated, persisted.toSeq,
-      breakSignals.toSeq)
+    Compiled(emitForm(df), writes.toSeq, observations.toSeq, truncated,
+      persisted.toSeq, breakSignals.toSeq)
     } catch {
       case e: Throwable =>
         persisted.foreach(_.unpersist(blocking = false))
@@ -384,10 +425,15 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step],
   }
 
   private def withBase(base: DataFrame): Pipeline =
-    new Pipeline(Pipeline.BaseDf(base) +: steps, durableFanout)
+    new Pipeline(Pipeline.BaseDf(base) +: steps, durableFanout, orderedConcat)
 
   private def withDurable(d: Boolean): Pipeline =
-    if (d && !durableFanout) new Pipeline(steps, durableFanout = true) else this
+    if (d && !durableFanout) new Pipeline(steps, durableFanout = true, orderedConcat)
+    else this
+
+  private def withOrdered(o: Boolean): Pipeline =
+    if (o && !orderedConcat) new Pipeline(steps, durableFanout, orderedConcat = true)
+    else this
 }
 
 object Pipeline {
@@ -395,6 +441,12 @@ object Pipeline {
   def from(src: Source): Pipeline = Pipeline().from(src)
 
   private val obsCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Ordered-concat bookkeeping (internal `__graft_` namespace — skipped
+    * by whole-record transformers, dropped at emission). */
+  private[graft] val SrcSeqCol = "__graft_src_seq"
+  private[graft] val SrcOrdCol = "__graft_src_ord"
+  private val srcSeqCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
   private final case class Compiled(
       df: DataFrame,

@@ -72,7 +72,11 @@ object Transformers {
       only: Option[Set[String]] = None) extends Transformer {
     def apply(df: DataFrame): DataFrame = {
       val sel = df.columns.map { c =>
-        if (only.forall(_.contains(c))) fn(col(c), c).as(c) else col(c)
+        // engine bookkeeping (ordered-concat tags etc.) is never user
+        // data — whole-record maps must not touch the __graft_ namespace
+        if (only.forall(_.contains(c)) && !c.startsWith("__graft_"))
+          fn(col(c), c).as(c)
+        else col(c)
       }
       df.select(sel.toIndexedSeq: _*)
     }
@@ -92,7 +96,9 @@ object Transformers {
     }
     def apply(df: DataFrame): DataFrame = {
       val sel = df.schema.fields.map { f =>
-        if (only.forall(_.contains(f.name))) descend(col(f.name), f.dataType).as(f.name)
+        // same __graft_ namespace rule as PerColumn
+        if (only.forall(_.contains(f.name)) && !f.name.startsWith("__graft_"))
+          descend(col(f.name), f.dataType).as(f.name)
         else col(f.name)
       }
       df.select(sel.toIndexedSeq: _*)

@@ -287,6 +287,42 @@ class PipelineSpec extends SparkSuite {
     assert(report.status.isInstanceOf[PipelineStatus.Failed])
   }
 
+  test("ordered(): aggregate-concat preserves end-to-end record order (README.md:174)") {
+    // The reference's AggregateExtractor drains shards in the order
+    // they were added; ordered() restores that observable behavior.
+    // Values are deliberately adversarial — NOT sorted by any column —
+    // so only true source order can produce the expected sequence.
+    import graft.sinks.CsvSink
+    import graft.sources.CsvSource
+    def writeCsv(name: String, lines: Seq[String]): String = {
+      val d = java.nio.file.Paths.get(tmpDir(name))
+      val f = d.resolve("data.csv")
+      java.nio.file.Files.write(f, ("id,name" +: lines).mkString("\n").getBytes("UTF-8"))
+      f.toString
+    }
+    val fa = writeCsv("ord_a", Seq("5,e", "3,c", "9,z", "1,a"))
+    val fb = writeCsv("ord_b", Seq("7,g", "2,b"))
+    val flow = Pipeline
+      .from(CsvSource(fa))
+      .from(CsvSource(fb), aggregate = true)
+      .ordered()
+      // a whole-record transformer in the middle: the __graft_ ordering
+      // tags must be invisible to it (namespace skip in PerColumn)
+      .transform(Transformers.PerColumn((c, _) => upper(c.cast("string"))))
+    val got = flow.toDF(spark).collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq("5" -> "E", "3" -> "C", "9" -> "Z", "1" -> "A",
+      "7" -> "G", "2" -> "B"), got)
+    // and the SINK sees the same order (single-file CSV, line-exact)
+    val out = tmpDir("ord_out") + "/res.csv"
+    val report = flow.to(CsvSink(out, singleFile = true)).exec(spark)
+    assert(report.status == PipelineStatus.Clean)
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out)), "UTF-8").trim.split("\n").toSeq
+    assert(lines == Seq("id,name", "5,E", "3,C", "9,Z", "1,A", "7,G", "2,B"), lines)
+    // the bookkeeping columns never leak into the output schema
+    assert(!flow.toDF(spark).columns.exists(_.startsWith("__graft_")))
+  }
+
   test("source limit/offset with required ordering") {
     val df = Pipeline
       .from(ParquetSource(sf("orders"), limit = Some(20), offset = 10, orderedBy = Seq("o_orderkey")))
