@@ -92,20 +92,27 @@ object GraftExtensions {
     * then lowers it, re-validating the name contract there since this
     * path has no earlier choke point. */
   private def buildAsOf(children: Seq[Expression]): LogicalPlan = {
-    require(children.size == 8,
+    require(children.size == 8 || children.size == 9,
       "asof_join expects 8 string-literal arguments (left_table, " +
         "right_table, left_key, right_key, left_time, right_time, " +
-        s"left_id, right_id), got ${children.size}")
+        "left_id, right_id) plus an optional direction " +
+        s"('backward'|'forward', default backward), got ${children.size}")
     val args = children.map {
       case l: Literal if l.dataType == org.apache.spark.sql.types.StringType &&
           l.value != null => l.value.toString
       case other => throw new IllegalArgumentException(
         s"asof_join arguments must be non-null string literals, got $other")
     }
+    val forward = args.lift(8) match {
+      case None | Some("backward") => false
+      case Some("forward") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"asof_join direction must be 'backward' or 'forward', got '$other'")
+    }
     AsOfJoinPlan(
       UnresolvedRelation(args(0).split('.').toSeq),
       UnresolvedRelation(args(1).split('.').toSeq),
-      args(2), args(3), args(4), args(5), args(6), args(7))
+      args(2), args(3), args(4), args(5), args(6), args(7), forward)
   }
 
   private[graft] val asofTableFunction =

@@ -20,7 +20,8 @@ import org.apache.spark.sql.types.StructType
   * LIBRARY operator wants declarative semantics the optimizer sees and
   * rewrites — this node carries exactly the as-of semantics ("for each
   * left row, the latest right row with the same key strictly before it
-  * in ((time, id)) order, NULLs when none") and
+  * in ((time, id)) order, NULLs when none"; with `forward = true` the
+  * mirror: the EARLIEST right row strictly after) and
   * [[RewriteAsOfJoin]] lowers it during OPTIMIZATION into the
   * union-tag-window MERGE form (tag both sides, one shuffle on the
   * key, `last(right-payload, ignoreNulls)` over the (time, id, side)
@@ -51,7 +52,8 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: String, rightKey: String,
     leftTime: String, rightTime: String,
-    leftId: String, rightId: String) extends BinaryNode {
+    leftId: String, rightId: String,
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -110,7 +112,7 @@ case class RewriteAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
   private val LR = "__graft_asof_last_r"
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
-    case n @ AsOfJoinPlan(l, r, lk, rk, lt, rt, lid, rid) =>
+    case n @ AsOfJoinPlan(l, r, lk, rk, lt, rt, lid, rid, forward) =>
       // the SQL table-function path (asof_join(...)) constructs the node
       // without going through AsOfJoin.df, so the name contract is
       // re-validated here where both sides are finally resolved
@@ -132,22 +134,43 @@ case class RewriteAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       // operator's output contract) so the NULL literal on the left
       // side casts losslessly
       val rStructType = StructType(rDf.schema.fields.map(_.copy(nullable = true)))
+      // Direction is encoded ENTIRELY in the sort and frame — the same
+      // union rides the same single exchange either way.
+      //  backward (latest right strictly BEFORE): left side-tag 0,
+      //    right 1 (a (time,id)-tied right sorts after the left → the
+      //    strict exclusion), time nulls_first (a null-time left row
+      //    precedes every real right row → matches nothing), id
+      //    nulls_last (a tied null-id right → comparison NULL → no
+      //    match), running `last` over (unboundedPreceding, current).
+      //  forward (earliest right strictly AFTER): every choice mirrors
+      //    — left tag 1, right 0 (a tied right sorts BEFORE the left →
+      //    excluded from the following frame), time nulls_last, id
+      //    nulls_first, `first` over (current, unboundedFollowing).
+      val (lSide, rSide) = if (forward) (1, 0) else (0, 1)
       val lTagged = lDf.select(
         lCols.map(c => col(c)) ++ Seq(
-          col(lk).as(K), col(lt).as(T), col(lid).as(I), lit(0).as(S),
+          col(lk).as(K), col(lt).as(T), col(lid).as(I), lit(lSide).as(S),
           lit(null).cast(rStructType).as(R)): _*)
       val rTagged = rDf
         .filter(col(rt).isNotNull)
         .select(
           lCols.map(c => lit(null).cast(lTypes(c)).as(c)) ++ Seq(
-            col(rk).as(K), col(rt).as(T), col(rid).as(I), lit(1).as(S),
+            col(rk).as(K), col(rt).as(T), col(rid).as(I), lit(rSide).as(S),
             struct(rCols.map(c => col(c)): _*).as(R)): _*)
-      val w = Window.partitionBy(col(K))
-        .orderBy(col(T).asc_nulls_first, col(I).asc_nulls_last, col(S).asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ordering =
+        if (forward) Seq(col(T).asc_nulls_last, col(I).asc_nulls_first, col(S).asc)
+        else Seq(col(T).asc_nulls_first, col(I).asc_nulls_last, col(S).asc)
+      val base = Window.partitionBy(col(K)).orderBy(ordering: _*)
+      val (w, pick) =
+        if (forward)
+          (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+            first(col(R), ignoreNulls = true))
+        else
+          (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+            last(col(R), ignoreNulls = true))
       val rewritten = lTagged.union(rTagged)
-        .withColumn(LR, last(col(R), ignoreNulls = true).over(w))
-        .filter(col(S) === 0)
+        .withColumn(LR, pick.over(w))
+        .filter(col(S) === lSide)
         .select(lCols.map(c => col(c)) ++
           rCols.map(c => col(s"$LR.$c").as(c)): _*)
       // OPTIMIZED, not analyzed: this rule runs in
@@ -205,12 +228,13 @@ object AsOfJoin {
   def df(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      leftId: String, rightId: String): DataFrame = {
+      leftId: String, rightId: String,
+      forward: Boolean = false): DataFrame = {
     validateNames(left.columns.toSeq, right.columns.toSeq)
     val spark = left.sparkSession.asInstanceOf[SparkSession]
     ensureInstalled(spark)
     Dataset.ofRows(spark, AsOfJoinPlan(
       left.queryExecution.analyzed, right.queryExecution.analyzed,
-      leftKey, rightKey, leftTime, rightTime, leftId, rightId))
+      leftKey, rightKey, leftTime, rightTime, leftId, rightId, forward))
   }
 }

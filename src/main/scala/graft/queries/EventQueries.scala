@@ -796,7 +796,50 @@ object EventQueries {
              |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
              |  r.c_id AS click_event_id, epoch_us(r.c_ts) AS click_us
              |FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
-             |  ON r.event_id = p.event_id""".stripMargin))
+             |  ON r.event_id = p.event_id""".stripMargin)),
+
+    // FORWARD direction of the custom-plan as-of join — the mirror of
+    // `asof_plan_node`, sharing `asof_forward`'s oracle so the driver
+    // gates a three-way agreement for the forward lowering too
+    // (direction is encoded entirely in the sort/frame of the same
+    // single-exchange merge — see RewriteAsOfJoin).
+    QueryDef("asof_plan_forward",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_event_id"), col("user_id"),
+            unix_micros(col("ts")).as("click_us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_event_id"),
+            col("user_id").as("p_user"),
+            unix_micros(col("ts")).as("purchase_us"))
+        graft.plans.AsOf.join(c, p,
+            leftKey = "user_id", rightKey = "p_user",
+            leftTime = "click_us", rightTime = "purchase_us",
+            leftId = "click_event_id", rightId = "purchase_event_id",
+            forward = true)
+          .select(col("click_event_id"), col("user_id"), col("click_us"),
+            col("purchase_event_id"), col("purchase_us"),
+            (col("purchase_us") - col("click_us")).as("latency_us"))
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |ranked AS (
+             |  SELECT c.event_id, p.event_id AS p_id, p.ts AS p_ts,
+             |    row_number() OVER (PARTITION BY c.event_id
+             |      ORDER BY p.ts, p.event_id) AS rn
+             |  FROM c JOIN p ON p.user_id = c.user_id
+             |    AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id)))
+             |SELECT c.event_id AS click_event_id, c.user_id,
+             |  epoch_us(c.ts) AS click_us,
+             |  r.p_id AS purchase_event_id, epoch_us(r.p_ts) AS purchase_us,
+             |  epoch_us(r.p_ts) - epoch_us(c.ts) AS latency_us
+             |FROM c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
+             |  ON r.event_id = c.event_id""".stripMargin))
   ) :+ conversionLatencyDef
 
   /** THE 30-minute-gap sessionization contract — ONE definition

@@ -750,6 +750,65 @@ object ProfilingQueries {
            |  CAST(CASE WHEN len(u) < 64 THEN matches
            |       ELSE (matches * n_union_est) // 64 END AS BIGINT) AS n_inter_est
            |FROM m LEFT JOIN ie ON ie.type_a = m.type_a AND ie.type_b = m.type_b""".stripMargin
+      }),
+
+    // MERGEABLE quantile sketch — the KMV discipline applied to order
+    // statistics: per language, a deterministic uniform sample of
+    // K=256 document lengths (bottom-k by portable doc_id hash —
+    // [[graft.operators.Aggregators.StableSample]]: O(k) state,
+    // map-side-combinable, sketches compose across days/shards), and
+    // sample quantiles read at exact-integer ceil positions
+    // ((n·q + 99) div 100 — no float ceil whose boundary could differ
+    // cross-engine). The EXACT quantiles ride along as the accuracy
+    // audit (collect_list materializes each language's lengths in one
+    // agg buffer — O(group) memory, fine for an audit, never the
+    // production path; production drops the exact columns and this
+    // becomes a pure O(k)-state scan like distinct_kmv's sketch-only
+    // form). Deterministic on both engines: same hashes, same bottom-k,
+    // same positions — bit-for-bit.
+    QueryDef("quantile_sketch",
+      (s, dir) => {
+        val K = 256
+        import graft.functions.TextFunctions.portableHash
+        def pos(arr: String, q: Int): String =
+          s"element_at($arr, CAST((size($arr) * $q + 99) div 100 AS INT))"
+        Tables(s, dir, "documents")
+          .select(col("lang"),
+            portableHash(col("doc_id").cast("string"), 71).as("h"),
+            col("n_chars"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            graft.operators.Aggregators.stableSample(K, col("h"), col("n_chars")).as("sample"),
+            collect_list(col("n_chars")).as("all_v"))
+          .withColumn("sv", array_sort(col("sample")))
+          .withColumn("ev", array_sort(col("all_v")))
+          .select(col("lang"), col("n_docs"),
+            expr(pos("sv", 50)).as("p50_est"), expr(pos("ev", 50)).as("p50_exact"),
+            expr(pos("sv", 95)).as("p95_est"), expr(pos("ev", 95)).as("p95_exact"),
+            expr(pos("sv", 99)).as("p99_est"), expr(pos("ev", 99)).as("p99_exact"))
+      },
+      Some {
+        val h = graft.functions.TextFunctions
+          .portableHashSql("CAST(doc_id AS VARCHAR)", 71)
+        def pos(arr: String, q: Int): String =
+          s"CAST($arr[CAST((len($arr) * $q + 99) // 100 AS INT)] AS BIGINT)"
+        s"""WITH d AS (
+           |  SELECT lang, n_chars, $h AS h FROM documents),
+           |r AS (
+           |  SELECT lang, n_chars,
+           |    row_number() OVER (PARTITION BY lang ORDER BY h, n_chars) AS rn
+           |  FROM d),
+           |s AS (
+           |  SELECT lang, list_sort(list(n_chars)) AS sv
+           |  FROM r WHERE rn <= 256 GROUP BY 1),
+           |e AS (
+           |  SELECT lang, COUNT(*) AS n_docs, list_sort(list(n_chars)) AS ev
+           |  FROM d GROUP BY 1)
+           |SELECT e.lang, CAST(e.n_docs AS BIGINT) AS n_docs,
+           |  ${pos("sv", 50)} AS p50_est, ${pos("ev", 50)} AS p50_exact,
+           |  ${pos("sv", 95)} AS p95_est, ${pos("ev", 95)} AS p95_exact,
+           |  ${pos("sv", 99)} AS p99_est, ${pos("ev", 99)} AS p99_exact
+           |FROM e JOIN s ON s.lang = e.lang""".stripMargin
       })
   )
 

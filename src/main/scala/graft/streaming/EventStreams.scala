@@ -570,4 +570,42 @@ object EventStreams {
             graft.operators.Aggregators.kmvEstimateJvm(s, k), s.size)
       }
   }
+
+  final case class QuantileEst(event_type: String, n: Long,
+      p50_cents: Long, p95_cents: Long, sample_size: Int)
+
+  /** Streaming quantile monitoring per event type — the streaming twin
+    * of the batch `quantile_sketch` (ProfilingQueries): state is the
+    * deterministic bottom-k-by-hash uniform sample of event VALUES
+    * ([[graft.operators.Aggregators.StableSample]]'s reduce — O(k) per
+    * group, order-insensitive, so micro-batch arrival order and
+    * checkpoint restarts land on the identical sample a batch run
+    * computes over the same events), plus the true processed count.
+    * Emits the running p50/p95 of value-cents per group per
+    * micro-batch (Update mode), read at the same exact-integer ceil
+    * positions as the batch form — (n·q + 99) div 100, no float
+    * boundary. Quantile state that is NOT a bounded sketch (exact
+    * order statistics) would be unbounded per group. */
+  def quantileSketchStream(events: Dataset[Event], k: Int = 256): Dataset[QuantileEst] = {
+    import events.sparkSession.implicits._
+    val sampler = new graft.operators.Aggregators.StableSample(k)
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[(Long, List[(Long, Long)]), QuantileEst](
+        GroupStateTimeout.NoTimeout()) {
+        (eventType: String, rows: Iterator[Event],
+            state: GroupState[(Long, List[(Long, Long)])]) =>
+          var (n, buf) = state.getOption.getOrElse((0L, sampler.zero))
+          rows.foreach { e =>
+            n += 1
+            buf = sampler.reduce(buf, (
+              graft.functions.TextFunctions.portableHashJvm(e.event_id.toString, 71),
+              math.floor(e.value * 100.0 + 0.5).toLong)) // QueryDef.cents, JVM form
+          }
+          state.update((n, buf))
+          val sv = buf.map(_._2).sorted.toIndexedSeq
+          def pos(q: Int): Long = sv(((sv.size * q + 99) / 100 - 1).max(0))
+          QuantileEst(eventType, n, pos(50), pos(95), sv.size)
+      }
+  }
 }

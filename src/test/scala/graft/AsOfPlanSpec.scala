@@ -129,6 +129,45 @@ class AsOfPlanSpec extends SparkSuite {
     }
   }
 
+  test("forward direction equals the single-table forward window form, no join") {
+    def fRows(name: String): Set[(Long, Long, Long, Option[Long], Option[Long], Option[Long])] =
+      EventQueries.defs.find(_.name == name).get.fn(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Long]))).toSet
+    val viaPlan = fRows("asof_plan_forward")
+    val viaWindow = fRows("asof_forward")
+    assert(viaPlan == viaWindow,
+      s"missing=${(viaWindow -- viaPlan).take(3)} extra=${(viaPlan -- viaWindow).take(3)}")
+    assert(viaPlan.exists(_._4.isDefined) && viaPlan.exists(_._4.isEmpty))
+    val opt = EventQueries.defs.find(_.name == "asof_plan_forward").get
+      .fn(spark, dir).queryExecution.optimizedPlan
+    assert(opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, opt.treeString)
+  }
+
+  test("forward tie semantics: strictly-after excludes equal (time, id); null times never match") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 10L), (1L, 100L, 11L), (2L, 50L, 20L))
+      .toDF("lk", "lt", "lid")
+    val r = Seq((1L, java.lang.Long.valueOf(100L), 11L),
+        (1L, java.lang.Long.valueOf(100L), 15L),
+        (1L, java.lang.Long.valueOf(200L), 3L),
+        (2L, null.asInstanceOf[java.lang.Long], 1L))
+      .toDF("rk", "rt", "rid")
+    val out = graft.plans.AsOf.join(l, r, "lk", "rk", "lt", "rt", "lid", "rid",
+        forward = true)
+      .collect().map(x => (x.getLong(0), x.getLong(2), Option(x.get(5)).map(_.asInstanceOf[Long])))
+      .toSet
+    // (1, lid=10): rights strictly after (100,10): (100,11),(100,15),(200,3)
+    //   → earliest is (100,11)
+    // (1, lid=11): (100,11) ties exactly → excluded; earliest is (100,15)
+    // (2, lid=20): only right has NULL time → no match
+    assert(out == Set((1L, 10L, Some(11L)), (1L, 11L, Some(15L)), (2L, 20L, None)), out)
+  }
+
   test("null right times never match; strict (time, id) tie semantics hold") {
     import spark.implicits._
     val l = Seq((1L, 100L, 10L), (1L, 100L, 11L), (2L, 50L, 20L))

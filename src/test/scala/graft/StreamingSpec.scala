@@ -681,6 +681,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming quantile sketch: running p50/p95 equals the one-shot batch fold") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = EventStreams.quantileSketchStream(ms.toDF().as[Event], k = 8)
+      .writeStream.format("memory").queryName("qsk_stream").outputMode("update").start()
+    try {
+      // batch 1: 6 values < k — the sample IS the data, quantiles exact:
+      // cents [100..600], p50 at ceil-pos 3 → 300, p95 at pos 6 → 600
+      ms.addData((1 to 6).map(i => Event(i.toLong, ts(i), 1L, "click", i * 1.0)): _*)
+      q.processAllAvailable()
+      val first = spark.table("qsk_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).last
+      assert(first == (("click", 6L, 300L, 600L, 6)))
+      // batch 2: growth past k — the running sample must equal the
+      // ONE-SHOT fold over all 30 events (order/batching independence
+      // = checkpoint-restart consistency), and the emitted quantiles
+      // must read from it at the shared exact-integer positions
+      ms.addData((7 to 30).map(i => Event(i.toLong, ts(30 + i), 1L, "click", i * 1.0)): _*)
+      q.processAllAvailable()
+      val sampler = new graft.operators.Aggregators.StableSample(8)
+      val folded = (1 to 30).foldLeft(sampler.zero) { (b, i) =>
+        sampler.reduce(b,
+          (graft.functions.TextFunctions.portableHashJvm(i.toString, 71), i * 100L))
+      }
+      val sv = folded.map(_._2).sorted.toIndexedSeq
+      def pos(p: Int): Long = sv(((sv.size * p + 99) / 100 - 1).max(0))
+      val last = spark.table("qsk_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+        .filter(_._1 == "click").last
+      assert(last == (("click", 30L, pos(50), pos(95), sv.size)), last)
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: true heavy present across batches, light user absent") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
