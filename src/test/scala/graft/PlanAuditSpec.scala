@@ -431,6 +431,19 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.toLowerCase.contains("sum(cast"), p)
   }
 
+  test("quantile_sketch: sample aggregation is partial (map-side) before the one group exchange") {
+    // the production claim: the bottom-k-by-hash sample combines
+    // map-side like any mergeable sketch — one exchange on the group
+    // key carries bounded buffers, not rows. (The exact-quantile audit
+    // columns ride the same aggregate, so the exchange count stays 1.)
+    val p = plan(SparkEntry.queries("quantile_sketch")(spark, dir))
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+    // typed-aggregator partials run in ObjectHashAggregate with a
+    // partial_ mode ahead of the exchange
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("pack_sequences: packing window is sharded by (lang, shard), never a global sort") {
     val p = plan(SparkEntry.queries("pack_sequences")(spark, dir))
     assert(p.contains("Window"), p)
