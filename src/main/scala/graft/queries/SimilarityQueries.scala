@@ -44,6 +44,16 @@ object SimilarityQueries {
   /** Negatives per anchor for `negative_sample`. */
   private val NNeg = 4
 
+  /** Bitext-margin mining knobs: k-NN depth for the neighborhood
+    * normalizer, anchor-batch bound (even ids below it), and the
+    * accept threshold in micro-points (1.05 — the standard margin
+    * cut). MUST sit above `defs`: the oracle SQL strings interpolate
+    * them EAGERLY at object init (a forward reference would bake in
+    * zero — observed). */
+  private val MarginK = 4
+  private val MarginAnchors = 256
+  private val MarginAcceptMicro = 1050000L
+
   val defs: Seq[QueryDef] = Seq(
 
     // IVF-style ANN: assign every vector to its nearest coarse-quantizer
@@ -957,8 +967,109 @@ object SimilarityQueries {
               |  CAST(n_wedges AS BIGINT) AS n_wedges,
               |  CAST(n_triangles AS BIGINT) AS n_triangles,
               |  CAST((3 * n_triangles * 1000000) // n_wedges AS BIGINT) AS closure_ppm
-              |FROM w, t3, e""".stripMargin))
+              |FROM w, t3, e""".stripMargin)),
+
+    // MARGIN-BASED bitext mining (Artetxe & Schwenk, "Margin-based
+    // Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    // ACL 2019): the standard op for constructing parallel/translation
+    // training pairs from two monolingual sides. Raw cosine thresholds
+    // fail under hubness (some vectors are near everything); the
+    // margin score normalizes each candidate cosine by the mean cosine
+    // of BOTH endpoints' k-NN neighborhoods —
+    // margin(a,b) = cos(a,b) / ((avgNN_k(a) + avgNN_k(b)) / 2).
+    // Sides here: even vec_ids vs odd (a deterministic stand-in for
+    // two languages). Per engine policy every cosine is rounded ONCE
+    // to integer micro-points, so the k-NN sums are exact BIGINTs and
+    // the final ratio is one double division in fixed shape —
+    // bit-identical cross-engine; a non-positive neighborhood sum
+    // yields NULL margin (never a divide) and accepted=0 on both
+    // engines (CASE semantics).
+    //
+    // 100 TB shape: the anchor batch broadcasts (mining runs in
+    // bounded batches — the incremental-dedup discipline), side B
+    // streams once for the forward k-NN, and the backward k-NN probes
+    // only the ≤|anchors| distinct best-candidates broadcast against
+    // side A's stream. The corpus never self-joins; full-corpus mining
+    // composes this with the IVF cell machinery (probe candidates per
+    // cell) exactly as ann_ivf does.
+    QueryDef("bitext_margin",
+      (s, dir) => {
+        val K = MarginK
+        val e = vecs(s, dir)
+        val sideA = e.filter(col("vec_id") % 2 === 0)
+        val sideB = e.filter(col("vec_id") % 2 === 1)
+        val anchors = sideA.filter(col("vec_id") < MarginAnchors)
+        val wA = Window.partitionBy(col("a_id")).orderBy(col("c").desc, col("b_id"))
+        val topA = broadcast(anchors.as("a")).join(sideB.as("b"), lit(true))
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            microPoints(cosineFast(col("a.embedding"), col("b.embedding"),
+              col("a.nrm"), col("b.nrm"))).as("c"))
+          .withColumn("rk", row_number().over(wA))
+          .filter(col("rk") <= K)
+        val aAgg = topA.groupBy(col("a_id"))
+          .agg(sum(col("c")).as("s_a"),
+            max(when(col("rk") === 1, col("b_id"))).as("b_id"),
+            max(when(col("rk") === 1, col("c"))).as("c_best"))
+        val bSet = aAgg.select(col("b_id").as("vec_id")).distinct()
+        val wB = Window.partitionBy(col("bb_id")).orderBy(col("c").desc, col("a2_id"))
+        val bAgg = broadcast(sideB.join(bSet, Seq("vec_id")).as("bb"))
+          .join(sideA.as("a2"), lit(true))
+          .select(col("bb.vec_id").as("bb_id"), col("a2.vec_id").as("a2_id"),
+            microPoints(cosineFast(col("bb.embedding"), col("a2.embedding"),
+              col("bb.nrm"), col("a2.nrm"))).as("c"))
+          .withColumn("rk", row_number().over(wB))
+          .filter(col("rk") <= K)
+          .groupBy(col("bb_id")).agg(sum(col("c")).as("s_b"))
+        aAgg.join(bAgg, col("b_id") === col("bb_id"))
+          .withColumn("margin_micro",
+            when(col("s_a") + col("s_b") > 0,
+              microPoints(col("c_best") * lit(2.0 * K) / (col("s_a") + col("s_b")))))
+          .select(col("a_id"), col("b_id"), col("c_best"), col("margin_micro"),
+            when(col("margin_micro") > MarginAcceptMicro, 1L).otherwise(0L).as("accepted"))
+      },
+      Some {
+        import graft.functions.TextFunctions.cosineSql
+        val K = MarginK
+        s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+           |a AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+           |an AS (SELECT * FROM a WHERE vec_id < $MarginAnchors),
+           |b AS (SELECT * FROM v WHERE vec_id % 2 = 1),
+           |ab AS (
+           |  SELECT an.vec_id AS a_id, b.vec_id AS b_id,
+           |    ${QueryDef.microPointsSql(cosineSql("an.embedding", "b.embedding"))} AS c
+           |  FROM an JOIN b ON true),
+           |ra AS (
+           |  SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_id) AS rk
+           |  FROM ab),
+           |ta AS (SELECT * FROM ra WHERE rk <= $K),
+           |agga AS (
+           |  SELECT a_id, SUM(c) AS s_a,
+           |    max(CASE WHEN rk = 1 THEN b_id END) AS b_id,
+           |    max(CASE WHEN rk = 1 THEN c END) AS c_best
+           |  FROM ta GROUP BY 1),
+           |bset AS (SELECT DISTINCT b_id FROM agga),
+           |bb AS (SELECT v.* FROM v JOIN bset ON v.vec_id = bset.b_id),
+           |ba AS (
+           |  SELECT bb.vec_id AS bb_id, a.vec_id AS a2_id,
+           |    ${QueryDef.microPointsSql(cosineSql("bb.embedding", "a.embedding"))} AS c
+           |  FROM bb JOIN a ON true),
+           |rb AS (
+           |  SELECT *, row_number() OVER (PARTITION BY bb_id ORDER BY c DESC, a2_id) AS rk
+           |  FROM ba),
+           |aggb AS (SELECT bb_id, SUM(c) AS s_b FROM rb WHERE rk <= $K GROUP BY 1),
+           |m AS (
+           |  SELECT agga.a_id, agga.b_id, agga.c_best,
+           |    CASE WHEN s_a + s_b > 0 THEN
+           |      ${QueryDef.microPointsSql(s"c_best * ${2.0 * K} / (s_a + s_b)")}
+           |    END AS margin_micro
+           |  FROM agga JOIN aggb ON aggb.bb_id = agga.b_id)
+           |SELECT a_id, b_id, CAST(c_best AS BIGINT) AS c_best,
+           |  CAST(margin_micro AS BIGINT) AS margin_micro,
+           |  CAST(CASE WHEN margin_micro > $MarginAcceptMicro THEN 1 ELSE 0 END AS BIGINT) AS accepted
+           |FROM m""".stripMargin
+      })
   )
+
 
   /** Triangle/wedge/transitivity stats over an UNDIRECTED distinct
     * (u < v) edge table (`graph_triangles` core, factored for planted
