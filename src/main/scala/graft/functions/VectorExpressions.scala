@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, StringType, TypeCollection}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the embedding hot path.
@@ -33,10 +33,23 @@ import org.apache.spark.unsafe.types.UTF8String
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
+  // float OR double element arrays, independently per side: the
+  // testdata/ingest layer has already shipped one physical-type drift
+  // (events.ts, round 9), and a regenerated float64 embedding column
+  // must not redline every similarity query. Parity is exact either
+  // way — the fold accumulates in double, so a float input is widened
+  // per element (as before) and a double input is consumed natively,
+  // both matching the oracle's CAST(x AS DOUBLE) fold bit-for-bit.
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+      TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+
+  private def elemDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
   // mismatched-length arrays yield NULL even when both inputs are
   // non-null (see below), so the expression is nullable regardless of
   // its children
@@ -51,10 +64,14 @@ case class DotProductExpr(left: Expression, right: Expression)
     // DuckDB oracle (out-of-range list index yields NULL): a malformed
     // embedding must not produce a silently truncated dot product
     if (n != y.numElements()) return null
+    val ld = elemDouble(left)
+    val rd = elemDouble(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (ld) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (rd) y.getDouble(i) else y.getFloat(i).toDouble
+      acc += xv * yv
       i += 1
     }
     acc
@@ -65,6 +82,10 @@ case class DotProductExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      // element accessor resolved at CODEGEN time per side — the loop
+      // body stays branch-free
+      val xv = if (elemDouble(left)) s"$a.getDouble($i)" else s"(double) $a.getFloat($i)"
+      val yv = if (elemDouble(right)) s"$b.getDouble($i)" else s"(double) $b.getFloat($i)"
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -72,7 +93,7 @@ case class DotProductExpr(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    $acc += $xv * $yv;
          |  }
          |  ${ev.value} = $acc;
          |}

@@ -52,4 +52,24 @@ class ExpressionsSpec extends SparkSuite {
     // and it actually runs compiled (collect exercises the generated path)
     assert(df.collect().length == 500)
   }
+
+  test("graft_dot accepts float and double arrays, per side, with identical folds") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.dotFast
+    val df = Seq((Seq(1.5f, -2.25f, 0.125f), Seq(4.0f, 0.5f, -8.0f)))
+      .toDF("a", "b")
+      .withColumn("ad", col("a").cast("array<double>"))
+      .withColumn("bd", col("b").cast("array<double>"))
+    val r = df.select(
+      dotFast(col("a"), col("b")).as("ff"),
+      dotFast(col("ad"), col("bd")).as("dd"),
+      dotFast(col("a"), col("bd")).as("fd"),
+      dotFast(col("ad"), col("b")).as("df")).head()
+    val expect = 1.5 * 4.0 + (-2.25) * 0.5 + 0.125 * (-8.0)
+    Seq(0, 1, 2, 3).foreach(i => assert(r.getDouble(i) == expect, s"col $i"))
+    // length mismatch still yields NULL on the double path
+    val m = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("x", "y")
+      .select(dotFast(col("x"), col("y"))).head()
+    assert(m.isNullAt(0))
+  }
 }
