@@ -76,6 +76,16 @@ import org.apache.spark.sql.SparkSession
   * the two recordings' MAD spreads, floored at 0.3 s). Findings land in
   * `time_regressions` in both JSONs; target/time_current.tsv is the
   * regeneration snapshot.
+  *
+  * A firing time gate is a TRIAGE PROMPT, not a verdict: a baseline
+  * median can be optimistic for one query (cache/alignment luck in the
+  * recording environment) while the board stays flat. The decisive
+  * check is an A/B against the baseline's commit on TODAY'S machine —
+  * `git worktree add <tmp> <baseline-commit>` and bench the flagged
+  * query there; old-code-equally-slow = environment drift (regenerate
+  * the row), old-code-fast = a real code regression (bisect it).
+  * Round 11 precedent: dedup_ngram_jaccard flagged +48%, r10 code
+  * reproduced today's time — environment, row regenerated.
   */
 object Bench {
   private val BaseRounds = 3

@@ -116,6 +116,50 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize (JDK Graphics2D bilinear draw into a bounded
+    * canvas, re-encoded as PNG): payloads whose media_type is "image"
+    * and whose bytes decode are downscaled to fit `maxW`×`maxH`
+    * preserving aspect ratio (never upscaled); everything else — audio,
+    * video, unreadable images — passes through untouched, so the
+    * operator is safe to run across a mixed corpus. Per-partition
+    * mapPartitions like the decode pass: a real pipeline amortizes
+    * codec init once per partition, and the payload column never enters
+    * a shuffle (resize is a pure map). Deterministic: same bytes in →
+    * same bytes out (JDK PNG encoding carries no timestamps), so
+    * downstream content-hash dedup of resized corpora is stable. */
+  def resizeImages(media: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[MediaRecord] = {
+    require(maxW > 0 && maxH > 0, s"resize bounds must be positive: ${maxW}x$maxH")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        if (r.media_type != "image" || !looksLikeImage(r.payload)) r
+        else {
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null || (img.getWidth <= maxW && img.getHeight <= maxH)) r
+          else {
+            val scale = math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight)
+            val w = math.max(1, math.round(img.getWidth * scale).toInt)
+            val h = math.max(1, math.round(img.getHeight * scale).toInt)
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val bytes = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bytes)
+            MediaRecord(r.doc_id, r.media_type, bytes.toByteArray)
+          }
+        }
+      }
+    }
+  }
+
   /** Sample `n_frames` per item, emitting a fingerprint per frame (a
     * real pipeline would emit per-frame tensors/embeddings). Row count
     * multiplies here, so inputs should already be filtered and the

@@ -68,6 +68,38 @@ class MultimodalSpec extends SparkSuite {
     assert(!(feats(4L).width == 17L && feats(4L).height == 23L))
   }
 
+  test("resize: real downscale within bounds, aspect preserved, passthrough elsewhere") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 13 + y * 7) & 0xFFFFFF)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", png(800, 600)), // downscale 2x
+      Multimodal.MediaRecord(2L, "image", png(100, 50)),  // already fits — untouched
+      Multimodal.MediaRecord(3L, "audio", png(800, 600)), // wrong modality — untouched
+      Multimodal.MediaRecord(4L, "image", "garbage".getBytes("UTF-8"))).toDS()
+    val once = Multimodal.resizeImages(media, 400, 400).collect().map(r => r.doc_id -> r).toMap
+    val dims = Multimodal.extractFeatures(
+      Multimodal.resizeImages(media, 400, 400)).collect().map(f => f.doc_id -> f).toMap
+    // 800x600 → scale 0.5 → 400x300 (aspect preserved, inside bounds)
+    assert(dims(1L).width == 400L && dims(1L).height == 300L, dims(1L))
+    // fits / wrong-modality / unreadable: byte-identical passthrough
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(once(id).payload.sameElements(
+        media.collect().find(_.doc_id == id).get.payload), s"doc $id mutated")
+    }
+    // deterministic re-encode: same bytes in → same bytes out
+    val twice = Multimodal.resizeImages(media, 400, 400).collect()
+      .find(_.doc_id == 1L).get.payload
+    assert(once(1L).payload.sameElements(twice))
+  }
+
   test("frame sampling fans out n_frames rows per item, no payload carried") {
     val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
     val frames = Multimodal.sampleFrames(feats)
