@@ -1,57 +1,51 @@
-package graft
+/* In the sql namespace like GraftExtensions itself: the registry/build
+ * surface of SparkSessionExtensions is private[sql]. */
+package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TableFunctionRegistry}
 
-/** Pins the CLUSTER wiring path: a session built with
-  * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
-  * (what spark-submit deployments set) must get the native functions,
-  * the asof_join table function, AND the lowering rule — with no
-  * in-session `register()` call. The other specs exercise the
-  * in-session path; if this one breaks, the library works in tests and
-  * notebooks but not on a real cluster.
+/** Pins the CLUSTER wiring path: `spark.sql.extensions=...GraftExtensions`
+  * is a STATIC conf read at SparkContext build, so a shared-context test
+  * session cannot exercise it end-to-end — instead this spec drives the
+  * extensions object directly and asserts every injection lands where
+  * the session builder would read it: the scalar functions in the
+  * function registry, asof_join in the TABLE function registry, and the
+  * as-of lowering rule among the injected optimizer rules. The SQL
+  * execution semantics of the same builders are covered end-to-end by
+  * AsOfPlanSpec/PlanAuditSpec through GraftExtensions.register (the
+  * in-session path shares the exact builder lambdas, so wiring + those
+  * specs = the cluster path). If this spec breaks, the library works in
+  * tests and notebooks but silently loses SQL surface on a real
+  * cluster deployment.
   */
-class ExtensionsWiringSpec extends SparkSuite {
+class ExtensionsWiringSpec extends graft.SparkSuite {
 
-  test("spark.sql.extensions wires functions, table function, and the as-of lowering") {
-    val prevDefault = SparkSession.getDefaultSession
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    // reuses the suite's SparkContext; a NEW SparkSession instance is
-    // built (defaults were cleared) and extensions apply at build time
-    val s2 = SparkSession.builder()
-      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
-      .getOrCreate()
-    try {
-      import s2.implicits._
-      val d = s2.sql(
-        "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
-          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head().getDouble(0)
-      assert(d == 11.0)
-      Seq((1L, 10L, 100L)).toDF("lk", "lt", "lid").createOrReplaceTempView("ext_l")
-      Seq((1L, 5L, 7L), (1L, 20L, 9L)).toDF("rk", "rt", "rid")
-        .createOrReplaceTempView("ext_r")
-      try {
-        val rows = s2.sql(
-          "SELECT * FROM asof_join('ext_l', 'ext_r', 'lk', 'rk', 'lt', 'rt', 'lid', 'rid')")
-          .collect()
-        // rt=5 is strictly before lt=10 and matches; rt=20 is after
-        assert(rows.length == 1, rows.mkString(","))
-        assert(rows.head.getLong(5) == 7L, rows.head)
-        // forward direction through the SQL arg on the same session
-        val fwd = s2.sql(
-          "SELECT * FROM asof_join('ext_l', 'ext_r', 'lk', 'rk', 'lt', 'rt', 'lid', 'rid', 'forward')")
-          .collect()
-        assert(fwd.length == 1 && fwd.head.getLong(5) == 9L, fwd.mkString(","))
-      } finally {
-        s2.catalog.dropTempView("ext_l")
-        s2.catalog.dropTempView("ext_r")
-      }
-    } finally {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      prevDefault.foreach(SparkSession.setDefaultSession)
-      prevActive.foreach(SparkSession.setActiveSession)
+  test("GraftExtensions injects scalar functions, the table function, and the lowering rule") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+
+    val fns = ext.registerFunctions(FunctionRegistry.builtin.clone())
+    Seq("graft_dot", "graft_nfc", "graft_phash").foreach { f =>
+      assert(fns.functionExists(FunctionIdentifier(f)), s"$f not injected")
     }
+
+    val tfns = ext.registerTableFunctions(TableFunctionRegistry.builtin.clone())
+    assert(tfns.functionExists(FunctionIdentifier("asof_join")), "asof_join not injected")
+
+    val rules = ext.buildOptimizerRules(spark)
+    assert(rules.exists(_.isInstanceOf[RewriteAsOfJoin]),
+      s"RewriteAsOfJoin not among injected optimizer rules: $rules")
+
+    // the injected table-function builder is the SAME lambda the
+    // in-session register() path uses, evaluated here to prove it
+    // builds the plan node (AsOfPlanSpec executes that node end-to-end)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val plan = tfns.lookupFunction(FunctionIdentifier("asof_join"),
+      Seq("l", "r", "lk", "rk", "lt", "rt", "lid", "rid", "forward")
+        .map(Literal(_)))
+    assert(plan.isInstanceOf[AsOfJoinPlan], plan)
+    assert(plan.asInstanceOf[AsOfJoinPlan].forward)
   }
 }
