@@ -281,6 +281,17 @@ class PlanAuditSpec extends SparkSuite {
     spark.catalog.clearCache() // knn_graph rides frozenCells' persist
   }
 
+  test("bitext_margin: both k-NN windows pre-trim; both probe sides broadcast") {
+    // SCALE.md's claim for the mining shape: the anchor batch and the
+    // best-candidate set ride broadcasts against the streamed sides,
+    // and both top-k windows carry the WindowGroupLimit map-side trim —
+    // so each exchange moves <= k·partitions rows per key, never a side
+    val p = plan(SparkEntry.queries("bitext_margin")(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p) // lit(true) joins must broadcast, not BNLJ-fallback
+  }
+
   test("compaction rewrite is shuffle-free: coalesce plans no Exchange (repartition would)") {
     // compact_files' cost claim — every byte moves once (read + write).
     // The coalesce merge must stay a narrow dependency; the repartition
