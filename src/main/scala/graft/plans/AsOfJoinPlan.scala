@@ -125,6 +125,12 @@ case class RewriteAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
             s"as-of join: $side side has no column(s) ${missing.mkString(", ")} " +
               s"(available: ${have.toSeq.sorted.mkString(", ")})")
         }
+      // time and id columns are ORDERED AGAINST each other across the
+      // sides (union sort keys) — an incompatible pair would otherwise
+      // surface as an obscure union-coercion failure deep inside the
+      // lowering, far from the user's call site
+      AsOfJoin.validateComparable(l, r, lt, rt, "time")
+      AsOfJoin.validateComparable(l, r, lid, rid, "id")
       val lDf = Dataset.ofRows(spark, l)
       val rDf = Dataset.ofRows(spark, r)
       val lCols = l.output.map(_.name)
@@ -223,6 +229,25 @@ object AsOfJoin {
     }
     sideCheck("left", lCols)
     sideCheck("right", rCols)
+  }
+
+  /** The cross-side comparability contract for a (time | id) column
+    * pair: same type, or both numeric, or both datetime — the families
+    * the union can widen without changing order semantics. */
+  private[graft] def validateComparable(l: LogicalPlan, r: LogicalPlan,
+      lc: String, rc: String, role: String): Unit = {
+    import org.apache.spark.sql.types._
+    def t(p: LogicalPlan, c: String): DataType =
+      p.output.find(_.name == c).get.dataType
+    val (lt, rt) = (t(l, lc), t(r, rc))
+    val ok = lt == rt ||
+      (lt.isInstanceOf[NumericType] && rt.isInstanceOf[NumericType]) ||
+      (Seq(lt, rt).forall(d =>
+        d == TimestampType || d == TimestampNTZType || d == DateType))
+    require(ok,
+      s"as-of join: $role columns must be mutually comparable " +
+        s"(same type, both numeric, or both datetime); got $lc: ${lt.sql} " +
+        s"vs $rc: ${rt.sql}")
   }
 
   def df(left: DataFrame, right: DataFrame,

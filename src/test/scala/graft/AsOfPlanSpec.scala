@@ -129,6 +129,20 @@ class AsOfPlanSpec extends SparkSuite {
     }
   }
 
+  test("incomparable cross-side time/id types fail with a clear message") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("lk", "lt", "lid")
+    val r = Seq((1L, "not a time", 7L)).toDF("rk", "rt", "rid")
+    val e = intercept[Exception] {
+      graft.plans.AsOf.join(l, r, "lk", "rk", "lt", "rt", "lid", "rid").collect()
+    }
+    assert(e.getMessage.contains("mutually comparable"), e.getMessage)
+    // numeric widening across the pair is fine (int vs long)
+    val r2 = Seq((1, 5, 7)).toDF("rk", "rt", "rid")
+    val ok = graft.plans.AsOf.join(l, r2, "lk", "rk", "lt", "rt", "lid", "rid").collect()
+    assert(ok.length == 1 && ok.head.get(5) == 7)
+  }
+
   test("forward direction equals the single-table forward window form, no join") {
     def fRows(name: String): Set[(Long, Long, Long, Option[Long], Option[Long], Option[Long])] =
       EventQueries.defs.find(_.name == name).get.fn(spark, dir).collect()
