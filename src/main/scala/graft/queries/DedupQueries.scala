@@ -1288,9 +1288,15 @@ object DedupQueries {
     QueryDef("dedup_lsh_eval",
       (s, dir) => {
         val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
+        // persisted: the truth pair list (tiny — verified pairs only)
+        // feeds BOTH the semi-join probe and the n_true count; without
+        // the persist the prefix-join leg — the query's dominant cost —
+        // evaluates twice. Released by the caller's clearCache sweep
+        // like every shared intermediate here.
         val truth = jaccardPairs(sh, Some(prefixCandidates(sh, SetSimTau)))
           .filter(col("jaccard") >= SetSimTau)
           .select(col("doc_a"), col("doc_b"))
+          .persist()
         val lsh = jaccardPairs(sh, Some(lshCandidates(sh)))
           .filter(col("jaccard") >= 0.8)
           .select(col("doc_a"), col("doc_b"))
