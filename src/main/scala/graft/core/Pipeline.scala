@@ -123,6 +123,21 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step],
   /** Equi-join against a unique-keyed source — `src/YaEtl.php:166-176`. */
   def join(spec: JoinSpec): Pipeline = append(Join(spec))
 
+  /** AS-OF join against a time-keyed source (beyond the reference —
+    * the engine's whole-operator extension, [[graft.plans.AsOf]]): for
+    * each flowing record, the latest right record with the same key
+    * strictly before it in (time, id) order — or the earliest strictly
+    * after with `forward = true` — with NULL right columns on a miss.
+    * Column names across the two sides must be disjoint; lowered by
+    * the injected optimizer rule into the linear union-tag-window
+    * merge (one shuffle on the key, no join at any scale). */
+  def asOf(src: Source,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      leftId: String, rightId: String,
+      forward: Boolean = false): Pipeline =
+    append(AsOfStep(src, leftKey, rightKey, leftTime, rightTime, leftId, rightId, forward))
+
   /** Per-record predicate — `src/YaEtl.php:108-114`. */
   def qualify(q: Qualifier): Pipeline = append(Qualify(q))
   def qualify(pred: Column): Pipeline = qualify(graft.operators.Qualifiers.Keep(pred))
@@ -351,6 +366,10 @@ final class Pipeline private (private val steps: Vector[Pipeline.Step],
           }
           dirtyTail = true
         case Join(spec)    => df = spec(spark, df); dirtyTail = true
+        case AsOfStep(src, lk, rk, lt, rt, lid, rid, fwd) =>
+          require(df != null, "asOf needs an upstream source")
+          df = graft.plans.AsOf.join(df, src.load(spark), lk, rk, lt, rt, lid, rid, fwd)
+          dirtyTail = true
         case Qualify(q) =>
           // non-truncating (continue-semantics) qualifiers get in/out
           // observations so exec can report the skipped-record total as
@@ -460,6 +479,10 @@ object Pipeline {
   private final case class From(src: Source, aggregate: Boolean) extends Step
   private final case class FromPerRecord(src: Source, on: Option[(String, String)]) extends Step
   private final case class Join(spec: JoinSpec) extends Step
+  private final case class AsOfStep(src: Source,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      leftId: String, rightId: String, forward: Boolean) extends Step
   private final case class Qualify(q: Qualifier) extends Step
   private final case class Transform(t: Transformer) extends Step
   private final case class To(sink: Sink) extends Step

@@ -287,6 +287,23 @@ class PipelineSpec extends SparkSuite {
     assert(report.status.isInstanceOf[PipelineStatus.Failed])
   }
 
+  test("asOf verb: pipeline surface equals the direct plan-node API") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 20L))
+      .toDF("lk", "lt", "lid")
+    val rDf = Seq((1L, 90L, 7L), (1L, 150L, 8L)).toDF("rk", "rt", "rid")
+    val viaPipeline = Pipeline()
+      .from(graft.sources.CallableSource(_ => l))
+      .asOf(graft.sources.CallableSource(_ => rDf),
+        "lk", "rk", "lt", "rt", "lid", "rid")
+      .toDF(spark)
+      .collect().map(r => (r.getLong(2), Option(r.get(5)).map(_.asInstanceOf[Long]))).toSet
+    val direct = graft.plans.AsOf.join(l, rDf, "lk", "rk", "lt", "rt", "lid", "rid")
+      .collect().map(r => (r.getLong(2), Option(r.get(5)).map(_.asInstanceOf[Long]))).toSet
+    assert(viaPipeline == direct, s"pipeline=$viaPipeline direct=$direct")
+    assert(viaPipeline == Set((10L, Some(7L)), (11L, Some(8L)), (20L, None)))
+  }
+
   test("ordered(): aggregate-concat preserves end-to-end record order (README.md:174)") {
     // The reference's AggregateExtractor drains shards in the order
     // they were added; ordered() restores that observable behavior.
