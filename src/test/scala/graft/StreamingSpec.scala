@@ -715,6 +715,48 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("quantile sketch restart from checkpoint: state-carried sample equals the fold") {
+    import spark.implicits._
+    val dir = tmpDir("qsk_restart")
+    val (src, out, chk) = (s"$dir/src", s"$dir/out", s"$dir/chk")
+    def writeFile(events: Event*): Unit =
+      events.toDF().withColumn("props", lit("{}"))
+        .repartition(1).write.mode("append").parquet(src)
+    def run(): Unit = {
+      val ds = EventStreams.readEventStream(spark, src, nanosTs = Some(false))
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      val q = EventStreams.quantileSketchStream(ds, k = 8)
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStreams.QuantileEst], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", chk)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeFile((1 to 6).map(i => Event(i.toLong, ts(i), 1L, "click", i * 1.0)): _*)
+    run() // incarnation 1: below k — exact quantiles
+    // incarnation 2 resumes from the checkpoint with the sample+count
+    // state intact; its emission must equal the ONE-SHOT fold over all
+    // 30 events — the restart-consistency contract of a deterministic
+    // bottom-k sample
+    writeFile((7 to 30).map(i => Event(i.toLong, ts(30 + i), 1L, "click", i * 1.0)): _*)
+    run()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("p50_cents"), r.getAs[Long]("p95_cents")))
+      .toSet
+    assert(rows.contains((6L, 300L, 600L)), s"first incarnation emission missing: $rows")
+    val sampler = new graft.operators.Aggregators.StableSample(8)
+    val folded = (1 to 30).foldLeft(sampler.zero) { (b, i) =>
+      sampler.reduce(b,
+        (graft.functions.TextFunctions.portableHashJvm(i.toString, 71), i * 100L))
+    }
+    val sv = folded.map(_._2).sorted.toIndexedSeq
+    def pos(p: Int): Long = sv(((sv.size * p + 99) / 100 - 1).max(0))
+    assert(rows.contains((30L, pos(50), pos(95))),
+      s"restart emission must equal the one-shot fold: $rows vs n=30 p50=${pos(50)} p95=${pos(95)}")
+  }
+
   test("streaming heavy hitters: true heavy present across batches, light user absent") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
