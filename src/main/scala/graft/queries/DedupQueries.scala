@@ -182,11 +182,11 @@ object DedupQueries {
     * shape for iterative graph algorithms on Spark at any scale. Plain
     * neighbor-min propagation needs O(graph diameter) supersteps;
     * near-dup clusters have tiny diameters (duplicates of a doc are
-    * near-dups of each other), so 1-2 iterations suffice here, and a
-    * degenerate over-cap chain THROWS rather than returning wrong
-    * labels — if such graphs ever became normal, pointer doubling
-    * (propagating labels through labels) would restore O(log n)
-    * rounds. */
+    * near-dups of each other), so 1-2 iterations suffice here; a
+    * revealed long diameter switches on pointer doubling (labels
+    * propagated through labels — O(log diameter) rounds), and only a
+    * graph that defeats BOTH within the cap THROWS rather than
+    * returning wrong labels. */
   private[queries] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
     val pairs = jaccardPairs(sh, Some(lshCandidates(sh)))
@@ -200,6 +200,10 @@ object DedupQueries {
     * [[clusterLabels]], factored so the cap/throw contract is testable
     * against synthetic degenerate graphs without crafting a corpus
     * whose LSH pairs happen to chain. */
+  /** Supersteps of plain neighbor-min before pointer doubling joins
+    * in — the common tiny-diameter case never pays the extra join. */
+  private val ShortcutAfter = 5
+
   private[graft] def propagateMinLabels(pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
     // symmetric edge list, persisted: re-joined every superstep
@@ -236,12 +240,31 @@ object DedupQueries {
       // the neighbor-min back against them, drops a join stage per
       // superstep (same fixpoint — least(own, nbr_min) ≡ the union
       // min, and every node appears in its own union branch)
-      val next = edges.join(labels, edges("doc_b") === labels("doc_id"))
+      val propagated = edges.join(labels, edges("doc_b") === labels("doc_id"))
         .select(col("doc_a").as("doc_id"), col("label"))
         .unionByName(labels)
         .groupBy(col("doc_id"))
         .agg(min(col("label")).as("label"))
-        .localCheckpoint() // eager: materializes + truncates
+      // ADAPTIVE pointer doubling: past [[ShortcutAfter]] supersteps
+      // the graph has revealed a long diameter (near-dup graphs are
+      // normally 1-2 hops), so each further superstep also follows
+      // one's label's label — path compression halves the remaining
+      // tree height, turning an O(diameter) tail into O(log diameter)
+      // instead of a cap-out. The common case never pays the extra
+      // join; the fixpoint is unchanged (labels only decrease, the
+      // component min is a fixed point of both steps). The propagated
+      // frame is checkpointed BEFORE the self-join so both sides read
+      // one materialization (and fresh aliases keep the join
+      // unambiguous).
+      val next =
+        if (iter >= ShortcutAfter) {
+          val p = propagated.localCheckpoint()
+          val compress = p.select(col("doc_id").as("y_doc"), col("label").as("y_label"))
+          p.join(compress, col("label") === col("y_doc"), "left_outer")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("y_label"), col("label"))).as("label"))
+            .localCheckpoint()
+        } else propagated.localCheckpoint() // eager: materializes + truncates
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
@@ -249,11 +272,11 @@ object DedupQueries {
       iter += 1
     }
     edges.unpersist(blocking = false)
-    // min-label propagation needs O(diameter) supersteps, and
-    // near-dup graphs have tiny diameters — but a degenerate >20-hop
-    // chain of chained near-dups would exit this loop with WRONG
-    // labels. Silent wrong cluster_ids are worse than a diagnosable
-    // failure, so non-convergence throws.
+    // plain propagation is O(diameter) and the adaptive shortcut
+    // O(log diameter) past ShortcutAfter — a graph that still hasn't
+    // converged inside the cap would exit this loop with WRONG labels.
+    // Silent wrong cluster_ids are worse than a diagnosable failure,
+    // so non-convergence throws.
     if (!converged) throw new IllegalStateException(
       s"dedup_clusters: min-label propagation did not converge in $iter supersteps " +
         "(graph diameter exceeds the cap); raise the cap or pre-partition the corpus")

@@ -82,24 +82,28 @@ class DedupGuardSoakSpec extends SparkSuite {
     } finally spark.catalog.clearCache()
   }
 
-  test("cluster propagation converges on a short chain, throws past the cap") {
-    // 10-node path graph: diameter 9 < 20 — converges, one cluster
-    // labeled by its minimum
+  test("cluster propagation: short chains converge plainly, long ones via pointer doubling, cap still throws") {
+    // 10-node path graph: diameter 9 — plain neighbor-min converges
+    // inside ShortcutAfter-adjacent territory, one cluster labeled by
+    // its minimum
     val short = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val labels = DedupQueries.propagateMinLabels(short).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 10 && labels.values.forall(_ == 0L), labels)
-    // 30-node chain: min-label moves one hop per superstep, so the
-    // 20-superstep cap trips — the guard must THROW (silent wrong
-    // cluster_ids are the failure mode it exists to prevent)
-    val long = (0L until 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // 60-node chain (diameter 59 ≫ the 20-superstep cap): plain
+    // propagation alone could never finish — convergence at the
+    // DEFAULT cap proves the adaptive pointer doubling actually
+    // compresses paths (O(log diameter) once it switches on)
+    val long = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ok = DedupQueries.propagateMinLabels(long).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(ok == Set(0L), s"pointer doubling failed to converge a 60-chain: $ok")
+    // the cap guard still fires: below the doubling threshold a
+    // too-small budget must THROW (silent wrong cluster_ids are the
+    // failure mode it exists to prevent)
     val e = intercept[IllegalStateException] {
-      DedupQueries.propagateMinLabels(long).collect()
+      DedupQueries.propagateMinLabels(long, maxIter = 3).collect()
     }
     assert(e.getMessage.contains("did not converge"), e.getMessage)
-    // and the same graph converges when the cap accommodates it
-    val ok = DedupQueries.propagateMinLabels(long, maxIter = 40).collect()
-      .map(r => r.getLong(1)).toSet
-    assert(ok == Set(0L))
   }
 }
