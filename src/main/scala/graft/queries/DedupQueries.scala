@@ -441,6 +441,46 @@ object DedupQueries {
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents
              |GROUP BY md5(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))""".stripMargin)),
 
+    // Cross-source OVERLAP MATRIX — how much does source A duplicate
+    // source B: the verified near-dup pairs (the same LSH-candidate +
+    // exact-Jaccard ≥ 0.8 contract as `dedup_ngram_jaccard`, which
+    // subsumes exact dups at J = 1) rolled up by unordered source
+    // pair. The multi-source ingest report that decides which crawls
+    // are redundant before paying to clean them doc by doc — the
+    // diagonal (src_a = src_b) is intra-source boilerplate, the
+    // off-diagonal is cross-crawl redundancy. Scale shape: rides the
+    // subquadratic banded-LSH stack unchanged; the pair list (≪
+    // corpus by construction) then BROADCASTS against the narrow
+    // (doc_id, source) projection twice — the corpus-sized side is
+    // never shuffled, each join is a broadcast probe of a two-column
+    // scan. Output is at most |sources|² counter rows.
+    QueryDef("source_overlap",
+      (s, dir) => {
+        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
+        val pairs = jaccardPairs(sh, Some(lshCandidates(sh)))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("doc_a"), col("doc_b"))
+        val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+        val half = src.join(broadcast(pairs), col("doc_id") === col("doc_a"))
+          .select(col("doc_b"), col("source").as("sa"))
+        src.join(broadcast(half), col("doc_id") === col("doc_b"))
+          .select(least(col("sa"), col("source")).as("src_a"),
+            greatest(col("sa"), col("source")).as("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some(s"""$shCte,
+              |$candCteSql,
+              |$interCteSql,
+              |$pairsCteSql
+              |SELECT least(da.source, db.source) AS src_a,
+              |  greatest(da.source, db.source) AS src_b,
+              |  COUNT(*) AS n_pairs
+              |FROM pairs
+              |JOIN documents da ON da.doc_id = doc_a
+              |JOIN documents db ON db.doc_id = doc_b
+              |GROUP BY 1, 2""".stripMargin)),
+
     // n-gram Jaccard near-dup pairs (threshold 0.8): MinHash-LSH
     // candidate discovery, exact Jaccard computed ONLY on candidates.
     // The oracle mirrors the candidate generation, so both engines run

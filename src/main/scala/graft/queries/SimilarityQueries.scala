@@ -1067,7 +1067,73 @@ object SimilarityQueries {
            |  CAST(margin_micro AS BIGINT) AS margin_micro,
            |  CAST(CASE WHEN margin_micro > $MarginAcceptMicro THEN 1 ELSE 0 END AS BIGINT) AS accepted
            |FROM m""".stripMargin
-      })
+      }),
+
+    // Per-dimension CLASS SEPARATION (Fisher score) — the feature-
+    // discriminability audit of an embedding space: for each dimension,
+    // between-class variance over within-class variance across the
+    // `label` classes. High-F dims carry the label signal; near-zero
+    // dims are dead weight a projection can drop. Parity architecture
+    // (same as `embedding_dim_stats` + `source_divergence`): floats
+    // quantize to integer micro-points FIRST so every per-(dim, label)
+    // moment (n, Σu, Σu²) is an exact order-insensitive BIGINT sum; the
+    // one double reduction (Σ_label s²/n) folds over a label-sorted
+    // collected list — |labels| entries, fixed order, op shape mirrored
+    // in the oracle — so the result is bit-identical across engines.
+    // Scale: the exchange carries (dim × label) moment rows (tiny, the
+    // embedding data itself never shuffles); the per-dim label frame is
+    // |labels| wide, so the collect_list is bounded, never corpus-sized.
+    QueryDef("embedding_class_sep",
+      (s, dir) => {
+        val mp = QueryDef.microPoints(col("v").cast("double"))
+        val g = Tables(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")))
+          .select(col("label").cast("long").as("label"),
+            (col("pos") + 1).cast("long").as("dim"), col("col").as("v"))
+          .select(col("label"), col("dim"), mp.as("u"))
+          .groupBy(col("dim"), col("label"))
+          .agg(count(lit(1)).as("n_l"), sum(col("u")).as("s_l"),
+            sum(col("u") * col("u")).as("ss_l"))
+        val term = (col("s_l").cast("double") * col("s_l").cast("double")) /
+          col("n_l").cast("double")
+        val d = g
+          .select(col("dim"), col("label"), col("n_l"), col("s_l"), col("ss_l"),
+            term.as("term"))
+          .groupBy(col("dim"))
+          .agg(sum(col("n_l")).as("n"), count(lit(1)).as("n_labels"),
+            sum(col("s_l")).as("s"), sum(col("ss_l")).as("ss"),
+            sort_array(collect_list(struct(col("label"), col("term")))).as("l"))
+          .select(col("dim"), col("n"), col("n_labels"), col("s"), col("ss"),
+            foldSum(transform(col("l"), x => x.getField("term"))).as("t"))
+        val nD = col("n").cast("double")
+        val cD = col("n_labels").cast("double")
+        val ssb = (col("t") - (col("s").cast("double") * col("s").cast("double")) / nD) / (cD - lit(1.0))
+        val ssw = (col("ss").cast("double") - col("t")) / (nD - cD)
+        d.filter(col("n_labels") > 1 && col("n") > col("n_labels"))
+          .select(col("dim"), col("n"), col("n_labels"),
+            QueryDef.microPoints(ssb / ssw).as("fisher_micro"))
+      },
+      Some(s"""WITH ex AS (
+              |  SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+              |    i -> struct_pack(dim := i,
+              |      u := ${QueryDef.microPointsSql("CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)")}))) AS e
+              |  FROM embeddings),
+              |g AS (
+              |  SELECT e.dim AS dim, CAST(label AS BIGINT) AS label,
+              |    COUNT(*) AS n_l, CAST(SUM(e.u) AS BIGINT) AS s_l,
+              |    CAST(SUM(e.u * e.u) AS BIGINT) AS ss_l
+              |  FROM ex GROUP BY 1, 2),
+              |d AS (
+              |  SELECT dim, CAST(SUM(n_l) AS BIGINT) AS n, COUNT(*) AS n_labels,
+              |    CAST(SUM(s_l) AS BIGINT) AS s, CAST(SUM(ss_l) AS BIGINT) AS ss,
+              |    list_reduce(list_prepend(0.0, list(
+              |      (CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE)) / CAST(n_l AS DOUBLE)
+              |      ORDER BY label)), (a, b) -> a + b) AS t
+              |  FROM g GROUP BY 1)
+              |SELECT CAST(dim AS BIGINT) AS dim, n, CAST(n_labels AS BIGINT) AS n_labels,
+              |  ${QueryDef.microPointsSql(
+                   "((t - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)) / (CAST(n_labels AS DOUBLE) - 1.0)) / ((CAST(ss AS DOUBLE) - t) / (CAST(n AS DOUBLE) - CAST(n_labels AS DOUBLE)))")} AS fisher_micro
+              |FROM d WHERE n_labels > 1 AND n > n_labels""".stripMargin))
   )
 
 

@@ -631,8 +631,232 @@ object TextQueries {
               |  CAST((CAST((SELECT n FROM nd) AS HUGEINT) * df_xy * 1000000)
               |    // (CAST(dfx AS HUGEINT) * dfy) AS BIGINT) AS lift_ppm
               |FROM pairs
-              |ORDER BY lift_ppm DESC, x, y LIMIT 20""".stripMargin))
+              |ORDER BY lift_ppm DESC, x, y LIMIT 20""".stripMargin)),
+
+    // Per-document KEYWORD extraction by TF-IDF — the "what is this
+    // document about" primitive behind tagging, routing, and topic
+    // audits of a crawled corpus. Scale shape: (1) tf per (doc, token)
+    // — ONE hash agg over the exploded tokens, map-side combinable, so
+    // the exchange carries distinct (doc, token) pairs, not raw token
+    // occurrences; (2) df per token FROM the tf table (a second agg
+    // over already-collapsed pairs — the corpus is never re-read);
+    // (3) tf ⋈ df keyed by token — skew on hot tokens is bounded
+    // because the probe side is the collapsed pair table, and AQE
+    // splits any residual hot partition; (4) top-k per doc via a
+    // doc_id-partitioned window — parallelism = |docs| (millions of
+    // partitions at corpus scale), rank ≤ k prunes via
+    // WindowGroupLimit before the sort materializes. The idf is the
+    // BM25 rational form (n − df + ½)/(df + ½) — same monotone
+    // ordering as log-idf, zero libm, bit-identical across engines
+    // (see `bm25_search`).
+    QueryDef("tfidf_keywords",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score_micro").desc, col("tk"))
+        val tfs = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+          .groupBy(col("doc_id"), col("tk"))
+          .agg(count(lit(1)).as("tf"))
+        val dfs = tfs.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+        val nDocs = Tables(s, dir, "documents").agg(count(lit(1)).as("n"))
+        tfs.join(dfs, Seq("tk"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("score_micro", QueryDef.microPoints(
+            col("tf").cast("double") *
+              ((col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+                (col("df").cast("double") + lit(0.5)))))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TfidfTopK)
+          .select(col("doc_id"), col("rank"), col("tk").as("token"),
+            col("score_micro"))
+      },
+      Some(s"""$toksCte,
+              |tfs AS (
+              |  SELECT doc_id, tk, COUNT(*) AS tf
+              |  FROM (SELECT doc_id, unnest(t) AS tk FROM toks) GROUP BY 1, 2),
+              |dfs AS (SELECT tk, COUNT(*) AS df FROM tfs GROUP BY 1),
+              |nd AS (SELECT COUNT(*) AS n FROM documents),
+              |scored AS (
+              |  SELECT tfs.doc_id, tfs.tk,
+              |    ${QueryDef.microPointsSql(
+                     "CAST(tf AS DOUBLE) * ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))")} AS score_micro
+              |  FROM tfs JOIN dfs USING (tk), nd),
+              |ranked AS (
+              |  SELECT doc_id, tk, score_micro,
+              |    CAST(row_number() OVER (
+              |      PARTITION BY doc_id ORDER BY score_micro DESC, tk) AS BIGINT) AS rank
+              |  FROM scored)
+              |SELECT doc_id, rank, tk AS token, score_micro
+              |FROM ranked WHERE rank <= $TfidfTopK""".stripMargin)),
+
+    // Flesch reading-ease readability — the classic curation feature a
+    // quality pipeline buckets documents by (education-level targeting,
+    // grade-school filtering). Pure column expressions over one narrow
+    // scan: syllables ≈ vowel groups (`[aeiouy]+` runs), sentences ≈
+    // terminal-punctuation runs, all three counts floored at 1 so the
+    // formula is total. The double formula 206.835 − 1.015·(W/S) −
+    // 84.6·(Sy/W) is an op-shape-pinned chain over exact integers
+    // (each division/multiply/subtract one IEEE op, mirrored term by
+    // term in the oracle), exported in micro-points; the difficulty
+    // band then thresholds the exact BIGINT micro value, so the bucket
+    // can never flip on a last-ulp divergence. Zero shuffle — at
+    // 100 TB this runs at scan speed.
+    QueryDef("readability_flesch",
+      (s, dir) => {
+        val t = tokens(col("text"))
+        val nW = greatest(size(t).cast("long"), lit(1L))
+        val nSyl = greatest(
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+            .cast("long"), lit(1L))
+        val nSent = greatest(
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+            .cast("long"), lit(1L))
+        val fm = QueryDef.microPoints(
+          lit(206.835) -
+            lit(1.015) * (nW.cast("double") / nSent.cast("double")) -
+            lit(84.6) * (nSyl.cast("double") / nW.cast("double")))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), nW.as("n_words"), nSent.as("n_sentences"),
+            nSyl.as("n_syllables"), fm.as("flesch_micro"))
+          .withColumn("band",
+            when(col("flesch_micro") >= 90000000L, "very_easy")
+              .when(col("flesch_micro") >= 70000000L, "easy")
+              .when(col("flesch_micro") >= 50000000L, "standard")
+              .when(col("flesch_micro") >= 30000000L, "difficult")
+              .otherwise("very_difficult"))
+      },
+      Some(s"""$toksCte,
+              |c AS (
+              |  SELECT doc_id,
+              |    greatest(CAST(len(t) AS BIGINT), 1) AS n_words,
+              |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+              |    greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT), 1) AS n_syllables
+              |  FROM toks),
+              |f AS (
+              |  SELECT doc_id, n_words, n_sentences, n_syllables,
+              |    ${QueryDef.microPointsSql(
+                     "206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))")} AS flesch_micro
+              |  FROM c)
+              |SELECT doc_id, n_words, n_sentences, n_syllables, flesch_micro,
+              |  CASE WHEN flesch_micro >= 90000000 THEN 'very_easy'
+              |       WHEN flesch_micro >= 70000000 THEN 'easy'
+              |       WHEN flesch_micro >= 50000000 THEN 'standard'
+              |       WHEN flesch_micro >= 30000000 THEN 'difficult'
+              |       ELSE 'very_difficult' END AS band
+              |FROM f""".stripMargin)),
+
+    // Per-document N-GRAM NOVELTY — the duplication-burden profile of a
+    // corpus: for each doc, the fraction of its distinct word 3-grams
+    // that appear in NO other document (df == 1). Low-novelty docs are
+    // boilerplate/templated content even when no single near-dup pair
+    // exists — the corpus-level signal the pairwise dedup stack can't
+    // see. Scale shape: distinct-per-doc happens MAP-SIDE
+    // (array_distinct on the shingle array — no dedup exchange); the
+    // exploded grams shuffle as 60-bit portable hashes, never text;
+    // df is one map-side-combinable count per hash; the join back is
+    // hash-keyed (skew bounded — a gram's df-1 copies all land in one
+    // partition only as (doc_id, h) pairs, 16 B each); the per-doc
+    // rollup is a second counter-shaped agg. The shingle subtree feeds
+    // both the df count and the join probe, so it persists for the
+    // query's lifetime (Verify/Bench clearCache() it between queries).
+    QueryDef("ngram_novelty",
+      (s, dir) => {
+        val sh = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(shingles(tokens(col("text"))))).as("sng"))
+          .select(col("doc_id"), portableHash(col("sng"), 0).as("h"))
+          .persist()
+        val dfs = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        sh.join(dfs, Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty_ppm",
+            expr("(n_novel * 1000000) div n_grams"))
+      },
+      Some(s"""${graft.queries.DedupQueries.shCte},
+              |hs AS (SELECT doc_id, ${portableHashSql("s", 0)} AS h FROM sh),
+              |dfs AS (SELECT h, COUNT(*) AS df FROM hs GROUP BY 1),
+              |agg AS (
+              |  SELECT doc_id, COUNT(*) AS n_grams,
+              |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+              |  FROM hs JOIN dfs USING (h) GROUP BY 1)
+              |SELECT doc_id, n_grams, n_novel,
+              |  (n_novel * 1000000) // n_grams AS novelty_ppm
+              |FROM agg""".stripMargin)),
+
+    // VOCABULARY GROWTH curve (Heaps' law) — cumulative distinct word
+    // types vs cumulative token occurrences over the ingest order
+    // (doc_id), bucketed into a fixed number of corpus slices. The
+    // corpus-health profile that says whether a crawl is still finding
+    // new language or re-crawling the same material (a flattening
+    // curve = diminishing vocabulary returns; Heaps predicts
+    // types ~ tokens^β). Scale shape: each type's FIRST occurrence is
+    // one map-side-combinable min(doc_id) keyed by token (the only
+    // vocab-sized exchange — same posture as `vocab_top`); per-doc
+    // token counts collapse map-side to |buckets| counter rows; the
+    // two cumulative windows then run over the |buckets| summary frame
+    // only (shrink-then-serial, allow-listed in the funnel sweep).
+    // The 1-row max(doc_id) rides a broadcast to the bucketing
+    // expression on both legs.
+    QueryDef("vocab_growth",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+        val mx = docs.agg(max(col("doc_id")).as("mx"))
+        val firstOcc = docs
+          .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+          .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+          .crossJoin(broadcast(mx))
+          .select(expr(s"(first_doc * $GrowthBuckets) div (mx + 1)").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+        val occ = docs
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+          .crossJoin(broadcast(mx))
+          .select(expr(s"(doc_id * $GrowthBuckets) div (mx + 1)").as("bucket"),
+            col("n_toks"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        val w = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        occ.join(firstOcc, Seq("bucket"), "left")
+          .na.fill(0L, Seq("new_types"))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .withColumn("cum_types", sum(col("new_types")).over(w))
+          .select(col("bucket"), col("n_docs"), col("n_tokens"),
+            col("new_types"), col("cum_tokens"), col("cum_types"))
+      },
+      Some(s"""$toksCte,
+              |mx AS (SELECT max(doc_id) AS mx FROM documents),
+              |fo AS (
+              |  SELECT tok, min(doc_id) AS first_doc
+              |  FROM (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)
+              |  GROUP BY 1),
+              |nt AS (
+              |  SELECT (first_doc * $GrowthBuckets) // (mx + 1) AS bucket,
+              |    COUNT(*) AS new_types
+              |  FROM fo, mx GROUP BY 1),
+              |occ AS (
+              |  SELECT (doc_id * $GrowthBuckets) // (mx + 1) AS bucket,
+              |    COUNT(*) AS n_docs, CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+              |  FROM toks, mx GROUP BY 1)
+              |SELECT occ.bucket AS bucket, n_docs, n_tokens,
+              |  coalesce(new_types, CAST(0 AS BIGINT)) AS new_types,
+              |  CAST(SUM(n_tokens) OVER (ORDER BY occ.bucket
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+              |  CAST(SUM(coalesce(new_types, 0)) OVER (ORDER BY occ.bucket
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+              |FROM occ LEFT JOIN nt USING (bucket)""".stripMargin))
   )
+
+  /** Corpus slices for `vocab_growth`. A def, not a val (the
+    * oracle-string init-order gotcha). */
+  private def GrowthBuckets: Int = 10
+
+  /** Keywords kept per document by `tfidf_keywords`. A def, not a val
+    * (the oracle-string init-order gotcha). */
+  private def TfidfTopK: Int = 3
 
   /** Support floor for `collocations_lift`: both tokens and the pair
     * itself must appear in at least this many documents — the bound

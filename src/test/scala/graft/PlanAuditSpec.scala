@@ -637,7 +637,11 @@ class PlanAuditSpec extends SparkSuite {
         "vocab_top_p",
         // Hamilton remainder ranking over the |languages|-row frame —
         // the corpus collapses to per-language counts first
-        "token_budget_apportion")
+        "token_budget_apportion",
+        // cumulative Heaps-curve windows over the |buckets| summary
+        // frame — the corpus collapses to GrowthBuckets counter rows
+        // before either window runs
+        "vocab_growth")
       val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
         try {
           if (funnels(SparkEntry.queries(name)(spark, dir))) Some(name) else None
@@ -786,5 +790,80 @@ class PlanAuditSpec extends SparkSuite {
     assert(!pa.contains("BroadcastNestedLoopJoin") && !pa.contains("CartesianProduct"), pa)
     val ps = plan(SparkEntry.queries("session_paths")(spark, dir))
     assert(ps.contains("TakeOrderedAndProject"), ps)
+  }
+
+  test("tfidf_keywords: top-k window pre-trims; corpus count broadcasts") {
+    // the per-doc keyword window partitions by doc_id (parallelism =
+    // |docs|) and must carry the WindowGroupLimit map-side trim so the
+    // window exchange moves <= k rows per (partition, doc), not every
+    // scored (doc, token) pair; the 1-row corpus count must ride a
+    // broadcast, never force the scored table through a join exchange
+    val p = plan(SparkEntry.queries("tfidf_keywords")(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the window's exchange partitions on doc_id — never a global
+    // funnel (the 1-row corpus-count agg is the only SinglePartition
+    // exchange in the plan, and it carries one row by construction)
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size >= 1, p)
+  }
+
+  test("readability_flesch: zero-Exchange scan-speed scoring") {
+    // readability is per-row arithmetic over one narrow scan — any
+    // Exchange means a count accidentally became an aggregation
+    val p = plan(SparkEntry.queries("readability_flesch")(spark, dir))
+    assert(!p.contains("Exchange"), p)
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
+  }
+
+  test("ngram_novelty: grams shuffle as hashes, never text; df agg is partial") {
+    // the novelty exchange carries (doc_id, 60-bit hash) pairs — the
+    // shingle STRINGS must be consumed map-side (array_distinct +
+    // portable hash before any exchange), and the df count must
+    // combine map-side like every counter agg
+    val p = plan(SparkEntry.queries("ngram_novelty")(spark, dir))
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("SinglePartition"), p)
+    // every exchange keys on h / doc_id, never the gram string
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!exchanges.contains("sng"), exchanges)
+    spark.catalog.clearCache() // the shingle subtree persists internally
+  }
+
+  test("source_overlap: pair list broadcasts against the corpus projection, twice") {
+    // the corpus-sized (doc_id, source) projection must be the
+    // streamed side of BOTH joins — the near-dup pair list is the
+    // broadcast build side, so the corpus never shuffles for the rollup
+    val p = plan(SparkEntry.queries("source_overlap")(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache() // shingleSet persists internally
+  }
+
+  test("vocab_growth: both corpus legs collapse map-side; max(doc_id) broadcasts") {
+    // the only vocab-sized exchange is the first-occurrence min keyed
+    // by token; the bucket rollups must partial-agg before their
+    // exchanges, and the 1-row max must never force a shuffle join
+    val p = plan(SparkEntry.queries("vocab_growth")(spark, dir))
+    assert(p.contains("partial_"), p)
+    assert("BroadcastNestedLoopJoin|BroadcastExchange".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("embedding_class_sep: moment aggs are partial before their exchanges; vectors never shuffle") {
+    // both groupBys (per (dim,label), then per dim) must combine
+    // map-side so each exchange carries bounded moment rows — and the
+    // exploded embedding values themselves must never be an exchange
+    // key (the shuffle payload is (dim, label, n, s, ss), tiny)
+    val p = plan(SparkEntry.queries("embedding_class_sep")(spark, dir))
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("SinglePartition"), p)
+    assert("hashpartitioning\\(dim".r.findAllIn(p).size >= 1, p)
+    // the array column is consumed before any exchange: no exchange
+    // subtree should reference `embedding`
+    val afterFirstExchange = p.linesIterator
+      .filter(_.contains("hashpartitioning")).mkString("\n")
+    assert(!afterFirstExchange.contains("embedding"), afterFirstExchange)
   }
 }
