@@ -356,6 +356,74 @@ object EventStreams {
       }
   }
 
+  /** Per-user last-event state for [[transitionsStateful]]: epoch ms,
+    * tie-break id, and type of the latest event consumed. */
+  final case class LastEvent(ms: Long, id: Long, tpe: String)
+  final case class TransitionOut(user_id: Long, from_type: String,
+      to_type: String, to_ms: Long)
+
+  /** Stateful event-transition pairs — the streaming twin of the batch
+    * `event_transitions` query (per-user consecutive (from, to) event
+    * pairs under the (ts, event_id) total order; downstream
+    * `groupBy(from_type, to_type).count()` is the live Markov matrix
+    * behind funnel design).
+    *
+    * State is ONE (ms, id, type) triple per user — O(1) per key,
+    * hash-partitioned on user_id — evicted once the watermark passes
+    * `last + idleMs` (nothing to emit at timeout: pairs emit inline as
+    * their second event arrives, so eviction is purely a state bound).
+    * Within a micro-batch rows fold in (ts, event_id) order, matching
+    * the batch window's sort. Divergence by construction (the
+    * bounded-state contract every twin here documents): an event
+    * arriving between two already-paired events — late but within the
+    * watermark, delivered in a later micro-batch — appends to the
+    * carried last event instead of splicing between them; the batch
+    * twin, seeing all data at once, would order it in place. */
+  def transitionsStateful(events: Dataset[Event],
+      idleMs: Long = 2L * 60 * 60 * 1000,
+      watermark: String = "2 hours"): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    def ms(t: java.sql.Timestamp): Long = t.getTime
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransitionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (ms(e.ts), e.event_id))
+            val out = Seq.newBuilder[TransitionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = ms(e.ts)
+              // an out-of-order row at-or-before the carried last event
+              // (same-batch rows are sorted, so only cross-batch late
+              // data hits this) still pairs — in arrival order, per the
+              // documented divergence — but must not REGRESS the
+              // carried (ms, id) watermark clock
+              cur.foreach(p => out += TransitionOut(userId, p.tpe, e.event_type, t))
+              if (cur.forall(p => p.ms < t || (p.ms == t && p.id < e.event_id)))
+                cur = Some(LastEvent(t, e.event_id, e.event_type))
+            }
+            cur match {
+              // the attributeStateful arming guard: a timeout at-or-
+              // before the current watermark throws — an idle user the
+              // watermark already passed just drops state now
+              case Some(c) if c.ms + idleMs > state.getCurrentWatermarkMs() =>
+                state.update(c)
+                state.setTimeoutTimestamp(c.ms + idleMs)
+              case Some(_) => state.remove()
+              case None => ()
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   final case class SessionState(startMs: Long, lastMs: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Long, total_value: Double)

@@ -471,6 +471,47 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stateful transitions reproduce the batch lead() pairs across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = EventStreams.transitionsStateful(ms.toDS())
+      .writeStream.format("memory").queryName("trans").outputMode("append").start()
+    try {
+      val batch1 = Seq(
+        // user 7: two events in batch 1, third arrives in batch 2 —
+        // the carried state must supply the (view → purchase) pair
+        Event(1, ts(0), 7, "click", 0.0), Event(2, ts(5), 7, "view", 0.0),
+        // user 8: one event only in batch 1
+        Event(3, ts(5), 8, "click", 0.0),
+        // user 9: same-timestamp tie — (ts, event_id) order decides
+        // the pair direction, exactly like the batch window's sort
+        Event(11, ts(8), 9, "view", 0.0), Event(10, ts(8), 9, "click", 0.0))
+      val batch2 = Seq(
+        Event(4, ts(10), 7, "purchase", 0.0),
+        Event(5, ts(12), 8, "view", 0.0))
+      ms.addData(batch1: _*)
+      q.processAllAvailable()
+      ms.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("trans")
+        .select(col("user_id"), col("from_type"), col("to_type"))
+        .as[(Long, String, String)].collect().sorted.toSeq
+      // the batch twin's exact formulation over the same rows
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val expected = (batch1 ++ batch2).toDF()
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .select(col("user_id"), col("event_type"), col("to_type"))
+        .as[(Long, String, String)].collect().sorted.toSeq
+      assert(got == expected,
+        s"stream pairs $got diverged from batch lead() pairs $expected")
+      assert(got.count(_._1 == 9L) == 1 &&
+        got.contains((9L, "click", "view"))) // tie resolved by event_id
+    } finally q.stop()
+  }
+
   test("stateful funnel reproduces the batch min-timestamp step semantics") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
