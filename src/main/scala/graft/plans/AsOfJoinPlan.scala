@@ -43,10 +43,12 @@ import org.apache.spark.sql.types.StructType
   * output is their concatenation — and unique WITHIN each side too
   * (the lowering resolves by name). `leftId` must uniquely identify a
   * left row WITHIN its key (the natural event-id-per-entity contract)
-  * and should be non-null; `leftTime`/`rightTime` and
-  * `leftId`/`rightId` are compared against each other, so they must be
-  * of union-coercible types. Right rows with a NULL time never match
-  * (strictly-before is undefined), matching SQL three-valued logic.
+  * (a NULL `leftId` is tolerated: tied-time rows then never match,
+  * per three-valued logic); `leftKey`/`rightKey`, `leftTime`/
+  * `rightTime` and `leftId`/`rightId` are compared against each other,
+  * so each pair must be of union-coercible types. Right rows with a
+  * NULL time or a NULL key never match (strictly-before is undefined;
+  * NULL keys are never equal), matching SQL three-valued logic.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -83,16 +85,20 @@ case class AsOfJoinPlan(
   * their payload, side 0, NULL right-struct; right rows carry NULL
   * payload, side 1, their columns packed in `__r` — then ONE shuffle
   * partitions the union by `__k`, and within each key the window
-  * ordered by `(__t asc_nulls_first, __i asc_nulls_last, __side)`
+  * ordered by `(__t asc_nulls_first, null-rank, __i asc, __side)`
   * carries `last(__r, ignoreNulls)` forward. The ordering encodes the
   * STRICT before-ness exactly: a right row tied on both (time, id)
-  * sorts AFTER the left row (side 1 > 0) and is excluded; a right row
-  * tied on time with a NULL id sorts after every concrete left id
-  * (nulls_last) and is excluded, matching the old predicate's
-  * `rid < lid → NULL → no match`; a left row with a NULL time sorts
-  * before every (time-non-null) right row and matches nothing.
-  * Right rows with NULL time are filtered before the union — they can
-  * never satisfy strictly-before. Cost: linear in rows per key, no
+  * sorts AFTER the left row (side 1 > 0) and is excluded; a NULL id on
+  * EITHER side at a tied time yields no match — the side-aware
+  * null-rank key (inline comment at the orderBy) reproduces the
+  * predicate's `rid < lid → NULL → no match` three-valued logic for
+  * both sides; a left row with a NULL time sorts before every
+  * (time-non-null) right row and matches nothing. Right rows with a
+  * NULL time or a NULL KEY are filtered before the union — NULL keys
+  * are never equal under join semantics, and the window's partitionBy
+  * would otherwise group them together; NULL-key left rows emit with
+  * NULL right columns like any unmatched left row.
+  * Cost: linear in rows per key, no
   * pairing anywhere; the payload columns ride the single exchange
   * once (left key/time/id are duplicated into the routing columns —
   * ~24 B/row — so union type-widening can never silently change the
@@ -131,6 +137,11 @@ case class RewriteAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       // lowering, far from the user's call site
       AsOfJoin.validateComparable(l, r, lt, rt, "time")
       AsOfJoin.validateComparable(l, r, lid, rid, "id")
+      // keys are unioned into one routing column and compared for
+      // equality (partitioning) — an incompatible pair would surface as
+      // the same deep coercion failure, and a silently coercible one
+      // (int vs string) could change equality semantics
+      AsOfJoin.validateComparable(l, r, lk, rk, "key")
       val lDf = Dataset.ofRows(spark, l)
       val rDf = Dataset.ofRows(spark, r)
       val lCols = l.output.map(_.name)
@@ -145,27 +156,50 @@ case class RewriteAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
       //  backward (latest right strictly BEFORE): left side-tag 0,
       //    right 1 (a (time,id)-tied right sorts after the left → the
       //    strict exclusion), time nulls_first (a null-time left row
-      //    precedes every real right row → matches nothing), id
-      //    nulls_last (a tied null-id right → comparison NULL → no
-      //    match), running `last` over (unboundedPreceding, current).
+      //    precedes every real right row → matches nothing), NULL ids
+      //    via the side-aware null-rank below, running `last` over
+      //    (unboundedPreceding, current).
       //  forward (earliest right strictly AFTER): every choice mirrors
       //    — left tag 1, right 0 (a tied right sorts BEFORE the left →
-      //    excluded from the following frame), time nulls_last, id
-      //    nulls_first, `first` over (current, unboundedFollowing).
+      //    excluded from the following frame), time nulls_last,
+      //    `first` over (current, unboundedFollowing).
       val (lSide, rSide) = if (forward) (1, 0) else (0, 1)
       val lTagged = lDf.select(
         lCols.map(c => col(c)) ++ Seq(
           col(lk).as(K), col(lt).as(T), col(lid).as(I), lit(lSide).as(S),
           lit(null).cast(rStructType).as(R)): _*)
+      // NULL-key right rows are dropped alongside NULL-time ones: the
+      // window's partitionBy groups NULL keys into ONE partition, so
+      // without this filter a NULL-key left row would "match" a
+      // NULL-key right row — but join semantics (the old equi-join
+      // lowering, SQL, and the DuckDB oracles) treat NULL keys as never
+      // equal. NULL-key LEFT rows still flow through and emit with NULL
+      // right columns, exactly like a left join.
       val rTagged = rDf
-        .filter(col(rt).isNotNull)
+        .filter(col(rt).isNotNull && col(rk).isNotNull)
         .select(
           lCols.map(c => lit(null).cast(lTypes(c)).as(c)) ++ Seq(
             col(rk).as(K), col(rt).as(T), col(rid).as(I), lit(rSide).as(S),
             struct(rCols.map(c => col(c)): _*).as(R)): _*)
+      // NULL-id placement must differ BY SIDE to reproduce the join
+      // predicate's three-valued logic at tied times (rid < lid — or
+      // rid > lid forward — is NULL whenever EITHER id is NULL → no
+      // match): a NULL-id RIGHT row must sort outside the left row's
+      // frame, and a NULL-id LEFT row must sort outside every tied
+      // right row's reach. One null ordering on __i can't do both, so
+      // ties rank through a tiny side-aware key: non-null ids rank 0
+      // (ordered by id, then side); a NULL id ranks toward the frame's
+      // far side — backward: left −1 (before every tied right → no
+      // match), right +1 (after the left → excluded); forward the
+      // mirror (+1 / −1).
+      val leftNullRank = if (forward) 1 else -1
+      val nullRank =
+        when(col(I).isNotNull, lit(0)).otherwise(
+          when(col(S) === lit(lSide), lit(leftNullRank))
+            .otherwise(lit(-leftNullRank)))
       val ordering =
-        if (forward) Seq(col(T).asc_nulls_last, col(I).asc_nulls_first, col(S).asc)
-        else Seq(col(T).asc_nulls_first, col(I).asc_nulls_last, col(S).asc)
+        if (forward) Seq(col(T).asc_nulls_last, nullRank.asc, col(I).asc, col(S).asc)
+        else Seq(col(T).asc_nulls_first, nullRank.asc, col(I).asc, col(S).asc)
       val base = Window.partitionBy(col(K)).orderBy(ordering: _*)
       val (w, pick) =
         if (forward)
@@ -256,6 +290,18 @@ object AsOfJoin {
       leftId: String, rightId: String,
       forward: Boolean = false): DataFrame = {
     validateNames(left.columns.toSeq, right.columns.toSeq)
+    // fail at the call site, not at action time, when a key/time/id
+    // pair can't be compared; pairs with a missing column fall through
+    // to the rewrite's require, which names the side and the available
+    // columns
+    locally {
+      val (la, ra) = (left.queryExecution.analyzed, right.queryExecution.analyzed)
+      Seq((leftKey, rightKey, "key"), (leftTime, rightTime, "time"),
+        (leftId, rightId, "id")).foreach { case (lc, rc, role) =>
+        if (la.output.exists(_.name == lc) && ra.output.exists(_.name == rc))
+          validateComparable(la, ra, lc, rc, role)
+      }
+    }
     val spark = left.sparkSession.asInstanceOf[SparkSession]
     ensureInstalled(spark)
     Dataset.ofRows(spark, AsOfJoinPlan(

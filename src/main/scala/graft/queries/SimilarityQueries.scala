@@ -1109,7 +1109,15 @@ object SimilarityQueries {
         val cD = col("n_labels").cast("double")
         val ssb = (col("t") - (col("s").cast("double") * col("s").cast("double")) / nD) / (cD - lit(1.0))
         val ssw = (col("ss").cast("double") - col("t")) / (nD - cD)
-        d.filter(col("n_labels") > 1 && col("n") > col("n_labels"))
+        // ss > t excludes zero-within-class-variance dims (a dead/
+        // constant dimension — plausible in exactly this audit): there
+        // ssb/ssw is Inf (or 0/0 NaN), and the engines diverge on the
+        // BIGINT cast (Spark saturates to Long.MaxValue, DuckDB raises
+        // on CAST(inf AS BIGINT)). ss ≥ t always (Cauchy–Schwarz), so
+        // strict > drops exactly the ssw = 0 rows — same predicate
+        // shape in the oracle.
+        d.filter(col("n_labels") > 1 && col("n") > col("n_labels") &&
+            col("ss").cast("double") > col("t"))
           .select(col("dim"), col("n"), col("n_labels"),
             QueryDef.microPoints(ssb / ssw).as("fisher_micro"))
       },
@@ -1133,7 +1141,8 @@ object SimilarityQueries {
               |SELECT CAST(dim AS BIGINT) AS dim, n, CAST(n_labels AS BIGINT) AS n_labels,
               |  ${QueryDef.microPointsSql(
                    "((t - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)) / (CAST(n_labels AS DOUBLE) - 1.0)) / ((CAST(ss AS DOUBLE) - t) / (CAST(n AS DOUBLE) - CAST(n_labels AS DOUBLE)))")} AS fisher_micro
-              |FROM d WHERE n_labels > 1 AND n > n_labels""".stripMargin))
+              |FROM d WHERE n_labels > 1 AND n > n_labels
+              |  AND CAST(ss AS DOUBLE) > t""".stripMargin))
   )
 
 

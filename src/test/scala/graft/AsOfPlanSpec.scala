@@ -202,4 +202,69 @@ class AsOfPlanSpec extends SparkSuite {
     // (lk=2, lid=20): only right has NULL time → no match
     assert(out == Set((1L, 10L, Some(5L)), (1L, 11L, Some(5L)), (2L, 20L, None)), out)
   }
+
+  test("NULL keys never match: right dropped, left emits NULL right columns") {
+    import spark.implicits._
+    // join/SQL semantics (and the DuckDB oracle's JOIN ON) treat NULL
+    // keys as never equal; the window lowering must not let the NULL
+    // partition pair them up
+    val l = Seq((java.lang.Long.valueOf(1L), 100L, 10L),
+        (null.asInstanceOf[java.lang.Long], 100L, 11L))
+      .toDF("lk", "lt", "lid")
+    val r = Seq((java.lang.Long.valueOf(1L), 50L, 5L),
+        (null.asInstanceOf[java.lang.Long], 50L, 6L))
+      .toDF("rk", "rt", "rid")
+    val out = graft.plans.AsOf.join(l, r, "lk", "rk", "lt", "rt", "lid", "rid")
+      .collect().map(x => (x.getLong(2), Option(x.get(5)).map(_.asInstanceOf[Long])))
+      .toSet
+    // lk=1 matches the rk=1 right; the NULL-key left row is KEPT but
+    // matches nothing — not the NULL-key right row sorting before it
+    assert(out == Set((10L, Some(5L)), (11L, None)), out)
+    // forward direction shares the filter
+    val fwd = graft.plans.AsOf.join(l, r, "lk", "rk", "lt", "rt", "lid", "rid",
+        forward = true)
+      .collect().map(x => (x.getLong(2), Option(x.get(5)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(fwd == Set((10L, None), (11L, None)), fwd)
+  }
+
+  test("NULL ids at tied times never match, either side, both directions") {
+    import spark.implicits._
+    // the predicate form is rid < lid (rid > lid forward): NULL on
+    // EITHER side → NULL → no match at a tied time; earlier/later
+    // times still match regardless of ids
+    val l = Seq((1L, java.lang.Long.valueOf(100L), java.lang.Long.valueOf(10L)),
+        (2L, java.lang.Long.valueOf(100L), null.asInstanceOf[java.lang.Long]))
+      .toDF("lk", "lt", "lid")
+    val r = Seq(
+        (1L, 100L, null.asInstanceOf[java.lang.Long]), // tied time, NULL rid → no match
+        (2L, 100L, java.lang.Long.valueOf(7L)),        // tied time, NULL lid → no match
+        (2L, 40L, java.lang.Long.valueOf(8L)))         // strictly before → matches
+      .toDF("rk", "rt", "rid")
+    val back = graft.plans.AsOf.join(l, r, "lk", "rk", "lt", "rt", "lid", "rid")
+      .collect().map(x => (x.getLong(0), Option(x.get(5)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(back == Set((1L, None), (2L, Some(8L))), back)
+    val r2 = Seq(
+        (1L, 100L, null.asInstanceOf[java.lang.Long]), // tied, NULL rid → no match
+        (2L, 100L, java.lang.Long.valueOf(7L)),        // tied, NULL lid → no match
+        (2L, 160L, java.lang.Long.valueOf(8L)))        // strictly after → matches
+      .toDF("rk", "rt", "rid")
+    val fwd = graft.plans.AsOf.join(l, r2, "lk", "rk", "lt", "rt", "lid", "rid",
+        forward = true)
+      .collect().map(x => (x.getLong(0), Option(x.get(5)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(fwd == Set((1L, None), (2L, Some(8L))), fwd)
+  }
+
+  test("incomparable cross-side KEY types fail with a clear message") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L)).toDF("lk", "lt", "lid")
+    val r = Seq(("not a key", 5L, 7L)).toDF("rk", "rt", "rid")
+    val e = intercept[Exception] {
+      graft.plans.AsOf.join(l, r, "lk", "rk", "lt", "rt", "lid", "rid").collect()
+    }
+    assert(e.getMessage.contains("mutually comparable") &&
+      e.getMessage.contains("key"), e.getMessage)
+  }
 }
