@@ -106,6 +106,38 @@ object Bench {
     (median, 2.0 * devs(devs.length / 2))
   }
 
+  /** Environment evidence riding the bench JSONs, so a reader can
+    * separate co-tenant machine drift from code regressions WITHOUT a
+    * re-run (the r11 record was judged "too degraded to compare
+    * against" for lack of exactly this). All three read /proc and
+    * degrade to sentinel values off-Linux. */
+  private[graft] def loadavg1(): Double = scala.util.Try {
+    java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("/proc/loadavg")).get(0).split(' ')(0).toDouble
+  }.getOrElse(-1.0)
+
+  /** (steal, total) jiffies from /proc/stat's aggregate cpu line; the
+    * caller diffs two snapshots for the hypervisor-withheld share of
+    * the run. */
+  private[graft] def cpuJiffies(): (Long, Long) = scala.util.Try {
+    val f = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("/proc/stat")).get(0)
+      .trim.split("\\s+").drop(1).map(_.toLong)
+    (if (f.length > 7) f(7) else 0L, f.sum)
+  }.getOrElse((0L, 0L))
+
+  /** PSI some-avg60 from /proc/pressure/cpu — the share of the last
+    * minute ANY task sat runnable-but-waiting for a CPU; the most
+    * direct single-number contention signal. −1 when the kernel lacks
+    * PSI. */
+  private[graft] def cpuPsi60(): Double = scala.util.Try {
+    val line = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("/proc/pressure/cpu")).get(0)
+    line.split("\\s+").collectFirst {
+      case f if f.startsWith("avg60=") => f.stripPrefix("avg60=").toDouble
+    }.getOrElse(-1.0)
+  }.getOrElse(-1.0)
+
   /** Untrimmed range — the burst-sensitive figure: any single co-tenant
     * spike shows up here, which is exactly what the adaptive-extension
     * trigger wants (more rounds → the MAD/median stats get more clean
@@ -252,6 +284,8 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavg1()
+    val (stealStart, jiffiesStart) = cpuJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -453,6 +487,17 @@ object Bench {
         .map { n => val (m, sp) = currentTimes(n); f"$n\t$m%.3f\t$sp%.3f" }
         .mkString("\n") + "\n").getBytes("UTF-8"))
 
+    // environment evidence: loadavg at both ends, hypervisor steal
+    // share over the whole run, and end-of-run CPU pressure. loadEnd
+    // inevitably includes this run's own 32 worker threads — the
+    // telling signals are loadStart (what the run walked into) and
+    // steal/PSI (what ran that wasn't us / time spent waiting to run).
+    val loadEnd = loadavg1()
+    val (stealEnd, jiffiesEnd) = cpuJiffies()
+    val stealPct =
+      100.0 * (stealEnd - stealStart) / math.max(1L, jiffiesEnd - jiffiesStart)
+    val loadJson =
+      f"""{"start":$loadStart%.2f,"end":$loadEnd%.2f,"steal_pct":$stealPct%.2f,"cpu_psi60":${cpuPsi60()}%.2f}"""
     val regJson = regressions.map(r => "\"" + r + "\"").mkString("[", ",", "]")
     val timeRegJson = timeRegs.map(r => "\"" + r + "\"").mkString("[", ",", "]")
     // stdout carries only the 10 most expensive medians: the driver's
@@ -481,14 +526,14 @@ object Bench {
         val (sb, sr, or) = shuffleStats(k)
         "\"" + k + f"""\":{"median":$m%.3f,"spread":$sp%.3f,"raw_spread":${rawSpread(ts)}%.3f,"shuffle_bytes":$sb,"shuffle_records":$sr,"out_rows":$or,"runs":$runs}"""
       }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"noise":$noise%.3f,"raw_noise":$rawNoise%.3f,"spread_stat":"mad2","shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"queries":$perQuery,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"noise":$noise%.3f,"raw_noise":$rawNoise%.3f,"spread_stat":"mad2","load":$loadJson,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"queries":$perQuery,"sf":"$sfDir"}"""
     }
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
 
     val summary =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${names.size},"failed":$failedJson,"errors":$errJson,"queries":$top10,"noise":$noise%.2f,"raw_noise":$rawNoise%.2f,"spread_stat":"mad2","rounds":$rounds,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${names.size},"failed":$failedJson,"errors":$errJson,"queries":$top10,"noise":$noise%.2f,"raw_noise":$rawNoise%.2f,"spread_stat":"mad2","rounds":$rounds,"load":$loadJson,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"sf":"$sfDir"}"""
     // mirrored to disk so the summary survives even if a future harness
     // change re-decorates or truncates stdout
     java.nio.file.Files.write(

@@ -154,4 +154,17 @@ class BenchStatSpec extends AnyFunSuite {
     // failed sentinel (-1) on either side never fires
     assert(Bench.timeRegressions(Map("slow_stable" -> (-1.0, 0.0)), base).isEmpty)
   }
+
+  test("environment-evidence probes return sane values on Linux") {
+    // the bench JSONs carry these so machine drift is separable from
+    // code regressions without a re-run; on this CI image all three
+    // /proc files exist
+    assert(Bench.loadavg1() >= 0.0)
+    val (steal, total) = Bench.cpuJiffies()
+    assert(total > 0 && steal >= 0 && steal <= total)
+    // PSI may legitimately be absent (-1) on older kernels; when
+    // present it is a percentage
+    val psi = Bench.cpuPsi60()
+    assert(psi == -1.0 || (psi >= 0.0 && psi <= 100.0), psi.toString)
+  }
 }
