@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` over the payload bytes — the Spark-side shape
   * (schema, encoders, partitioning, per-partition batching) is real and
   * tested. The IMAGE codec is real (JDK `javax.imageio`, zero extra
-  * dependencies — PNG/JPEG/GIF/BMP decode with true width/height);
-  * audio/video decode is stubbed behind the same seam (no codec libs in
+  * dependencies — PNG/JPEG/GIF/BMP decode with true width/height), and
+  * so is the AUDIO codec (JDK `javax.sound.sampled` — WAV/AIFF/AU
+  * decode with true sample rate, channels, frame count, duration);
+  * video decode is stubbed behind the same seam (no video codec libs in
   * this environment), deterministically derived from the payload hash.
   *
   * At scale the rules this module encodes:
@@ -37,6 +39,16 @@ object Multimodal {
       width: Long, height: Long, n_frames: Long)
 
   final case class FrameSample(doc_id: Long, frame_idx: Long, frame_fp: String)
+
+  /** Typed audio features — the honest column names for the audio
+    * modality (the generic [[MediaFeatures]] shape has no natural home
+    * for sample rate / duration). `decoded = false` marks the
+    * hash-derived stand-in used when the payload isn't a readable
+    * WAV/AIFF/AU stream. */
+  final case class AudioFeatures(
+      doc_id: Long, byte_len: Long, fp: String,
+      sample_rate: Long, channels: Long, n_samples: Long,
+      duration_ms: Long, decoded: Boolean)
 
   private def md5hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
@@ -79,9 +91,47 @@ object Multimodal {
     }
   }
 
+  /** Magic-byte sniff for the container formats the JDK's built-in
+    * audio readers handle: WAV (`RIFF….WAVE`), AIFF/AIFC (`FORM….AIF…`),
+    * and AU (`.snd`). Same rationale as [[looksLikeImage]]: non-audio
+    * payloads skip the codec instead of paying an exception each. */
+  private def looksLikeAudio(b: Array[Byte]): Boolean =
+    b.length >= 12 && (
+      (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') ||
+      (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+        b(8) == 'A' && b(9) == 'I' && b(10) == 'F') ||
+      (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'))
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (zero extra
+    * dependencies): parses the WAV/AIFF/AU container, returning the true
+    * sample rate, channel count, frame count and derived duration.
+    * None when the stream is unreadable or reports no frame length —
+    * the caller degrades to the deterministic stub, never kills the
+    * task. */
+  private def decodeAudio(r: MediaRecord): Option[AudioFeatures] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        if (frames < 0 || fmt.getSampleRate <= 0 || fmt.getChannels <= 0) None
+        else Some(AudioFeatures(
+          doc_id = r.doc_id,
+          byte_len = r.payload.length.toLong,
+          fp = md5hex(r.payload),
+          sample_rate = fmt.getSampleRate.toLong,
+          channels = fmt.getChannels.toLong,
+          n_samples = frames,
+          duration_ms = math.round(frames * 1000.0 / fmt.getSampleRate),
+          decoded = true))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** STUB decode for the modalities whose codecs are NOT in this
-    * environment (audio/video), and for image payloads ImageIO cannot
-    * read. The stand-in derives every "decoded" attribute from
+    * environment (video), and for image/audio payloads the JDK readers
+    * cannot parse. The stand-in derives every "decoded" attribute from
     * md5(payload), so it is deterministic, engine-independent, and
     * exercises the exact same plumbing (bytes in → typed features
     * out). */
@@ -100,8 +150,13 @@ object Multimodal {
 
   /** Decode/feature-extract each payload. Partition-wise so codec init
     * amortizes once per partition. The image path is a REAL decode
-    * (JDK ImageIO — PNG/JPEG/GIF/BMP); audio/video remain behind the
-    * deterministic stub seam until their codecs exist in the image. */
+    * (JDK ImageIO — PNG/JPEG/GIF/BMP), and a readable audio payload
+    * decodes for REAL too, surfaced through the generic shape as
+    * `width := sample_rate (Hz)`, `height := channels`, `n_frames := 1`
+    * (documented overload — the generic columns have no audio meaning;
+    * [[extractAudioFeatures]] is the honestly-named typed path). Video
+    * remains behind the deterministic stub seam until a codec exists
+    * in the image. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -111,7 +166,36 @@ object Multimodal {
       it.map { r =>
         if (r.media_type == "image" && looksLikeImage(r.payload))
           decodeImage(r).getOrElse(decodeStub(r))
+        else if (r.media_type == "audio" && looksLikeAudio(r.payload))
+          decodeAudio(r).map(a => MediaFeatures(
+            doc_id = r.doc_id, media_type = r.media_type,
+            byte_len = a.byte_len, fp = a.fp,
+            width = a.sample_rate, height = a.channels, n_frames = 1L))
+            .getOrElse(decodeStub(r))
         else decodeStub(r)
+      }
+    }
+  }
+
+  /** Typed AUDIO feature extraction — real decode (WAV/AIFF/AU via the
+    * JDK) with the hash-derived stand-in for unreadable payloads, under
+    * honest column names. Same scale posture as [[extractFeatures]]:
+    * pure per-partition map, payload never shuffles. */
+  def extractAudioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        (if (looksLikeAudio(r.payload)) decodeAudio(r) else None).getOrElse {
+          val fp = md5hex(r.payload)
+          val h = java.lang.Long.parseLong(fp.take(15), 16)
+          AudioFeatures(
+            doc_id = r.doc_id, byte_len = r.payload.length.toLong, fp = fp,
+            sample_rate = 8000 + (h % 5) * 8000, channels = 1 + h % 2,
+            n_samples = 1000 + h % 100000,
+            duration_ms = math.round((1000 + h % 100000) * 1000.0 /
+              (8000 + (h % 5) * 8000)),
+            decoded = false)
+        }
       }
     }
   }

@@ -100,6 +100,53 @@ class MultimodalSpec extends SparkSuite {
     assert(once(1L).payload.sameElements(twice))
   }
 
+  private def wav(sampleRate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+    // deterministic ramp so the payload hash (dedup contract) is stable
+    var i = 0
+    while (i < pcm.length) { pcm(i) = (i % 251).toByte; i += 1 }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real audio payloads decode through javax.sound.sampled with true properties") {
+    import spark.implicits._
+    val mono8k = wav(8000f, 1, 4000)     // 500 ms mono
+    val stereo44k = wav(44100f, 2, 44100) // 1 s stereo
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", mono8k),
+      Multimodal.MediaRecord(2L, "audio", stereo44k),
+      // unreadable "audio" → deterministic stub, decoded=false, no crash
+      Multimodal.MediaRecord(3L, "audio", "not audio".getBytes("UTF-8"))).toDS()
+    val a = Multimodal.extractAudioFeatures(media).collect().map(f => f.doc_id -> f).toMap
+    assert(a(1L).decoded && a(1L).sample_rate == 8000L && a(1L).channels == 1L &&
+      a(1L).n_samples == 4000L && a(1L).duration_ms == 500L, a(1L).toString)
+    assert(a(2L).decoded && a(2L).sample_rate == 44100L && a(2L).channels == 2L &&
+      a(2L).n_samples == 44100L && a(2L).duration_ms == 1000L, a(2L).toString)
+    assert(!a(3L).decoded)
+    // fp stays md5(payload) on the real path (same dedup contract as images)
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(mono8k)
+      .map("%02x".format(_)).mkString
+    assert(a(1L).fp == md5 && a(1L).byte_len == mono8k.length.toLong)
+    // determinism across runs
+    assert(Multimodal.extractAudioFeatures(media).toDF()
+      .except(Multimodal.extractAudioFeatures(media).toDF()).isEmpty)
+    // the generic features pass surfaces the real decode too
+    // (documented overload: width := sample_rate, height := channels)
+    val g = Multimodal.extractFeatures(media).collect().map(f => f.doc_id -> f).toMap
+    assert(g(1L).width == 8000L && g(1L).height == 1L && g(1L).n_frames == 1L)
+    assert(g(2L).width == 44100L && g(2L).height == 2L)
+    // an IMAGE record carrying WAV bytes stays off the audio codec
+    val cross = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRecord(9L, "image", mono8k)).toDS()).head()
+    assert(!(cross.width == 8000L && cross.height == 1L))
+  }
+
   test("frame sampling fans out n_frames rows per item, no payload carried") {
     val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
     val frames = Multimodal.sampleFrames(feats)
