@@ -356,6 +356,93 @@ object EventStreams {
       }
   }
 
+  /** Pending clicks awaiting their first following purchase, for
+    * [[attributeForwardStateful]]. */
+  final case class PendingClicks(clicks: Seq[ClickState])
+  final case class ForwardAttributionOut(click_id: Long, user_id: Long,
+      click_ms: Long, purchase_id: Option[Long], purchase_ms: Option[Long],
+      latency_ms: Option[Long])
+
+  /** Streaming FORWARD attribution — the streaming twin of the batch
+    * `asof_forward` query: each click is matched to the user's EARLIEST
+    * purchase strictly after it in (ts, event_id) order, with the
+    * conversion latency; a click whose `horizonMs` passes with no
+    * purchase emits a NULL row (the batch query accounts for every
+    * click, so the twin does too).
+    *
+    * State is the user's PENDING clicks — those whose following
+    * purchase hasn't arrived — keyed by user_id so it hash-partitions
+    * across executors. The horizon is what bounds it: a purchase
+    * flushes every pending click before it in one pass, and the
+    * event-time timeout (armed at the EARLIEST pending click's expiry)
+    * sweeps the rest, so state per user never exceeds one horizon's
+    * worth of unconverted clicks. The horizon is enforced in EVENT
+    * time at match point too, not only via timeout eviction — eviction
+    * is micro-batch-granular, and a purchase can race an expired click
+    * into the same batch (same guard as [[attributeStateful]]).
+    *
+    * Streaming divergence from the batch twin, by construction: a
+    * purchase arriving LATE (within the watermark but after a later
+    * purchase was already processed) cannot claim clicks the earlier-
+    * processed purchase already flushed. In-order streams reproduce
+    * the batch result exactly for clicks converting within the horizon
+    * (pinned in StreamingSpec). */
+  def attributeForwardStateful(events: Dataset[Event],
+      horizonMs: Long = 24L * 3600 * 1000,
+      watermark: String = "2 hours"): Dataset[ForwardAttributionOut] = {
+    import events.sparkSession.implicits._
+    def ms(t: java.sql.Timestamp): Long = t.getTime
+    def before(aMs: Long, aId: Long, bMs: Long, bId: Long): Boolean =
+      aMs < bMs || (aMs == bMs && aId < bId)
+
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PendingClicks, ForwardAttributionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[PendingClicks]) =>
+          val out = Seq.newBuilder[ForwardAttributionOut]
+          var pending = state.getOption.map(_.clicks.toVector).getOrElse(Vector.empty)
+          if (!state.hasTimedOut) {
+            rows.toSeq.sortBy(e => (ms(e.ts), e.event_id)).foreach { e =>
+              val t = ms(e.ts)
+              if (e.event_type == "click")
+                pending :+= ClickState(t, e.event_id)
+              else {
+                // this purchase is the first-following for every pending
+                // click strictly before it; clicks past the horizon NULL
+                // out here rather than wait for the timeout sweep
+                val (flushed, waiting) = pending.partition(c =>
+                  before(c.clickMs, c.clickId, t, e.event_id))
+                flushed.foreach { c =>
+                  if (t - c.clickMs <= horizonMs)
+                    out += ForwardAttributionOut(c.clickId, userId, c.clickMs,
+                      Some(e.event_id), Some(t), Some(t - c.clickMs))
+                  else
+                    out += ForwardAttributionOut(c.clickId, userId, c.clickMs,
+                      None, None, None)
+                }
+                pending = waiting
+              }
+            }
+          }
+          // unified expiry sweep (timeout fire AND inline): emit NULL
+          // rows for clicks whose horizon the watermark has passed —
+          // doing it inline also keeps the re-arm below strictly beyond
+          // the current watermark (re-arming at-or-before it throws)
+          val wm = state.getCurrentWatermarkMs()
+          val (expired, live) = pending.partition(c => c.clickMs + horizonMs <= wm)
+          expired.sortBy(c => (c.clickMs, c.clickId)).foreach(c =>
+            out += ForwardAttributionOut(c.clickId, userId, c.clickMs, None, None, None))
+          if (live.nonEmpty) {
+            state.update(PendingClicks(live))
+            state.setTimeoutTimestamp(live.map(c => c.clickMs + horizonMs).min)
+          } else state.remove()
+          out.result().iterator
+      }
+  }
+
   /** Per-user last-event state for [[transitionsStateful]]: epoch ms,
     * tie-break id, and type of the latest event consumed. */
   final case class LastEvent(ms: Long, id: Long, tpe: String)

@@ -240,6 +240,97 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stateful forward attribution: earliest following purchase, ties, horizon NULLs") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val q = EventStreams.attributeForwardStateful(ms.toDS(),
+        horizonMs = 10L * 60 * 1000, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("fattr").outputMode("append").start()
+    try {
+      // batch 1: user 1 clicks twice, then purchases — BOTH clicks get
+      // that purchase (it is the earliest following for each); user 2's
+      // clickless purchase emits nothing (forward accounts clicks)
+      ms.addData(
+        Event(10, ts(0), 1, "click", 0.0),
+        Event(11, ts(5), 1, "click", 0.0),
+        Event(12, ts(9), 1, "purchase", 5.0),
+        Event(20, ts(9), 2, "purchase", 7.0))
+      q.processAllAvailable()
+      // batch 2: user 2 converts within horizon; user 3 exercises the
+      // strict (ts, id) tie — purchase 29 ties click 30 with a SMALLER
+      // id (not strictly after → no match), purchase 31 ties with a
+      // larger id (matches, latency 0); user 1's click 13 stays pending
+      ms.addData(
+        Event(21, ts(15), 2, "click", 0.0),
+        Event(22, ts(22), 2, "purchase", 1.0),
+        Event(29, ts(40), 3, "purchase", 0.0),
+        Event(30, ts(40), 3, "click", 0.0),
+        Event(31, ts(40), 3, "purchase", 2.0),
+        Event(13, ts(20), 1, "click", 0.0))
+      q.processAllAvailable()
+      // batch 3: a flusher pushes the watermark past click 13's horizon
+      // (t20 + 10 min) — it must emit exactly one NULL row
+      ms.addData(Event(90, ts(120), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      val res = spark.table("fattr")
+        .select("click_id", "purchase_id", "latency_ms")
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+      assert(res(10L) == (Some(12L), Some(9L * 60 * 1000))) // earliest following
+      assert(res(11L) == (Some(12L), Some(4L * 60 * 1000))) // same purchase, both clicks
+      assert(res(21L) == (Some(22L), Some(7L * 60 * 1000)))
+      assert(res(30L) == (Some(31L), Some(0L)), "tie must match only the larger id")
+      assert(res(13L) == (None, None), "unconverted click NULLs at horizon")
+      assert(res.size == 5, s"exactly one row per click: $res")
+    } finally q.stop()
+  }
+
+  test("stateful forward attribution restart from checkpoint: rows exactly-once") {
+    import spark.implicits._
+    val dir = tmpDir("fattr_restart")
+    val (src, out, chk) = (s"$dir/src", s"$dir/out", s"$dir/chk")
+    def writeFile(events: Event*): Unit =
+      events.toDF().withColumn("props", lit("{}"))
+        .repartition(1).write.mode("append").parquet(src)
+    def run(): Unit = {
+      val ds = EventStreams.readEventStream(spark, src, nanosTs = Some(false))
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      val q = EventStreams.attributeForwardStateful(ds,
+          horizonMs = 30L * 60 * 1000, watermark = "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeFile(
+      Event(1, ts(0), 1, "click", 0.0), Event(2, ts(5), 2, "click", 0.0),
+      Event(3, ts(10), 1, "purchase", 1.0))
+    run() // incarnation 1: user 1 converts; user 2's click stays pending
+    val after1 = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("click_id"), Option(r.getAs[Any]("purchase_id"))))
+    assert(after1.toSeq == Seq((1L, Some(3L))), after1.toSeq.toString)
+    // incarnation 2: flusher pushes the watermark past user 2's horizon
+    // (t5 + 30 min) — the pending click and its armed timeout must have
+    // survived the restart and emit exactly one NULL row
+    writeFile(Event(50, ts(200), 9, "click", 0.0))
+    run()
+    val after2 = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("click_id"), Option(r.getAs[Any]("purchase_id"))))
+    assert(after2.sortBy(_._1).toSeq == Seq((1L, Some(3L)), (2L, None)),
+      after2.toSeq.toString)
+    // incarnation 3: nothing new — no batch replay, no duplicate rows
+    run()
+    assert(spark.read.parquet(out).count() == 2)
+    // incarnation 4: flush the flusher's own click (t200 + 30 min)
+    writeFile(Event(60, ts(400), 8, "purchase", 0.0))
+    run()
+    val finalRows = spark.read.parquet(out).collect().map(_.getAs[Long]("click_id"))
+    assert(finalRows.length == 3 && finalRows.count(_ == 50L) == 1,
+      s"click 50 must NULL exactly once: ${finalRows.toSeq}")
+  }
+
   test("file-source stream: micro-batches discover parquet files, windowed agg") {
     import spark.implicits._
     val dir = tmpDir("evstream")
