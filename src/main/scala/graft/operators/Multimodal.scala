@@ -188,12 +188,13 @@ object Multimodal {
         (if (looksLikeAudio(r.payload)) decodeAudio(r) else None).getOrElse {
           val fp = md5hex(r.payload)
           val h = java.lang.Long.parseLong(fp.take(15), 16)
+          // stub duration is exact INTEGER division (not a float round)
+          // so the DuckDB oracle reproduces it bit-for-bit
           AudioFeatures(
             doc_id = r.doc_id, byte_len = r.payload.length.toLong, fp = fp,
             sample_rate = 8000 + (h % 5) * 8000, channels = 1 + h % 2,
             n_samples = 1000 + h % 100000,
-            duration_ms = math.round((1000 + h % 100000) * 1000.0 /
-              (8000 + (h % 5) * 8000)),
+            duration_ms = (1000 + h % 100000) * 1000L / (8000 + (h % 5) * 8000),
             decoded = false)
         }
       }

@@ -60,6 +60,38 @@ object MultimodalQueries {
               |SELECT media_type, fp, COUNT(*) AS n_copies,
               |  MIN(doc_id) AS keep_doc,
               |  CAST(SUM(byte_len) AS BIGINT) AS bytes_total
-              |FROM feats GROUP BY 1, 2""".stripMargin))
+              |FROM feats GROUP BY 1, 2""".stripMargin)),
+
+    // Typed AUDIO features over the audio-typed media — the honest-
+    // column-names path ([[Multimodal.extractAudioFeatures]]): real
+    // WAV/AIFF/AU decode where the payload is readable (pinned against
+    // synthesized WAVs in MultimodalSpec), deterministic hash-derived
+    // stand-ins elsewhere. The synthetic corpus payloads are text
+    // bytes, so this oracle covers the stub leg end-to-end (plumbing +
+    // formulas, incl. the integer-exact duration); the real-decode leg
+    // is spec-gated. Scale posture: pure per-partition map over an
+    // already-filtered modality slice; payload never shuffles.
+    QueryDef("multimodal_audio",
+      (s, dir) => Multimodal.extractAudioFeatures(
+          Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+            .filter(_.media_type == "audio"))
+        .toDF()
+        .select(col("doc_id"), col("byte_len"), col("fp"),
+          col("sample_rate"), col("channels"), col("n_samples"),
+          col("duration_ms"), col("decoded").cast("long").as("decoded")),
+      Some("""WITH m AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+             |f AS (SELECT doc_id,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             |    md5(text) AS fp,
+             |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+             |  FROM m)
+             |SELECT doc_id, byte_len, fp,
+             |  8000 + (h % 5) * 8000 AS sample_rate,
+             |  1 + h % 2 AS channels,
+             |  1000 + h % 100000 AS n_samples,
+             |  (1000 + h % 100000) * 1000 // (8000 + (h % 5) * 8000) AS duration_ms,
+             |  CAST(0 AS BIGINT) AS decoded
+             |FROM f""".stripMargin))
   )
 }
