@@ -315,6 +315,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("multimodal_audio: zero-Exchange per-partition decode") {
+    // the module rule: payloads are only ever mapped, never shuffled —
+    // an Exchange here means the binary column leaked into keyed work
+    val p = plan(SparkEntry.queries("multimodal_audio")(spark, dir))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("graft_nfc: composed and decomposed accents hash identically after normalize") {
     import spark.implicits._
     // "café" with a precomposed é vs a decomposed e + COMBINING ACUTE
