@@ -257,6 +257,70 @@ class AsOfPlanSpec extends SparkSuite {
     assert(fwd == Set((1L, None), (2L, Some(8L))), fwd)
   }
 
+  test("randomized differential: merge lowering equals the brute-force predicate, both directions") {
+    import spark.implicits._
+    // 250×250 rows, fixed seed, NULLs sprinkled into every routing
+    // column; each row carries a unique tag so results key without
+    // relying on the (nullable) ordering id. The one underdetermined
+    // corner — two NULL-id right rows tied on (key, time) have no
+    // defined pick order — is excluded at generation (the id-uniqueness
+    // contract, extended to the NULL stand-ins).
+    val rnd = new scala.util.Random(42)
+    def gen(n: Int, idBase: Long): Seq[(java.lang.Long, java.lang.Long, java.lang.Long, Long)] =
+      (0 until n).map { i =>
+        val k: java.lang.Long =
+          if (rnd.nextInt(20) == 0) null else java.lang.Long.valueOf(rnd.nextInt(8).toLong)
+        val t: java.lang.Long =
+          if (rnd.nextInt(20) == 0) null else java.lang.Long.valueOf(rnd.nextInt(40).toLong)
+        val id: java.lang.Long =
+          if (rnd.nextInt(15) == 0) null else java.lang.Long.valueOf(idBase + i)
+        (k, t, id, idBase + i)
+      }
+    val lRows = gen(250, 1000)
+    val rRows = {
+      val seen = scala.collection.mutable.Set.empty[(Option[Long], Option[Long])]
+      gen(250, 5000).filter { case (k, t, id, _) =>
+        id != null || seen.add((Option(k).map(Long.unbox), Option(t).map(Long.unbox)))
+      }
+    }
+    val l = lRows.toDF("lk", "lt", "lid", "lrow")
+    val r = rRows.toDF("rk", "rt", "rid", "rrow")
+    for (forward <- Seq(false, true)) {
+      val got = graft.plans.AsOf.join(l, r, "lk", "rk", "lt", "rt", "lid", "rid", forward)
+        .select(col("lrow"), col("rrow")).collect()
+        .map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long])).toMap
+      def ob(x: java.lang.Long): Option[Long] = Option(x).map(Long.unbox)
+      val expected = lRows.map { case (lk, lt, lid, lrow) =>
+        val cands = rRows.filter { case (rk, rt, rid, _) =>
+          (for { a <- ob(lk); b <- ob(rk); c <- ob(lt); d <- ob(rt) } yield
+            a == b && (
+              if (forward) d > c ||
+                (d == c && (for { e <- ob(lid); f <- ob(rid) } yield f > e).getOrElse(false))
+              else d < c ||
+                (d == c && (for { e <- ob(lid); f <- ob(rid) } yield f < e).getOrElse(false))))
+            .getOrElse(false)
+        }
+        // among candidates the pick is the frame boundary in (time, id)
+        // order, a NULL id sorting toward the frame's far side (the
+        // null-rank): backward = max(time, id-with-null-last), forward
+        // = min(time, id-with-null-first)
+        val pick =
+          if (cands.isEmpty) None
+          else if (forward) Some(cands.minBy { case (_, rt, rid, _) =>
+            (Long.unbox(rt), ob(rid).getOrElse(Long.MinValue)) }._4)
+          else Some(cands.maxBy { case (_, rt, rid, _) =>
+            (Long.unbox(rt), ob(rid).getOrElse(Long.MaxValue)) }._4)
+        lrow -> pick
+      }.toMap
+      val diff = (got.keySet ++ expected.keySet)
+        .filter(k => got.get(k) != expected.get(k)).take(5)
+        .map(k => s"lrow=$k got=${got.get(k)} want=${expected.get(k)}")
+      assert(got == expected, s"forward=$forward diffs: ${diff.mkString("; ")}")
+      // non-degenerate: matched, unmatched, and NULL-routed rows all exist
+      assert(got.values.exists(_.isDefined) && got.values.exists(_.isEmpty))
+    }
+  }
+
   test("incomparable cross-side KEY types fail with a clear message") {
     import spark.implicits._
     val l = Seq((1L, 10L, 100L)).toDF("lk", "lt", "lid")
