@@ -147,6 +147,45 @@ class MultimodalSpec extends SparkSuite {
     assert(!(cross.width == 8000L && cross.height == 1L))
   }
 
+  test("multimodal decode composes with Structured Streaming (file-source ingest)") {
+    // the media pipeline's ingest boundary at scale is a stream of
+    // arriving files; the decode pass is a pure per-partition map, so
+    // the SAME operator must run unchanged over readStream — real
+    // codecs included — with each file processed incrementally
+    import spark.implicits._
+    val dir = tmpDir("media_stream")
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    Seq(Multimodal.MediaRecord(1L, "image", png(33, 44)),
+        Multimodal.MediaRecord(2L, "audio", wav(16000f, 1, 8000)))
+      .toDF().repartition(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Multimodal.MediaRecord]].schema)
+      .parquet(dir).as[Multimodal.MediaRecord]
+    val q = Multimodal.extractFeatures(stream)
+      .writeStream.format("memory").queryName("media_feats")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a second file arrival decodes incrementally
+      Seq(Multimodal.MediaRecord(3L, "image", png(5, 6)))
+        .toDF().repartition(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val res = spark.table("media_feats").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("width"), r.getAs[Long]("height"))).toMap
+      assert(res(1L) == ((33L, 44L)))        // real PNG decode, batch 1
+      assert(res(2L) == ((16000L, 1L)))      // real WAV decode, batch 1
+      assert(res(3L) == ((5L, 6L)))          // batch 2, incremental
+      assert(res.size == 3)
+    } finally q.stop()
+  }
+
   test("frame sampling fans out n_frames rows per item, no payload carried") {
     val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
     val frames = Multimodal.sampleFrames(feats)
