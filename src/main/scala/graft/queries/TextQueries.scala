@@ -212,6 +212,65 @@ object TextQueries {
              |HAVING 1000 * count(*) >= (SELECT n FROM tot)
              |ORDER BY freq DESC, tk""".stripMargin)),
 
+    // Count-Min sketch point-frequency estimation + error audit —
+    // completes the engine's mergeable-sketch family (KMV = distinct,
+    // quantile sketch = order stats, Space-Saving = top-k, CM = point
+    // frequency): d=4 salted portable hashes route every token
+    // occurrence into w=256 counters, and a token's estimate is the MIN
+    // of its d cells — never below truth, over by at most the collision
+    // mass (≤ ~N/w per row, Cormode & Muthukrishnan 2005, J.Algorithms
+    // 55(1)). The audit joins estimates against exact counts for the
+    // top-20 tokens so the overestimate is visible, not asserted.
+    // Scale posture: the sketch TABLE is ≤ d·w = 1024 rows regardless
+    // of corpus size — the (row, bucket) aggregation map-side combines
+    // the 4× token stream into constant-size state (the mergeability
+    // that lets 1000 executors build partial sketches and OR them with
+    // a rollup instead of shuffling tokens); the exact word-count leg
+    // exists only because this query IS the accuracy audit. Probe cells
+    // join the 1024-row sketch via broadcast.
+    QueryDef("freq_cm_sketch",
+      (s, dir) => {
+        val d = 4
+        val w = 256
+        val toks = Tables(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("tk"))
+        def cells(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("cell", explode(array((0 until d).map(i =>
+            struct(lit(i).cast("long").as("r"),
+              pmod(portableHash(col("tk"), i), lit(w)).cast("long").as("bucket"))): _*)))
+          .withColumn("r", col("cell.r")).withColumn("bucket", col("cell.bucket"))
+          .drop("cell")
+        val sketch = cells(toks).groupBy(col("r"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+        val probes = toks.groupBy(col("tk")).agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("tk")).limit(20)
+        cells(probes).join(broadcast(sketch), Seq("r", "bucket"))
+          .groupBy(col("tk"))
+          .agg(min(col("freq")).as("freq"), min(col("c")).as("cm_est"))
+          .withColumn("overest", col("cm_est") - col("freq"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk
+             |  FROM documents),
+             |ds AS (SELECT unnest(range(0, 4)) AS r),
+             |cells AS (
+             |  SELECT ds.r,
+             |    CAST(('0x' || substr(md5(CAST(ds.r AS VARCHAR) || ':' || t.tk), 1, 15)) AS BIGINT) % 256 AS bucket
+             |  FROM toks t, ds),
+             |sketch AS (SELECT r, bucket, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+             |probes AS (
+             |  SELECT tk, COUNT(*) AS freq FROM toks GROUP BY tk
+             |  ORDER BY freq DESC, tk LIMIT 20),
+             |pcells AS (
+             |  SELECT p.tk, p.freq, ds.r,
+             |    CAST(('0x' || substr(md5(CAST(ds.r AS VARCHAR) || ':' || p.tk), 1, 15)) AS BIGINT) % 256 AS bucket
+             |  FROM probes p, ds)
+             |SELECT p.tk, CAST(MIN(p.freq) AS BIGINT) AS freq,
+             |  CAST(MIN(s.c) AS BIGINT) AS cm_est,
+             |  CAST(MIN(s.c) - MIN(p.freq) AS BIGINT) AS overest
+             |FROM pcells p JOIN sketch s USING (r, bucket)
+             |GROUP BY p.tk""".stripMargin)),
+
     // vocabulary building: corpus-wide token frequencies, top 100 —
     // one shuffle on the token, map-side combined (a word count)
     QueryDef("vocab_top",
