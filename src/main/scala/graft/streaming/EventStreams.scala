@@ -726,6 +726,48 @@ object EventStreams {
       }
   }
 
+  final case class CmEst(event_type: String, user_id: Long, cm_est: Long, n: Long)
+
+  /** Streaming Count-Min frequency monitoring per event type — the
+    * streaming twin of the batch `freq_cm_sketch` query, running the
+    * SAME d×w counter grid over the same
+    * [[graft.functions.TextFunctions.portableHashJvm]] hashes, so the
+    * state after any prefix of the stream IS the batch sketch over that
+    * prefix (counters just add — the mergeability the batch query's
+    * Scaladoc claims, exercised live here). State per group is the flat
+    * d·w counter vector plus the processed count: O(d·w) fixed,
+    * where exact per-key counting state is unbounded. Each micro-batch
+    * emits the running estimate for the caller's probe keys (Update
+    * mode): never below the key's true count, over by at most the
+    * colliding mass (StreamingSpec pins both against an independently
+    * folded reference grid). */
+  def cmSketchStream(events: Dataset[Event], probes: Seq[Long],
+      d: Int = 4, w: Int = 256): Dataset[CmEst] = {
+    import events.sparkSession.implicits._
+    def bucket(key: String, row: Int): Int =
+      (graft.functions.TextFunctions.portableHashJvm(key, row) % w).toInt
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, Array[Long]), CmEst](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (tpe: String, rows: Iterator[Event], state: GroupState[(Long, Array[Long])]) =>
+          val (n0, cells0) = state.getOption.getOrElse((0L, new Array[Long](d * w)))
+          val cells = cells0.clone()
+          var n = n0
+          rows.foreach { e =>
+            n += 1
+            var i = 0
+            while (i < d) { cells(i * w + bucket(e.user_id.toString, i)) += 1; i += 1 }
+          }
+          state.update((n, cells))
+          probes.iterator.map { uid =>
+            val est = (0 until d)
+              .map(i => cells(i * w + bucket(uid.toString, i))).min
+            CmEst(tpe, uid, est, n)
+          }
+      }
+  }
+
   final case class QuantileEst(event_type: String, n: Long,
       p50_cents: Long, p95_cents: Long, sample_size: Int)
 

@@ -780,6 +780,47 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming Count-Min sketch: running estimates equal the one-shot fold, never undercount") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Event]
+    val probes = Seq(1L, 2L, 999L) // heavy, light, never-seen
+    val q = EventStreams.cmSketchStream(ms.toDF().as[Event], probes, d = 4, w = 64)
+      .writeStream.format("memory").queryName("cm_stream").outputMode("update").start()
+    try {
+      // user 1 is heavy (7 events across two batches), user 2 light (2)
+      ms.addData(
+        (1 to 4).map(i => Event(i.toLong, ts(i), 1L, "click", 0.0)) ++
+        Seq(Event(10L, ts(10), 2L, "click", 0.0)): _*)
+      q.processAllAvailable()
+      ms.addData(
+        (5 to 7).map(i => Event(i.toLong, ts(20 + i), 1L, "click", 0.0)) ++
+        Seq(Event(11L, ts(30), 2L, "click", 0.0),
+          Event(12L, ts(31), 3L, "click", 0.0)): _*)
+      q.processAllAvailable()
+      // final (max-n) emission per probe
+      val rows = spark.table("cm_stream").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      val maxN = rows.map(_._3).max
+      val fin = rows.filter(_._3 == maxN).map(t => t._1 -> t._2).toMap
+      assert(maxN == 10L)
+      // independently folded reference grid over ALL users seen — the
+      // stream's state after both batches must BE the batch sketch
+      // (counters add; batching cannot change them)
+      val w = 64
+      val grid = Array.fill(4 * w)(0L)
+      val seen = Seq.fill(4)(1L) ++ Seq(1L, 1L, 1L, 2L, 2L, 3L)
+      seen.foreach(u => (0 until 4).foreach { i =>
+        grid(i * w + (graft.functions.TextFunctions.portableHashJvm(u.toString, i) % w).toInt) += 1
+      })
+      def ref(uid: Long): Long = (0 until 4).map(i =>
+        grid(i * w + (graft.functions.TextFunctions.portableHashJvm(uid.toString, i) % w).toInt)).min
+      probes.foreach(p => assert(fin(p) == ref(p), s"probe $p: ${fin(p)} != ${ref(p)}"))
+      // the CM guarantee: never below truth
+      assert(fin(1L) >= 7L && fin(2L) >= 2L && fin(999L) >= 0L)
+    } finally q.stop()
+  }
+
   test("streaming KMV sketch: exact below k, identical to the batch fold") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
