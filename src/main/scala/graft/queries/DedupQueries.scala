@@ -426,6 +426,20 @@ object DedupQueries {
   private val EmbBands = 8
   private val EmbBits = 8
 
+  /** Content-defined chunking: a token is a chunk ANCHOR when its
+    * salted portable hash ≡ 0 (mod [[CdcMask]]) — boundaries derive
+    * from CONTENT, not offsets, so an insertion early in a document
+    * shifts every byte offset but leaves all downstream chunk
+    * boundaries (and their hashes) intact. Mean chunk ≈ CdcMask
+    * tokens (4 here — this corpus's near-dups carry dense mutations,
+    * so longer chunks never survive intact; real storage CDC uses
+    * KB-scale chunks, same mechanism). The report floor
+    * [[CdcMinChunk]] keeps trivially-short chunks (a stopword between
+    * two adjacent anchors) out of the duplicate accounting. */
+  private val CdcMask = 4
+  private val CdcSalt = 97
+  private val CdcMinChunk = 3
+
   val defs: Seq[QueryDef] = Seq(
 
     // exact dedup: one representative (min doc_id) per normalized text.
@@ -942,6 +956,79 @@ object DedupQueries {
     // after windowing dedup. fp is eagerly persisted: it feeds the
     // cross-doc dup count AND the per-doc rollup join (the AQE contract,
     // see object scaladoc).
+    // CONTENT-DEFINED CHUNKING dedup — the storage-dedup complement of
+    // the similarity family: variable-size chunks whose boundaries are
+    // anchor tokens (hash ≡ 0 mod CdcMask, the CDC trick from
+    // LBFS/restic/borg applied at token granularity), so shared runs
+    // between near-identical documents land in IDENTICAL chunks even
+    // when surrounding edits shift all offsets — fixed-size blocks
+    // would mis-align after one insertion. Duplicated chunks (same
+    // token sequence, ≥2 occurrences) are reported with their copy/doc
+    // counts and the reclaimable token mass. vs dedup_substring (exact
+    // char-level spans, suffix-style machinery): CDC is the CHEAP
+    // estimate — one scan, one doc-keyed window, one groupBy — which
+    // is what a 100 TB storage audit runs first. Plan: the cumulative
+    // anchor count rides a doc_id-keyed window (high-cardinality, no
+    // funnel); chunk assembly groups on (doc, chunk_seq); the final
+    // rollup shuffles chunk STRINGS once, grouped to 60-bit
+    // fingerprints in the output.
+    QueryDef("dedup_cdc_chunks",
+      (s, dir) => {
+        val toks = ProfilingQueries.widened(s, Tables(s, dir, "documents"))
+          .select(col("doc_id"), posexplode(tokens(col("text"))))
+          .withColumnRenamed("col", "tok")
+        val wCum = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val chunks = toks
+          .withColumn("a",
+            (pmod(portableHash(col("tok"), CdcSalt), lit(CdcMask)) === 0).cast("long"))
+          .withColumn("chunk_seq", sum(col("a")).over(wCum))
+          .groupBy(col("doc_id"), col("chunk_seq"))
+          .agg(count(lit(1)).as("n_tokens"),
+            concat_ws(" ",
+              transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+                x => x.getField("tok"))).as("chunk"))
+        chunks.filter(col("n_tokens") >= CdcMinChunk)
+          .groupBy(col("chunk"))
+          .agg(min(col("n_tokens")).as("n_tokens"),
+            count(lit(1)).as("n_copies"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("keep_doc"))
+          .filter(col("n_copies") > 1)
+          .select(portableHash(col("chunk"), 0).as("chunk_fp"),
+            col("n_tokens"), col("n_copies"), col("n_docs"), col("keep_doc"),
+            ((col("n_copies") - 1) * col("n_tokens")).as("reclaim_tokens"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              |  FROM documents),
+              |p AS (
+              |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+              |    i -> struct_pack(pos := i, tok := t[CAST(i AS INTEGER)]))) AS e
+              |  FROM toks),
+              |q AS (
+              |  SELECT doc_id, e.pos AS pos, e.tok AS tok,
+              |    CASE WHEN CAST(('0x' || substr(md5('$CdcSalt:' || e.tok), 1, 15)) AS BIGINT)
+              |      % $CdcMask = 0 THEN 1 ELSE 0 END AS a
+              |  FROM p),
+              |c AS (
+              |  SELECT doc_id, pos, tok,
+              |    SUM(a) OVER (PARTITION BY doc_id ORDER BY pos
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_seq
+              |  FROM q),
+              |ch AS (
+              |  SELECT doc_id, chunk_seq, COUNT(*) AS n_tokens,
+              |    string_agg(tok, ' ' ORDER BY pos) AS chunk
+              |  FROM c GROUP BY 1, 2)
+              |SELECT CAST(('0x' || substr(md5('0:' || chunk), 1, 15)) AS BIGINT) AS chunk_fp,
+              |  CAST(MIN(n_tokens) AS BIGINT) AS n_tokens,
+              |  COUNT(*) AS n_copies,
+              |  COUNT(DISTINCT doc_id) AS n_docs,
+              |  MIN(doc_id) AS keep_doc,
+              |  CAST((COUNT(*) - 1) * MIN(n_tokens) AS BIGINT) AS reclaim_tokens
+              |FROM ch WHERE n_tokens >= $CdcMinChunk
+              |GROUP BY chunk HAVING COUNT(*) > 1""".stripMargin)),
+
     QueryDef("dedup_winnowing",
       (s, dir) =>
         winnowingAudit(ProfilingQueries.widened(s, Tables(s, dir, "documents"))),
