@@ -440,6 +440,33 @@ object DedupQueries {
   private val CdcSalt = 97
   private val CdcMinChunk = 3
 
+  /** True iff the token is a CDC anchor — JVM twin of the column
+    * predicate, for tests that construct corpora with known
+    * boundaries. */
+  private[graft] def cdcIsAnchor(tok: String): Boolean =
+    graft.functions.TextFunctions.portableHashJvm(tok, CdcSalt) % CdcMask == 0
+
+  /** Per-document content-defined chunks: `(doc_id, chunk_seq,
+    * n_tokens, chunk)`, one row per chunk (anchor token starts a new
+    * chunk and is its first token). Factored so CdcSpec can pin the
+    * boundary-stability invariant the query's Scaladoc claims. */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .withColumnRenamed("col", "tok")
+    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("a",
+        (pmod(portableHash(col("tok"), CdcSalt), lit(CdcMask)) === 0).cast("long"))
+      .withColumn("chunk_seq", sum(col("a")).over(wCum))
+      .groupBy(col("doc_id"), col("chunk_seq"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("chunk"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // exact dedup: one representative (min doc_id) per normalized text.
@@ -974,21 +1001,8 @@ object DedupQueries {
     // fingerprints in the output.
     QueryDef("dedup_cdc_chunks",
       (s, dir) => {
-        val toks = ProfilingQueries.widened(s, Tables(s, dir, "documents"))
-          .select(col("doc_id"), posexplode(tokens(col("text"))))
-          .withColumnRenamed("col", "tok")
-        val wCum = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val chunks = toks
-          .withColumn("a",
-            (pmod(portableHash(col("tok"), CdcSalt), lit(CdcMask)) === 0).cast("long"))
-          .withColumn("chunk_seq", sum(col("a")).over(wCum))
-          .groupBy(col("doc_id"), col("chunk_seq"))
-          .agg(count(lit(1)).as("n_tokens"),
-            concat_ws(" ",
-              transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-                x => x.getField("tok"))).as("chunk"))
-        chunks.filter(col("n_tokens") >= CdcMinChunk)
+        cdcChunks(ProfilingQueries.widened(s, Tables(s, dir, "documents")))
+          .filter(col("n_tokens") >= CdcMinChunk)
           .groupBy(col("chunk"))
           .agg(min(col("n_tokens")).as("n_tokens"),
             count(lit(1)).as("n_copies"),
