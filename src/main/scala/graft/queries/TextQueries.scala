@@ -212,6 +212,69 @@ object TextQueries {
              |HAVING 1000 * count(*) >= (SELECT n FROM tot)
              |ORDER BY freq DESC, tk""".stripMargin)),
 
+    // Zipf rank-frequency slope — the vocabulary-shape audit that pairs
+    // with vocab_growth's Heaps curve: OLS fit of ln(freq) on ln(rank)
+    // over the top-1000 tokens. Natural text sits near slope −1; a
+    // corpus drifting flat (template spam inflating mid-ranks) or
+    // over-steep (tiny effective vocabulary) fails downstream tokenizer
+    // assumptions before any model sees it. Cross-engine exactness via
+    // the established two-step contract: both engines take ln() of
+    // IDENTICAL integers (rank, freq), round once to micro-points, and
+    // every OLS moment is then an exact integer sum — the final cross
+    // terms (n·Σxy − Σx·Σy) need DECIMAL(38,0)/HUGEINT headroom (the
+    // rate_mosum discipline; ~3e20 at n=1000) and both engines divide
+    // the same exact values as doubles. Plan: the vocab word-count is
+    // the honest shuffle; TakeOrderedAndProject shrinks to 1000 rows
+    // BEFORE the serial rank window (the allow-listed shrink-then-
+    // serial pattern), and the regression is one tiny aggregate.
+    QueryDef("vocab_zipf",
+      (s, dir) => {
+        val topN = 1000
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("tk"))
+        val top = Tables(s, dir, "documents")
+          .select(explode(tokens(col("text"))).as("tk"))
+          .groupBy(col("tk")).agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("tk")).limit(topN)
+        val xy = top
+          .withColumn("r", row_number().over(w))
+          .select(
+            QueryDef.microPoints(log(col("r").cast("double"))).as("x"),
+            QueryDef.microPoints(log(col("freq").cast("double"))).as("y"))
+        val m = xy.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        m.select(col("n"),
+          QueryDef.microPoints(
+            (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))).cast("double") /
+            (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))).cast("double"))
+            .as("slope_micro"))
+      },
+      Some(s"""WITH cnt AS (
+              |  SELECT tk, COUNT(*) AS freq
+              |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk FROM documents)
+              |  GROUP BY tk),
+              |top AS (
+              |  SELECT tk, freq, row_number() OVER (ORDER BY freq DESC, tk) AS r
+              |  FROM cnt QUALIFY r <= 1000),
+              |xy AS (
+              |  SELECT ${QueryDef.microPointsSql("ln(CAST(r AS DOUBLE))")} AS x,
+              |         ${QueryDef.microPointsSql("ln(CAST(freq AS DOUBLE))")} AS y
+              |  FROM top),
+              |m AS (
+              |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+              |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+              |    CAST(SUM(x * x) AS BIGINT) AS sxx
+              |  FROM xy)
+              |SELECT CAST(n AS BIGINT) AS n,
+              |  ${QueryDef.microPointsSql(
+                   "CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / " +
+                   "CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)")} AS slope_micro
+              |FROM m""".stripMargin)),
+
     // Count-Min sketch point-frequency estimation + error audit —
     // completes the engine's mergeable-sketch family (KMV = distinct,
     // quantile sketch = order stats, Space-Saving = top-k, CM = point

@@ -642,6 +642,10 @@ class PlanAuditSpec extends SparkSuite {
         // serial tier window over the |distinct-freq| frame (nucleus
         // cut — per-token work is tier/bucket-partitioned)
         "vocab_top_p",
+        // serial rank window over the already-TakeOrdered top-1000
+        // frame (Zipf OLS — the corpus collapses to the vocab count,
+        // then to 1000 rows, before the window runs)
+        "vocab_zipf",
         // Hamilton remainder ranking over the |languages|-row frame —
         // the corpus collapses to per-language counts first
         "token_budget_apportion",
@@ -707,7 +711,7 @@ class PlanAuditSpec extends SparkSuite {
       // window-heaviest production shapes
       val allowed = Set("rank_global_bucketed", "histogram_equidepth",
         "users_cumulative", "session_concurrency", "vocab_top_p",
-        "token_budget_apportion")
+        "vocab_zipf", "token_budget_apportion")
       val subset = (allowed.toSeq ++ Seq(
         "sessionize", "window_topk", "window_running", "window_range_rolling",
         "pack_sequences", "asof_attribution", "asof_plan_node", "asof_forward",
