@@ -32,6 +32,51 @@ object EventQueries {
              |  COUNT(DISTINCT user_id) AS n_users
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // weekly RETENTION COHORTS — the canonical product-analytics grid:
+    // users grouped by their first-activity week (absolute epoch week,
+    // pure integer arithmetic — no timezone/locale function two engines
+    // could disagree on), and for each (cohort, week-offset) cell the
+    // count of cohort members active that week plus the per-mille
+    // retention rate (integer division — the exact-arithmetic rounding
+    // contract). The offset-0 row equals the cohort size by
+    // construction, a built-in sanity invariant. Plan: the distinct
+    // (user, week) activity and the per-user min week both collapse
+    // map-side keyed by user_id (millions of tiny groups — the scalable
+    // shape); the activity⋈cohort join is user-keyed with both sides
+    // pre-aggregated (AQE broadcasts the cohort frame at small scale);
+    // the final rollup covers the tiny |weeks|² cell space.
+    QueryDef("retention_cohorts",
+      (s, dir) => {
+        val act = Tables.events(s, dir)
+          .selectExpr("user_id",
+            "unix_micros(ts) div 86400000000 div 7 as w")
+          .distinct()
+        val coh = act.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+        val siz = coh.groupBy(col("cw")).agg(count(lit(1)).as("cohort_size"))
+        act.join(coh, Seq("user_id"))
+          .groupBy(col("cw").as("cohort_week"), (col("w") - col("cw")).as("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(siz.withColumnRenamed("cw", "cohort_week"), Seq("cohort_week"))
+          .select(col("cohort_week"), col("week_offset"), col("n_active"),
+            col("cohort_size"),
+            expr("1000 * n_active div cohort_size").as("retention_pm"))
+      },
+      Some("""WITH act AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7 AS w
+             |  FROM events),
+             |coh AS (SELECT user_id, MIN(w) AS cw FROM act GROUP BY 1),
+             |siz AS (SELECT cw, COUNT(*) AS cohort_size FROM coh GROUP BY 1),
+             |cells AS (
+             |  SELECT c.cw AS cohort_week, a.w - c.cw AS week_offset,
+             |    COUNT(*) AS n_active
+             |  FROM act a JOIN coh c USING (user_id) GROUP BY 1, 2)
+             |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+             |  CAST(week_offset AS BIGINT) AS week_offset, n_active,
+             |  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+             |  CAST(1000 * n_active // s.cohort_size AS BIGINT) AS retention_pm
+             |FROM cells JOIN siz s ON s.cw = cells.cohort_week""".stripMargin)),
+
     // event-flow TRANSITION matrix — per-user next-event pairs counted
     // into the (from, to) Markov matrix behind funnel design and
     // user-flow analysis ("what actually follows a click?"). One lead()
