@@ -726,6 +726,53 @@ object EventStreams {
       }
   }
 
+  final case class Doc(doc_id: Long, text: String)
+  final case class BloomFlag(doc_id: Long, fp: Long, dup_suspect: Boolean)
+
+  /** Streaming CONSTANT-MEMORY dedup — the streaming face of the batch
+    * `dedup_bloom_probe` front-end, and the bounded-state alternative
+    * to exact [[org.apache.spark.sql.Dataset.dropDuplicatesWithinWatermark]]:
+    * that operator keeps every key within the watermark horizon
+    * (unbounded per horizon, exact); this one keeps a FIXED
+    * `groups × bitsPerGroup` bit budget FOREVER — it never needs
+    * eviction, at the price of false POSITIVES that grow with fill
+    * (never false negatives: an exact duplicate always lands on set
+    * bits). The honest production pairing: Bloom flags route to an
+    * exact fingerprint check, exactly as the batch query's hits do.
+    *
+    * Sharding: the content fingerprint routes to `fp mod groups`, so
+    * the filter distributes across executors as `groups` independent
+    * mini-Blooms (standard partitioned Bloom) instead of one
+    * driver-sized bitmap; a duplicate always routes to the same group,
+    * preserving the no-false-negative guarantee. Within a micro-batch
+    * rows fold in doc_id order, so an intra-batch duplicate is flagged
+    * deterministically (the lower id inserts, the higher id hits). */
+  def bloomDedupStream(docs: Dataset[Doc], bitsPerGroup: Int = 8192,
+      groups: Int = 256, k: Int = 4): Dataset[BloomFlag] = {
+    import docs.sparkSession.implicits._
+    require(Integer.bitCount(bitsPerGroup) == 1 && bitsPerGroup >= 64,
+      s"bitsPerGroup must be a power of two >= 64: $bitsPerGroup")
+    docs
+      .map(d => (d.doc_id, graft.functions.TextFunctions.portableHashJvm(d.text, 31)))
+      .groupByKey { case (_, fp) => (fp % groups).toInt }
+      .flatMapGroupsWithState[Array[Byte], BloomFlag](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g: Int, rows: Iterator[(Long, Long)], state: GroupState[Array[Byte]]) =>
+          val bm = state.getOption.map(_.clone())
+            .getOrElse(new Array[Byte](bitsPerGroup / 8))
+          val out = rows.toSeq.sortBy(_._1).map { case (id, fp) =>
+            val pos = (0 until k).map(i =>
+              (graft.functions.TextFunctions.portableHashJvm(fp.toString, 131 + i)
+                % bitsPerGroup).toInt)
+            val dup = pos.forall(p => (bm(p >> 3) & (1 << (p & 7))) != 0)
+            pos.foreach(p => bm(p >> 3) = (bm(p >> 3) | (1 << (p & 7))).toByte)
+            BloomFlag(id, fp, dup)
+          }
+          state.update(bm)
+          out.iterator
+      }
+  }
+
   final case class CmEst(event_type: String, user_id: Long, cm_est: Long, n: Long)
 
   /** Streaming Count-Min frequency monitoring per event type — the

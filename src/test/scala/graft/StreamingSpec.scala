@@ -780,6 +780,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming Bloom dedup: exact dups always flagged across batches, uniques pass at low fill") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.bloomDedupStream(ms.toDS(), bitsPerGroup = 8192, groups = 8)
+      .writeStream.format("memory").queryName("bloom_dedup").outputMode("update").start()
+    try {
+      // batch 1: three uniques + one intra-batch exact dup (id 4 = id 1)
+      ms.addData(
+        EventStreams.Doc(1L, "alpha beta gamma"),
+        EventStreams.Doc(2L, "delta epsilon"),
+        EventStreams.Doc(3L, "zeta eta theta"),
+        EventStreams.Doc(4L, "alpha beta gamma"))
+      q.processAllAvailable()
+      // batch 2: a cross-batch dup of doc 2 (state carried) + a unique
+      ms.addData(
+        EventStreams.Doc(5L, "delta epsilon"),
+        EventStreams.Doc(6L, "iota kappa lambda"))
+      q.processAllAvailable()
+      val res = spark.table("bloom_dedup").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      // no false negatives, ever: both duplicates flagged
+      assert(res(4L), "intra-batch duplicate must be flagged")
+      assert(res(5L), "cross-batch duplicate must be flagged (state carried)")
+      // at 4 fingerprints x 4 bits in 8192-bit groups the fill is ~0.2%,
+      // so these uniques cannot plausibly collide — flagged = a bug
+      Seq(1L, 2L, 3L, 6L).foreach(id =>
+        assert(!res(id), s"unique doc $id falsely flagged at negligible fill"))
+      // duplicates carry the same fingerprint as their original
+      val fps = spark.table("bloom_dedup").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fps(4L) == fps(1L) && fps(5L) == fps(2L))
+    } finally q.stop()
+  }
+
   test("streaming Count-Min sketch: running estimates equal the one-shot fold, never undercount") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
