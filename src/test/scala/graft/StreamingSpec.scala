@@ -815,6 +815,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming Bloom dedup under saturation: false positives appear, false negatives never") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[EventStreams.Doc]
+    // deliberately tiny filter (64 bits/group, 2 groups): 60 uniques x
+    // 4 bits saturate it, so unique docs WILL collide — the honest
+    // failure mode. The guarantee that must survive anyway: every
+    // exact duplicate is flagged.
+    val q = EventStreams.bloomDedupStream(ms.toDS(), bitsPerGroup = 64, groups = 2)
+      .writeStream.format("memory").queryName("bloom_sat").outputMode("update").start()
+    try {
+      val uniques = (1 to 60).map(i => EventStreams.Doc(i.toLong, s"unique text $i"))
+      ms.addData(uniques: _*)
+      q.processAllAvailable()
+      // second batch: exact dups of five batch-1 docs, plus fresh uniques
+      ms.addData((1 to 5).map(i =>
+        EventStreams.Doc(100L + i, s"unique text $i")) ++
+        (61 to 70).map(i => EventStreams.Doc(i.toLong, s"unique text $i")): _*)
+      q.processAllAvailable()
+      val res = spark.table("bloom_sat").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      // NO false negatives, even saturated: all five dups flagged
+      (1 to 5).foreach(i => assert(res(100L + i), s"dup of doc $i missed"))
+      // saturation is real: some uniques are falsely flagged (the
+      // documented trade — they'd route to the exact verify in prod)
+      val fp = (1L to 70L).count(res(_))
+      assert(fp > 0, "64-bit groups at 70 docs should have false positives")
+      // and the first batch's very first doc hit an empty filter
+      assert(!res(1L))
+    } finally q.stop()
+  }
+
   test("streaming Count-Min sketch: running estimates equal the one-shot fold, never undercount") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
