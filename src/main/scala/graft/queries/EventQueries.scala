@@ -32,6 +32,91 @@ object EventQueries {
              |  COUNT(DISTINCT user_id) AS n_users
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // POPULATION STABILITY INDEX — the industry-standard drift metric
+    // (credit-risk lineage; the effect-size companion to
+    // source_divergence's χ² TEST): per event type, PSI of the
+    // hour-of-day distribution between the first and second 15-day
+    // halves — Σ (p−q)·ln(p/q) over 24 buckets, with add-one smoothing
+    // (the lm_perplexity discipline) so empty buckets need no epsilon
+    // hacks. PSI > 0.2 is the conventional "investigate" line. Exact
+    // cross-engine arithmetic end-to-end: p and q stay RATIONAL —
+    // ln() is taken of identical doubles built from exact BIGINT
+    // products, rounded once to micro-nats, and the weighted sum runs
+    // as Σ(num·t) div (common denominator) with DECIMAL(38,0)/HUGEINT
+    // headroom (rate_mosum's rule: the cross terms square event totals,
+    // BIGINT wraps silently exactly where it matters). Every PSI term
+    // is ≥ 0 ((p−q) and ln(p/q) share sign), so the single floor
+    // division agrees across engines. Plan: one scan, counts collapse
+    // map-side to |types|·24 cells, the day-0 anchor and totals frames
+    // broadcast — nothing corpus-sized shuffles.
+    QueryDef("drift_psi",
+      (s, dir) => {
+        val B = 24
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("d"),
+            expr("unix_micros(ts) div 3600000000 % 24").as("hr"))
+        val d0 = ev.agg(min(col("d")).as("d0"))
+        val cnt = ev.crossJoin(broadcast(d0))
+          .withColumn("cur", (col("d") >= col("d0") + lit(15)).cast("long"))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(sum(lit(1L) - col("cur")).as("c0"), sum(col("cur")).as("c1"))
+        val grid = cnt.select(col("event_type")).distinct()
+          .withColumn("hr", explode(sequence(lit(0L), lit(23L))))
+          .join(cnt, Seq("event_type", "hr"), "left")
+          .na.fill(0L, Seq("c0", "c1"))
+        val tot = grid.groupBy(col("event_type"))
+          .agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+        grid.join(broadcast(tot), Seq("event_type"))
+          .withColumn("pn", (col("c1") + lit(1L)) * (col("n0") + lit(B.toLong)))
+          .withColumn("qn", (col("c0") + lit(1L)) * (col("n1") + lit(B.toLong)))
+          .withColumn("t_micro", QueryDef.microPoints(
+            log(col("pn").cast("double") / col("qn").cast("double"))))
+          .groupBy(col("event_type"))
+          .agg(min(col("n0")).as("n_base"), min(col("n1")).as("n_cur"),
+            sum((col("pn") - col("qn")).cast("decimal(38,0)") * col("t_micro")).as("sm"))
+          .select(col("event_type"), col("n_base"), col("n_cur"),
+            expr(s"CAST(sm div ((n_cur + $B) * (n_base + $B)) AS BIGINT)").as("psi_micro"))
+          .withColumn("drifted", (col("psi_micro") > lit(200000L)).cast("long"))
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 % 24 AS hr
+             |  FROM events),
+             |d0 AS (SELECT MIN(d) AS d0 FROM ev),
+             |cnt AS (
+             |  SELECT event_type, hr,
+             |    COUNT(*) FILTER (WHERE d < (SELECT d0 FROM d0) + 15) AS c0,
+             |    COUNT(*) FILTER (WHERE d >= (SELECT d0 FROM d0) + 15) AS c1
+             |  FROM ev GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT x.event_type, x.hr,
+             |    COALESCE(c.c0, 0) AS c0, COALESCE(c.c1, 0) AS c1
+             |  FROM (SELECT t.event_type, g.hr
+             |        FROM (SELECT DISTINCT event_type FROM ev) t
+             |        CROSS JOIN (SELECT unnest(range(0, 24)) AS hr) g) x
+             |  LEFT JOIN cnt c ON c.event_type = x.event_type AND c.hr = x.hr),
+             |tot AS (
+             |  SELECT event_type, CAST(SUM(c0) AS BIGINT) AS n0,
+             |    CAST(SUM(c1) AS BIGINT) AS n1
+             |  FROM grid GROUP BY 1),
+             |terms AS (
+             |  SELECT g.event_type, t.n0, t.n1,
+             |    (g.c1 + 1) * (t.n0 + 24) AS pn,
+             |    (g.c0 + 1) * (t.n1 + 24) AS qn,
+             |    ${QueryDef.microPointsSql(
+                    "ln(CAST((g.c1 + 1) * (t.n0 + 24) AS DOUBLE) / CAST((g.c0 + 1) * (t.n1 + 24) AS DOUBLE))")} AS t_micro
+             |  FROM grid g JOIN tot t USING (event_type)),
+             |agg AS (
+             |  SELECT event_type, MIN(n0) AS n_base, MIN(n1) AS n_cur,
+             |    CAST(SUM(CAST(pn - qn AS HUGEINT) * t_micro)
+             |      // ((MIN(n1) + 24) * (MIN(n0) + 24)) AS BIGINT) AS psi_micro
+             |  FROM terms GROUP BY 1)
+             |SELECT event_type, n_base, n_cur, psi_micro,
+             |  CAST(psi_micro > 200000 AS BIGINT) AS drifted
+             |FROM agg""".stripMargin)),
+
     // weekly RETENTION COHORTS — the canonical product-analytics grid:
     // users grouped by their first-activity week (absolute epoch week,
     // pure integer arithmetic — no timezone/locale function two engines
