@@ -1295,6 +1295,56 @@ object DedupQueries {
               |JOIN sizes sb ON sb.doc_id = doc_b
               |WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= $SetSimTau""".stripMargin)),
 
+    // CONTAINMENT near-dup pairs (Broder 1997's second resemblance
+    // measure): max-containment |A∩B| / min(|A|, |B|) ≥ 0.9 — the
+    // SUBSET-duplication detector Jaccard is structurally blind to. A
+    // 100-shingle quote embedded verbatim in a 2000-shingle page has
+    // J ≈ 0.05 (invisible to every minhash/banding stack, whose
+    // recall curve is a function of J) but containment 1.0; quote
+    // inclusion, boilerplate wrappers, and doc-inside-digest dups are
+    // all this shape. Candidate generation is PREFIX filtering at the
+    // containment bound — if |A∩B| ≥ ⌈τ·n_A⌉ then A's first
+    // n_A − ⌈τ·n_A⌉ + 1 shingles in the global (df, s) order cannot
+    // all miss B, so [[prefixCandidates]](τ = 0.9) is LOSSLESS for
+    // max-containment ≥ 0.9 (the smaller doc's prefix fires; same
+    // argument as set-similarity prefix filtering, Chaudhuri 2006,
+    // applied to the containment bound — and τ = 0.9 prefixes are
+    // SHORTER than setsim's 0.8, so this costs less than
+    // dedup_setsim_prefix). Verification counts intersections only on
+    // candidate pairs; rarest-first posting lists keep the join off
+    // hot shingles, the df-cap guards the pathological tail. Oracle:
+    // the exact all-pairs-sharing-a-shingle form — prefix filtering
+    // is lossless, so both engines must land on the identical pair
+    // set; agreement checks the filter's recall claim itself.
+    QueryDef("dedup_containment",
+      (s, dir) => {
+        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val contain = round(col("inter").cast("double") /
+          least(col("sa.n"), col("sb.n")).cast("double"), 6)
+        prefixCandidates(sh, ContainTau)
+          .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+          .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+          .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            col("sa.n").as("n_a"), col("sb.n").as("n_b"),
+            contain.as("containment"))
+          .filter(col("containment") >= ContainTau)
+      },
+      Some(s"""$shCte,
+              |inter AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b,
+              |  round(CAST(i AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+              |FROM inter
+              |JOIN sizes sa ON sa.doc_id = doc_a
+              |JOIN sizes sb ON sb.doc_id = doc_b
+              |WHERE round(CAST(i AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 6) >= $ContainTau""".stripMargin)),
+
     // BLOOM-FILTER batch-vs-corpus probe — the constant-memory front
     // of incremental exact dedup: the corpus's normalized-text
     // fingerprints compress into a 2^20-bit bitmap (128 KB, built by
@@ -1499,6 +1549,11 @@ object DedupQueries {
     * compares ROUNDED values; at τ=0.8 the nearest non-equal rational
     * is ≥ 0.2/u away, far outside round-off). */
   private[graft] def SetSimTau: Double = 0.8
+
+  /** `dedup_containment` threshold: max-containment ≥ 0.9 marks a
+    * subset-duplication pair. Also the prefix-filter bound — see the
+    * QueryDef comment for the losslessness argument. */
+  private[graft] def ContainTau: Double = 0.9
 
   /** Prefix-filtered candidate pairs for an exact τ-Jaccard self-join
     * over a (doc_id, s) set table: rank each doc's elements by

@@ -38,6 +38,57 @@ class SetSimSpec extends SparkSuite {
     assert(nPrefix > 0)
   }
 
+  test("dedup_containment finds a planted subset-dup invisible to Jaccard") {
+    import spark.implicits._
+    val d = tmpDir("containment")
+    val wordsA = (0 until 30).map(i => s"alpha$i").mkString(" ")
+    val filler = (0 until 90).map(i => s"beta$i").mkString(" ")
+    val rows = Seq(
+      (0L, wordsA, "en", "s", wordsA.length.toLong),
+      // doc 0 verbatim at the head of doc 1: containment(0 in 1) = 1.0,
+      // Jaccard ≈ 28/118 ≈ 0.24 — far under every minhash contract
+      (1L, wordsA + " " + filler, "en", "s",
+        (wordsA.length + filler.length + 1).toLong),
+      (2L, "unrelated words entirely different topic matter here", "en", "s", 52L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = DedupQueries.defs.find(_.name == "dedup_containment").get
+      .fn(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    spark.catalog.clearCache()
+    assert(got.keySet == Set((0L, 1L)), got.toString)
+    assert(got((0L, 1L)) == 1.0)
+    val jac = DedupQueries.defs.find(_.name == "dedup_ngram_jaccard").get
+      .fn(spark, d).collect()
+    spark.catalog.clearCache()
+    assert(jac.isEmpty, s"J=0.24 pair must not pass the 0.8 contract: ${jac.toSeq}")
+  }
+
+  test("containment prefix filtering is lossless vs all shared-shingle pairs") {
+    val sh = DedupQueries.shingleSet(spark, dir).persist()
+    sh.count()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val c = round(col("inter").cast("double") /
+      least(col("sa.n"), col("sb.n")).cast("double"), 6)
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), c.as("containment"))
+      .filter(col("containment") >= DedupQueries.ContainTau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    sh.unpersist()
+    val fast = DedupQueries.defs.find(_.name == "dedup_containment").get
+      .fn(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.catalog.clearCache()
+    assert(brute.nonEmpty)
+    assert(fast == brute, s"missing=${brute -- fast} extra=${fast -- brute}")
+  }
+
   test("dedup_edit_distance: one-char OCR noise flags, real dups score high") {
     import spark.implicits._
     val d = tmpDir("editdist")
