@@ -816,6 +816,139 @@ object EventQueries {
              |FROM c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
              |  ON r.event_id = c.event_id""".stripMargin)),
 
+    // NEAREST as-of join — the bidirectional completion of the as-of
+    // family (backward `asof_attribution`, forward `asof_forward`):
+    // each purchase matched to the same user's temporally CLOSEST
+    // click in EITHER direction, ties resolved toward the backward
+    // match (the attribution convention — a cause at the same instant
+    // beats an effect). The sensor-fusion / nearest-quote alignment
+    // shape kdb's `aj`/`wj` users reach for when "last value" is the
+    // wrong prior. Plan discipline: nearest does NOT cost two as-of
+    // joins — both directions read from ONE user-keyed sort. The
+    // backward neighbor comes from a (UNBOUNDED PRECEDING, CURRENT)
+    // frame with `last(ignoreNulls)`, the forward one from (CURRENT,
+    // UNBOUNDED FOLLOWING) with `first(ignoreNulls)` over the SAME
+    // (ts, event_id) window order, so Catalyst plans one Exchange +
+    // one Sort feeding both WindowExecs — the whole operator rides a
+    // single shuffle, linear per key, no join anywhere (the
+    // AsOfJoinPlan lowering argument applied twice over one sort).
+    // "Before" is lexicographic (ts, event_id) — a same-ts click with
+    // smaller event_id is backward at distance 0 and always wins.
+    // Oracle: two ranked joins picked over by a CASE — a different
+    // (quadratic-per-user) algorithm landing on the same neighbor.
+    QueryDef("asof_nearest",
+      (s, dir) => {
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val withN = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("cs",
+            when(col("event_type") === "click",
+              struct(unix_micros(col("ts")).as("c_us"), col("event_id").as("c_id"))))
+          .withColumn("b", last(col("cs"), ignoreNulls = true).over(back))
+          .withColumn("f", first(col("cs"), ignoreNulls = true).over(fwd))
+          .filter(col("event_type") === "purchase")
+          .withColumn("p_us", unix_micros(col("ts")))
+        // forward wins only with a strictly smaller distance (tie →
+        // back); a missing side forfeits. NULL algebra: both missing →
+        // useF=true → every picked field is NULL, direction forced NULL.
+        val dB = col("p_us") - col("b.c_us")
+        val dF = col("f.c_us") - col("p_us")
+        val useF = col("b").isNull || (col("f").isNotNull && dF < dB)
+        withN.select(col("event_id"), col("user_id"),
+          col("p_us").as("purchase_us"),
+          when(useF, col("f.c_id")).otherwise(col("b.c_id")).as("click_event_id"),
+          when(useF, col("f.c_us")).otherwise(col("b.c_us")).as("click_us"),
+          when(col("b").isNull && col("f").isNull, lit(null).cast("string"))
+            .when(useF, lit("fwd")).otherwise(lit("back")).as("direction"),
+          when(useF, dF).otherwise(dB).as("dist_us"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events WHERE event_type = 'click'),
+             |bk AS (
+             |  SELECT p.event_id, c.event_id AS c_id, c.ts AS c_ts,
+             |    row_number() OVER (PARTITION BY p.event_id
+             |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+             |  FROM p JOIN c ON c.user_id = p.user_id
+             |    AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))),
+             |fw AS (
+             |  SELECT p.event_id, c.event_id AS c_id, c.ts AS c_ts,
+             |    row_number() OVER (PARTITION BY p.event_id
+             |      ORDER BY c.ts, c.event_id) AS rn
+             |  FROM p JOIN c ON c.user_id = p.user_id
+             |    AND (c.ts > p.ts OR (c.ts = p.ts AND c.event_id > p.event_id))),
+             |j AS (
+             |  SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us,
+             |    b.c_id AS b_id, epoch_us(b.c_ts) AS b_us,
+             |    f.c_id AS f_id, epoch_us(f.c_ts) AS f_us
+             |  FROM p
+             |  LEFT JOIN (SELECT * FROM bk WHERE rn = 1) b ON b.event_id = p.event_id
+             |  LEFT JOIN (SELECT * FROM fw WHERE rn = 1) f ON f.event_id = p.event_id)
+             |SELECT event_id, user_id, p_us AS purchase_us,
+             |  CASE WHEN b_id IS NULL OR (f_id IS NOT NULL AND f_us - p_us < p_us - b_us)
+             |    THEN f_id ELSE b_id END AS click_event_id,
+             |  CASE WHEN b_id IS NULL OR (f_id IS NOT NULL AND f_us - p_us < p_us - b_us)
+             |    THEN f_us ELSE b_us END AS click_us,
+             |  CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+             |    WHEN b_id IS NULL OR (f_id IS NOT NULL AND f_us - p_us < p_us - b_us)
+             |    THEN 'fwd' ELSE 'back' END AS direction,
+             |  CASE WHEN b_id IS NULL OR (f_id IS NOT NULL AND f_us - p_us < p_us - b_us)
+             |    THEN f_us - p_us ELSE p_us - b_us END AS dist_us
+             |FROM j""".stripMargin)),
+
+    // INTER-EVENT GAP histogram (log₂-second buckets) — the
+    // sessionization-timeout tuning curve: the distribution of
+    // same-user consecutive-event gaps, whose valley between the
+    // in-session mode and the between-session mode is where the
+    // `sessionize` 30-minute threshold comes from (Halfaker 2015's
+    // bimodal-gap observation). Bucketing is floor(log₂ gap_s) via
+    // the BINARY-STRING length (length(bin(x)) − 1): pure integer →
+    // string ops both engines define identically, where a float
+    // log2() at an exact power-of-two boundary is engine-rounding
+    // roulette. gap 0 and 1 s share bucket 0 (bin(0) = '0'). Plan:
+    // the lag rides one user-keyed shuffle (the sessionize sort,
+    // frame work in-partition), then ≤ ~40 bucket rows collapse
+    // map-side; the total for the share column is a broadcast
+    // one-row frame, not a second pass.
+    QueryDef("session_gap_dist",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .filter(col("prev_us").isNotNull)
+          .withColumn("gap_s", expr("(unix_micros(ts) - prev_us) div 1000000"))
+          .withColumn("bucket", (length(bin(col("gap_s"))) - 1).cast("long"))
+        val tot = gaps.agg(count(lit(1)).as("tot"))
+        gaps.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sum_gap_s"))
+          .crossJoin(broadcast(tot))
+          .select(col("bucket"), col("n_gaps"), col("sum_gap_s"),
+            expr("n_gaps * 1000 div tot").as("share_mille"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+             |  FROM events),
+             |g AS (
+             |  SELECT (us - lag(us) OVER (PARTITION BY user_id
+             |    ORDER BY us, event_id)) // 1000000 AS gap_s
+             |  FROM e),
+             |b AS (
+             |  SELECT gap_s, length(bin(gap_s)) - 1 AS bucket
+             |  FROM g WHERE gap_s IS NOT NULL),
+             |t AS (SELECT COUNT(*) AS tot FROM b)
+             |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_gaps,
+             |  CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+             |  CAST(COUNT(*) * 1000 // (SELECT tot FROM t) AS BIGINT) AS share_mille
+             |FROM b GROUP BY 1""".stripMargin)),
+
     // MOSUM mean-shift detection (moving-sum changepoint statistic —
     // the level-shift complement of `rate_anomaly`'s single-hour spike
     // flag): per event type, the trailing-6-observed-hour mean is

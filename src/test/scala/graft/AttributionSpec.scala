@@ -122,4 +122,41 @@ class AttributionSpec extends SparkSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out == Map(1L -> (1L, 499L), 2L -> (1L, 499L)))
   }
+
+  test("asof_nearest equals a driver-scale brute force; ties go backward") {
+    val ev = Tables.events(spark, dir)
+    def side(t: String): Array[(Long, Long, Long)] = ev
+      .filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val clicksByUser = side("click").groupBy(_._1)
+    val expected = side("purchase").map { case (u, pid, pus) =>
+      val cs = clicksByUser.getOrElse(u, Array.empty[(Long, Long, Long)])
+      val back = cs.filter(c => c._3 < pus || (c._3 == pus && c._2 < pid))
+        .sortBy(c => (-c._3, -c._2)).headOption
+      val fwd = cs.filter(c => c._3 > pus || (c._3 == pus && c._2 > pid))
+        .sortBy(c => (c._3, c._2)).headOption
+      val pick = (back, fwd) match {
+        case (None, None) => None
+        case (Some(b), None) => Some((b, "back", pus - b._3))
+        case (None, Some(f)) => Some((f, "fwd", f._3 - pus))
+        case (Some(b), Some(f)) =>
+          if (f._3 - pus < pus - b._3) Some((f, "fwd", f._3 - pus))
+          else Some((b, "back", pus - b._3)) // tie → backward
+      }
+      (pid, u, pus, pick.map(_._1._2), pick.map(_._1._3),
+        pick.map(_._2), pick.map(_._3))
+    }.toSet
+    val got = EventQueries.defs.find(_.name == "asof_nearest").get
+      .fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.getString(5)),
+        Option(r.get(6)).map(_.asInstanceOf[Long]))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // the corpus genuinely exercises both directions
+    assert(got.exists(_._6.contains("back")) && got.exists(_._6.contains("fwd")))
+  }
 }

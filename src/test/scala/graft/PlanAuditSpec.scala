@@ -395,6 +395,20 @@ class PlanAuditSpec extends SparkSuite {
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("asof_nearest: BOTH direction windows ride the one user_id shuffle, no join") {
+    // the bidirectional as-of must not cost two as-of joins: the
+    // backward last() and forward first() frames share one
+    // (user_id) partition + (ts, event_id) order, so Catalyst fuses
+    // them into a SINGLE WindowExec (different frames, same spec)
+    // behind a single Exchange + Sort
+    val p = plan(SparkEntry.queries("asof_nearest")(spark, dir))
+    assert(!p.contains("Join"), p)
+    assert("(?m)^\\(\\d+\\) Window".r.findAllIn(p).size == 1, p)
+    assert(p.contains("last(cs") && p.contains("first(cs"), p)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1, p)
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
+  }
+
   test("range_join_bucketed: interval join runs as a hash equi-join on the bucket, not BNLJ") {
     val p = plan(SparkEntry.queries("range_join_bucketed")(spark, dir))
     // the rewrite's whole point: a pure range predicate has no equi key

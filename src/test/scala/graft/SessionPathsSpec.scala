@@ -48,4 +48,39 @@ class SessionPathsSpec extends SparkSuite {
       case _ => true
     })
   }
+
+  test("session_gap_dist: exact log2 buckets at the power boundaries, gaps conserved") {
+    import spark.implicits._
+    val d = tmpDir("gapdist")
+    val base = 1723600000000000L // epoch micros
+    def t(offsetS: Long) = base + offsetS * 1000000L
+    // user 1: consecutive gaps 1 s, 2 s, 4 s, 5 s — bucket edges land
+    //   exactly ON powers of two (2→bucket 1, 4→bucket 2, 5→bucket 2)
+    // user 2: single event → contributes no gap
+    // user 3: two events at the SAME timestamp → gap 0 → bucket 0
+    val rows = Seq(
+      (1L, t(0), 1L), (2L, t(1), 1L), (3L, t(3), 1L), (4L, t(7), 1L), (5L, t(12), 1L),
+      (10L, t(0), 2L),
+      (20L, t(0), 3L), (21L, t(0), 3L))
+      .map { case (id, us, u) => (id, us, u, "click", 0.0, "{}") }
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = EventQueries.defs.find(_.name == "session_gap_dist").get
+      .fn(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // 5 gaps total: bucket 0 ← {0 s, 1 s}, bucket 1 ← {2 s}, bucket 2 ← {4 s, 5 s}
+    assert(got == Map(
+      0L -> ((2L, 1L, 400L)),
+      1L -> ((1L, 2L, 200L)),
+      2L -> ((2L, 9L, 400L))), got.toString)
+    // conservation on the real corpus: Σ n_gaps = Σ_user (n_events − 1)
+    val dir = "/root/testdata/sf0.001"
+    val hist = EventQueries.defs.find(_.name == "session_gap_dist").get
+      .fn(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ev = Tables.events(spark, dir)
+    val expected = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(hist.map(_._2).sum == expected)
+  }
 }
