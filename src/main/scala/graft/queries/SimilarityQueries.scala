@@ -379,6 +379,91 @@ object SimilarityQueries {
               |  CAST(CASE WHEN n * ss - s * s < n * n * 100000000 THEN 1 ELSE 0 END AS BIGINT) AS is_dead
               |FROM agg""".stripMargin)),
 
+    // Distributed GRAM MATRIX (X'X, upper triangle) — the linear-
+    // algebra primitive under PCA/whitening/anisotropy correction
+    // (Mu & Viswanath, ICLR 2018: all-but-the-top removal needs
+    // exactly this + the mean vector `embedding_dim_stats` already
+    // computes). The ONE operator family where mapPartitions beats
+    // any declarative form: a per-pair explode is a D²/2-fold row
+    // blowup through an exchange (≈ 2000× at D = 64), while the
+    // BLAS-style rank-k update — each partition folds its vectors
+    // into a local D(D+1)/2 triangle, emitting one partial triangle
+    // — shuffles #partitions · D(D+1)/2 counter rows, INDEPENDENT of
+    // corpus size (the RowMatrix.computeGramianMatrix shape, Spark
+    // MLlib's own choice for this op). Arithmetic is the dim_stats
+    // contract: components round ONCE to integer micro-points, so
+    // every product and sum is exact BIGINT math no partial-agg order
+    // can perturb. Overflow headroom: |u| ≤ 1e6·|x|; at |x| ≤ 1 the
+    // per-pair product is ≤ 1e12, so the BIGINT total holds to ~9e6
+    // rows per dim pair — past that, cents-scale the components or
+    // sum DECIMAL(38,0) (the stats_moments swap). Dimension count is
+    // taken from the data (min = max asserted, loud failure on
+    // ragged vectors, never a silent mis-accumulation).
+    QueryDef("embedding_gram",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("embedding").cast("array<double>").as("e"))
+        val dims = emb.agg(min(size(col("e"))).as("lo"), max(size(col("e"))).as("hi"))
+          .first()
+        val d = dims.getInt(0)
+        require(d == dims.getInt(1) && d > 0,
+          s"embedding_gram: ragged embedding lengths [${dims.getInt(0)}, ${dims.getInt(1)}]")
+        val tri = d * (d + 1) / 2
+        emb.as[Array[Double]]
+          .mapPartitions { it =>
+            val acc = new Array[Long](tri)
+            val u = new Array[Long](d)
+            var any = false
+            it.foreach { v =>
+              require(v.length == d, s"embedding_gram: vector of length ${v.length}, expected $d")
+              var i = 0
+              while (i < d) { u(i) = math.floor(v(i) * 1e6 + 0.5).toLong; i += 1 }
+              var idx = 0
+              i = 0
+              while (i < d) {
+                val ui = u(i)
+                var j = i
+                while (j < d) { acc(idx) += ui * u(j); idx += 1; j += 1 }
+                i += 1
+              }
+              any = true
+            }
+            if (!any) Iterator.empty
+            else {
+              // one labeled partial per triangle cell — row-major walk
+              // mirroring the accumulation loop above
+              val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](tri)
+              var idx = 0
+              var i = 0
+              while (i < d) {
+                var j = i
+                while (j < d) {
+                  out += (((i + 1).toLong, (j + 1).toLong, acc(idx)))
+                  idx += 1; j += 1
+                }
+                i += 1
+              }
+              out.iterator
+            }
+          }
+          .toDF("i", "j", "p")
+          .groupBy(col("i"), col("j"))
+          .agg(sum(col("p")).as("gram_u2"))
+      },
+      Some(s"""WITH u AS (
+              |  SELECT list_transform(embedding,
+              |    x -> ${QueryDef.microPointsSql("CAST(x AS DOUBLE)")}) AS uu
+              |  FROM embeddings),
+              |p AS (
+              |  SELECT CAST(a.ii AS BIGINT) AS i, CAST(b.jj AS BIGINT) AS j,
+              |    uu[CAST(a.ii AS INTEGER)] * uu[CAST(b.jj AS INTEGER)] AS prod
+              |  FROM u, unnest(range(1, len(uu) + 1)) AS a(ii),
+              |       unnest(range(1, len(uu) + 1)) AS b(jj)
+              |  WHERE b.jj >= a.ii)
+              |SELECT i, j, CAST(SUM(prod) AS BIGINT) AS gram_u2
+              |FROM p GROUP BY 1, 2""".stripMargin)),
+
     QueryDef("ann_lsh",
       (s, dir) => {
         val e = Tables(s, dir, "embeddings")
@@ -672,6 +757,48 @@ object SimilarityQueries {
       (s, dir) => knnEdges(s, dir),
       Some(s"""$knnEdgesCteSql
               |SELECT src, dst, cos, rank FROM kept""".stripMargin)),
+
+    // IN-DEGREE distribution of the k-NN graph — the HUBNESS audit
+    // (Radovanović, Nanopoulos & Ivanović, JMLR 2010): in high
+    // dimensions a few vectors become hubs that appear in many other
+    // vectors' k-NN lists while anti-hubs appear in none, and that
+    // skew silently biases everything built ON the graph (SemDeDup
+    // pruning keeps hubs' whole neighborhoods, margin mining already
+    // corrects for it — bitext_margin's normalizer). Out-degree is K
+    // by construction, so in-degree carries all the signal. The
+    // anti-hub tail matters most and is exactly what a bare groupBy
+    // over the edge list drops — nodes nobody points at produce no
+    // edge row — so the full vector frame left-joins the counts to
+    // restore in_deg = 0 before the histogram. Plan: the edge list
+    // rides the shared frozenCells pass (persisted, paid once — the
+    // zero-restore join reuses the same frame); per-dst counts
+    // collapse map-side; the histogram frame is ≤ max-in-degree rows
+    // and the share denominator broadcasts as a one-row frame.
+    QueryDef("hubness_indegree",
+      (s, dir) => {
+        val (cells, _) = DedupQueries.frozenCells(s, dir)
+        val indeg = knnEdgesFrom(cells)
+          .groupBy(col("dst")).agg(count(lit(1)).as("d"))
+        val perNode = cells.select(col("vec_id"))
+          .join(indeg, col("vec_id") === col("dst"), "left")
+          .select(coalesce(col("d"), lit(0L)).as("in_deg"))
+        val tot = perNode.agg(count(lit(1)).as("tot"))
+        perNode.groupBy(col("in_deg"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(broadcast(tot))
+          .select(col("in_deg"), col("n_nodes"),
+            expr("n_nodes * 1000 div tot").as("share_mille"))
+      },
+      Some(s"""$knnEdgesCteSql,
+              |indeg AS (
+              |  SELECT dst, COUNT(*) AS d FROM kept GROUP BY dst),
+              |pn AS (
+              |  SELECT c.vec_id, COALESCE(i.d, 0) AS in_deg
+              |  FROM cells c LEFT JOIN indeg i ON i.dst = c.vec_id),
+              |t AS (SELECT COUNT(*) AS tot FROM pn)
+              |SELECT CAST(in_deg AS BIGINT) AS in_deg, COUNT(*) AS n_nodes,
+              |  CAST(COUNT(*) * 1000 // (SELECT tot FROM t) AS BIGINT) AS share_mille
+              |FROM pn GROUP BY 1""".stripMargin)),
 
     // k-NN graph with MULTI-PROBE ([[GraphNProbe]] = 2): `knn_graph`
     // restricts each vector's neighbor search to its OWN cell, so a
@@ -1288,8 +1415,14 @@ object SimilarityQueries {
 
   /** Shared top-[[KnnGraphK]] within-cell neighbor edges — the frame
     * behind `knn_graph` and the graph consumed by `graph_pagerank`. */
-  private def knnEdges(s: SparkSession, dir: String): DataFrame = {
-    val (cells, _) = DedupQueries.frozenCells(s, dir)
+  private def knnEdges(s: SparkSession, dir: String): DataFrame =
+    knnEdgesFrom(DedupQueries.frozenCells(s, dir)._1)
+
+  /** The cell-keyed self-join + per-source top-K over an ALREADY-built
+    * (and persisted) cells frame — split from [[knnEdges]] so callers
+    * that need the vector frame too (`hubness_indegree`'s zero-degree
+    * restore) pay frozenCells' assignment pass exactly once. */
+  private def knnEdgesFrom(cells: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
     cells.as("a").join(cells.as("b"),
         col("a.c_id") === col("b.c_id") && col("a.vec_id") =!= col("b.vec_id"))

@@ -41,6 +41,27 @@ class GraphStatsSpec extends SparkSuite {
     assert(r.getLong(4) == 600000L)
   }
 
+  test("hubness_indegree conserves nodes and edges, restores anti-hubs") {
+    val dir = "/root/testdata/sf0.001"
+    val hist = SimilarityQueries.defs.find(_.name == "hubness_indegree").get
+      .fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    val edges = SimilarityQueries.defs.find(_.name == "knn_graph").get
+      .fn(spark, dir).count()
+    spark.catalog.clearCache()
+    val nVec = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    // every vector owns exactly one histogram slot (anti-hubs restored)
+    assert(hist.map(_._2).sum == nVec, hist.mkString(","))
+    // Σ in_deg · n_nodes = |edges|: each edge lands in one dst's count
+    assert(hist.map(t => t._1 * t._2).sum == edges, hist.mkString(","))
+    // the anti-hub bucket is non-empty on this corpus — the tail the
+    // histogram exists to expose (and a bare edge groupBy would drop)
+    assert(hist.exists(t => t._1 == 0L && t._2 > 0L), hist.mkString(","))
+    // per-mille shares floor-sum to ≤ 1000
+    assert(hist.map(_._3).sum <= 1000L)
+  }
+
   test("dedup_lsh_eval agrees with independently measured recall") {
     val dir = "/root/testdata/sf0.001"
     val eval = DedupQueries.defs.find(_.name == "dedup_lsh_eval").get
