@@ -852,4 +852,64 @@ object EventStreams {
           QuantileEst(eventType, n, pos(50), pos(95), sv.size)
       }
   }
+
+  final case class PsiEst(event_type: String, n_base: Long, n_cur: Long,
+      psi_micro: Long, drifted: Long)
+
+  /** Streaming POPULATION STABILITY INDEX per event type — the twin of
+    * the batch `drift_psi` (EventQueries): state is the 2×24
+    * hour-of-day count grid (baseline = event days in [d0Day,
+    * d0Day+15), current = the rest — same split as the batch anchor),
+    * a fixed 48 longs per type, and each micro-batch emits the running
+    * PSI in micro-nats with the batch form's EXACT integer arithmetic:
+    * add-one-smoothed cross products pn/qn as longs, ln of their
+    * double ratio rounded once to micro-nats, the Σ(pn−qn)·t term in
+    * BigInt (the JVM twin of the batch decimal(38,0) — the cross
+    * terms square per-type totals, rate_mosum's overflow rule), one
+    * final floor division. Every term of the sum is ≥ 0, so
+    * truncating and floor division agree — the same argument the
+    * batch/DuckDB pair relies on; the final emission over the same
+    * events therefore equals the batch rows bit for bit, and
+    * StreamingSpec asserts exactly that plus checkpoint-restart
+    * consistency (state is a pure fold, so batching cannot move it).
+    *
+    * `d0Day` (epoch days) is supplied by the caller, as
+    * [[rateAnomalyStream]] takes its baseline frame: a stream cannot
+    * know the corpus-wide min day until it has seen all data — the
+    * deployment contract is "anchor the monitoring window when you
+    * arm the monitor". Day/hour come from floorDiv on epoch millis,
+    * which equals the batch's micro-level floor by nested-floor-
+    * division identity. */
+  def psiDriftStream(events: Dataset[Event], d0Day: Long): Dataset[PsiEst] = {
+    import events.sparkSession.implicits._
+    val B = 24
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[Array[Long], PsiEst](GroupStateTimeout.NoTimeout()) {
+        (tpe: String, rows: Iterator[Event], state: GroupState[Array[Long]]) =>
+          val g = state.getOption.map(_.clone())
+            .getOrElse(new Array[Long](2 * B))
+          rows.foreach { e =>
+            val msEpoch = e.ts.getTime
+            val cur = if (Math.floorDiv(msEpoch, 86400000L) >= d0Day + 15) 1 else 0
+            val hr = Math.floorMod(Math.floorDiv(msEpoch, 3600000L), 24L).toInt
+            g(cur * B + hr) += 1
+          }
+          state.update(g)
+          var n0 = 0L; var n1 = 0L
+          var i = 0
+          while (i < B) { n0 += g(i); n1 += g(B + i); i += 1 }
+          var sm = BigInt(0)
+          i = 0
+          while (i < B) {
+            val pn = (g(B + i) + 1L) * (n0 + B)
+            val qn = (g(i) + 1L) * (n1 + B)
+            val t = math.floor(math.log(pn.toDouble / qn.toDouble) * 1e6 + 0.5).toLong
+            sm += BigInt(pn - qn) * BigInt(t)
+            i += 1
+          }
+          val psi = (sm / (BigInt(n1 + B) * BigInt(n0 + B))).toLong
+          PsiEst(tpe, n0, n1, psi, if (psi > 200000L) 1L else 0L)
+      }
+  }
 }

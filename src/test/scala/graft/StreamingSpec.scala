@@ -1105,4 +1105,107 @@ class StreamingSpec extends SparkSuite {
     val fromJvm = vals.map(graft.functions.TextFunctions.portableHashJvm(_, 71))
     assert(fromCol == fromJvm)
   }
+
+  test("streaming PSI equals the batch drift_psi over the same events") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def t(day: Int, hour: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+    var id = 0L
+    def ev(day: Int, hour: Int, tpe: String): Event = {
+      id += 1; Event(id, t(day, hour), 1L, tpe, 0.0)
+    }
+    // click keeps its hour mix across halves (stable); view's hours
+    // shift 1-2 → 22-23 between halves (hard drift)
+    val base = (1 to 5).flatMap(d => Seq(
+      ev(d, 1, "click"), ev(d, 2, "click"), ev(d, 3, "click"),
+      ev(d, 1, "view"), ev(d, 2, "view")))
+    val cur = (20 to 24).flatMap(d => Seq(
+      ev(d, 1, "click"), ev(d, 2, "click"), ev(d, 3, "click"),
+      ev(d, 22, "view"), ev(d, 23, "view")))
+    val all = base ++ cur
+    val d0 = Math.floorDiv(t(1, 0).getTime, 86400000L)
+
+    // the BATCH drift_psi — the full Catalyst plan, run over the same
+    // rows via a temp parquet table dir (a genuine cross-check of the
+    // stream fold, not an arithmetic echo)
+    val dir = tmpDir("psi_batch")
+    all.toDF().withColumn("props", lit(null).cast("string"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val expected = graft.SparkEntry.queries("drift_psi")(spark, dir)
+      .select(col("event_type"), col("n_base"), col("n_cur"),
+        col("psi_micro"), col("drifted"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+
+    val ms = MemoryStream[Event]
+    val q = EventStreams.psiDriftStream(ms.toDS(), d0)
+      .writeStream.format("memory").queryName("psi_stream")
+      .outputMode("update").start()
+    try {
+      // an arbitrary 17/rest split — the state is a pure fold, so the
+      // final emission must not depend on the batching
+      ms.addData(all.take(17): _*)
+      q.processAllAvailable()
+      ms.addData(all.drop(17): _*)
+      q.processAllAvailable()
+      val rows = spark.table("psi_stream").as[EventStreams.PsiEst].collect()
+      val fin = rows.groupBy(_.event_type).values
+        .map(_.maxBy(r => r.n_base + r.n_cur))
+        .map(r => (r.event_type, r.n_base, r.n_cur, r.psi_micro, r.drifted))
+        .toSet
+      assert(fin == expected,
+        s"stream PSI $fin diverged from batch drift_psi $expected")
+      // and the scenario does what it claims: view drifted, click calm
+      assert(fin.exists(r => r._1 == "view" && r._5 == 1L))
+      assert(fin.exists(r => r._1 == "click" && r._5 == 0L))
+    } finally q.stop()
+  }
+
+  test("streaming PSI restart from checkpoint resumes the fold exactly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def t(day: Int, hour: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+    val d0 = Math.floorDiv(t(1, 0).getTime, 86400000L)
+    val dir = tmpDir("psi_restart")
+    val (src, out, chk) = (s"$dir/src", s"$dir/out", s"$dir/chk")
+    def writeFile(events: Event*): Unit =
+      events.toDF().withColumn("props", lit("{}"))
+        .repartition(1).write.mode("append").parquet(src)
+    def run(): Unit = {
+      val ds = EventStreams.readEventStream(spark, src, nanosTs = Some(false))
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      val q = EventStreams.psiDriftStream(ds, d0)
+        .writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[EventStreams.PsiEst], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", chk)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeFile(Event(1, t(1, 1), 1, "view", 0.0), Event(2, t(2, 2), 1, "view", 0.0))
+    run() // incarnation 1: baseline-only grid
+    // incarnation 2 resumes with the 2×24 grid intact; its emission
+    // must equal the one-shot fold over all four events
+    writeFile(Event(3, t(20, 22), 1, "view", 0.0), Event(4, t(21, 23), 1, "view", 0.0))
+    run()
+    val rows = spark.read.parquet(out)
+      .as[EventStreams.PsiEst].collect()
+    val last = rows.filter(_.event_type == "view").maxBy(r => r.n_base + r.n_cur)
+    assert(last.n_base == 2L && last.n_cur == 2L, s"restarted grid lost rows: $last")
+    // one-shot reference over all four events through the same fold
+    val ms = MemoryStream[Event]
+    val qr = EventStreams.psiDriftStream(ms.toDS(), d0)
+      .writeStream.format("memory").queryName("psi_ref")
+      .outputMode("update").start()
+    try {
+      ms.addData(Event(1, t(1, 1), 1, "view", 0.0), Event(2, t(2, 2), 1, "view", 0.0),
+        Event(3, t(20, 22), 1, "view", 0.0), Event(4, t(21, 23), 1, "view", 0.0))
+      qr.processAllAvailable()
+      val ref = spark.table("psi_ref").as[EventStreams.PsiEst].collect()
+        .maxBy(r => r.n_base + r.n_cur)
+      assert(last == ref, s"restart emission $last != one-shot fold $ref")
+    } finally qr.stop()
+  }
 }
