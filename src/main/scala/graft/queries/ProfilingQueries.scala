@@ -615,6 +615,107 @@ object ProfilingQueries {
     // md5-derived hashes; a not-yet-full sketch is the exact distinct
     // hash set and estimates by its size (exercised at sf0.001, where
     // each event_type has 15 users < k).
+    // HYPERLOGLOG distinct sketch (Flajolet 2007) — the industry-
+    // standard cardinality sketch next to `distinct_kmv`'s bottom-k:
+    // m = 64 registers, register j = h mod 64 holds the max rank
+    // rho = 1 + leading-zeros of the remaining 54 hash bits. Same
+    // 60-bit portable-hash substrate as every sketch here; rho comes
+    // from BINARY-STRING length (55 − length(bin(w)), w = h div 64 —
+    // the session_gap_dist integer-log₂ trick), never a float log.
+    // The harmonic-mean estimate is libm-free integer arithmetic:
+    // Σ 2^−Mj is held exactly as S = Σ 2^(55−Mj) over a common
+    // denominator 2^55 (absent registers contribute 2^55; S ≤ 2^61
+    // fits BIGINT; 2^(55−Mj) via pow(2.0, k), exact IEEE for k ≤ 54),
+    // so n_raw = (α₆₄·m²·2^55) div (S·10^6) with the α numerator a
+    // precomputed 27-digit literal — DECIMAL(38,0)/HUGEINT headroom,
+    // the drift_psi discipline. Below 2.5m with empty registers the
+    // standard linear-counting correction applies: m·ln(m/V), the ln
+    // of one small-integer ratio rounded once to micro-nats (the
+    // drift_psi ln contract; V ≤ 63 values both engines see
+    // identically). Scale: registers collapse map-side to ≤ 64 cells
+    // per group — 1000 executors build partial grids and MERGE BY MAX,
+    // the canonical mergeable sketch; the exact countDistinct rides
+    // along as the accuracy audit (at 100 TB only the 64-long grid
+    // exists). Completes the mergeable family: KMV (distinct),
+    // HLL (distinct, fixed-width), quantile, Space-Saving (top-k),
+    // Count-Min (frequency), Bloom (membership).
+    QueryDef("distinct_hll",
+      (s, dir) => {
+        import graft.functions.TextFunctions.portableHash
+        val TwoP55 = 36028797018963968L
+        // α₆₄·m²·2^55·10^... : 709341 (micro-α) · 4096 · 2^55
+        val AlphaNum = "104680255103913656422760448"
+        val base = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id"),
+            portableHash(col("user_id").cast("string"), 83).as("h"))
+        val regs = base
+          .withColumn("j", pmod(col("h"), lit(64L)))
+          .withColumn("w", expr("h div 64"))
+          .withColumn("rho",
+            when(col("w") === 0L, lit(55L))
+              .otherwise(lit(55L) - length(bin(col("w"))).cast("long")))
+          .groupBy(col("event_type"), col("j"))
+          .agg(max(col("rho")).as("m_j"))
+        val per = regs.groupBy(col("event_type"))
+          .agg(sum(expr("CAST(pow(2.0, 55 - m_j) AS BIGINT)")).as("s_present"),
+            count(lit(1)).as("n_regs"))
+          .select(col("event_type"),
+            (col("s_present") +
+              (lit(64L) - col("n_regs")) * lit(TwoP55)).as("s_den"),
+            (lit(64L) - col("n_regs")).as("v"))
+        val exact = base.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        exact.join(per, Seq("event_type"))
+          .withColumn("n_raw", expr(
+            s"CAST(CAST('$AlphaNum' AS DECIMAL(38,0)) div " +
+              "(CAST(s_den AS DECIMAL(38,0)) * 1000000) AS BIGINT)"))
+          .withColumn("t_micro", when(col("v") > 0L,
+            QueryDef.microPoints(log(lit(64.0) / col("v").cast("double")))))
+          .withColumn("n_lc", expr("(64 * t_micro) div 1000000"))
+          .select(col("event_type"), col("n_exact"),
+            when(col("v") > 0L && col("n_raw") <= 160L, col("n_lc"))
+              .otherwise(col("n_raw")).as("n_est"))
+          .withColumn("err_micro", QueryDef.microPoints(
+            abs(col("n_est") - col("n_exact")).cast("double") /
+              col("n_exact").cast("double")))
+      },
+      Some {
+        val h = graft.functions.TextFunctions
+          .portableHashSql("CAST(user_id AS VARCHAR)", 83)
+        s"""WITH hs AS (
+           |  SELECT event_type, user_id, $h AS h FROM events),
+           |r AS (
+           |  SELECT event_type, h % 64 AS j,
+           |    CASE WHEN h // 64 = 0 THEN 55
+           |         ELSE 55 - length(bin(h // 64)) END AS rho
+           |  FROM hs),
+           |regs AS (
+           |  SELECT event_type, j, MAX(rho) AS m_j FROM r GROUP BY 1, 2),
+           |per AS (
+           |  SELECT event_type,
+           |    CAST(SUM(CAST(pow(2.0, 55 - m_j) AS BIGINT)) AS BIGINT)
+           |      + (64 - COUNT(*)) * 36028797018963968 AS s_den,
+           |    64 - COUNT(*) AS v
+           |  FROM regs GROUP BY 1),
+           |ex AS (
+           |  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+           |  FROM events GROUP BY 1),
+           |est AS (
+           |  SELECT p.event_type, p.v,
+           |    CAST(CAST('104680255103913656422760448' AS HUGEINT) //
+           |      (CAST(s_den AS HUGEINT) * 1000000) AS BIGINT) AS n_raw,
+           |    CASE WHEN p.v > 0 THEN
+           |      CAST((64 * ${QueryDef.microPointsSql("ln(64.0 / CAST(p.v AS DOUBLE))")}) // 1000000 AS BIGINT)
+           |    END AS n_lc
+           |  FROM per p)
+           |SELECT ex.event_type, CAST(ex.n_exact AS BIGINT) AS n_exact,
+           |  CAST(CASE WHEN est.v > 0 AND est.n_raw <= 160
+           |    THEN est.n_lc ELSE est.n_raw END AS BIGINT) AS n_est,
+           |  ${QueryDef.microPointsSql(
+              "CAST(abs((CASE WHEN est.v > 0 AND est.n_raw <= 160 THEN est.n_lc ELSE est.n_raw END) - ex.n_exact) AS DOUBLE) / CAST(ex.n_exact AS DOUBLE)")} AS err_micro
+           |FROM ex JOIN est ON est.event_type = ex.event_type""".stripMargin
+      }),
+
     QueryDef("distinct_kmv",
       (s, dir) => {
         val K = 64

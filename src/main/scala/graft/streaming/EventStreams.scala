@@ -912,4 +912,61 @@ object EventStreams {
           PsiEst(tpe, n0, n1, psi, if (psi > 200000L) 1L else 0L)
       }
   }
+
+  final case class HllEst(event_type: String, n_seen: Long, n_est: Long)
+
+  /** Streaming HYPERLOGLOG distinct-user estimate per event type — the
+    * twin of the batch `distinct_hll` (ProfilingQueries): state is the
+    * 64-register max-rank grid (a fixed 64 longs per type — registers
+    * merge by MAX, so the fold is order-insensitive and a checkpoint
+    * restart cannot move it), plus the raw processed count. Each
+    * micro-batch emits the running estimate with the batch form's
+    * EXACT integer arithmetic: rho from Long.numberOfLeadingZeros (the
+    * JVM twin of the engines' length(bin(w)) integer log₂), the
+    * harmonic sum held exactly as S = Σ 2^(55−Mj) over denominator
+    * 2^55, n_raw = α-numerator div (S·10^6) in BigInt (the JVM twin of
+    * the batch DECIMAL(38,0)), and the linear-counting branch below
+    * 2.5m with the same once-rounded micro-nat ln — so the final
+    * emission over the same events equals the batch rows bit for bit
+    * (StreamingSpec asserts exactly that). */
+  def hllDistinctStream(events: Dataset[Event]): Dataset[HllEst] = {
+    import events.sparkSession.implicits._
+    val AlphaNum = BigInt("104680255103913656422760448")
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[(Long, Array[Long]), HllEst](GroupStateTimeout.NoTimeout()) {
+        (tpe: String, rows: Iterator[Event], state: GroupState[(Long, Array[Long])]) =>
+          val (n0, regs0) = state.getOption match {
+            case Some((n, r)) => (n, r.clone())
+            case None => (0L, new Array[Long](64))
+          }
+          var n = n0
+          rows.foreach { e =>
+            n += 1
+            val h = graft.functions.TextFunctions
+              .portableHashJvm(e.user_id.toString, 83)
+            val j = (h % 64).toInt
+            val w = h / 64
+            val rho =
+              if (w == 0L) 55L
+              else 55L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+            if (rho > regs0(j)) regs0(j) = rho
+          }
+          state.update((n, regs0))
+          var s = BigInt(0); var v = 0L
+          var i = 0
+          while (i < 64) {
+            if (regs0(i) == 0L) v += 1
+            s += BigInt(1) << (55 - regs0(i).toInt)
+            i += 1
+          }
+          val nRaw = (AlphaNum / (s * 1000000)).toLong
+          val nEst =
+            if (v > 0 && nRaw <= 160L) {
+              val tMicro = math.floor(math.log(64.0 / v) * 1e6 + 0.5).toLong
+              (64L * tMicro) / 1000000L
+            } else nRaw
+          HllEst(tpe, n, nEst)
+      }
+  }
 }

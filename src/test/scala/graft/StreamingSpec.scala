@@ -1208,4 +1208,39 @@ class StreamingSpec extends SparkSuite {
       assert(last == ref, s"restart emission $last != one-shot fold $ref")
     } finally qr.stop()
   }
+
+  test("streaming HLL equals the batch distinct_hll over the same events") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = 1723600000000000L
+    // two types, hundreds of distinct users → the raw harmonic branch;
+    // arbitrary duplicates → register MAX must absorb them
+    val all = (1 to 900).map { i =>
+      val tpe = if (i % 3 == 0) "view" else "click"
+      Event(i.toLong, new java.sql.Timestamp((base + i * 1000000L) / 1000L),
+        (i % 317).toLong, tpe, 0.0)
+    }
+    val dir = tmpDir("hll_batch")
+    all.toDF().withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val expected = graft.SparkEntry.queries("distinct_hll")(spark, dir)
+      .select(col("event_type"), col("n_est"))
+      .as[(String, Long)].collect().toMap
+
+    val ms = MemoryStream[Event]
+    val q = EventStreams.hllDistinctStream(ms.toDS())
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("update").start()
+    try {
+      // arbitrary split: registers merge by max, so batching is moot
+      ms.addData(all.take(401): _*)
+      q.processAllAvailable()
+      ms.addData(all.drop(401): _*)
+      q.processAllAvailable()
+      val fin = spark.table("hll_stream").as[EventStreams.HllEst].collect()
+        .groupBy(_.event_type).values.map(_.maxBy(_.n_seen))
+        .map(r => r.event_type -> r.n_est).toMap
+      assert(fin == expected, s"stream HLL $fin diverged from batch $expected")
+    } finally q.stop()
+  }
 }
