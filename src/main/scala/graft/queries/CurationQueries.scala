@@ -778,64 +778,62 @@ object CurationQueries {
     // passing. Scale: narrow codegen'd expressions, zero shuffles,
     // scan speed at 100 TB.
     QueryDef("gopher_rules",
+      (s, dir) => gopherFlags(s, dir),
+      Some(s"""$gopherFlagsCteSql
+              |SELECT doc_id, r_words, r_word_len, r_alpha, r_symbol,
+              |  r_stopwords, keep
+              |FROM flags""".stripMargin)),
+
+    // FILTER ABLATION — the rule-attribution audit run before any
+    // filter stack gates a corpus: per Gopher rule, how many documents
+    // fail it at all (n_fail) and how many fail ONLY it
+    // (n_unique_fail — exactly the documents recovered if that one
+    // rule were dropped, its true marginal cost). The two diverge
+    // wildly in practice: a rule can fail 30% of the corpus yet gate
+    // almost nothing uniquely (its rejects also fail other rules),
+    // while a quiet rule silently owns a large unique slice —
+    // dropping the wrong one is how curation pipelines lose data or
+    // keep garbage. Shares in exact per-mille of total rejections.
+    // Plan: rides [[gopherFlags]] (scan-speed boolean derivation, zero
+    // joins), ONE single-row aggregate carrying 11 counters, then a
+    // 5-row stack — nothing corpus-sized shuffles; at 100 TB this is
+    // a scan plus 11 longs on the wire.
+    QueryDef("filter_ablation",
       (s, dir) => {
-        val aug = when(pmod(col("doc_id"), lit(7L)) === 0L,
-          concat(col("text"), lit(GopherNoise))).otherwise(col("text"))
-        val t = tokens(aug)
-        val nWords = size(t).cast("long")
-        // sum of token lengths == length of the delimiter-free join —
-        // codegen'd string ops, no interpreted fold
-        val nChars = length(concat_ws("", t)).cast("long")
-        val nAlpha = size(filter(t, w => w.rlike("[a-z]"))).cast("long")
-        val nSym = (size(regexp_extract_all(aug, lit("#"), lit(0))) +
-          size(regexp_extract_all(aug, lit("\\.\\.\\."), lit(0)))).cast("long")
-        val nStop = stopwordHits(t, stopwords.head._2).cast("long")
-        val rWords = nWords >= 50L && nWords <= 100000L
-        val rLen = nChars >= nWords * 3L && nChars <= nWords * 10L
-        val rAlpha = nAlpha * 5L >= nWords * 4L
-        val rSym = nSym * 10L <= nWords
-        val rStop = nStop >= 2L
-        Tables(s, dir, "documents").select(
-          col("doc_id"),
-          rWords.cast("long").as("r_words"),
-          rLen.cast("long").as("r_word_len"),
-          rAlpha.cast("long").as("r_alpha"),
-          rSym.cast("long").as("r_symbol"),
-          rStop.cast("long").as("r_stopwords"),
-          (rWords && rLen && rAlpha && rSym && rStop)
-            .cast("long").as("keep"))
+        val rules = Seq("words", "word_len", "alpha", "symbol", "stopwords")
+        def rcol(r: String) = col(s"r_$r")
+        val aggs = rules.flatMap { r =>
+          val others = rules.filterNot(_ == r).map(rcol).reduce(_ * _)
+          Seq(sum(lit(1L) - rcol(r)).as(s"f_$r"),
+            sum((lit(1L) - rcol(r)) * others).as(s"u_$r"))
+        } :+ sum(lit(1L) - col("keep")).as("n_reject")
+        val stackExpr = rules
+          .map(r => s"'$r', f_$r, u_$r")
+          .mkString(s"stack(${rules.size}, ", ", ", ") AS (rule, n_fail, n_unique_fail)")
+        gopherFlags(s, dir)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(expr(stackExpr), col("n_reject"))
+          .withColumn("uniq_share_mille",
+            when(col("n_reject") > 0L,
+              expr("n_unique_fail * 1000 div n_reject")).otherwise(lit(0L)))
       },
-      Some(s"""WITH aug AS (
-              |  SELECT doc_id,
-              |    CASE WHEN doc_id % 7 = 0 THEN text || '$GopherNoise'
-              |         ELSE text END AS a
-              |  FROM documents),
-              |f AS (
-              |  SELECT doc_id,
-              |    regexp_extract_all(lower(a), '[a-z0-9]+') AS t,
-              |    CAST(len(regexp_extract_all(a, '#')) +
-              |         len(regexp_extract_all(a, '\\.\\.\\.')) AS BIGINT) AS n_sym
-              |  FROM aug),
-              |m AS (
-              |  SELECT doc_id,
-              |    CAST(len(t) AS BIGINT) AS n_words,
-              |    CAST(length(array_to_string(t, '')) AS BIGINT) AS n_chars,
-              |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
-              |    n_sym,
-              |    CAST(${stopwordHitsSql("t", stopwords.head._2)} AS BIGINT) AS n_stop
-              |  FROM f)
-              |SELECT doc_id,
-              |  CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_words,
-              |  CAST(n_chars >= n_words * 3 AND n_chars <= n_words * 10 AS BIGINT) AS r_word_len,
-              |  CAST(n_alpha * 5 >= n_words * 4 AS BIGINT) AS r_alpha,
-              |  CAST(n_sym * 10 <= n_words AS BIGINT) AS r_symbol,
-              |  CAST(n_stop >= 2 AS BIGINT) AS r_stopwords,
-              |  CAST(n_words >= 50 AND n_words <= 100000
-              |    AND n_chars >= n_words * 3 AND n_chars <= n_words * 10
-              |    AND n_alpha * 5 >= n_words * 4
-              |    AND n_sym * 10 <= n_words
-              |    AND n_stop >= 2 AS BIGINT) AS keep
-              |FROM m""".stripMargin)),
+      Some {
+        val rules = Seq("words", "word_len", "alpha", "symbol", "stopwords")
+        val sums = rules.flatMap { r =>
+          val others = rules.filterNot(_ == r).map(o => s"r_$o").mkString(" * ")
+          Seq(s"CAST(SUM(1 - r_$r) AS BIGINT) AS f_$r",
+            s"CAST(SUM((1 - r_$r) * $others) AS BIGINT) AS u_$r")
+        } :+ "CAST(SUM(1 - keep) AS BIGINT) AS n_reject"
+        val arms = rules.map { r =>
+          s"""SELECT '$r' AS rule, f_$r AS n_fail, u_$r AS n_unique_fail, n_reject,
+             |  CAST(CASE WHEN n_reject > 0 THEN u_$r * 1000 // n_reject
+             |       ELSE 0 END AS BIGINT) AS uniq_share_mille
+             |FROM a""".stripMargin
+        }
+        s"""$gopherFlagsCteSql,
+           |a AS (SELECT ${sums.mkString(",\n  ")} FROM flags)
+           |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+      }),
 
     // DSIR-shaped data selection (Xie et al., "Data Selection for
     // Language Models via Importance Resampling", NeurIPS 2023):
@@ -1005,6 +1003,76 @@ object CurationQueries {
     * symbol tokens (trip r_symbol below 60 words). Symbol-only tokens
     * add no [a-z0-9]+ words, so n_words moves only by the digits. */
   private def GopherNoise = " 404 12345 67 # # # ... ... #"
+
+  /** Per-doc Gopher rule flags (Rae 2021 §A1.1 shapes in exact integer
+    * cross-multiplication) — the shared frame behind `gopher_rules`
+    * (per-doc verdicts) and `filter_ablation` (rule attribution).
+    * Keep [[gopherFlagsCteSql]] in lockstep term for term. */
+  private def gopherFlags(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val aug = when(pmod(col("doc_id"), lit(7L)) === 0L,
+      concat(col("text"), lit(GopherNoise))).otherwise(col("text"))
+    val t = tokens(aug)
+    val nWords = size(t).cast("long")
+    // sum of token lengths == length of the delimiter-free join —
+    // codegen'd string ops, no interpreted fold
+    val nChars = length(concat_ws("", t)).cast("long")
+    val nAlpha = size(filter(t, w => w.rlike("[a-z]"))).cast("long")
+    val nSym = (size(regexp_extract_all(aug, lit("#"), lit(0))) +
+      size(regexp_extract_all(aug, lit("\\.\\.\\."), lit(0)))).cast("long")
+    val nStop = stopwordHits(t, stopwords.head._2).cast("long")
+    val rWords = nWords >= 50L && nWords <= 100000L
+    val rLen = nChars >= nWords * 3L && nChars <= nWords * 10L
+    val rAlpha = nAlpha * 5L >= nWords * 4L
+    val rSym = nSym * 10L <= nWords
+    val rStop = nStop >= 2L
+    Tables(s, dir, "documents").select(
+      col("doc_id"),
+      rWords.cast("long").as("r_words"),
+      rLen.cast("long").as("r_word_len"),
+      rAlpha.cast("long").as("r_alpha"),
+      rSym.cast("long").as("r_symbol"),
+      rStop.cast("long").as("r_stopwords"),
+      (rWords && rLen && rAlpha && rSym && rStop)
+        .cast("long").as("keep"))
+  }
+
+  /** Oracle CTE chain ending in
+    * `flags(doc_id, r_words, r_word_len, r_alpha, r_symbol,
+    * r_stopwords, keep)` — the DuckDB twin of [[gopherFlags]]. */
+  private def gopherFlagsCteSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || '$GopherNoise'
+       |         ELSE text END AS a
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    regexp_extract_all(lower(a), '[a-z0-9]+') AS t,
+       |    CAST(len(regexp_extract_all(a, '#')) +
+       |         len(regexp_extract_all(a, '\\.\\.\\.')) AS BIGINT) AS n_sym
+       |  FROM aug),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_words,
+       |    CAST(length(array_to_string(t, '')) AS BIGINT) AS n_chars,
+       |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |    n_sym,
+       |    CAST(${stopwordHitsSql("t", stopwords.head._2)} AS BIGINT) AS n_stop
+       |  FROM f),
+       |flags AS (
+       |  SELECT doc_id,
+       |    CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_words,
+       |    CAST(n_chars >= n_words * 3 AND n_chars <= n_words * 10 AS BIGINT) AS r_word_len,
+       |    CAST(n_alpha * 5 >= n_words * 4 AS BIGINT) AS r_alpha,
+       |    CAST(n_sym * 10 <= n_words AS BIGINT) AS r_symbol,
+       |    CAST(n_stop >= 2 AS BIGINT) AS r_stopwords,
+       |    CAST(n_words >= 50 AND n_words <= 100000
+       |      AND n_chars >= n_words * 3 AND n_chars <= n_words * 10
+       |      AND n_alpha * 5 >= n_words * 4
+       |      AND n_sym * 10 <= n_words
+       |      AND n_stop >= 2 AS BIGINT) AS keep
+       |  FROM m)""".stripMargin
 
   /** lm_perplexity_filter keep threshold: mean negative log-prob ≤ 3.4
     * micro-nats… i.e. 3.4 nats (ppl ≈ 30) in integer micro-points.

@@ -168,4 +168,59 @@ class CurationPropsSpec extends SparkSuite {
     assert(want.exists(_._2 == 1L) && want.size < entries.size,
       s"cut degenerate: kept ${want.size} of ${entries.size}")
   }
+
+  test("filter_ablation: unique-failure attribution is exact on a planted corpus") {
+    import spark.implicits._
+    import graft.queries.CurationQueries
+    val d = tmpDir("ablation")
+    val pass6 = "the cat and dog run far" // 6 words, avg len 3, 2 stopword types
+    val digits6 = "111 222 333 444 555 666"
+    val rows = Seq(
+      // doc 1: passes every rule
+      (1L, Seq.fill(10)(pass6).mkString(" "), "en", "s"),
+      // doc 2: 18 words < 50 — fails ONLY r_words
+      (2L, Seq.fill(3)(pass6).mkString(" "), "en", "s"),
+      // doc 3: 60 digit words — fails r_alpha AND r_stopwords (never unique)
+      (3L, Seq.fill(10)(digits6).mkString(" "), "en", "s"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = CurationQueries.defs.find(_.name == "filter_ablation").get
+      .fn(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet == Set("words", "word_len", "alpha", "symbol", "stopwords"))
+    assert(got("words") == ((1L, 1L, 2L, 500L)), got.toString) // doc 2, unique
+    assert(got("alpha") == ((1L, 0L, 2L, 0L)), got.toString) // doc 3, shared
+    assert(got("stopwords") == ((1L, 0L, 2L, 0L)), got.toString) // doc 3, shared
+    assert(got("word_len") == ((0L, 0L, 2L, 0L)), got.toString)
+    assert(got("symbol") == ((0L, 0L, 2L, 0L)), got.toString)
+  }
+
+  test("filter_ablation invariants vs gopher_rules on testdata") {
+    import graft.queries.CurationQueries
+    val dir = "/root/testdata/sf0.001"
+    val abl = CurationQueries.defs.find(_.name == "filter_ablation").get
+      .fn(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val flags = CurationQueries.defs.find(_.name == "gopher_rules").get
+      .fn(spark, dir).collect()
+    val nReject = flags.count(_.getLong(6) == 0L).toLong
+    abl.foreach { case (rule, (nFail, nUnique, rj)) =>
+      assert(rj == nReject, s"$rule reports n_reject $rj != $nReject")
+      assert(nUnique <= nFail, s"$rule: unique $nUnique > fail $nFail")
+    }
+    // per-rule n_fail matches the flag frame column-for-column
+    val idx = Map("words" -> 1, "word_len" -> 2, "alpha" -> 3,
+      "symbol" -> 4, "stopwords" -> 5)
+    idx.foreach { case (rule, i) =>
+      val expected = flags.count(_.getLong(i) == 0L).toLong
+      assert(abl(rule)._1 == expected, s"$rule n_fail ${abl(rule)._1} != $expected")
+    }
+    // unique failures can never exceed total rejections
+    assert(abl.values.map(_._2).sum <= nReject)
+    // the battery is non-vacuous: something fails, something is unique
+    assert(abl.values.map(_._1).sum > 0L && abl.values.map(_._2).sum > 0L)
+  }
 }
