@@ -400,6 +400,30 @@ object DedupQueries {
       |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
       |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.8)""".stripMargin
 
+  /** Full cluster-label closure chain ending in
+    * `lab(doc_id, cluster_id)` — the DuckDB twin of [[clusterLabels]]
+    * (recursive-CTE reachability + per-node min over reached nodes, a
+    * different algorithm computing the same fixpoint). Shared by
+    * `dedup_clusters` and `dedup_cluster_stats` so the closure
+    * definition cannot de-synchronize between them. */
+  private val clustersCteSql =
+    s"""$shCte,
+       |$candCteSql,
+       |$interCteSql,
+       |$pairsCteSql,
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  WITH RECURSIVE r(u, v) AS (
+       |    SELECT u, v FROM edges
+       |    UNION
+       |    SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u)
+       |  SELECT u, v FROM r),
+       |lab AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |  FROM reach GROUP BY u)""".stripMargin
+
   /** All-pairs exact Jaccard — the QUADRATIC small-N recall verifier
     * for [[lshCandidates]]-gated discovery. Never a driver query: the
     * shingle self-join explodes on hot shingles at scale. */
@@ -571,21 +595,56 @@ object DedupQueries {
     // over reached nodes — a different algorithm computing the same
     // fixpoint, so agreement is a real cross-check, not an echo.
     QueryDef("dedup_clusters", (s, dir) => clusterLabels(s, dir),
-      Some(s"""$shCte,
-              |$candCteSql,
-              |$interCteSql,
-              |$pairsCteSql,
-              |edges AS (
-              |  SELECT doc_a AS u, doc_b AS v FROM pairs
-              |  UNION SELECT doc_b, doc_a FROM pairs),
-              |reach AS (
-              |  WITH RECURSIVE r(u, v) AS (
-              |    SELECT u, v FROM edges
-              |    UNION
-              |    SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u)
-              |  SELECT u, v FROM r)
-              |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-              |FROM reach GROUP BY u""".stripMargin)),
+      Some(s"""$clustersCteSql
+              |SELECT doc_id, cluster_id FROM lab""".stripMargin)),
+
+    // Cluster SIZE DISTRIBUTION — the dedup report a 100 TB audit
+    // reads before deciding HOW to dedup: a corpus whose duplication
+    // lives in two monster clusters (template/boilerplate farms)
+    // needs a different treatment (drop the template, keep one page
+    // shape) than one with millions of pair-sized clusters (true
+    // near-dups → canonical selection), and excess_docs = Σ(size−1)
+    // is exactly the row count dedup_canonical will remove — the
+    // storage/compute win quantified before paying for it. Singleton
+    // docs (never in any verified pair) re-enter as the size-1 row so
+    // the histogram partitions the corpus: Σ n_docs = |documents|.
+    // Plan: rides the checkpointed [[clusterLabels]]; per-cluster
+    // sizes collapse map-side on the (already tiny) label frame; the
+    // histogram is ≤ max-cluster-size rows; the singleton row is two
+    // 1-row counts crossed. Oracle: the recursive-closure CTE chain +
+    // the same rollup — different fixpoint machinery, same histogram.
+    QueryDef("dedup_cluster_stats",
+      (s, dir) => {
+        val labels = clusterLabels(s, dir)
+        val hist = labels
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+          .select(col("sz").as("cluster_size"), col("n_clusters"),
+            (col("sz") * col("n_clusters")).as("n_docs"),
+            ((col("sz") - 1L) * col("n_clusters")).as("excess_docs"))
+        val single = Tables(s, dir, "documents")
+          .agg(count(lit(1)).as("nt"))
+          .crossJoin(broadcast(labels.agg(count(lit(1)).as("nl"))))
+          .select(lit(1L).as("cluster_size"),
+            (col("nt") - col("nl")).as("n_clusters"),
+            (col("nt") - col("nl")).as("n_docs"),
+            lit(0L).as("excess_docs"))
+          .filter(col("n_clusters") > 0L)
+        hist.unionByName(single)
+      },
+      Some(s"""$clustersCteSql,
+              |cs AS (SELECT cluster_id, COUNT(*) AS sz FROM lab GROUP BY 1),
+              |h AS (SELECT sz, COUNT(*) AS n_clusters FROM cs GROUP BY 1)
+              |SELECT CAST(sz AS BIGINT) AS cluster_size,
+              |  CAST(n_clusters AS BIGINT) AS n_clusters,
+              |  CAST(sz * n_clusters AS BIGINT) AS n_docs,
+              |  CAST((sz - 1) * n_clusters AS BIGINT) AS excess_docs
+              |FROM h
+              |UNION ALL
+              |SELECT 1, n, n, 0 FROM (
+              |  SELECT (SELECT COUNT(*) FROM documents) -
+              |         (SELECT COUNT(*) FROM lab) AS n) s
+              |WHERE n > 0""".stripMargin)),
 
     // Canonical-document selection: the step AFTER clustering — each
     // near-dup cluster keeps its best member by quality score

@@ -75,6 +75,39 @@ class OperatorSemanticsSpec extends SparkSuite {
     val res = SparkEntry.queries("dedup_clusters")(
       spark, out.stripSuffix("/documents.parquet"))
     assert(res.count() == 0) // regression: SUM over empty labels NPE'd
+    spark.catalog.clearCache()
+    // the stats histogram degrades to one all-singletons row
+    val st = SparkEntry.queries("dedup_cluster_stats")(
+      spark, out.stripSuffix("/documents.parquet")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(st.toSeq == Seq((1L, 3L, 3L, 0L)), st.mkString(","))
+  }
+
+  test("dedup_cluster_stats partitions the corpus and matches the label frame") {
+    val dir = "/root/testdata/sf0.001"
+    val st = SparkEntry.queries("dedup_cluster_stats")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.clearCache()
+    val labels = SparkEntry.queries("dedup_clusters")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    // Σ n_docs over the histogram = |documents| (singletons restored)
+    assert(st.map(_._3).sum == nDocs, st.mkString(","))
+    // the histogram is exactly the label frame's size distribution
+    val expected = labels.groupBy(_._2).values.map(_.length.toLong).toSeq
+      .groupBy(identity).map { case (sz, xs) => sz -> xs.length.toLong }
+    st.filter(_._1 > 1L).foreach { case (sz, n, nd, ex) =>
+      assert(expected.get(sz).contains(n), s"size $sz: $n vs ${expected.get(sz)}")
+      assert(nd == sz * n && ex == (sz - 1) * n)
+    }
+    assert(st.filter(_._1 > 1L).map(_._1 * 1000 + 0).toSet ==
+      expected.keys.map(_ * 1000 + 0).toSet)
+    // excess_docs = labeled docs − #clusters (what canonical selection removes)
+    val nClusters = labels.map(_._2).distinct.length.toLong
+    assert(st.map(_._4).sum == labels.length - nClusters)
+    // non-vacuous: real dup clusters exist at this SF
+    assert(st.exists(_._1 > 1L))
   }
 
   test("graft_dot and the interpreted dot agree on mismatched-length arrays: NULL") {
