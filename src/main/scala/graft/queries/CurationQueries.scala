@@ -459,6 +459,89 @@ object CurationQueries {
              |  CAST(SUM(CASE WHEN g.grp_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
              |FROM d JOIN g USING (fp) GROUP BY 1""".stripMargin)),
 
+    // Exact ROC AUC of the quality score against the exact-dup label —
+    // the one-number discriminative-power summary completing
+    // `quality_calibration`'s curve: AUC = P(score(dup) < score(clean))
+    // is the Mann-Whitney U statistic, computed EXACTLY from midranks
+    // with no float ever touching a rank. Scores discretize once to
+    // integer micro-points (the microPoints contract), then
+    // 2U = Σ_v n_neg(v)·(2·posBelow(v) + n_pos(v)) — the ½-tie credit
+    // absorbed into the doubling so every term is BIGINT — and
+    // auc_micro = 2U·500000 div (n_pos·n_neg) (≥ 0 throughout, floor
+    // division agrees cross-engine). Direction: positives are DUPS and
+    // posBelow counts DUP docs scoring strictly below each clean doc,
+    // so AUC → 1 means dups score BELOW clean docs (the "low quality
+    // predicts duplication" hypothesis holds); ½ = no signal.
+    // posBelow is the vocab_top_p tier-then-bucket decomposition: a
+    // serial cumulative over the ≤ 101 coarse buckets (score div
+    // 10000) plus a bucket-PARTITIONED cumulative within — no global
+    // single-partition window at any cardinality. Scale: the score
+    // scan + the 16-byte fp dup join (quality_calibration's shapes),
+    // then everything runs on the |distinct score| histogram.
+    QueryDef("quality_auc",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(regexp_replace(lower(nfcNormalize(col("text"))), "\\s+", " ")).as("fp"),
+            QueryDef.microPoints(TextQueries.qualityScore(col("text"))).as("u"))
+        val groups = docs.groupBy(col("fp")).agg(count(lit(1)).as("grp_n"))
+        val hist = docs.join(groups, Seq("fp"))
+          .select(col("u"), when(col("grp_n") > 1, 1L).otherwise(0L).as("d"))
+          .groupBy(col("u"))
+          .agg(count(lit(1)).as("n_all"), sum(col("d")).as("n_pos"))
+          .withColumn("n_neg", col("n_all") - col("n_pos"))
+          .withColumn("b", expr("u div 10000"))
+        val bkt = hist.groupBy(col("b")).agg(sum(col("n_pos")).as("bn"))
+          .withColumn("bkt_below", coalesce(sum(col("bn")).over(
+            Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        val wIn = Window.partitionBy(col("b")).orderBy(col("u"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val terms = hist
+          .withColumn("in_below", coalesce(sum(col("n_pos")).over(wIn), lit(0L)))
+          .join(broadcast(bkt.select(col("b"), col("bkt_below"))), Seq("b"))
+          .select(col("n_pos"), col("n_neg"),
+            (col("n_neg") * (lit(2L) * (col("bkt_below") + col("in_below")) +
+              col("n_pos"))).as("t"))
+        terms.agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
+            sum(col("t")).as("u2"))
+          .select(col("n_pos"), col("n_neg"),
+            when(col("n_pos") === 0L || col("n_neg") === 0L, lit(0L))
+              .otherwise(expr("(u2 * 500000) div (n_pos * n_neg)"))
+              .as("auc_micro"))
+      },
+      Some(s"""$toksCte,
+             |d AS (
+             |  SELECT doc_id,
+             |    md5(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS fp,
+             |    ${QueryDef.microPointsSql(TextQueries.qualityScoreSql("text", "t"))} AS u
+             |  FROM toks),
+             |g AS (SELECT fp, COUNT(*) AS grp_n FROM d GROUP BY 1),
+             |hist AS (
+             |  SELECT u, COUNT(*) AS n_all,
+             |    CAST(SUM(CASE WHEN g.grp_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+             |  FROM d JOIN g USING (fp) GROUP BY 1),
+             |h2 AS (
+             |  SELECT u, n_pos, n_all - n_pos AS n_neg, u // 10000 AS b FROM hist),
+             |bkt AS (
+             |  SELECT b, COALESCE(SUM(SUM(n_pos)) OVER (ORDER BY b
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bkt_below
+             |  FROM h2 GROUP BY b),
+             |terms AS (
+             |  SELECT h2.n_pos, h2.n_neg,
+             |    h2.n_neg * (2 * (bkt.bkt_below +
+             |      COALESCE(SUM(h2.n_pos) OVER (PARTITION BY h2.b ORDER BY h2.u
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) +
+             |      h2.n_pos) AS t
+             |  FROM h2 JOIN bkt USING (b))
+             |SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+             |  CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+             |  CAST(CASE WHEN SUM(n_pos) = 0 OR SUM(n_neg) = 0 THEN 0
+             |    ELSE (SUM(t) * 500000) // (SUM(n_pos) * SUM(n_neg))
+             |    END AS BIGINT) AS auc_micro
+             |FROM terms""".stripMargin)),
+
     // per-SOURCE distribution drift — Pearson χ² of each source's
     // unigram distribution against the corpus-wide one, the skewed-/
     // broken-source detector a 100 TB multi-source ingest runs before

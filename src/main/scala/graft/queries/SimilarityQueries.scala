@@ -400,69 +400,106 @@ object SimilarityQueries {
     // taken from the data (min = max asserted, loud failure on
     // ragged vectors, never a silent mis-accumulation).
     QueryDef("embedding_gram",
+      (s, dir) => gramTriangle(s, dir),
+      Some(s"""$gramCteSql
+              |SELECT i, j, gram_u2 FROM gram""".stripMargin)),
+
+    // TOP PRINCIPAL COMPONENT by exact-integer power iteration — the
+    // step after `embedding_gram` toward all-but-the-top anisotropy
+    // correction (Mu & Viswanath, ICLR 2018: subtract the dominant
+    // direction): v ← G·v iterated [[PcaIters]] times from the ones
+    // vector, renormalized each step to the fixed 2^20 grid by
+    // FLOOR-dividing by that step's max |component| — every operation
+    // is integer arithmetic both engines define identically (matvec
+    // products in DECIMAL(38,0)/HUGEINT; the floor is made portable by
+    // a +2^21·m offset so Spark's truncating `div` and DuckDB's
+    // flooring `//` act on non-negative values — the drift_psi
+    // discipline), so the result is bit-reproducible regardless of
+    // convergence state. Ships with share_micro = vᵀGv·10⁶ div
+    // (vᵀv·trace), the Rayleigh estimate of PC1's explained-variance
+    // share (PSD ⇒ every term ≥ 0). Scale: the corpus is touched ONCE
+    // (the gram fold, partial-triangle shuffle independent of corpus
+    // size); the [[PcaIters]] supersteps run entirely on persisted
+    // D-row/D²-cell frames — at 100 TB the iteration cost is noise.
+    // Oracle: the recurrence UNROLLED as a CTE chain (the
+    // graph_pagerank pattern), one block per superstep.
+    QueryDef("embedding_pca_top",
       (s, dir) => {
-        import s.implicits._
-        val emb = Tables(s, dir, "embeddings")
-          .select(col("embedding").cast("array<double>").as("e"))
-        val dims = emb.agg(min(size(col("e"))).as("lo"), max(size(col("e"))).as("hi"))
-          .first()
-        val d = dims.getInt(0)
-        require(d == dims.getInt(1) && d > 0,
-          s"embedding_gram: ragged embedding lengths [${dims.getInt(0)}, ${dims.getInt(1)}]")
-        val tri = d * (d + 1) / 2
-        emb.as[Array[Double]]
-          .mapPartitions { it =>
-            val acc = new Array[Long](tri)
-            val u = new Array[Long](d)
-            var any = false
-            it.foreach { v =>
-              require(v.length == d, s"embedding_gram: vector of length ${v.length}, expected $d")
-              var i = 0
-              while (i < d) { u(i) = math.floor(v(i) * 1e6 + 0.5).toLong; i += 1 }
-              var idx = 0
-              i = 0
-              while (i < d) {
-                val ui = u(i)
-                var j = i
-                while (j < d) { acc(idx) += ui * u(j); idx += 1; j += 1 }
-                i += 1
-              }
-              any = true
-            }
-            if (!any) Iterator.empty
-            else {
-              // one labeled partial per triangle cell — row-major walk
-              // mirroring the accumulation loop above
-              val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](tri)
-              var idx = 0
-              var i = 0
-              while (i < d) {
-                var j = i
-                while (j < d) {
-                  out += (((i + 1).toLong, (j + 1).toLong, acc(idx)))
-                  idx += 1; j += 1
-                }
-                i += 1
-              }
-              out.iterator
-            }
-          }
-          .toDF("i", "j", "p")
-          .groupBy(col("i"), col("j"))
-          .agg(sum(col("p")).as("gram_u2"))
+        val tri = gramTriangle(s, dir).persist()
+        tri.count() // materialize: consumed by 2·PcaIters+3 tiny jobs
+        val gfull = tri.unionByName(
+          tri.filter(col("i") =!= col("j"))
+            .select(col("j").as("i"), col("i").as("j"), col("gram_u2")))
+        var v = gfull.select(col("i")).distinct()
+          .select(col("i"), lit(PcaVScale).as("v"))
+        for (_ <- 1 to PcaIters) {
+          val p = gfull.as("g").join(broadcast(v.as("vv")),
+              col("vv.i") === col("g.j"))
+            .groupBy(col("g.i"))
+            .agg(sum(col("g.gram_u2").cast("decimal(38,0)") * col("vv.v")).as("p"))
+          // eager localCheckpoint, the propagateMinLabels superstep
+          // contract: v appears TWICE per step (matvec + its own max),
+          // so an unbroken lineage doubles per iteration — 2^PcaIters
+          // plan copies OOM the driver just rendering the plan string.
+          // Truncating at the ≤D-row vector keeps every plan one step
+          // deep.
+          v = p.crossJoin(broadcast(p.agg(max(abs(col("p"))).as("m"))))
+            .select(col("i"),
+              when(col("m") === 0, lit(0L)).otherwise(expr(
+                s"CAST((p * $PcaVScale + ${2 * PcaVScale} * m) div m - ${2 * PcaVScale} AS BIGINT)"))
+                .as("v"))
+            .localCheckpoint()
+        }
+        val vgv = gfull.as("g")
+          .join(broadcast(v.as("a")), col("a.i") === col("g.i"))
+          .join(broadcast(v.as("b")), col("b.i") === col("g.j"))
+          .agg(sum(col("g.gram_u2").cast("decimal(38,0)") *
+            col("a.v") * col("b.v")).as("vgv"))
+        val vtv = v.agg(sum(col("v").cast("decimal(38,0)") * col("v")).as("vtv"))
+        val tr = tri.filter(col("i") === col("j"))
+          .agg(sum(col("gram_u2").cast("decimal(38,0)")).as("tr"))
+        v.crossJoin(broadcast(vgv)).crossJoin(broadcast(vtv))
+          .crossJoin(broadcast(tr))
+          .select(col("i"), col("v").as("pc1_u20"),
+            when(col("vtv") === 0 || col("tr") === 0, lit(0L))
+              .otherwise(expr("CAST((vgv * 1000000) div (vtv * tr) AS BIGINT)"))
+              .as("share_micro"))
       },
-      Some(s"""WITH u AS (
-              |  SELECT list_transform(embedding,
-              |    x -> ${QueryDef.microPointsSql("CAST(x AS DOUBLE)")}) AS uu
-              |  FROM embeddings),
-              |p AS (
-              |  SELECT CAST(a.ii AS BIGINT) AS i, CAST(b.jj AS BIGINT) AS j,
-              |    uu[CAST(a.ii AS INTEGER)] * uu[CAST(b.jj AS INTEGER)] AS prod
-              |  FROM u, unnest(range(1, len(uu) + 1)) AS a(ii),
-              |       unnest(range(1, len(uu) + 1)) AS b(jj)
-              |  WHERE b.jj >= a.ii)
-              |SELECT i, j, CAST(SUM(prod) AS BIGINT) AS gram_u2
-              |FROM p GROUP BY 1, 2""".stripMargin)),
+      Some {
+        // every recurrence CTE is MATERIALIZED (the graph_pagerank
+        // oracle pattern): DuckDB INLINES plain CTEs per reference, and
+        // v_k is referenced twice by step k+1 — unmaterialized, the
+        // inlining doubles per step and the 10-step chain exhausts file
+        // handles re-opening the parquet 2^10 times
+        val steps = (1 to PcaIters).map { k =>
+          s"""p$k AS MATERIALIZED (
+             |  SELECT g.i AS i, SUM(CAST(g.gram_u2 AS HUGEINT) * vv.v) AS p
+             |  FROM gfull g JOIN v${k - 1} vv ON vv.i = g.j GROUP BY g.i),
+             |m$k AS MATERIALIZED (SELECT MAX(abs(p)) AS m FROM p$k),
+             |v$k AS MATERIALIZED (
+             |  SELECT i, CASE WHEN m = 0 THEN 0
+             |    ELSE CAST((p * $PcaVScale + ${2 * PcaVScale} * m) // m - ${2 * PcaVScale} AS BIGINT)
+             |    END AS v
+             |  FROM p$k, m$k)""".stripMargin
+        }.mkString(",\n")
+        s"""$gramCteSql,
+           |gfull AS MATERIALIZED (
+           |  SELECT i, j, gram_u2 FROM gram
+           |  UNION ALL
+           |  SELECT j, i, gram_u2 FROM gram WHERE i <> j),
+           |v0 AS MATERIALIZED (SELECT DISTINCT i, CAST($PcaVScale AS BIGINT) AS v FROM gfull),
+           |$steps,
+           |rq AS (
+           |  SELECT SUM(CAST(g.gram_u2 AS HUGEINT) * a.v * b.v) AS vgv
+           |  FROM gfull g JOIN v$PcaIters a ON a.i = g.i JOIN v$PcaIters b ON b.i = g.j),
+           |nn AS (SELECT SUM(CAST(v AS HUGEINT) * v) AS vtv FROM v$PcaIters),
+           |tr AS (SELECT SUM(CAST(gram_u2 AS HUGEINT)) AS tr
+           |  FROM gram WHERE i = j)
+           |SELECT f.i, f.v AS pc1_u20,
+           |  CAST(CASE WHEN nn.vtv = 0 OR tr.tr = 0 THEN 0
+           |    ELSE (rq.vgv * 1000000) // (nn.vtv * tr.tr) END AS BIGINT) AS share_micro
+           |FROM v$PcaIters f, rq, nn, tr""".stripMargin
+      }),
 
     QueryDef("ann_lsh",
       (s, dir) => {
@@ -1432,6 +1469,91 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= KnnGraphK)
   }
+
+  /** `embedding_pca_top` power-iteration superstep count. Convergence
+    * quality is eigen-gap dependent; cross-engine EXACTNESS is not —
+    * the arithmetic is deterministic at any count. A def
+    * (defs-init-order contract). */
+  private def PcaIters = 10
+
+  /** Per-step renormalization grid for [[PcaIters]]: components live
+    * on [−2^20, 2^20], keeping every downstream product inside
+    * DECIMAL(38,0)/HUGEINT headroom (vᵀGv ≤ 64²·2^40·maxG). */
+  private def PcaVScale = 1048576L
+
+  /** Exact integer micro-point Gram UPPER TRIANGLE (1-based, i ≤ j) —
+    * the BLAS-style per-partition rank-k fold behind `embedding_gram`
+    * and `embedding_pca_top` (see embedding_gram's QueryDef comment
+    * for the shuffle-volume argument: #partitions · D(D+1)/2 counter
+    * rows, independent of corpus size). */
+  private def gramTriangle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("e"))
+    val dims = emb.agg(min(size(col("e"))).as("lo"), max(size(col("e"))).as("hi"))
+      .first()
+    val d = dims.getInt(0)
+    require(d == dims.getInt(1) && d > 0,
+      s"embedding_gram: ragged embedding lengths [${dims.getInt(0)}, ${dims.getInt(1)}]")
+    val tri = d * (d + 1) / 2
+    emb.as[Array[Double]]
+      .mapPartitions { it =>
+        val acc = new Array[Long](tri)
+        val u = new Array[Long](d)
+        var any = false
+        it.foreach { v =>
+          require(v.length == d, s"embedding_gram: vector of length ${v.length}, expected $d")
+          var i = 0
+          while (i < d) { u(i) = math.floor(v(i) * 1e6 + 0.5).toLong; i += 1 }
+          var idx = 0
+          i = 0
+          while (i < d) {
+            val ui = u(i)
+            var j = i
+            while (j < d) { acc(idx) += ui * u(j); idx += 1; j += 1 }
+            i += 1
+          }
+          any = true
+        }
+        if (!any) Iterator.empty
+        else {
+          // one labeled partial per triangle cell — row-major walk
+          // mirroring the accumulation loop above
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](tri)
+          var idx = 0
+          var i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) {
+              out += (((i + 1).toLong, (j + 1).toLong, acc(idx)))
+              idx += 1; j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("i", "j", "p")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).as("gram_u2"))
+  }
+
+  /** DuckDB twin of [[gramTriangle]] — CTE chain ending in
+    * `gram(i, j, gram_u2)`. */
+  private def gramCteSql: String =
+    s"""WITH u AS (
+       |  SELECT list_transform(embedding,
+       |    x -> ${QueryDef.microPointsSql("CAST(x AS DOUBLE)")}) AS uu
+       |  FROM embeddings),
+       |pp AS (
+       |  SELECT CAST(a.ii AS BIGINT) AS i, CAST(b.jj AS BIGINT) AS j,
+       |    uu[CAST(a.ii AS INTEGER)] * uu[CAST(b.jj AS INTEGER)] AS prod
+       |  FROM u, unnest(range(1, len(uu) + 1)) AS a(ii),
+       |       unnest(range(1, len(uu) + 1)) AS b(jj)
+       |  WHERE b.jj >= a.ii),
+       |gram AS (
+       |  SELECT i, j, CAST(SUM(prod) AS BIGINT) AS gram_u2
+       |  FROM pp GROUP BY 1, 2)""".stripMargin
 
   /** DuckDB twin of [[knnEdges]]: frozen cells + `kept` edge CTE. */
   private def knnEdgesCteSql: String =

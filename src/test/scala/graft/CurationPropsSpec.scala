@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 
 /** Property tests for the curation operators: `text_repetition` is
@@ -222,5 +223,99 @@ class CurationPropsSpec extends SparkSuite {
     assert(abl.values.map(_._2).sum <= nReject)
     // the battery is non-vacuous: something fails, something is unique
     assert(abl.values.map(_._1).sum > 0L && abl.values.map(_._2).sum > 0L)
+  }
+
+  test("quality_auc equals the O(N^2) Mann-Whitney pair count on a mixed planted corpus") {
+    import spark.implicits._
+    import graft.queries.{CurationQueries, QueryDef, TextQueries}
+    // testdata has ZERO exact dups below sf0.1, so the brute check
+    // needs a planted mix: seeded texts of graded quality, a third of
+    // them duplicated 2-3x, interleaved so neither class dominates
+    // either end of the score axis (ties across classes included —
+    // dup group vs a structurally-identical unique text)
+    val d = tmpDir("auc_brute")
+    val rnd = new scala.util.Random(42)
+    val stop = Seq("the", "and", "for", "with", "that")
+    def text(i: Int): String = {
+      val words = 5 + rnd.nextInt(40)
+      (1 to words).map { j =>
+        if (rnd.nextInt(10) < 3) stop(rnd.nextInt(stop.length))
+        else if (rnd.nextInt(10) < 2) "!!!"
+        else s"w${i}x$j"
+      }.mkString(" ")
+    }
+    val base = (1 to 60).map(i => (i.toLong, text(i)))
+    val dupped = base.flatMap { case (id, t) =>
+      if (id % 3 == 0) (0 to 1 + rnd.nextInt(2)).map(k => (id * 100 + k, t))
+      else Seq((id, t))
+    } ++ Seq(
+      // exact cross-class score TIE: the score depends only on (token
+      // count, char length, punct count, stopword hits) — a dup pair
+      // and a unique doc with identical structural stats but different
+      // words land on the same micro-point
+      (9999L, "aaa bbb the ccc ddd !!!"), (9998L, "aaa bbb the ccc ddd !!!"),
+      (9997L, "zzz yyy the xxx www !!!"))
+    dupped.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // per-doc (score_u6, dup) via the same column definitions the
+    // query uses; the brute force below exercises only the RANK/U
+    // machinery against literal pair counting
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(QueryDef.microPoints(TextQueries.qualityScore(col("text"))).as("u"),
+        md5(regexp_replace(lower(graft.functions.TextFunctions.nfcNormalize(col("text"))),
+          "\\s+", " ")).as("fp"))
+    val grp = docs.groupBy("fp").agg(count(lit(1)).as("n"))
+    val ud = docs.join(grp, Seq("fp"))
+      .select(col("u"), (col("n") > 1L).as("d")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val pos = ud.filter(_._2).map(_._1)
+    val neg = ud.filterNot(_._2).map(_._1)
+    assert(pos.nonEmpty && neg.nonEmpty, s"degenerate plant: ${pos.length}/${neg.length}")
+    // 2U = #{(dup, clean) : dup < clean} doubled + ties once
+    var u2 = 0L
+    pos.foreach(p => neg.foreach { q =>
+      if (p < q) u2 += 2L else if (p == q) u2 += 1L
+    })
+    assert(pos.exists(p => neg.contains(p)),
+      "plant lost its cross-class score tie") // tie path is exercised
+    val expected = (u2 * 500000L) / (pos.length.toLong * neg.length)
+    val got = CurationQueries.defs.find(_.name == "quality_auc").get
+      .fn(spark, d).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == pos.length.toLong)
+    assert(got.head.getLong(1) == neg.length.toLong)
+    assert(got.head.getLong(2) == expected,
+      s"auc ${got.head.getLong(2)} != brute $expected")
+  }
+
+  test("quality_auc on a dup-free corpus is the 0-positives sentinel") {
+    import graft.queries.CurationQueries
+    val got = CurationQueries.defs.find(_.name == "quality_auc").get
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 0L, s"sf0.001 grew exact dups: ${got.head}")
+    assert(got.head.getLong(1) == 500L)
+    assert(got.head.getLong(2) == 0L)
+  }
+
+  test("quality_auc: perfectly separated planted corpus scores AUC = 1") {
+    import spark.implicits._
+    import graft.queries.CurationQueries
+    val d = tmpDir("auc_planted")
+    val good6 = "the cat and dog run far"
+    // 10 clean docs: unique high-quality text (score near 1);
+    // 2x3 dup docs: identical junk (low score: no stopwords, punct-heavy)
+    val clean = (1 to 10).map(i =>
+      (i.toLong, s"tail$i " + Seq.fill(10)(good6).mkString(" "), "en", "s"))
+    val dups = (11 to 16).map(i =>
+      (i.toLong, s"### !!! 111 ,,, ### !!! junk${(i - 11) / 2} ;;;", "en", "s"))
+    (clean ++ dups).map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = CurationQueries.defs.find(_.name == "quality_auc").get
+      .fn(spark, d).collect().head
+    assert(got.getLong(0) == 6L && got.getLong(1) == 10L, got.toString)
+    assert(got.getLong(2) == 1000000L, s"expected AUC 1.0, got ${got.getLong(2)}")
   }
 }

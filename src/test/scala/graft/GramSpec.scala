@@ -40,4 +40,78 @@ class GramSpec extends SparkSuite {
     // non-degenerate corpus (and the PCA variance input downstream)
     for (i <- 1L to d.toLong) assert(got((i, i)) > 0L)
   }
+
+  /** The query's exact power iteration, recomputed on the driver from
+    * a brute-force gram matrix in BigInt — the integer renormalization
+    * (floor-divide by the step max onto the 2^20 grid) included. */
+  private def driverPca(vecs: Array[Array[Double]], iters: Int)
+      : (Map[Long, Long], Long) = {
+    val d = vecs.head.length
+    val g = Array.ofDim[Long](d, d)
+    vecs.foreach { vec =>
+      val u = vec.map(x => math.floor(x * 1e6 + 0.5).toLong)
+      for (i <- 0 until d; j <- 0 until d) g(i)(j) += u(i) * u(j)
+    }
+    var v = Array.fill(d)(BigInt(1048576))
+    for (_ <- 1 to iters) {
+      val p = (0 until d).map(i =>
+        (0 until d).map(j => BigInt(g(i)(j)) * v(j)).sum).toArray
+      val m = p.map(_.abs).max
+      v =
+        if (m == 0) Array.fill(d)(BigInt(0))
+        else p.map { x =>
+          // floor division (BigInt / truncates toward zero)
+          val num = x * 1048576
+          if (num.sign >= 0) num / m else -((-num + m - 1) / m)
+        }
+    }
+    val vgv = (for (i <- 0 until d; j <- 0 until d)
+      yield BigInt(g(i)(j)) * v(i) * v(j)).sum
+    val vtv = v.map(x => x * x).sum
+    val tr = (0 until d).map(i => BigInt(g(i)(i))).sum
+    val share =
+      if (vtv == 0 || tr == 0) 0L else ((vgv * 1000000) / (vtv * tr)).toLong
+    ((0 until d).map(i => (i + 1).toLong -> v(i).toLong).toMap, share)
+  }
+
+  test("embedding_pca_top equals the driver-scale integer power iteration") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("e"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val (expV, expShare) = driverPca(vecs, 10)
+    val rows = SimilarityQueries.defs.find(_.name == "embedding_pca_top").get
+      .fn(spark, dir).collect()
+    spark.catalog.clearCache()
+    val gotV = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotV == expV,
+      s"diff=${gotV.toSet.diff(expV.toSet).take(3)} / ${expV.toSet.diff(gotV.toSet).take(3)}")
+    assert(rows.map(_.getLong(2)).distinct.toSeq == Seq(expShare))
+    // non-degenerate: the iteration did not collapse to zero
+    assert(gotV.values.exists(_ != 0L))
+  }
+
+  test("embedding_pca_top recovers a planted dominant direction") {
+    import spark.implicits._
+    val d = tmpDir("pca_planted")
+    val rnd = new scala.util.Random(7)
+    // dim 5 (1-based) carries 10x the variance of the isotropic rest
+    val rows = (1L to 200L).map { id =>
+      val v = Array.fill(8)(rnd.nextGaussian() * 0.05)
+      v(4) += (if (rnd.nextBoolean()) 1.0 else -1.0) * 0.9
+      (id, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = SimilarityQueries.defs.find(_.name == "embedding_pca_top").get
+      .fn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    val top = got.maxBy(t => math.abs(t._2))
+    assert(top._1 == 5L, s"dominant dim ${top._1}, expected 5: ${got.toSeq}")
+    // the planted axis owns the overwhelming share of variance
+    assert(top._3 > 800000L, s"share_micro ${top._3} too low")
+    // and the component is pinned to the renormalization grid
+    assert(math.abs(top._2) == 1048576L)
+  }
 }

@@ -666,7 +666,11 @@ class PlanAuditSpec extends SparkSuite {
         // cumulative Heaps-curve windows over the |buckets| summary
         // frame — the corpus collapses to GrowthBuckets counter rows
         // before either window runs
-        "vocab_growth")
+        "vocab_growth",
+        // serial cumulative over the ≤101 coarse score-bucket frame
+        // (Mann-Whitney negBelow tier — per-score work is
+        // bucket-partitioned)
+        "quality_auc")
       val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
         try {
           if (funnels(SparkEntry.queries(name)(spark, dir))) Some(name) else None
@@ -725,7 +729,7 @@ class PlanAuditSpec extends SparkSuite {
       // window-heaviest production shapes
       val allowed = Set("rank_global_bucketed", "histogram_equidepth",
         "users_cumulative", "session_concurrency", "vocab_top_p",
-        "vocab_zipf", "token_budget_apportion")
+        "vocab_zipf", "token_budget_apportion", "quality_auc")
       val subset = (allowed.toSeq ++ Seq(
         "sessionize", "window_topk", "window_running", "window_range_rolling",
         "pack_sequences", "asof_attribution", "asof_plan_node", "asof_forward",
