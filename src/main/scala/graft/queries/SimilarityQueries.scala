@@ -427,29 +427,8 @@ object SimilarityQueries {
       (s, dir) => {
         val tri = gramTriangle(s, dir).persist()
         tri.count() // materialize: consumed by 2·PcaIters+3 tiny jobs
-        val gfull = tri.unionByName(
-          tri.filter(col("i") =!= col("j"))
-            .select(col("j").as("i"), col("i").as("j"), col("gram_u2")))
-        var v = gfull.select(col("i")).distinct()
-          .select(col("i"), lit(PcaVScale).as("v"))
-        for (_ <- 1 to PcaIters) {
-          val p = gfull.as("g").join(broadcast(v.as("vv")),
-              col("vv.i") === col("g.j"))
-            .groupBy(col("g.i"))
-            .agg(sum(col("g.gram_u2").cast("decimal(38,0)") * col("vv.v")).as("p"))
-          // eager localCheckpoint, the propagateMinLabels superstep
-          // contract: v appears TWICE per step (matvec + its own max),
-          // so an unbroken lineage doubles per iteration — 2^PcaIters
-          // plan copies OOM the driver just rendering the plan string.
-          // Truncating at the ≤D-row vector keeps every plan one step
-          // deep.
-          v = p.crossJoin(broadcast(p.agg(max(abs(col("p"))).as("m"))))
-            .select(col("i"),
-              when(col("m") === 0, lit(0L)).otherwise(expr(
-                s"CAST((p * $PcaVScale + ${2 * PcaVScale} * m) div m - ${2 * PcaVScale} AS BIGINT)"))
-                .as("v"))
-            .localCheckpoint()
-        }
+        val gfull = gramFull(tri)
+        val v = pcaVector(gfull)
         val vgv = gfull.as("g")
           .join(broadcast(v.as("a")), col("a.i") === col("g.i"))
           .join(broadcast(v.as("b")), col("b.i") === col("g.j"))
@@ -466,29 +445,8 @@ object SimilarityQueries {
               .as("share_micro"))
       },
       Some {
-        // every recurrence CTE is MATERIALIZED (the graph_pagerank
-        // oracle pattern): DuckDB INLINES plain CTEs per reference, and
-        // v_k is referenced twice by step k+1 — unmaterialized, the
-        // inlining doubles per step and the 10-step chain exhausts file
-        // handles re-opening the parquet 2^10 times
-        val steps = (1 to PcaIters).map { k =>
-          s"""p$k AS MATERIALIZED (
-             |  SELECT g.i AS i, SUM(CAST(g.gram_u2 AS HUGEINT) * vv.v) AS p
-             |  FROM gfull g JOIN v${k - 1} vv ON vv.i = g.j GROUP BY g.i),
-             |m$k AS MATERIALIZED (SELECT MAX(abs(p)) AS m FROM p$k),
-             |v$k AS MATERIALIZED (
-             |  SELECT i, CASE WHEN m = 0 THEN 0
-             |    ELSE CAST((p * $PcaVScale + ${2 * PcaVScale} * m) // m - ${2 * PcaVScale} AS BIGINT)
-             |    END AS v
-             |  FROM p$k, m$k)""".stripMargin
-        }.mkString(",\n")
         s"""$gramCteSql,
-           |gfull AS MATERIALIZED (
-           |  SELECT i, j, gram_u2 FROM gram
-           |  UNION ALL
-           |  SELECT j, i, gram_u2 FROM gram WHERE i <> j),
-           |v0 AS MATERIALIZED (SELECT DISTINCT i, CAST($PcaVScale AS BIGINT) AS v FROM gfull),
-           |$steps,
+           |$pcaVCteSql,
            |rq AS (
            |  SELECT SUM(CAST(g.gram_u2 AS HUGEINT) * a.v * b.v) AS vgv
            |  FROM gfull g JOIN v$PcaIters a ON a.i = g.i JOIN v$PcaIters b ON b.i = g.j),
@@ -499,6 +457,95 @@ object SimilarityQueries {
            |  CAST(CASE WHEN nn.vtv = 0 OR tr.tr = 0 THEN 0
            |    ELSE (rq.vgv * 1000000) // (nn.vtv * tr.tr) END AS BIGINT) AS share_micro
            |FROM v$PcaIters f, rq, nn, tr""".stripMargin
+      }),
+
+    // ALL-BUT-THE-TOP correction, applied (Mu & Viswanath, ICLR 2018):
+    // the per-VECTOR step after `embedding_pca_top` — each embedding's
+    // coordinate along the dominant direction plus the squared norm of
+    // what remains after centering and removing that direction, the
+    // two numbers that decide whether the correction is worth applying
+    // corpus-wide (big pc1 spread + resid² ≪ raw norm² = anisotropy is
+    // eating the geometry). Exact integers end to end: c = u − μ̃ with
+    // μ̃ the portable-floor per-dim micro mean ([[MuOffset]] offset
+    // makes `div`/`//` agree; error ≤ 1 micro, identically on both
+    // engines), p = vᵀc in BIGINT, pc1_micro = p div 2^20 (offset
+    // [[Pc1FloorOffset]]), resid²·(vᵀv) expansion avoided by reporting
+    // resid2_u2 = cᵀc − p² div vᵀv (p² in DECIMAL/HUGEINT, quotient
+    // non-negative so floor = truncate). v and μ̃ come from the SHARED
+    // [[pcaVector]]/dims definitions — this query cannot drift from
+    // the PC it claims to remove. Scale: the corpus is touched by the
+    // gram fold + per-dim sums (both counter-shaped shuffles) + ONE
+    // map pass against a broadcast 1-row (varr, muarr, vtv) frame —
+    // the zip_with/aggregate dot product never explodes the vector,
+    // so at 100 TB this is scan-speed with 64-counter partials.
+    QueryDef("embedding_abtt",
+      (s, dir) => {
+        val tri = gramTriangle(s, dir).persist()
+        tri.count() // materialize: feeds the PCA supersteps below
+        val v = pcaVector(gramFull(tri))
+        val u = Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              x => QueryDef.microPoints(x)).as("u"))
+        val dims = u
+          .select(posexplode(col("u")).as(Seq("p0", "ui")))
+          .groupBy(col("p0"))
+          .agg(sum(col("ui")).as("su"), count(lit(1)).as("n"))
+          .select((col("p0") + 1).cast("long").as("i"),
+            expr(s"CAST((CAST(su AS DECIMAL(38,0)) + ${MuOffset}L * n) div n - ${MuOffset}L AS BIGINT)")
+              .as("mu"))
+        val vm = v.join(dims, Seq("i"))
+          .agg(
+            sort_array(collect_list(struct(col("i"), col("v"), col("mu")))).as("a"),
+            sum(col("v").cast("decimal(38,0)") * col("v")).as("vtv"))
+          .select(
+            transform(col("a"), e => e.getField("v")).as("varr"),
+            transform(col("a"), e => e.getField("mu")).as("muarr"),
+            col("vtv"))
+        u.crossJoin(broadcast(vm))
+          .select(col("vec_id"),
+            expr("zip_with(u, muarr, (a, b) -> a - b)").as("c"),
+            col("varr"), col("vtv"))
+          .select(col("vec_id"),
+            expr("aggregate(zip_with(c, varr, (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("p"),
+            expr("aggregate(c, 0L, (acc, x) -> acc + x * x)").as("c2"),
+            col("vtv"))
+          .select(col("vec_id"),
+            expr(s"CAST((p + ${Pc1FloorOffset}L * ${PcaVScale}L) div ${PcaVScale}L - ${Pc1FloorOffset}L AS BIGINT)")
+              .as("pc1_micro"),
+            when(col("vtv") === 0, col("c2"))
+              .otherwise(col("c2") -
+                expr("CAST((CAST(p AS DECIMAL(20,0)) * p) div vtv AS BIGINT)"))
+              .as("resid2_u2"))
+      },
+      Some {
+        s"""$gramCteSql,
+           |$pcaVCteSql,
+           |uu AS MATERIALIZED (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> ${QueryDef.microPointsSql("CAST(x AS DOUBLE)")}) AS u
+           |  FROM embeddings),
+           |ux AS MATERIALIZED (
+           |  SELECT vec_id, CAST(t.ii AS BIGINT) AS i,
+           |    u[CAST(t.ii AS INTEGER)] AS ui
+           |  FROM uu, unnest(range(1, len(u) + 1)) AS t(ii)),
+           |dims AS MATERIALIZED (
+           |  SELECT i, SUM(ui) AS su, COUNT(*) AS n FROM ux GROUP BY 1),
+           |vm AS MATERIALIZED (
+           |  SELECT d.i, vv.v,
+           |    CAST((d.su + $MuOffset * d.n) // d.n - $MuOffset AS BIGINT) AS mu
+           |  FROM dims d JOIN v$PcaIters vv USING (i)),
+           |nn AS (SELECT SUM(CAST(v AS HUGEINT) * v) AS vtv FROM v$PcaIters),
+           |cc AS (
+           |  SELECT x.vec_id,
+           |    SUM((x.ui - m.mu) * m.v) AS p,
+           |    SUM((x.ui - m.mu) * (x.ui - m.mu)) AS c2
+           |  FROM ux x JOIN vm m USING (i) GROUP BY 1)
+           |SELECT cc.vec_id,
+           |  CAST((cc.p + $Pc1FloorOffset * $PcaVScale) // $PcaVScale - $Pc1FloorOffset AS BIGINT) AS pc1_micro,
+           |  CAST(cc.c2 - CASE WHEN nn.vtv = 0 THEN 0
+           |    ELSE (CAST(cc.p AS HUGEINT) * cc.p) // nn.vtv END AS BIGINT) AS resid2_u2
+           |FROM cc, nn""".stripMargin
       }),
 
     QueryDef("ann_lsh",
@@ -1480,6 +1527,82 @@ object SimilarityQueries {
     * on [−2^20, 2^20], keeping every downstream product inside
     * DECIMAL(38,0)/HUGEINT headroom (vᵀGv ≤ 64²·2^40·maxG). */
   private def PcaVScale = 1048576L
+
+  /** Mirror the gram UPPER triangle into the full (i, j) matrix —
+    * shared by `embedding_pca_top` and `embedding_abtt`. */
+  private def gramFull(tri: DataFrame): DataFrame =
+    tri.unionByName(
+      tri.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("gram_u2")))
+
+  /** The [[PcaIters]]-superstep exact-integer power iteration: v ← G·v
+    * from the ones vector, renormalized each step onto the
+    * [[PcaVScale]] grid by portable floor division (the +2·scale·m
+    * offset makes Spark's truncating `div` and DuckDB's flooring `//`
+    * agree on negatives). ONE definition shared by `embedding_pca_top`
+    * and `embedding_abtt` — a corrected-embedding query whose v drifted
+    * from the reported PC would silently subtract the wrong direction.
+    * Keep [[pcaVCteSql]] in lockstep term-for-term. */
+  private[queries] def pcaVector(gfull: DataFrame): DataFrame = {
+    var v = gfull.select(col("i")).distinct()
+      .select(col("i"), lit(PcaVScale).as("v"))
+    for (_ <- 1 to PcaIters) {
+      val p = gfull.as("g").join(broadcast(v.as("vv")),
+          col("vv.i") === col("g.j"))
+        .groupBy(col("g.i"))
+        .agg(sum(col("g.gram_u2").cast("decimal(38,0)") * col("vv.v")).as("p"))
+      // eager localCheckpoint, the propagateMinLabels superstep
+      // contract: v appears TWICE per step (matvec + its own max),
+      // so an unbroken lineage doubles per iteration — 2^PcaIters
+      // plan copies OOM the driver just rendering the plan string.
+      // Truncating at the ≤D-row vector keeps every plan one step
+      // deep.
+      v = p.crossJoin(broadcast(p.agg(max(abs(col("p"))).as("m"))))
+        .select(col("i"),
+          when(col("m") === 0, lit(0L)).otherwise(expr(
+            s"CAST((p * $PcaVScale + ${2 * PcaVScale} * m) div m - ${2 * PcaVScale} AS BIGINT)"))
+            .as("v"))
+        .localCheckpoint()
+    }
+    v
+  }
+
+  /** DuckDB twin of [[pcaVector]]: CTE chain `gfull, v0 .. v{PcaIters}`
+    * appended after [[gramCteSql]]. Every recurrence CTE is MATERIALIZED
+    * (the graph_pagerank oracle pattern): DuckDB INLINES plain CTEs per
+    * reference, and v_k is referenced twice by step k+1 —
+    * unmaterialized, the inlining doubles per step and the 10-step
+    * chain exhausts file handles re-opening the parquet 2^10 times. */
+  private def pcaVCteSql: String = {
+    val steps = (1 to PcaIters).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT g.i AS i, SUM(CAST(g.gram_u2 AS HUGEINT) * vv.v) AS p
+         |  FROM gfull g JOIN v${k - 1} vv ON vv.i = g.j GROUP BY g.i),
+         |m$k AS MATERIALIZED (SELECT MAX(abs(p)) AS m FROM p$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, CASE WHEN m = 0 THEN 0
+         |    ELSE CAST((p * $PcaVScale + ${2 * PcaVScale} * m) // m - ${2 * PcaVScale} AS BIGINT)
+         |    END AS v
+         |  FROM p$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""gfull AS MATERIALIZED (
+       |  SELECT i, j, gram_u2 FROM gram
+       |  UNION ALL
+       |  SELECT j, i, gram_u2 FROM gram WHERE i <> j),
+       |v0 AS MATERIALIZED (SELECT DISTINCT i, CAST($PcaVScale AS BIGINT) AS v FROM gfull),
+       |$steps""".stripMargin
+  }
+
+  /** Portable-floor offset for `embedding_abtt`'s per-dim mean,
+    * S div n on micro-points: 2^40 ≫ any sane |mean| in micro units,
+    * and the offset·n product stays inside DECIMAL(38,0)/HUGEINT even
+    * at 10^12 rows. */
+  private def MuOffset = 1099511627776L
+
+  /** Portable-floor offset for `embedding_abtt`'s pc1_micro,
+    * p div 2^20: |p| ≤ D·maxc·2^20 ≈ 5·10^14 ≪ 2^42, and
+    * offset·2^20 = 2^62 still fits BIGINT. */
+  private def Pc1FloorOffset = 4398046511104L
 
   /** Exact integer micro-point Gram UPPER TRIANGLE (1-based, i ≤ j) —
     * the BLAS-style per-partition rank-k fold behind `embedding_gram`

@@ -114,4 +114,46 @@ class GramSpec extends SparkSuite {
     // and the component is pinned to the renormalization grid
     assert(math.abs(top._2) == 1048576L)
   }
+
+  /** Mathematical floor division for BigInt (BigInt./ truncates). */
+  private def bfloor(x: BigInt, m: BigInt): BigInt = {
+    val q = x / m
+    if (x.sign < 0 && x % m != 0) q - 1 else q
+  }
+
+  test("embedding_abtt equals the driver-scale integer correction") {
+    val dir = "/root/testdata/sf0.001"
+    val rows0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val vecs = rows0.map(_._2)
+    val (vMap, _) = driverPca(vecs, 10)
+    val d = vecs.head.length
+    val v = (0 until d).map(i => BigInt(vMap((i + 1).toLong))).toArray
+    val us = rows0.map { case (id, vec) =>
+      (id, vec.map(x => math.floor(x * 1e6 + 0.5).toLong))
+    }
+    val n = us.length
+    val mu = (0 until d).map { i =>
+      bfloor(us.map(u => BigInt(u._2(i))).sum, n)
+    }.toArray
+    val vtv = v.map(x => x * x).sum
+    val expected = us.map { case (id, u) =>
+      val c = (0 until d).map(i => BigInt(u(i)) - mu(i))
+      val p = (0 until d).map(i => c(i) * v(i)).sum
+      val c2 = c.map(x => x * x).sum
+      val resid = if (vtv == 0) c2 else c2 - (p * p) / vtv
+      (id, bfloor(p, 1048576).toLong, resid.toLong)
+    }.toSet
+    val got = SimilarityQueries.defs.find(_.name == "embedding_abtt").get
+      .fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.catalog.clearCache()
+    assert(got.size == expected.size)
+    assert(got == expected,
+      s"diff=${got.diff(expected).take(3)} / ${expected.diff(got).take(3)}")
+    // Cauchy-Schwarz: removing a direction never leaves a negative
+    // residual — the integer floor only shrinks the subtracted term
+    assert(got.forall(_._3 >= 0L))
+  }
 }
