@@ -32,6 +32,47 @@ object EventQueries {
              |  COUNT(DISTINCT user_id) AS n_users
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // INCREMENTAL AGGREGATE MAINTENANCE — the production incremental-
+    // ETL algebra at 100 TB: a stored BASE aggregate (here: the ~90%
+    // of events with event_id % 10 < 9, standing in for "all batches
+    // loaded so far") is brought up to date by merging a DELTA batch's
+    // aggregate — (base ⊎ delta) re-aggregated on the group key — and
+    // the result must equal the from-scratch aggregate over everything.
+    // That equality is the whole point and exactly what the oracle
+    // pins: the oracle is the SINGLE-PASS GROUP BY, so the two engines
+    // cross-check the merge algebra itself (counts add, sums add,
+    // maxes max — the same mergeability that lets partial aggregates
+    // combine map-side, applied at table granularity). Scale: the
+    // merge stage shuffles two aggregate TABLES (≤ |keys| rows each),
+    // never the base's source rows — a daily delta into a year-scale
+    // base costs delta-scan + keys-sized merge, not a year re-scan.
+    QueryDef("agg_incremental_merge",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          QueryDef.cents(col("value")).as("vc"),
+          col("event_id"))
+        def agg(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("event_type"), col("hour"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("vc")).as("sum_value_cents"),
+            max(col("vc")).as("max_value_cents"))
+        val base = agg(ev.filter(pmod(col("event_id"), lit(10L)) < 9))
+        val delta = agg(ev.filter(pmod(col("event_id"), lit(10L)) >= 9))
+        base.unionByName(delta)
+          .groupBy(col("event_type"), col("hour"))
+          .agg(sum(col("n_events")).as("n_events"),
+            sum(col("sum_value_cents")).as("sum_value_cents"),
+            max(col("max_value_cents")).as("max_value_cents"))
+      },
+      Some(s"""SELECT event_type,
+             |  strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(${QueryDef.centsSql("value")}) AS BIGINT) AS sum_value_cents,
+             |  CAST(MAX(${QueryDef.centsSql("value")}) AS BIGINT) AS max_value_cents
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
     // POPULATION STABILITY INDEX — the industry-standard drift metric
     // (credit-risk lineage; the effect-size companion to
     // source_divergence's χ² TEST): per event type, PSI of the

@@ -130,4 +130,41 @@ class OperatorSemanticsSpec extends SparkSuite {
     val counts = res.select("n_emails", "n_nums").distinct().collect()
     assert(counts.length == 1 && counts(0).getLong(0) == 1L && counts(0).getLong(1) == 1L)
   }
+
+  test("agg_incremental_merge: merge algebra handles base-only, delta-only, and overlapping groups") {
+    import spark.implicits._
+    val d = tmpDir("incr_merge")
+    val ts = (h: Int) => java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:15:00")
+    // event_id % 10 < 9 routes to BASE, == 9 to DELTA:
+    //  hour 01 / view: base-only (ids 1, 2)
+    //  hour 02 / view: delta-only (ids 19, 29)  <- the key the base has
+    //                                              never seen
+    //  hour 03 / click: overlap (base 3, 4; delta 39), max lives in delta
+    val rows = Seq(
+      (1L, ts(1), 10L, "view", 1.25, "{}"), (2L, ts(1), 11L, "view", 2.00, "{}"),
+      (19L, ts(2), 12L, "view", 5.50, "{}"), (29L, ts(2), 13L, "view", 0.75, "{}"),
+      (3L, ts(3), 14L, "click", 3.00, "{}"), (4L, ts(3), 15L, "click", 1.00, "{}"),
+      (39L, ts(3), 16L, "click", 9.25, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("agg_incremental_merge")(spark, d).collect()
+      .map(r => ((r.getAs[String]("event_type"), r.getAs[String]("hour")),
+        (r.getAs[Long]("n_events"), r.getAs[Long]("sum_value_cents"),
+          r.getAs[Long]("max_value_cents")))).toMap
+    assert(got.size == 3)
+    assert(got(("view", "2024-03-01 01:00:00")) == ((2L, 325L, 200L)))
+    assert(got(("view", "2024-03-01 02:00:00")) == ((2L, 625L, 550L)))
+    assert(got(("click", "2024-03-01 03:00:00")) == ((3L, 1325L, 925L)))
+    // and on real data the merged table equals the single-pass aggregate
+    val merged = SparkEntry.queries("agg_incremental_merge")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val direct = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.queries.QueryDef.cents(col("value"))).as("sum_value_cents"),
+        max(graft.queries.QueryDef.cents(col("value"))).as("max_value_cents"))
+      .collect().map(_.toSeq).toSet
+    assert(merged == direct)
+  }
 }
