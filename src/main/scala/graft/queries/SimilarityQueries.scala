@@ -425,8 +425,13 @@ object SimilarityQueries {
     // graph_pagerank pattern), one block per superstep.
     QueryDef("embedding_pca_top",
       (s, dir) => {
-        val tri = gramTriangle(s, dir).persist()
-        tri.count() // materialize: consumed by 2·PcaIters+3 tiny jobs
+        // eager localCheckpoint, not persist+count: the triangle feeds
+        // 2·PcaIters+3 tiny downstream jobs, and with a bare persist
+        // every one of them still carries (and re-optimizes,
+        // re-serializes) the full corpus-scan lineage — the supersteps'
+        // task binaries were ~1.5 MB each. Checkpointing makes the
+        // D²-cell frame a leaf.
+        val tri = gramTriangle(s, dir).localCheckpoint()
         val gfull = gramFull(tri)
         val v = pcaVector(gfull)
         val vgv = gfull.as("g")
@@ -480,8 +485,9 @@ object SimilarityQueries {
     // so at 100 TB this is scan-speed with 64-counter partials.
     QueryDef("embedding_abtt",
       (s, dir) => {
-        val tri = gramTriangle(s, dir).persist()
-        tri.count() // materialize: feeds the PCA supersteps below
+        // checkpointed for the same reason as embedding_pca_top's: the
+        // supersteps must not re-carry the corpus lineage
+        val tri = gramTriangle(s, dir).localCheckpoint()
         val v = pcaVector(gramFull(tri))
         val u = Tables(s, dir, "embeddings")
           .select(col("vec_id"),
@@ -1551,12 +1557,15 @@ object SimilarityQueries {
           col("vv.i") === col("g.j"))
         .groupBy(col("g.i"))
         .agg(sum(col("g.gram_u2").cast("decimal(38,0)") * col("vv.v")).as("p"))
-      // eager localCheckpoint, the propagateMinLabels superstep
-      // contract: v appears TWICE per step (matvec + its own max),
-      // so an unbroken lineage doubles per iteration — 2^PcaIters
-      // plan copies OOM the driver just rendering the plan string.
-      // Truncating at the ≤D-row vector keeps every plan one step
-      // deep.
+      // eager localCheckpoint EVERY step, the propagateMinLabels
+      // superstep contract: v appears TWICE per step (matvec + its own
+      // max), so an unbroken lineage doubles per iteration — 2^PcaIters
+      // copies of the gram subtree OOMed the driver just RENDERING the
+      // plan string, and even a 5-step cadence (2^4 copies) blew
+      // Catalyst planning time and task binaries up ~10× (measured:
+      // 9 s → 87 s at sf0.1). Per-step truncation keeps every plan one
+      // step deep; the caller keeps the per-step job small by feeding
+      // a checkpointed gram (leaf scan, not the corpus lineage).
       v = p.crossJoin(broadcast(p.agg(max(abs(col("p"))).as("m"))))
         .select(col("i"),
           when(col("m") === 0, lit(0L)).otherwise(expr(
