@@ -206,10 +206,16 @@ object DedupQueries {
 
   private[graft] def propagateMinLabels(pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    // symmetric edge list, persisted: re-joined every superstep
+    // symmetric edge list, eagerly CHECKPOINTED, not just persisted:
+    // it is re-joined every superstep, and a bare persist leaves the
+    // full shingle→LSH→verify lineage inside every superstep's plan —
+    // each tiny join re-pays driver-side analysis and serializes the
+    // corpus-scan subtree into its task binaries (the same measured
+    // disease as embedding_pca_top's gram input: 1.5 MB binaries for
+    // ≤D-row jobs). As a leaf, supersteps plan and ship in O(edges).
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist()
+      .localCheckpoint()
     // each superstep's labels are MATERIALIZED with an eager
     // localCheckpoint, not a bare persist: the label table is a few
     // hundred rows, but un-truncated its lineage deepens by a
