@@ -379,6 +379,54 @@ object SimilarityQueries {
               |  CAST(CASE WHEN n * ss - s * s < n * n * 100000000 THEN 1 ELSE 0 END AS BIGINT) AS is_dead
               |FROM agg""".stripMargin)),
 
+    // EMBEDDING HEALTH AUDIT — the pre-flight every vector pipeline
+    // runs before trusting anything built on the embedding column:
+    // per label group, how many vectors carry NaN or ±Inf components
+    // (a single one silently poisons dot products, k-means sums, and
+    // gram folds), how many are exactly zero (cosine undefined — the
+    // classic failed-encoder sentinel), and how many are RAGGED vs the
+    // corpus's modal dimensionality (schema drift between encoder
+    // versions; gramTriangle throws on these, this query COUNTS them
+    // first). Zero-norm uses forall(x = 0.0) so a NaN vector is never
+    // also counted zero (NaN = 0 is false identically in both
+    // engines). Scale: one scan with per-row higher-order flags
+    // (no explode), a |labels|-row counter rollup, and the modal
+    // length as a broadcast 1-row frame — scan-speed at any corpus
+    // size.
+    QueryDef("embedding_health",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("label").cast("long").as("label"),
+            col("embedding").cast("array<double>").as("e"))
+        val modal = e.groupBy(size(col("e")).as("len"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("len")).limit(1)
+          .select(col("len"))
+        e.crossJoin(broadcast(modal))
+          .select(col("label"),
+            expr("exists(e, x -> isnan(x))").cast("long").as("nan"),
+            expr("exists(e, x -> abs(x) = CAST('Infinity' AS DOUBLE))")
+              .cast("long").as("inf"),
+            expr("forall(e, x -> x = 0.0D)").cast("long").as("zero"),
+            (size(col("e")) =!= col("len")).cast("long").as("ragged"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("nan")).as("n_nan"),
+            sum(col("inf")).as("n_inf"), sum(col("zero")).as("n_zero"),
+            sum(col("ragged")).as("n_ragged"))
+      },
+      Some("""WITH m AS (
+             |  SELECT len(embedding) AS len FROM embeddings
+             |  GROUP BY 1 ORDER BY COUNT(*) DESC, len LIMIT 1)
+             |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+             |  CAST(SUM(CASE WHEN len(list_filter(embedding,
+             |    x -> isnan(CAST(x AS DOUBLE)))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+             |  CAST(SUM(CASE WHEN len(list_filter(embedding,
+             |    x -> abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inf,
+             |  CAST(SUM(CASE WHEN len(list_filter(embedding,
+             |    x -> CAST(x AS DOUBLE) = 0.0)) = len(embedding) THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+             |  CAST(SUM(CASE WHEN len(embedding) <> (SELECT len FROM m) THEN 1 ELSE 0 END) AS BIGINT) AS n_ragged
+             |FROM embeddings GROUP BY 1""".stripMargin)),
+
     // Distributed GRAM MATRIX (X'X, upper triangle) — the linear-
     // algebra primitive under PCA/whitening/anisotropy correction
     // (Mu & Viswanath, ICLR 2018: all-but-the-top removal needs

@@ -131,6 +131,32 @@ class OperatorSemanticsSpec extends SparkSuite {
     assert(counts.length == 1 && counts(0).getLong(0) == 1L && counts(0).getLong(1) == 1L)
   }
 
+  test("embedding_health: planted NaN/Inf/zero/ragged vectors are counted, healthy ones are not") {
+    import spark.implicits._
+    val d = tmpDir("emb_health")
+    val rows = Seq(
+      (1L, Seq(0.1f, 0.2f, 0.3f, 0.4f), 0),                     // healthy
+      (2L, Seq(0.1f, Float.NaN, 0.3f, 0.4f), 0),                // NaN
+      (3L, Seq(0.1f, 0.2f, Float.PositiveInfinity, 0.4f), 0),   // +Inf
+      (4L, Seq(0.0f, 0.0f, 0.0f, 0.0f), 1),                     // zero-norm
+      (5L, Seq(0.1f, 0.2f, 0.3f), 1),                           // ragged (modal = 4)
+      (6L, Seq(0.5f, -0.5f, 0.25f, -0.25f), 1),                 // healthy
+      (7L, Seq(Float.NegativeInfinity, 0.2f, 0.3f, 0.4f), 1))   // -Inf
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = SparkEntry.queries("embedding_health")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    //            (n_vecs, n_nan, n_inf, n_zero, n_ragged)
+    assert(got(0L) == ((3L, 1L, 1L, 0L, 0L)), got.toString)
+    assert(got(1L) == ((4L, 0L, 1L, 1L, 1L)), got.toString)
+    // a NaN vector is never double-counted as zero-norm
+    // and testdata itself is clean
+    val clean = SparkEntry.queries("embedding_health")(spark, dir).collect()
+    assert(clean.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L &&
+      r.getLong(4) == 0L && r.getLong(5) == 0L))
+  }
+
   test("agg_incremental_merge: merge algebra handles base-only, delta-only, and overlapping groups") {
     import spark.implicits._
     val d = tmpDir("incr_merge")
