@@ -1025,6 +1025,74 @@ object DedupQueries {
       },
       Some(semanticOracleSql(GrowthProbeTargetRows))),
 
+    // INCREMENTAL SemDeDup — the semantic twin of `dedup_incremental`,
+    // the production idiom: an arriving BATCH (the top-10% vec_id
+    // range, the same arrival-order stand-in) is semantically deduped
+    // against the EXISTING corpus and against itself, without the
+    // corpus ever self-joining. Both sides share the frozen cell
+    // assignment (the centroids a production system froze when the
+    // corpus was built), so a batch vector meets only its OWN CELL's
+    // corpus occupants: candidate work is O(batch × cell occupancy),
+    // and the corpus's only cost is its one cell-assignment pass + a
+    // c_id-keyed join against the batch's cells. Per batch vector:
+    // its cell, whether a corpus near-dup exists (cos ≥ τ), whether an
+    // earlier BATCH vector already covers it (keep-first within the
+    // batch, the dedup_canonical convention), and the resulting keep
+    // verdict. Oracle: same cells CTE + two set-membership probes.
+    QueryDef("dedup_semantic_incremental",
+      (s, dir) => {
+        val (assigned, _) = frozenCells(s, dir)
+        val mx = assigned.agg(max(col("vec_id")).as("mx"))
+        val tagged = assigned.crossJoin(broadcast(mx))
+          .withColumn("is_batch", col("vec_id") * 10 >= (col("mx") + 1) * 9)
+        val batch = tagged.filter(col("is_batch"))
+        val corpus = tagged.filter(!col("is_batch"))
+        val cosAB = cosineFast(col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm"))
+        val vsCorpus = batch.as("a").join(corpus.as("b"),
+            col("a.c_id") === col("b.c_id"))
+          .filter(cosAB >= 0.4)
+          .select(col("a.vec_id").as("vec_id")).distinct()
+          .withColumn("dc", lit(1L))
+        val inBatch = batch.as("a").join(batch.as("b"),
+            col("a.c_id") === col("b.c_id") && col("a.vec_id") > col("b.vec_id"))
+          .filter(cosAB >= 0.4)
+          .select(col("a.vec_id").as("vec_id")).distinct()
+          .withColumn("db", lit(1L))
+        batch.select(col("vec_id"), col("c_id"))
+          .join(vsCorpus, Seq("vec_id"), "left_outer")
+          .join(inBatch, Seq("vec_id"), "left_outer")
+          .select(col("vec_id"), col("c_id"),
+            coalesce(col("dc"), lit(0L)).as("dup_vs_corpus"),
+            coalesce(col("db"), lit(0L)).as("dup_in_batch"),
+            when(col("dc").isNull && col("db").isNull, 1L).otherwise(0L)
+              .as("kept"))
+      },
+      Some {
+        s"""${frozenCellsCteSql(CellTargetRows)},
+           |mx AS (SELECT max(vec_id) AS m FROM embeddings),
+           |t AS (
+           |  SELECT c.vec_id, c.embedding, c.c_id,
+           |    c.vec_id * 10 >= 9 * ((SELECT m FROM mx) + 1) AS is_batch
+           |  FROM cells c),
+           |dc AS (
+           |  SELECT DISTINCT a.vec_id
+           |  FROM t a JOIN t b ON a.c_id = b.c_id
+           |  WHERE a.is_batch AND NOT b.is_batch
+           |    AND ${cosineSql("a.embedding", "b.embedding")} >= 0.4),
+           |db AS (
+           |  SELECT DISTINCT a.vec_id
+           |  FROM t a JOIN t b ON a.c_id = b.c_id AND a.vec_id > b.vec_id
+           |  WHERE a.is_batch AND b.is_batch
+           |    AND ${cosineSql("a.embedding", "b.embedding")} >= 0.4)
+           |SELECT t.vec_id, t.c_id,
+           |  CAST(t.vec_id IN (SELECT vec_id FROM dc) AS BIGINT) AS dup_vs_corpus,
+           |  CAST(t.vec_id IN (SELECT vec_id FROM db) AS BIGINT) AS dup_in_batch,
+           |  CAST(t.vec_id NOT IN (SELECT vec_id FROM dc)
+           |    AND t.vec_id NOT IN (SELECT vec_id FROM db) AS BIGINT) AS kept
+           |FROM t WHERE t.is_batch""".stripMargin
+      }),
+
     // WINNOWING duplicate-span audit (Schleimer, Wilkerson & Aiken 2003,
     // the MOSS fingerprinting scheme): per doc, hash every K-char gram,
     // keep the minimum hash of each sliding W-gram window, and flag docs

@@ -196,4 +196,52 @@ class SemDedupSpec extends SparkSuite {
     assert(justified === drops.count()) // every drop has a witness
     spark.catalog.clearCache()
   }
+
+  test("dedup_semantic_incremental: planted corpus-dup, batch-dup, and fresh batch vectors") {
+    import spark.implicits._
+    val d = tmpDir("sem_incr")
+    // DETERMINISTIC geometry, not random draws (random 8-dim pairs land
+    // above cos 0.4 ~13% of the time — a random plant flakes): the 8
+    // frozen centroids (ids 0..7) are the standard basis, corpus vecs
+    // are small jitters of their own axis (cos ≈ 1 with cellmates),
+    // and "fresh" batch vecs are uniform ±1/√8 vectors whose cosine
+    // with EVERY axis is 0.354 < 0.4 with margin ≫ the jitter.
+    val rnd = new scala.util.Random(11)
+    def basis(j: Int): Seq[Float] =
+      (0 until 8).map(i => if (i == j) 1.0f else 0.0f)
+    def jitter(v: Seq[Float]): Seq[Float] =
+      v.map(x => x + (rnd.nextGaussian() * 0.002).toFloat)
+    // "fresh-in-cell-0" direction: 0.37 on axis 0, uniform on the rest
+    // — argmax is axis 0 with margin 0.02 ≫ jitter drift (~0.006), yet
+    // cos vs the cell's ≈e1 corpus vectors is 0.37 ± 0.006 < 0.4
+    val rest = math.sqrt((1.0 - 0.37 * 0.37) / 7.0).toFloat
+    val fresh0 = 0.37f +: Seq.fill(7)(rest)
+    val inv = (1.0 / math.sqrt(8.0)).toFloat
+    val alt = (0 until 8).map(i => if (i < 4) inv else -inv)
+    val corpus = (0 to 7).map(i => (i.toLong, basis(i), i % 3)) ++
+      (8 to 89).map(i => (i.toLong, jitter(basis(i % 8)), i % 3))
+    val batch = Seq(
+      (96L, jitter(basis(3)), 0),  // cell 3: near-dup of the corpus axis
+      (97L, fresh0, 1),            // cell 0: fresh (0.37 < τ vs corpus)
+      (98L, jitter(fresh0), 1),    // cell 0: near-dup of 97 WITHIN batch
+      (99L, alt, 2))               // cell 0 via tie→min c_id; ⊥ 97/98, fresh
+    (corpus ++ batch).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = SparkEntry.queries("dedup_semantic_incremental")(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    spark.catalog.clearCache()
+    // batch cut: vec_id*10 >= 9*(99+1) = 900 → ids 90..99
+    assert(got.keySet == Set(96L, 97L, 98L, 99L), got.toString)
+    val (dc96, _, kept96) = got(96L)
+    assert(dc96 == 1L && kept96 == 0L, s"96: ${got(96L)}")     // corpus dup
+    assert(got(97L) == ((0L, 0L, 1L)), s"97: ${got(97L)}")     // fresh, kept
+    val (dc98, db98, kept98) = got(98L)
+    assert(dc98 == 0L && db98 == 1L && kept98 == 0L, s"98: ${got(98L)}")
+    assert(got(99L) == ((0L, 0L, 1L)), s"99: ${got(99L)}")     // fresh, kept
+    // verdict consistency: kept == neither flag, everywhere
+    got.values.foreach { case (dc, db, kept) =>
+      assert(kept == (if (dc == 0L && db == 0L) 1L else 0L))
+    }
+  }
 }
