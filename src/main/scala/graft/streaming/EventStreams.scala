@@ -913,6 +913,53 @@ object EventStreams {
       }
   }
 
+  final case class DocMeta(doc_id: Long, lang: String, n_chars: Long)
+  final case class WeightedSampleOut(lang: String, n_seen: Long,
+      doc_id: Long, w: Long, pr_micro: Long, rk: Long)
+
+  /** Streaming WEIGHTED SAMPLE — the twin of the batch
+    * `weighted_sample` (CurationQueries.prioritySample,
+    * Duffield–Lund–Thorup priority sampling): per language stratum the
+    * state is the k highest-priority documents seen so far — a BOUNDED
+    * k-entry list, the reservoir that makes weighted sampling a
+    * one-pass streaming operator at all. The fold is a top-k set merge
+    * under the batch query's exact total order (priority DESC, doc_id
+    * ASC), which is associative, commutative and idempotent per
+    * doc_id (at-least-once redelivery cannot double-insert), so
+    * batching cannot move the final emission. Priority arithmetic is
+    * the batch column's JVM twin: u = floorMod(portableHash(id, 37),
+    * 2^30) + 1, ONE ieee division n_chars/u of two
+    * exactly-representable integers, micro-rounded once — the final
+    * emission equals the batch rows bit for bit (StreamingSpec
+    * asserts it under an arbitrary split). `n_seen` counts processed
+    * rows per stratum so a reader can pick each stratum's latest
+    * emission out of an update-mode sink. */
+  def weightedSampleStream(docs: Dataset[DocMeta], k: Int = 8)
+      : Dataset[WeightedSampleOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.lang)
+      .flatMapGroupsWithState[(Long, List[(Long, Long, Double)]), WeightedSampleOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (lang, rows, state) =>
+          var (n, top) = state.getOption.getOrElse((0L, Nil))
+          rows.foreach { d =>
+            n += 1
+            val u = java.lang.Math.floorMod(
+              graft.functions.TextFunctions.portableHashJvm(
+                d.doc_id.toString, 37), 1073741824L) + 1L
+            val p = d.n_chars.toDouble / u.toDouble
+            top = ((d.doc_id, d.n_chars, p) ::
+              top.filterNot(_._1 == d.doc_id))
+              .sortBy(t => (-t._3, t._1)).take(k)
+          }
+          state.update((n, top))
+          top.zipWithIndex.iterator.map { case ((id, w, p), i) =>
+            WeightedSampleOut(lang, n, id, w,
+              math.floor(p * 1e6 + 0.5).toLong, (i + 1).toLong)
+          }
+      }
+  }
+
   final case class HllEst(event_type: String, n_seen: Long, n_est: Long)
 
   /** Streaming HYPERLOGLOG distinct-user estimate per event type — the

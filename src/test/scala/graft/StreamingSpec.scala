@@ -1243,4 +1243,41 @@ class StreamingSpec extends SparkSuite {
       assert(fin == expected, s"stream HLL $fin diverged from batch $expected")
     } finally q.stop()
   }
+
+  test("streaming weighted sample equals the batch weighted_sample bit for bit") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.SparkEntry.queries("weighted_sample")(spark, dir)
+      .select(col("lang"), col("doc_id"), col("w"), col("pr_micro"), col("rk"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .as[EventStreams.DocMeta].collect()
+
+    val ms = MemoryStream[EventStreams.DocMeta]
+    val q = EventStreams.weightedSampleStream(ms.toDS())
+      .writeStream.format("memory").queryName("wsample_stream")
+      .outputMode("update").start()
+    try {
+      // arbitrary split (and one doc redelivered): the top-k merge is
+      // order-insensitive and idempotent per doc_id, so neither moves
+      // the final emission
+      ms.addData(docs.take(137): _*)
+      q.processAllAvailable()
+      ms.addData(docs(0))
+      q.processAllAvailable()
+      ms.addData(docs.drop(137): _*)
+      q.processAllAvailable()
+      val all = spark.table("wsample_stream")
+        .as[EventStreams.WeightedSampleOut].collect()
+      val lastSeen = all.groupBy(_.lang).map { case (l, rs) =>
+        l -> rs.map(_.n_seen).max }
+      val fin = all
+        .filter(r => r.n_seen == lastSeen(r.lang))
+        .map(r => (r.lang, r.doc_id, r.w, r.pr_micro, r.rk)).toSet
+      assert(fin == expected,
+        s"diff=${fin.diff(expected).take(3)} / ${expected.diff(fin).take(3)}")
+    } finally q.stop()
+  }
 }
