@@ -52,7 +52,14 @@ import org.apache.spark.sql.SparkSession
   *    window (the 122-entry per-query map overflowed it and BENCH_r06/
   *    r07 recorded parsed:null); the complete record — every sample,
   *    per-query medians and spreads, exact shuffle bytes — goes to
-  *    target/bench.json.
+  *    target/bench.json;
+  *  - a GLOBAL wall-clock budget ([[DefaultBudgetSec]], env
+  *    SPARK_GRAFT_BENCH_BUDGET_SEC) bounds the whole run: base rounds
+  *    stop early and the adaptive extension refuses to start a round
+  *    it cannot afford, the record ships with `degraded:true` + a
+  *    reason + the load fields instead of tripping the driver's kill
+  *    timer (BENCH_r12: rc 124, parsed:null — the harness kept buying
+  *    samples in a 3.8%-steal window until the driver shot it).
   *
   * Shuffle-bytes regression gate: medians at 0.1–0.3 s are
   * noise-limited, but the BYTES a query shuffles are a property of the
@@ -93,6 +100,32 @@ object Bench {
   private[graft] val NoiseTarget = 2.0
   private[graft] val PoisonRatio = 1.5
   private[graft] val PoisonFloorSec = 0.25
+
+  /** Global wall-clock budget for the WHOLE run (warmup + base rounds
+    * + adaptive extension), seconds; override with
+    * SPARK_GRAFT_BENCH_BUDGET_SEC. The r12 lesson: the adaptive
+    * extension bounded per-query ROUNDS but had no global clock, so a
+    * degraded co-tenant window (steal 3.8%, raw_noise 21) kept the
+    * harness honestly buying samples for three bursty queries until
+    * the driver's own timeout killed it — rc 124, parsed:null, the
+    * round's entire driver-side bench signal erased. A record from
+    * fewer samples flagged `degraded:true` (with the load fields to
+    * prove the window was bad) is strictly better than no record.
+    * Default: the r11 full board (9 rounds, degraded window) took
+    * ~1340 s and PARSED; r12 exceeded the driver's kill timer, so the
+    * ceiling is somewhere in (1340, r12's overrun]. 1500 s keeps the
+    * base rounds affordable in a 2× degraded window (~4 × 290 s)
+    * while stopping extension well before any plausible driver
+    * timeout. */
+  private[graft] val DefaultBudgetSec = 1500.0
+
+  /** True when `projectedSec` more work still fits: the budget is
+    * consumed only to 95% so JSON assembly + spark.stop() + the
+    * final println always run inside the driver's window (the whole
+    * point is that the summary LINE gets out). */
+  private[graft] def budgetAllows(elapsedSec: Double, projectedSec: Double,
+      budgetSec: Double): Boolean =
+    elapsedSec + projectedSec <= budgetSec * 0.95
 
   /** Median / MAD-based spread of one query's samples. Spread is
     * 2 × median(|t − median|): robust to bursts contaminating up to
@@ -278,12 +311,23 @@ object Bench {
       // NEXT query's window — say so, so a corrupted bytes recording is
       // distinguishable from a clean one
       if (!stable) System.err.println(
-        s"[bench] WARN: listener bus not quiescent after ${timeoutMs} ms — " +
+        s"[bench] WARN: listener bus not quiescent after ${timeoutMs} ms -- " +
           "shuffle-byte attribution for the adjacent queries may be skewed")
     }
   }
 
   def main(args: Array[String]): Unit = {
+    val benchStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .filter(_ > 0).getOrElse(DefaultBudgetSec)
+    // set when the clock forced fewer samples than the noise
+    // discipline wanted — the record is still valid (medians over
+    // fewer rounds), just weaker; consumers see WHY via the load
+    // fields riding the same JSON
+    var degraded = false
+    var degradedReason = ""
     val loadStart = loadavg1()
     val (stealStart, jiffiesStart) = cpuJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -337,7 +381,7 @@ object Bench {
           val unknown = requested.filterNot(all.contains)
           if (unknown.nonEmpty) {
             System.err.println(
-              s"[bench] unknown queries: ${unknown.mkString(", ")} — known: ${all.mkString(", ")}")
+              s"[bench] unknown queries: ${unknown.mkString(", ")} -- known: ${all.mkString(", ")}")
             spark.stop()
             sys.exit(2)
           }
@@ -368,24 +412,53 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
       names.map(n => n -> Vector.empty[Double]): _*)
     var rounds = 0
-    while (rounds < BaseRounds) {
-      names.foreach(n => samples(n) = samples(n) :+ time(n))
-      rounds += 1
+    // budget check between BASE rounds too: round 1 always runs
+    // (a 1-sample median beats no record at all), later rounds only
+    // when a round the size of the last one still fits the clock
+    var lastRoundSec = 0.0
+    var stop = false
+    while (rounds < BaseRounds && !stop) {
+      if (rounds > 0 && !budgetAllows(elapsedSec, lastRoundSec, budgetSec)) {
+        degraded = true
+        degradedReason = s"base rounds truncated at $rounds/$BaseRounds"
+        System.err.println(s"[bench] BUDGET: $degradedReason " +
+          f"(elapsed ${elapsedSec}%.0f s, last round ${lastRoundSec}%.0f s, budget ${budgetSec}%.0f s)")
+        stop = true
+      } else {
+        val t0 = System.nanoTime()
+        names.foreach(n => samples(n) = samples(n) :+ time(n))
+        lastRoundSec = (System.nanoTime() - t0) / 1e9
+        rounds += 1
+      }
     }
     // targeted extension: re-time ONLY the burst-contaminated queries
     // (still interleaved across that subset), capped at MaxRounds total
+    // AND by the global clock — one extension round costs about the
+    // sum of the subset's medians; 1.5x headroom because a degraded
+    // window (the only time this loop runs long) inflates each sample
     var bursty = names.filter(n =>
       burstContaminated(samples(n)) || medianPoisoned(samples(n)))
-    while (bursty.nonEmpty && rounds < MaxRounds) {
-      System.err.println(
-        s"[bench] ${bursty.size} bursty queries after $rounds rounds — extending: ${bursty.mkString(", ")}")
-      bursty.foreach(n => samples(n) = samples(n) :+ time(n))
-      rounds += 1
-      // keep extending on EITHER signal: spikes still present beyond
-      // the forgiven one (stillBursty), or the median itself still
-      // dragged off the clean cluster (medianPoisoned) — r9 showed the
-      // first alone releases a query whose median is still wrong
-      bursty = bursty.filter(n => stillBursty(samples(n)) || medianPoisoned(samples(n)))
+    def extensionCost(qs: Seq[String]): Double =
+      1.5 * qs.map(n => stat(samples(n).filter(_ >= 0) match {
+        case e if e.isEmpty => Vector(0.0); case ts => ts })._1).sum
+    while (bursty.nonEmpty && rounds < MaxRounds && !degraded) {
+      if (!budgetAllows(elapsedSec, extensionCost(bursty), budgetSec)) {
+        degraded = true
+        degradedReason = s"extension stopped after $rounds rounds, " +
+          s"${bursty.size} queries still bursty: ${bursty.mkString(", ")}"
+        System.err.println(s"[bench] BUDGET: $degradedReason " +
+          f"(elapsed ${elapsedSec}%.0f s, budget ${budgetSec}%.0f s)")
+      } else {
+        System.err.println(
+          s"[bench] ${bursty.size} bursty queries after $rounds rounds -- extending: ${bursty.mkString(", ")}")
+        bursty.foreach(n => samples(n) = samples(n) :+ time(n))
+        rounds += 1
+        // keep extending on EITHER signal: spikes still present beyond
+        // the forgiven one (stillBursty), or the median itself still
+        // dragged off the clean cluster (medianPoisoned) — r9 showed the
+        // first alone releases a query whose median is still wrong
+        bursty = bursty.filter(n => stillBursty(samples(n)) || medianPoisoned(samples(n)))
+      }
     }
 
     val stats = names.map { n =>
@@ -526,14 +599,19 @@ object Bench {
         val (sb, sr, or) = shuffleStats(k)
         "\"" + k + f"""\":{"median":$m%.3f,"spread":$sp%.3f,"raw_spread":${rawSpread(ts)}%.3f,"shuffle_bytes":$sb,"shuffle_records":$sr,"out_rows":$or,"runs":$runs}"""
       }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"noise":$noise%.3f,"raw_noise":$rawNoise%.3f,"spread_stat":"mad2","load":$loadJson,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"queries":$perQuery,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"noise":$noise%.3f,"raw_noise":$rawNoise%.3f,"spread_stat":"mad2","degraded":$degraded,"degraded_reason":${jstr(degradedReason)},"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"load":$loadJson,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"queries":$perQuery,"sf":"$sfDir"}"""
     }
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
 
+    // summary keeps the reason SHORT (the driver tail holds ~2000
+    // chars; the full reason lives in target/bench.json)
+    val reasonShort =
+      if (degradedReason.length > 120) degradedReason.take(117) + "..."
+      else degradedReason
     val summary =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${names.size},"failed":$failedJson,"errors":$errJson,"queries":$top10,"noise":$noise%.2f,"raw_noise":$rawNoise%.2f,"spread_stat":"mad2","rounds":$rounds,"load":$loadJson,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${names.size},"failed":$failedJson,"errors":$errJson,"queries":$top10,"noise":$noise%.2f,"raw_noise":$rawNoise%.2f,"spread_stat":"mad2","rounds":$rounds,"degraded":$degraded,"degraded_reason":${jstr(reasonShort)},"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"load":$loadJson,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"sf":"$sfDir"}"""
     // mirrored to disk so the summary survives even if a future harness
     // change re-decorates or truncates stdout
     java.nio.file.Files.write(

@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * tested. The IMAGE codec is real (JDK `javax.imageio`, zero extra
   * dependencies — PNG/JPEG/GIF/BMP decode with true width/height), and
   * so is the AUDIO codec (JDK `javax.sound.sampled` — WAV/AIFF/AU
-  * decode with true sample rate, channels, frame count, duration);
-  * video decode is stubbed behind the same seam (no video codec libs in
-  * this environment), deterministically derived from the payload hash.
+  * decode with true sample rate, channels, frame count, duration).
+  * VIDEO container metadata is real too — a pure-JDK ISO-BMFF (MP4/MOV)
+  * box parse ([[parseMp4]]) reads true duration/timescale, display
+  * dimensions and codec fourcc; only frame/pixel DECODE remains behind
+  * the deterministic hash-derived stub seam (video codec libs are not
+  * in this environment, and container metadata doesn't need them).
   *
   * At scale the rules this module encodes:
   *  - payloads stay OUT of shuffle keys and aggregations — all keyed
@@ -129,12 +132,13 @@ object Multimodal {
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** STUB decode for the modalities whose codecs are NOT in this
-    * environment (video), and for image/audio payloads the JDK readers
-    * cannot parse. The stand-in derives every "decoded" attribute from
-    * md5(payload), so it is deterministic, engine-independent, and
-    * exercises the exact same plumbing (bytes in → typed features
-    * out). */
+  /** STUB decode for payloads none of the real paths can read: images/
+    * audio the JDK readers cannot parse, and video payloads that are
+    * not ISO-BMFF (the container-metadata parse IS real — [[parseMp4]];
+    * only frame/pixel decode lacks a codec here). The stand-in derives
+    * every "decoded" attribute from md5(payload), so it is
+    * deterministic, engine-independent, and exercises the exact same
+    * plumbing (bytes in → typed features out). */
   private def decodeStub(r: MediaRecord): MediaFeatures = {
     val fp = md5hex(r.payload)
     val h = java.lang.Long.parseLong(fp.take(15), 16)
@@ -172,6 +176,18 @@ object Multimodal {
             byte_len = a.byte_len, fp = a.fp,
             width = a.sample_rate, height = a.channels, n_frames = 1L))
             .getOrElse(decodeStub(r))
+        else if (r.media_type == "video" && looksLikeVideo(r.payload))
+          // real container parse: true display dims; n_frames is the
+          // 1-fps sampling policy over the TRUE duration (frame decode
+          // itself stays stubbed — see extractVideoFeatures for the
+          // honestly-named typed path)
+          parseMp4(r.payload).map(m => MediaFeatures(
+            doc_id = r.doc_id, media_type = r.media_type,
+            byte_len = r.payload.length.toLong, fp = md5hex(r.payload),
+            width = m.width, height = m.height,
+            n_frames = math.max(1L,
+              if (m.timescale > 0) m.duration / m.timescale else 1L)))
+            .getOrElse(decodeStub(r))
         else decodeStub(r)
       }
     }
@@ -196,6 +212,163 @@ object Multimodal {
             n_samples = 1000 + h % 100000,
             duration_ms = (1000 + h % 100000) * 1000L / (8000 + (h % 5) * 8000),
             decoded = false)
+        }
+      }
+    }
+  }
+
+  /** Typed video CONTAINER metadata — the honest column names for the
+    * video modality. `decoded = true` means the fields came from a real
+    * ISO-BMFF (MP4/MOV) box parse ([[parseMp4]]); false marks the
+    * hash-derived stand-in for payloads that are not a readable MP4.
+    * Frame/pixel decode stays stubbed elsewhere (no codec libs in this
+    * environment) — container metadata needs none: duration, timescale,
+    * display dimensions and the codec fourcc are plain big-endian
+    * integers in the moov box, readable with zero dependencies. */
+  final case class VideoFeatures(
+      doc_id: Long, byte_len: Long, fp: String,
+      duration_ms: Long, timescale: Long, width: Long, height: Long,
+      codec: String, n_tracks: Long, decoded: Boolean)
+
+  /** Magic-byte sniff for ISO-BMFF containers (MP4/MOV/3GP…): every
+    * conforming file leads with an `ftyp` box, i.e. bytes 4-7 spell
+    * "ftyp". Same rationale as [[looksLikeImage]]: non-video payloads
+    * skip the parser instead of paying a failed walk each. */
+  private def looksLikeVideo(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** What a successful [[parseMp4]] found. width/height/codec describe
+    * the FIRST track whose tkhd carries nonzero display dimensions (the
+    * video track — audio tracks are 0×0 by spec); an audio-only MP4
+    * legitimately reports 0×0 and the first track's codec. */
+  private final case class Mp4Meta(
+      timescale: Long, duration: Long, width: Long, height: Long,
+      codec: String, nTracks: Long)
+
+  /** Per-trak accumulator for the box walk (tkhd dims + stsd fourcc of
+    * the trak currently being descended). */
+  private final class TrakAcc {
+    var w = 0L; var h = 0L; var codec = ""
+  }
+
+  /** Minimal pure-JDK ISO-BMFF box walk (ISO/IEC 14496-12 §4.2, §8.2.2,
+    * §8.3.2, §8.5.2): top-level boxes are [size:u32][type:4cc] with
+    * size==1 → 64-bit largesize follows, size==0 → box runs to EOF.
+    * Containers descended: moov, trak, mdia, minf, stbl. Leaves read:
+    * mvhd (movie timescale + duration, version 0 and 1 layouts), tkhd
+    * (16.16 fixed-point display width/height, both versions), stsd
+    * (first sample-entry fourcc = the codec). Malformed input (sizes
+    * running past the buffer, truncated headers, absurd nesting) stops
+    * the walk instead of throwing — the caller degrades to the stub.
+    * None unless a plausible mvhd was found (timescale > 0). */
+  private def parseMp4(bytes: Array[Byte]): Option[Mp4Meta] = {
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xFFL) << 24) | ((bytes(off + 1) & 0xFFL) << 16) |
+        ((bytes(off + 2) & 0xFFL) << 8) | (bytes(off + 3) & 0xFFL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def fourcc(off: Int): String = new String(bytes, off, 4, "ISO-8859-1")
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var timescale = 0L; var duration = -1L
+    var width = 0L; var height = 0L; var codec = ""; var nTracks = 0L
+    var firstCodec = ""
+
+    def walk(start: Long, end: Long, depth: Int, trak: TrakAcc): Unit = {
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end && depth < 8) {
+        var size = u32(off.toInt)
+        val typ = fourcc(off.toInt + 4)
+        var hdr = 8L
+        if (size == 1L && off + 16 <= end) { size = u64(off.toInt + 8); hdr = 16L }
+        else if (size == 0L) size = end - off
+        if (size < hdr || size > end - off) ok = false // malformed: stop
+        else {
+          val body = off + hdr
+          val bodyEnd = off + size
+          typ match {
+            case "trak" =>
+              nTracks += 1
+              val acc = new TrakAcc
+              walk(body, bodyEnd, depth + 1, acc)
+              if (firstCodec.isEmpty && acc.codec.nonEmpty) firstCodec = acc.codec
+              // first track with real display dims = the video track
+              if (width == 0L && acc.w > 0L) {
+                width = acc.w; height = acc.h; codec = acc.codec
+              }
+            case t if containers(t) => walk(body, bodyEnd, depth + 1, trak)
+            case "mvhd" if body + 4 <= bodyEnd =>
+              val ver = bytes(body.toInt) & 0xFF
+              if (ver == 1 && body + 32 <= bodyEnd) {
+                timescale = u32(body.toInt + 20); duration = u64(body.toInt + 24)
+              } else if (ver == 0 && body + 20 <= bodyEnd) {
+                timescale = u32(body.toInt + 12); duration = u32(body.toInt + 16)
+              }
+            case "tkhd" if trak != null && body + 4 <= bodyEnd =>
+              val ver = bytes(body.toInt) & 0xFF
+              // offsets to the 16.16 fixed-point display size: v0 body
+              // is 84 bytes (width at +76), v1 is 96 (width at +88)
+              val wOff = if (ver == 1) 88 else 76
+              if (body + wOff + 8 <= bodyEnd) {
+                trak.w = u32(body.toInt + wOff) >> 16
+                trak.h = u32(body.toInt + wOff + 4) >> 16
+              }
+            case "stsd" if trak != null && trak.codec.isEmpty && body + 16 <= bodyEnd =>
+              // FullBox(4) + entry_count(4) + first entry [size:u32][fourcc]
+              trak.codec = fourcc(body.toInt + 12).trim
+            case _ => ()
+          }
+          off = bodyEnd
+        }
+      }
+    }
+
+    try {
+      walk(0L, bytes.length.toLong, 0, null)
+      if (timescale <= 0L || duration < 0L) None
+      else Some(Mp4Meta(timescale, duration, width, height,
+        if (codec.nonEmpty) codec else firstCodec, nTracks))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic stand-in video features for non-MP4 payloads — the
+    * same md5-derived convention as the audio stub, integer-exact so
+    * the DuckDB oracle reproduces every field bit-for-bit. */
+  private def videoStub(r: MediaRecord): VideoFeatures = {
+    val fp = md5hex(r.payload)
+    val h = java.lang.Long.parseLong(fp.take(15), 16)
+    VideoFeatures(
+      doc_id = r.doc_id, byte_len = r.payload.length.toLong, fp = fp,
+      duration_ms = 1000 + h % 600000,
+      timescale = 600L * (1 + h % 4),
+      width = 320 + h % 1600, height = 240 + (h / 7) % 840,
+      codec = Seq("avc1", "hev1", "vp09", "av01")((h % 4).toInt),
+      n_tracks = 1 + h % 2,
+      decoded = false)
+  }
+
+  /** Typed VIDEO container-metadata extraction — REAL for ISO-BMFF
+    * payloads (pure-JDK box parse: true duration/timescale, display
+    * dimensions, codec fourcc, track count), hash-derived stand-in for
+    * everything else. duration_ms is integer floor division
+    * (duration·1000 div timescale) so the value is engine-portable.
+    * Same scale posture as the other decode passes: pure per-partition
+    * map, the payload never enters a shuffle. Frame/pixel decode
+    * remains behind the documented stub seam ([[decodeStub]]) — THIS
+    * pass needs no codec, which is exactly why it can be real here. */
+  def extractVideoFeatures(media: Dataset[MediaRecord]): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        (if (looksLikeVideo(r.payload)) parseMp4(r.payload) else None) match {
+          case Some(m) =>
+            VideoFeatures(
+              doc_id = r.doc_id, byte_len = r.payload.length.toLong,
+              fp = md5hex(r.payload),
+              duration_ms =
+                if (m.timescale > 0) m.duration * 1000L / m.timescale else 0L,
+              timescale = m.timescale, width = m.width, height = m.height,
+              codec = m.codec, n_tracks = m.nTracks, decoded = true)
+          case None => videoStub(r)
         }
       }
     }

@@ -466,9 +466,13 @@ object CurationQueries {
     // with no float ever touching a rank. Scores discretize once to
     // integer micro-points (the microPoints contract), then
     // 2U = Σ_v n_neg(v)·(2·posBelow(v) + n_pos(v)) — the ½-tie credit
-    // absorbed into the doubling so every term is BIGINT — and
+    // absorbed into the doubling so every term is an exact integer,
+    // carried in DECIMAL(38,0) / HUGEINT (a BIGINT term wraps
+    // silently once n_pos·n_neg passes ~9.2e18 ÷ 10^6 ≈ 3M×3M docs;
+    // decimal keeps 100 TB corpora inside the exactness claim) — and
     // auc_micro = 2U·500000 div (n_pos·n_neg) (≥ 0 throughout, floor
-    // division agrees cross-engine). Direction: positives are DUPS and
+    // division agrees cross-engine; the quotient ≤ 10^6 casts back
+    // to BIGINT losslessly). Direction: positives are DUPS and
     // posBelow counts DUP docs scoring strictly below each clean doc,
     // so AUC → 1 means dups score BELOW clean docs (the "low quality
     // predicts duplication" hypothesis holds); ½ = no signal.
@@ -502,13 +506,24 @@ object CurationQueries {
           .withColumn("in_below", coalesce(sum(col("n_pos")).over(wIn), lit(0L)))
           .join(broadcast(bkt.select(col("b"), col("bkt_below"))), Seq("b"))
           .select(col("n_pos"), col("n_neg"),
-            (col("n_neg") * (lit(2L) * (col("bkt_below") + col("in_below")) +
+            // the term and everything downstream in DECIMAL(38,0):
+            // n_neg·(2·posBelow+n_pos) wraps BIGINT silently (non-ANSI)
+            // once n_pos·n_neg ≈ 9.2e18 territory is approached — at
+            // ~3M dups × 3M clean the u2·500000 product is already
+            // past 2^63 while the oracle's HUGEINT sails on. Decimal
+            // on the Spark side restores the "every term exact" claim
+            // at 100 TB; the quotient is cast back to BIGINT (auc is
+            // ≤ 10^6 micro-points, always representable).
+            (col("n_neg").cast("decimal(38,0)") *
+              (lit(2L) * (col("bkt_below") + col("in_below")) +
               col("n_pos"))).as("t"))
         terms.agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
             sum(col("t")).as("u2"))
           .select(col("n_pos"), col("n_neg"),
             when(col("n_pos") === 0L || col("n_neg") === 0L, lit(0L))
-              .otherwise(expr("(u2 * 500000) div (n_pos * n_neg)"))
+              .otherwise(expr(
+                "CAST((u2 * CAST(500000 AS DECIMAL(38,0))) div " +
+                  "(CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"))
               .as("auc_micro"))
       },
       Some(s"""$toksCte,
@@ -530,7 +545,7 @@ object CurationQueries {
              |  FROM h2 GROUP BY b),
              |terms AS (
              |  SELECT h2.n_pos, h2.n_neg,
-             |    h2.n_neg * (2 * (bkt.bkt_below +
+             |    CAST(h2.n_neg AS HUGEINT) * (2 * (bkt.bkt_below +
              |      COALESCE(SUM(h2.n_pos) OVER (PARTITION BY h2.b ORDER BY h2.u
              |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) +
              |      h2.n_pos) AS t
@@ -538,7 +553,8 @@ object CurationQueries {
              |SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
              |  CAST(SUM(n_neg) AS BIGINT) AS n_neg,
              |  CAST(CASE WHEN SUM(n_pos) = 0 OR SUM(n_neg) = 0 THEN 0
-             |    ELSE (SUM(t) * 500000) // (SUM(n_pos) * SUM(n_neg))
+             |    ELSE (SUM(t) * CAST(500000 AS HUGEINT))
+             |      // (CAST(SUM(n_pos) AS HUGEINT) * SUM(n_neg))
              |    END AS BIGINT) AS auc_micro
              |FROM terms""".stripMargin)),
 

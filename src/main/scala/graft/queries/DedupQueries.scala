@@ -1449,6 +1449,19 @@ object DedupQueries {
     // the exact all-pairs-sharing-a-shingle form — prefix filtering
     // is lossless, so both engines must land on the identical pair
     // set; agreement checks the filter's recall claim itself.
+    // CAP ASYMMETRY (deliberate, shared with the Jaccard queries but
+    // worth stating here because containment is MORE cap-sensitive):
+    // the Spark side df-caps its shingle set, the oracle does not —
+    // [[MinDfFloor]] makes the cap a provable no-op at test SFs
+    // (TextDedupSpec pins max df ≪ floor), so the oracle's agreement
+    // certifies the PREFIX FILTER's losslessness in the uncapped
+    // regime. At real corpus sizes the cap fires BY DESIGN and the
+    // two measures diverge: dropping a hot shingle shrinks both the
+    // intersection and min(n_a, n_b), so capped containment is a
+    // different (and intended — boilerplate carries no subset-dup
+    // signal) statistic, no longer oracle-checkable. The losslessness
+    // claim at scale is therefore "lossless w.r.t. the CAPPED shingle
+    // sets", which the prefix-bound argument covers unchanged.
     QueryDef("dedup_containment",
       (s, dir) => {
         val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))

@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal decode/feature-extract/frame-sample plumbing
   * ([[graft.operators.Multimodal]]) exposed as driver-checkable queries.
-  * The decode is a deterministic md5-derived stub (real codecs are not
-  * in this environment), which is exactly what lets these have full
-  * DuckDB oracles instead of rows-only checks: the *plumbing* — binary
-  * payload column, typed mapPartitions decode, flatMap frame fan-out —
-  * is the thing under test.
+  * The real decode legs (JDK ImageIO images, javax.sound.sampled audio,
+  * pure-JDK ISO-BMFF video container metadata) are spec-gated against
+  * synthesized payloads; over THIS corpus the payloads are text bytes,
+  * so every oracle covers the deterministic md5-derived stub leg —
+  * which is exactly what lets these have full DuckDB oracles instead of
+  * rows-only checks: the *plumbing* — binary payload column, typed
+  * mapPartitions decode, flatMap frame fan-out — is the thing under
+  * test end-to-end, and the decode seam is pinned separately.
   */
 object MultimodalQueries {
 
@@ -91,6 +94,46 @@ object MultimodalQueries {
              |  1 + h % 2 AS channels,
              |  1000 + h % 100000 AS n_samples,
              |  (1000 + h % 100000) * 1000 // (8000 + (h % 5) * 8000) AS duration_ms,
+             |  CAST(0 AS BIGINT) AS decoded
+             |FROM f""".stripMargin)),
+
+    // Typed VIDEO container metadata over the video-typed media —
+    // [[Multimodal.extractVideoFeatures]]: a REAL pure-JDK ISO-BMFF
+    // box parse (mvhd duration/timescale, tkhd display dimensions,
+    // stsd codec fourcc, trak count) where the payload is a readable
+    // MP4 (pinned against synthesized MP4 headers in MultimodalSpec —
+    // both mvhd versions, 64-bit box sizes, audio-only containers,
+    // truncated garbage), deterministic hash-derived stand-ins
+    // elsewhere. The synthetic corpus payloads are text bytes, so this
+    // oracle covers the stub leg end-to-end (plumbing + integer-exact
+    // formulas); the real-parse leg is spec-gated, exactly the
+    // `multimodal_audio` pattern. Frame/pixel decode remains the
+    // documented stub seam — container metadata needs no codec, which
+    // is why this leg can be real in a codec-free environment. Scale
+    // posture: pure per-partition map over the modality slice; the
+    // payload never enters a shuffle.
+    QueryDef("multimodal_video",
+      (s, dir) => Multimodal.extractVideoFeatures(
+          Multimodal.mediaFromDocuments(Tables(s, dir, "documents"))
+            .filter(_.media_type == "video"))
+        .toDF()
+        .select(col("doc_id"), col("byte_len"), col("fp"),
+          col("duration_ms"), col("timescale"), col("width"), col("height"),
+          col("codec"), col("n_tracks"), col("decoded").cast("long").as("decoded")),
+      Some("""WITH m AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+             |f AS (SELECT doc_id,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             |    md5(text) AS fp,
+             |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+             |  FROM m)
+             |SELECT doc_id, byte_len, fp,
+             |  1000 + h % 600000 AS duration_ms,
+             |  600 * (1 + h % 4) AS timescale,
+             |  320 + h % 1600 AS width,
+             |  240 + (h // 7) % 840 AS height,
+             |  list_extract(['avc1', 'hev1', 'vp09', 'av01'], CAST(h % 4 + 1 AS INT)) AS codec,
+             |  1 + h % 2 AS n_tracks,
              |  CAST(0 AS BIGINT) AS decoded
              |FROM f""".stripMargin))
   )

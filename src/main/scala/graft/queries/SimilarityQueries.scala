@@ -546,7 +546,10 @@ object SimilarityQueries {
           .groupBy(col("p0"))
           .agg(sum(col("ui")).as("su"), count(lit(1)).as("n"))
           .select((col("p0") + 1).cast("long").as("i"),
-            expr(s"CAST((CAST(su AS DECIMAL(38,0)) + ${MuOffset}L * n) div n - ${MuOffset}L AS BIGINT)")
+            // the offset PRODUCT computed in decimal too: 2^40·n in
+            // BIGINT wraps silently past n ≈ 8.4M vectors — the very
+            // scale the offset's headroom claim is about
+            expr(s"CAST((CAST(su AS DECIMAL(38,0)) + CAST(${MuOffset} AS DECIMAL(38,0)) * n) div n - ${MuOffset}L AS BIGINT)")
               .as("mu"))
         val vm = v.join(dims, Seq("i"))
           .agg(
@@ -587,7 +590,7 @@ object SimilarityQueries {
            |  SELECT i, SUM(ui) AS su, COUNT(*) AS n FROM ux GROUP BY 1),
            |vm AS MATERIALIZED (
            |  SELECT d.i, vv.v,
-           |    CAST((d.su + $MuOffset * d.n) // d.n - $MuOffset AS BIGINT) AS mu
+           |    CAST((d.su + CAST($MuOffset AS HUGEINT) * d.n) // d.n - $MuOffset AS BIGINT) AS mu
            |  FROM dims d JOIN v$PcaIters vv USING (i)),
            |nn AS (SELECT SUM(CAST(v AS HUGEINT) * v) AS vtv FROM v$PcaIters),
            |cc AS (
@@ -1653,7 +1656,10 @@ object SimilarityQueries {
   /** Portable-floor offset for `embedding_abtt`'s per-dim mean,
     * S div n on micro-points: 2^40 ≫ any sane |mean| in micro units,
     * and the offset·n product stays inside DECIMAL(38,0)/HUGEINT even
-    * at 10^12 rows. */
+    * at 10^12 rows — PROVIDED the multiply itself runs in decimal:
+    * both engines cast the offset to DECIMAL(38,0)/HUGEINT before
+    * the `* n` (a BIGINT product wraps past n ≈ 2^23 ≈ 8.4M rows,
+    * silently on Spark's non-ANSI default). */
   private def MuOffset = 1099511627776L
 
   /** Portable-floor offset for `embedding_abtt`'s pc1_micro,

@@ -171,6 +171,90 @@ object EventStreams {
         when(dev > 0, lit("high")).otherwise(lit("low")).as("tail"))
   }
 
+  /** [[rateMosumStream]] state per event type: the OPEN hour being
+    * accumulated (`openHr` = MinValue when none) and the trailing
+    * ≤ W most-recently-CLOSED observed hours — O(W) per key, forever
+    * (a |types|-cardinality key space needs no eviction). */
+  final case class MosumState(openHr: Long, openC: Long,
+      hist: List[(Long, Long)])
+  final case class MosumOut(event_type: String, hr: Long, t6: Long, shifted: Long)
+
+  /** Streaming MOSUM mean-shift detection — the streaming twin of the
+    * batch `rate_mosum` query, against FROZEN per-type count moments
+    * (n, s, ss) from the historical batch job (the [[rateAnomalyStream]]
+    * production shape: yesterday's batch sets the control limits, the
+    * stream only compares; the moment frame is |types| rows, so it
+    * rides in as a plain broadcast-sized map). Same float-free
+    * contract, in BigInt — the JVM twin of the batch DECIMAL(38,0)
+    * headroom: (n·T − W·S)² > 9·W·(n·SS − S²).
+    *
+    * Why flatMapGroupsWithState and not a windowed agg: the trailing-W
+    * sum needs the previous W−1 OBSERVED hours' counts next to each
+    * closing hour — cross-window state no window aggregation carries.
+    * An hour EMITS when it closes: a later-hour event arrives, or the
+    * event-time timeout fires once the watermark passes the open
+    * hour's end (so the stream's last hour is not held hostage). Rows
+    * appear once, append-mode, exactly the batch rows for in-order
+    * data (StreamingSpec pins the equality, timeout flush included).
+    *
+    * Divergence by construction (the bounded-state twin contract): a
+    * late row landing BEHIND its type's open hour folds into the open
+    * hour (arrival-order accounting — the batch plan, seeing all
+    * data, recounts the true hour), and hours the frozen map lacks a
+    * moment row for pass through silently. */
+  def rateMosumStream(events: Dataset[Event],
+      moments: Map[String, (Long, Long, Long)], w: Int = 6,
+      watermark: String = "2 hours"): Dataset[MosumOut] = {
+    import events.sparkSession.implicits._
+    def ms(t: java.sql.Timestamp): Long = t.getTime
+    val hourMs = 3600000L
+    val none = Long.MinValue
+
+    def stat(tpe: String, hr: Long, hist: List[(Long, Long)]): Option[MosumOut] =
+      if (hist.size < w) None
+      else moments.get(tpe).map { case (n, s, ss) =>
+        val t6 = hist.map(_._2).sum
+        val dev = BigInt(n) * t6 - BigInt(w) * s
+        val bound = BigInt(9) * w * (BigInt(n) * ss - BigInt(s) * s)
+        MosumOut(tpe, hr, t6, if (dev * dev > bound) 1L else 0L)
+      }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[MosumState, MosumOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (tpe: String, rows: Iterator[Event], state: GroupState[MosumState]) =>
+          var st = state.getOption.getOrElse(MosumState(none, 0L, Nil))
+          val out = Seq.newBuilder[MosumOut]
+          // close the open hour: fold it into the trailing history and
+          // emit its MOSUM row once W observed hours are in hand
+          def close(): Unit = if (st.openHr != none) {
+            val hist = (st.hist :+ ((st.openHr, st.openC))).takeRight(w)
+            stat(tpe, st.openHr, hist).foreach(out += _)
+            st = MosumState(none, 0L, hist.takeRight(w - 1))
+          }
+          if (!state.hasTimedOut) {
+            rows.toSeq.sortBy(e => (ms(e.ts), e.event_id)).foreach { e =>
+              val hr = ms(e.ts) / hourMs
+              if (st.openHr == none) st = st.copy(openHr = hr, openC = 1L)
+              else if (hr == st.openHr || hr < st.openHr)
+                // late-behind-open rows fold in (documented divergence)
+                st = st.copy(openC = st.openC + 1L)
+              else { close(); st = st.copy(openHr = hr, openC = 1L) }
+            }
+          }
+          // finalize by watermark — on timeout fire AND inline (an
+          // open hour whose end the watermark already passed can never
+          // arm a future timer: re-arming at-or-before it throws)
+          val wm = state.getCurrentWatermarkMs()
+          if (st.openHr != none && (st.openHr + 1) * hourMs <= wm) close()
+          state.update(st)
+          if (st.openHr != none) state.setTimeoutTimestamp((st.openHr + 1) * hourMs)
+          out.result().iterator
+      }
+  }
+
   /** Session windows via the built-in `session_window` (30-minute gap)
     * — the declarative path, preferred when the semantics fit. */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes",
@@ -509,6 +593,99 @@ object EventStreams {
             out.result().iterator
           }
       }
+  }
+
+  final case class GapOut(user_id: Long, ts: java.sql.Timestamp,
+      gap_s: Long, bucket: Long)
+
+  /** Streaming inter-event gaps — the streaming half of the batch
+    * `session_gap_dist` twin (the sessionization-timeout tuning
+    * curve): per-user consecutive-event gap seconds with their
+    * floor(log₂ gap_s) bucket, emitted as each successor event
+    * arrives. State is the [[transitionsStateful]] shape — ONE
+    * (ms, id, type) triple per user, hash-partitioned on user_id,
+    * watermark-evicted after `idleMs` idle. The bucket is the batch
+    * column's JVM twin: length(bin(gap_s)) − 1 =
+    * 63 − numberOfLeadingZeros, never a float log.
+    *
+    * The histogram rollup lives in [[gapHistogram]], applied per sink
+    * batch (`foreachBatch` + upsert, the repo's streaming-JDBC
+    * pattern) or over any collected slice: Spark's global-watermark
+    * correctness checker categorically rejects a streaming
+    * aggregation downstream of `flatMapGroupsWithState` (the emitted
+    * rows are "late" to the second stateful operator, whatever their
+    * carried event time), so the honest streaming contract — same
+    * reasoning as [[heavyHittersStream]]'s candidates-only contract —
+    * is per-gap emission plus a trivially-mergeable ≤ ~40-key
+    * read-side fold: bucket counts are associative/commutative, so
+    * ANY downstream accumulation (per-batch upsert, cross-shard
+    * merge) lands on the batch query's numbers. StreamingSpec pins
+    * exactly that composition against the oracle-gated batch rows.
+    *
+    * Divergence by construction (the bounded-state contract every twin
+    * documents): a late row delivered in a later micro-batch — within
+    * the watermark but behind its user's carried last event — pairs in
+    * ARRIVAL order (the batch plan, seeing all data, would splice it
+    * in place), with the gap floored at 0 so the two's-complement
+    * bucket of a negative difference can never appear. */
+  def sessionGapsStream(events: Dataset[Event],
+      idleMs: Long = 2L * 60 * 60 * 1000,
+      watermark: String = "2 hours"): Dataset[GapOut] = {
+    import events.sparkSession.implicits._
+    def ms(t: java.sql.Timestamp): Long = t.getTime
+    def bucketOf(gapS: Long): Long =
+      if (gapS <= 0L) 0L else 63L - java.lang.Long.numberOfLeadingZeros(gapS)
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, GapOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (ms(e.ts), e.event_id))
+            val out = Seq.newBuilder[GapOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = ms(e.ts)
+              cur.foreach { p =>
+                val g = math.max(0L, (t - p.ms) / 1000L)
+                out += GapOut(userId, e.ts, g, bucketOf(g))
+              }
+              // never regress the carried (ms, id) clock (late-row rule)
+              if (cur.forall(p => p.ms < t || (p.ms == t && p.id < e.event_id)))
+                cur = Some(LastEvent(t, e.event_id, e.event_type))
+            }
+            cur match {
+              case Some(c) if c.ms + idleMs > state.getCurrentWatermarkMs() =>
+                state.update(c)
+                state.setTimeoutTimestamp(c.ms + idleMs)
+              case Some(_) => state.remove()
+              case None => ()
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** The `session_gap_dist` rollup over [[sessionGapsStream]] output —
+    * batch-side by design (see that method's contract note): apply per
+    * micro-batch inside `foreachBatch` (merging counts into the sink
+    * by bucket — the counts are associative, so per-batch upsert
+    * accumulates to the batch query's numbers) or over any collected
+    * slice. Emits the batch query's full shape, share_mille included
+    * (the cross-bucket total is affordable here — the frame is ≤ ~40
+    * rows by construction). */
+  def gapHistogram(gaps: DataFrame): DataFrame = {
+    val agg = gaps.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sum_gap_s"))
+    val tot = agg.agg(sum(col("n_gaps")).as("tot"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_gaps"), col("sum_gap_s"),
+        expr("n_gaps * 1000 div tot").as("share_mille"))
   }
 
   final case class SessionState(startMs: Long, lastMs: Long, n: Long, total: Double)

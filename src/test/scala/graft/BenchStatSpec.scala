@@ -155,6 +155,24 @@ class BenchStatSpec extends AnyFunSuite {
     assert(Bench.timeRegressions(Map("slow_stable" -> (-1.0, 0.0)), base).isEmpty)
   }
 
+  test("global wall-clock budget: r12's rc-124 shape stops extending instead of overrunning") {
+    // BENCH_r12: the extension loop had per-query round caps but no
+    // clock, so a degraded window ran it into the driver's kill timer
+    // (rc 124, parsed:null). budgetAllows is the guard: 95% of the
+    // budget is spendable on measurement, the rest is reserved for
+    // JSON assembly + spark.stop() + the final println.
+    assert(Bench.budgetAllows(elapsedSec = 100, projectedSec = 100, budgetSec = 1500))
+    // exactly at 95%: still allowed (<=)
+    assert(Bench.budgetAllows(1325, 100, 1500))
+    // one second past the reserve line: refused
+    assert(!Bench.budgetAllows(1326, 100, 1500))
+    // the r12 shape: 3 bursty queries ~ 26 s/round projected, but the
+    // clock already at 97% of budget — the round must NOT start
+    assert(!Bench.budgetAllows(1455, 26, 1500))
+    // a fresh run always affords its first round
+    assert(Bench.budgetAllows(0, 300, 1500))
+  }
+
   test("environment-evidence probes return sane values on Linux") {
     // the bench JSONs carry these so machine drift is separable from
     // code regressions without a re-run; on this CI image all three

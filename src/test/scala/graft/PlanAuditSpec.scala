@@ -322,6 +322,13 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("multimodal_video: zero-Exchange per-partition container parse") {
+    // same module rule as the audio pin: the ISO-BMFF metadata walk is
+    // a pure map — an Exchange means the payload entered keyed work
+    val p = plan(SparkEntry.queries("multimodal_video")(spark, dir))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("graft_nfc: composed and decomposed accents hash identically after normalize") {
     import spark.implicits._
     // "café" with a precomposed é vs a decomposed e + COMBINING ACUTE

@@ -603,6 +603,127 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming gap histogram equals the batch session_gap_dist over the same events") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def t(sec: Long): java.sql.Timestamp = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    var id = 0L
+    def ev(sec: Long, user: Long): Event = { id += 1; Event(id, t(sec), user, "click", 0.0) }
+    // gaps engineered AT power-of-two boundaries (bucket edges) plus a
+    // zero gap and a cross-batch pair the carried state must supply
+    val batch1 = Seq(
+      ev(0, 1), ev(1, 1),            // gap 1 s   → bucket 0
+      ev(10, 2), ev(14, 2),          // gap 4 s   → bucket 2
+      ev(100, 3), ev(100, 3),        // gap 0 s   → bucket 0 (same-second tie)
+      ev(0, 4))                      // user 4: predecessor for batch 2
+    val batch2 = Seq(
+      ev(1024, 4),                   // gap 1024 s → bucket 10, ACROSS batches
+      ev(1039, 2))                   // gap 1025 s → bucket 10
+    val all = batch1 ++ batch2
+
+    // the BATCH session_gap_dist — the full oracle-gated plan over the
+    // same rows via a temp parquet table dir
+    val dir = tmpDir("gapdist_batch")
+    all.toDF().withColumn("props", lit(null).cast("string"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val expected = graft.SparkEntry.queries("session_gap_dist")(spark, dir)
+      .select(col("bucket"), col("n_gaps"), col("sum_gap_s"), col("share_mille"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val ms = MemoryStream[Event]
+    // generous horizon so no user's state evicts mid-test: the batch
+    // plan pairs consecutive events at ANY distance
+    val q = EventStreams.sessionGapsStream(ms.toDS(),
+        idleMs = 48L * 3600 * 1000, watermark = "48 hours")
+      .writeStream.format("memory").queryName("gapdist")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch1: _*)
+      q.processAllAvailable()
+      ms.addData(batch2: _*)
+      q.processAllAvailable()
+      // the documented composition: append-mode gap emission + the
+      // batch-side gapHistogram rollup (foreachBatch-shaped — counts
+      // are associative, so accumulating them per batch is the same
+      // fold this one-shot application performs)
+      val got = EventStreams.gapHistogram(spark.table("gapdist"))
+        .select(col("bucket"), col("n_gaps"), col("sum_gap_s"), col("share_mille"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected,
+        s"stream gap histogram $got diverged from batch session_gap_dist $expected")
+      // and the scenario covers what it claims: bucket edges + the
+      // cross-batch gap landed
+      assert(got.exists(r => r._1 == 10L && r._2 == 2L))
+      assert(got.exists(r => r._1 == 0L && r._2 == 2L))
+      // per-gap emission itself is exact: one row per consecutive
+      // pair, cross-batch pair included
+      assert(spark.table("gapdist").count() == all.size - 4) // 4 users' first events
+    } finally q.stop()
+  }
+
+  test("streaming MOSUM equals the batch rate_mosum over the same events (frozen moments)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def t(hour: Int, min: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:$min%02d:00")
+    var id = 0L
+    def ev(hour: Int, min: Int, tpe: String): Event = {
+      id += 1; Event(id, t(hour, min), 1L, tpe, 0.0)
+    }
+    // click: 16 calm hours at 2/hour then a 6-hour level shift to
+    // 12/hour — trailing-6 windows late in the shift must flag (the
+    // moments include the shift itself, so the shift must clear the
+    // variance it inflates); view: steady 1/hour control, dev ≡ 0
+    val click = (0 to 15).flatMap(h => Seq(ev(h, 1, "click"), ev(h, 31, "click"))) ++
+      (16 to 21).flatMap(h => (0 to 11).map(m => ev(h, m * 4 + 1, "click")))
+    val view = (0 to 21).map(h => ev(h, 15, "view"))
+    val all = click ++ view
+
+    // the BATCH rate_mosum over the same rows — the oracle-gated plan
+    val dir = tmpDir("mosum_batch")
+    all.toDF().withColumn("props", lit(null).cast("string"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val expected = graft.SparkEntry.queries("rate_mosum")(spark, dir)
+      .select(col("event_type"), col("hr"), col("t6"), col("shifted"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(expected.exists(r => r._1 == "click" && r._4 == 1L), "scenario must shift")
+    assert(expected.filter(_._1 == "view").forall(_._4 == 0L), "control must stay calm")
+
+    // frozen moments = the same historical series the batch used (the
+    // production contract: yesterday's batch job publishes them)
+    val moments = all.toDF()
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"), sum(col("c") * col("c")).as("ss"))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (tpe, n, s, ss) => tpe -> ((n, s, ss)) }.toMap
+
+    val ms = MemoryStream[Event]
+    val q = EventStreams.rateMosumStream(ms.toDS(), moments)
+      .writeStream.format("memory").queryName("mosum")
+      .outputMode("append").start()
+    try {
+      // split mid-hour AND mid-shift: open-hour counts and the trailing
+      // history must both survive the batch boundary
+      val (b1, b2) = all.sortBy(e => (e.ts.getTime, e.event_id)).splitAt(23)
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2: _*)
+      q.processAllAvailable()
+      // flusher on a third type pushes the watermark past every open
+      // hour's end so the LAST hours emit via the timeout path
+      ms.addData(Event(99999L,
+        java.sql.Timestamp.valueOf("2024-01-02 04:00:00"), 1L, "flush", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("mosum")
+        .select(col("event_type"), col("hr"), col("t6"), col("shifted"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == expected,
+        s"stream MOSUM $got diverged from batch rate_mosum $expected")
+    } finally q.stop()
+  }
+
   test("stateful funnel reproduces the batch min-timestamp step semantics") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
