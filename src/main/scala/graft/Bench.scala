@@ -111,13 +111,17 @@ object Bench {
     * round's entire driver-side bench signal erased. A record from
     * fewer samples flagged `degraded:true` (with the load fields to
     * prove the window was bad) is strictly better than no record.
-    * Default: the r11 full board (9 rounds, degraded window) took
-    * ~1340 s and PARSED; r12 exceeded the driver's kill timer, so the
-    * ceiling is somewhere in (1340, r12's overrun]. 1500 s keeps the
-    * base rounds affordable in a 2× degraded window (~4 × 290 s)
-    * while stopping extension well before any plausible driver
-    * timeout. */
-  private[graft] val DefaultBudgetSec = 1500.0
+    * Default: the driver's kill timer measures ≈ 3600 s — r12's
+    * CORRECTNESS artifact landed 08:57:21 and the rc-124 BENCH
+    * artifact 09:57:22, exactly 1 h 1 s apart with nothing else
+    * running between (copycheck/leakcheck mtimes follow the kill).
+    * 3300 s spends as much of that window as possible on samples
+    * (the whole point of the budget is MORE data, not less — a
+    * first-guess 1500 s default truncated a full-board run to 2 base
+    * rounds that a 3600 s window would have finished) while leaving
+    * 300 s + the 5% reserve for a slow final query, JSON assembly
+    * and JVM teardown. */
+  private[graft] val DefaultBudgetSec = 3300.0
 
   /** True when `projectedSec` more work still fits: the budget is
     * consumed only to 95% so JSON assembly + spark.stop() + the
