@@ -131,7 +131,12 @@ object Bench {
       budgetSec: Double): Boolean =
     elapsedSec + projectedSec <= budgetSec * 0.95
 
-  /** Median / MAD-based spread of one query's samples. Spread is
+  /** Median / MAD-based spread of one query's samples. Even-count
+    * recordings take the UPPER middle (s(n/2)) — deliberately
+    * conservative: a truncated-to-2-rounds record reports its worse
+    * sample rather than flattering itself, and all 13 rounds of
+    * committed records share the convention (changing it mid-project
+    * would skew every cross-round comparison). Spread is
     * 2 × median(|t − median|): robust to bursts contaminating up to
     * half the samples (a trimmed range only survives one), so the
     * published figure reflects steady state. The burst-SENSITIVE

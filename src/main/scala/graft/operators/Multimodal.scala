@@ -178,15 +178,18 @@ object Multimodal {
             .getOrElse(decodeStub(r))
         else if (r.media_type == "video" && looksLikeVideo(r.payload))
           // real container parse: true display dims; n_frames is the
-          // 1-fps sampling policy over the TRUE duration (frame decode
-          // itself stays stubbed — see extractVideoFeatures for the
-          // honestly-named typed path)
+          // stsz sample count when present, else the 1-fps sampling
+          // policy over the TRUE duration (frame decode itself stays
+          // stubbed — see extractVideoFeatures for the honestly-named
+          // typed path)
           parseMp4(r.payload).map(m => MediaFeatures(
             doc_id = r.doc_id, media_type = r.media_type,
             byte_len = r.payload.length.toLong, fp = md5hex(r.payload),
             width = m.width, height = m.height,
-            n_frames = math.max(1L,
-              if (m.timescale > 0) m.duration / m.timescale else 1L)))
+            n_frames =
+              if (m.nFrames > 0) m.nFrames
+              else math.max(1L,
+                if (m.timescale > 0) m.duration / m.timescale else 1L)))
             .getOrElse(decodeStub(r))
         else decodeStub(r)
       }
@@ -228,7 +231,7 @@ object Multimodal {
   final case class VideoFeatures(
       doc_id: Long, byte_len: Long, fp: String,
       duration_ms: Long, timescale: Long, width: Long, height: Long,
-      codec: String, n_tracks: Long, decoded: Boolean)
+      codec: String, n_frames: Long, n_tracks: Long, decoded: Boolean)
 
   /** Magic-byte sniff for ISO-BMFF containers (MP4/MOV/3GP…): every
     * conforming file leads with an `ftyp` box, i.e. bytes 4-7 spell
@@ -243,12 +246,12 @@ object Multimodal {
     * legitimately reports 0×0 and the first track's codec. */
   private final case class Mp4Meta(
       timescale: Long, duration: Long, width: Long, height: Long,
-      codec: String, nTracks: Long)
+      codec: String, nFrames: Long, nTracks: Long)
 
-  /** Per-trak accumulator for the box walk (tkhd dims + stsd fourcc of
-    * the trak currently being descended). */
+  /** Per-trak accumulator for the box walk (tkhd dims, stsd fourcc,
+    * stsz sample count of the trak currently being descended). */
   private final class TrakAcc {
-    var w = 0L; var h = 0L; var codec = ""
+    var w = 0L; var h = 0L; var codec = ""; var nSamples = 0L
   }
 
   /** Minimal pure-JDK ISO-BMFF box walk (ISO/IEC 14496-12 §4.2, §8.2.2,
@@ -257,7 +260,8 @@ object Multimodal {
     * Containers descended: moov, trak, mdia, minf, stbl. Leaves read:
     * mvhd (movie timescale + duration, version 0 and 1 layouts), tkhd
     * (16.16 fixed-point display width/height, both versions), stsd
-    * (first sample-entry fourcc = the codec). Malformed input (sizes
+    * (first sample-entry fourcc = the codec), stsz (sample count =
+    * the track's true frame count). Malformed input (sizes
     * running past the buffer, truncated headers, absurd nesting) stops
     * the walk instead of throwing — the caller degrades to the stub.
     * None unless a plausible mvhd was found (timescale > 0). */
@@ -270,6 +274,7 @@ object Multimodal {
     val containers = Set("moov", "trak", "mdia", "minf", "stbl")
     var timescale = 0L; var duration = -1L
     var width = 0L; var height = 0L; var codec = ""; var nTracks = 0L
+    var nFrames = 0L
     var firstCodec = ""
 
     def walk(start: Long, end: Long, depth: Int, trak: TrakAcc): Unit = {
@@ -294,6 +299,7 @@ object Multimodal {
               // first track with real display dims = the video track
               if (width == 0L && acc.w > 0L) {
                 width = acc.w; height = acc.h; codec = acc.codec
+                nFrames = acc.nSamples
               }
             case t if containers(t) => walk(body, bodyEnd, depth + 1, trak)
             case "mvhd" if body + 4 <= bodyEnd =>
@@ -315,6 +321,10 @@ object Multimodal {
             case "stsd" if trak != null && trak.codec.isEmpty && body + 16 <= bodyEnd =>
               // FullBox(4) + entry_count(4) + first entry [size:u32][fourcc]
               trak.codec = fourcc(body.toInt + 12).trim
+            case "stsz" if trak != null && body + 12 <= bodyEnd =>
+              // FullBox(4) + sample_size(4) + sample_count(4): the
+              // track's true frame/sample count, no decode needed
+              trak.nSamples = u32(body.toInt + 8)
             case _ => ()
           }
           off = bodyEnd
@@ -326,7 +336,7 @@ object Multimodal {
       walk(0L, bytes.length.toLong, 0, null)
       if (timescale <= 0L || duration < 0L) None
       else Some(Mp4Meta(timescale, duration, width, height,
-        if (codec.nonEmpty) codec else firstCodec, nTracks))
+        if (codec.nonEmpty) codec else firstCodec, nFrames, nTracks))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -342,6 +352,8 @@ object Multimodal {
       timescale = 600L * (1 + h % 4),
       width = 320 + h % 1600, height = 240 + (h / 7) % 840,
       codec = Seq("avc1", "hev1", "vp09", "av01")((h % 4).toInt),
+      // 24 fps over the stub duration, integer floor — engine-portable
+      n_frames = 24L * (1000 + h % 600000) / 1000,
       n_tracks = 1 + h % 2,
       decoded = false)
   }
@@ -367,7 +379,14 @@ object Multimodal {
               duration_ms =
                 if (m.timescale > 0) m.duration * 1000L / m.timescale else 0L,
               timescale = m.timescale, width = m.width, height = m.height,
-              codec = m.codec, n_tracks = m.nTracks, decoded = true)
+              codec = m.codec,
+              // stsz sample count when the container carries it; else
+              // the 1-fps duration policy (still real duration)
+              n_frames =
+                if (m.nFrames > 0) m.nFrames
+                else math.max(1L,
+                  if (m.timescale > 0) m.duration / m.timescale else 1L),
+              n_tracks = m.nTracks, decoded = true)
           case None => videoStub(r)
         }
       }

@@ -1006,7 +1006,9 @@ object CurationQueries {
     * splits don't sum to B (rounding drift compounds across hundreds
     * of sources); largest-remainder is the classic apportionment
     * algorithm whose allocations are integers that sum to EXACTLY B by
-    * construction. base = (B·c_l) div T, remainders ranked
+    * construction. base = (B·c_l) div T with the product carried in
+    * DECIMAL(38,0)/HUGEINT (BIGINT wraps past ~9.2e12 tokens per
+    * language — under a 100 TB corpus's ~2.5e13), remainders ranked
     * (rem DESC, lang ASC), the leftover r = B − Σ base slots go one
     * each to the top-r remainders. Everything is BIGINT products over
     * a |languages|-row frame — the corpus is scanned once for token
@@ -1021,8 +1023,14 @@ object CurationQueries {
         val tot = counts.agg(sum(col("n_tokens")).as("t"))
         val base = counts.crossJoin(broadcast(tot))
           .select(col("lang"), col("n_tokens"),
-            expr(s"($BudgetSlots * n_tokens) div t").as("base_quota"),
-            expr(s"($BudgetSlots * n_tokens) % t").as("rem"))
+            // B·c_l in DECIMAL(38,0) (HUGEINT in the oracle): the
+            // 10^6-slot budget times a language's token count wraps
+            // BIGINT past ~9.2e12 tokens — a 100 TB corpus holds
+            // ~2.5e13, exactly the scale the apportionment is for
+            expr(s"CAST((CAST($BudgetSlots AS DECIMAL(38,0)) * n_tokens) div t AS BIGINT)")
+              .as("base_quota"),
+            expr(s"CAST((CAST($BudgetSlots AS DECIMAL(38,0)) * n_tokens) % t AS BIGINT)")
+              .as("rem"))
         val wRem = Window.orderBy(col("rem").desc, col("lang"))
         val wAll = Window.partitionBy()
         base
@@ -1039,8 +1047,8 @@ object CurationQueries {
               |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM counts),
               |base AS (
               |  SELECT lang, n_tokens,
-              |    ($BudgetSlots * n_tokens) // (SELECT t FROM tot) AS base_quota,
-              |    ($BudgetSlots * n_tokens) % (SELECT t FROM tot) AS rem
+              |    CAST((CAST($BudgetSlots AS HUGEINT) * n_tokens) // (SELECT t FROM tot) AS BIGINT) AS base_quota,
+              |    CAST((CAST($BudgetSlots AS HUGEINT) * n_tokens) % (SELECT t FROM tot) AS BIGINT) AS rem
               |  FROM counts),
               |rk AS (
               |  SELECT *,

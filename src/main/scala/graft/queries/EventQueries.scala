@@ -81,11 +81,14 @@ object EventQueries {
     // (the lm_perplexity discipline) so empty buckets need no epsilon
     // hacks. PSI > 0.2 is the conventional "investigate" line. Exact
     // cross-engine arithmetic end-to-end: p and q stay RATIONAL —
-    // ln() is taken of identical doubles built from exact BIGINT
-    // products, rounded once to micro-nats, and the weighted sum runs
-    // as Σ(num·t) div (common denominator) with DECIMAL(38,0)/HUGEINT
-    // headroom (rate_mosum's rule: the cross terms square event totals,
-    // BIGINT wraps silently exactly where it matters). Every PSI term
+    // ln() is taken of identical doubles built from exact
+    // DECIMAL(38,0)/HUGEINT products, rounded once to micro-nats, and
+    // the weighted sum runs as Σ(num·t) div (common denominator) in
+    // the same headroom (rate_mosum's rule: the cross terms and the
+    // denominator square event totals — pn/qn wrap BIGINT past ~3e9
+    // counts, the denominator past ~3e9 totals; both engines carry
+    // every product wide, and the one → double cast rounds the same
+    // integer to the same nearest double on each). Every PSI term
     // is ≥ 0 ((p−q) and ln(p/q) share sign), so the single floor
     // division agrees across engines. Plan: one scan, counts collapse
     // map-side to |types|·24 cells, the day-0 anchor and totals frames
@@ -109,15 +112,26 @@ object EventQueries {
         val tot = grid.groupBy(col("event_type"))
           .agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
         grid.join(broadcast(tot), Seq("event_type"))
-          .withColumn("pn", (col("c1") + lit(1L)) * (col("n0") + lit(B.toLong)))
-          .withColumn("qn", (col("c0") + lit(1L)) * (col("n1") + lit(B.toLong)))
+          // pn/qn in DECIMAL(38,0) (HUGEINT in the oracle): the
+          // smoothed cross product (hour count + 1)·(type total + 24)
+          // wraps BIGINT once counts pass ~3e9 each — a 100 TB event
+          // stream is orders beyond that; decimal keeps every term
+          // exact (the → double cast for the log rounds the same
+          // integer to the same nearest double on both engines)
+          .withColumn("pn",
+            (col("c1") + lit(1L)).cast("decimal(38,0)") * (col("n0") + lit(B.toLong)))
+          .withColumn("qn",
+            (col("c0") + lit(1L)).cast("decimal(38,0)") * (col("n1") + lit(B.toLong)))
           .withColumn("t_micro", QueryDef.microPoints(
             log(col("pn").cast("double") / col("qn").cast("double"))))
           .groupBy(col("event_type"))
           .agg(min(col("n0")).as("n_base"), min(col("n1")).as("n_cur"),
             sum((col("pn") - col("qn")).cast("decimal(38,0)") * col("t_micro")).as("sm"))
           .select(col("event_type"), col("n_base"), col("n_cur"),
-            expr(s"CAST(sm div ((n_cur + $B) * (n_base + $B)) AS BIGINT)").as("psi_micro"))
+            // the denominator too: (n_cur+24)·(n_base+24) is a
+            // total×total product — 1e12-scale counts wrap it in BIGINT
+            expr(s"CAST(sm div (CAST(n_cur + $B AS DECIMAL(38,0)) * (n_base + $B)) AS BIGINT)")
+              .as("psi_micro"))
           .withColumn("drifted", (col("psi_micro") > lit(200000L)).cast("long"))
       },
       Some(s"""WITH ev AS (
@@ -144,15 +158,15 @@ object EventQueries {
              |  FROM grid GROUP BY 1),
              |terms AS (
              |  SELECT g.event_type, t.n0, t.n1,
-             |    (g.c1 + 1) * (t.n0 + 24) AS pn,
-             |    (g.c0 + 1) * (t.n1 + 24) AS qn,
+             |    CAST(g.c1 + 1 AS HUGEINT) * (t.n0 + 24) AS pn,
+             |    CAST(g.c0 + 1 AS HUGEINT) * (t.n1 + 24) AS qn,
              |    ${QueryDef.microPointsSql(
-                    "ln(CAST((g.c1 + 1) * (t.n0 + 24) AS DOUBLE) / CAST((g.c0 + 1) * (t.n1 + 24) AS DOUBLE))")} AS t_micro
+                    "ln(CAST(CAST(g.c1 + 1 AS HUGEINT) * (t.n0 + 24) AS DOUBLE) / CAST(CAST(g.c0 + 1 AS HUGEINT) * (t.n1 + 24) AS DOUBLE))")} AS t_micro
              |  FROM grid g JOIN tot t USING (event_type)),
              |agg AS (
              |  SELECT event_type, MIN(n0) AS n_base, MIN(n1) AS n_cur,
-             |    CAST(SUM(CAST(pn - qn AS HUGEINT) * t_micro)
-             |      // ((MIN(n1) + 24) * (MIN(n0) + 24)) AS BIGINT) AS psi_micro
+             |    CAST(SUM((pn - qn) * t_micro)
+             |      // (CAST(MIN(n1) + 24 AS HUGEINT) * (MIN(n0) + 24)) AS BIGINT) AS psi_micro
              |  FROM terms GROUP BY 1)
              |SELECT event_type, n_base, n_cur, psi_micro,
              |  CAST(psi_micro > 200000 AS BIGINT) AS drifted
@@ -237,11 +251,14 @@ object EventQueries {
     // throughput: an hour whose count sits > 3σ from its event-type's
     // mean is flagged. ZERO floats anywhere: |c − μ| > 3σ is
     // cross-multiplied to (n·c − S)² > 9·(n·SS − S²) — every term an
-    // exact BIGINT product (μ = S/n and σ² = (n·SS − S²)/n² never
-    // materialize), so the flag is bit-reproducible on any engine, the
-    // `stats_moments` discipline applied to thresholding. Overflow
-    // headroom: terms stay under 2⁶³ to ~3·10⁹ events/hour-bucket at a
-    // year of hourly buckets.
+    // exact DECIMAL(38,0)/HUGEINT product (μ = S/n and σ² =
+    // (n·SS − S²)/n² never materialize), so the flag is
+    // bit-reproducible on any engine, the `stats_moments` discipline
+    // applied to thresholding. The wide type is load-bearing at scale:
+    // a single hour's c² hits 2⁶³ at c ≈ 3·10⁹, so BIGINT wraps SS
+    // silently at exactly the throughput a 100 TB stream runs (and
+    // n·SS, dev² are a further ~10⁴× beyond); every term stays under
+    // 10²⁷ ≪ 10³⁸ even at 3·10⁹ events/hour × a year of buckets.
     //
     // 100 TB shape: the corpus collapses to (type, hour) counts at
     // scan time (map-side combinable); the per-type moment frame is
@@ -255,10 +272,11 @@ object EventQueries {
           .agg(count(lit(1)).as("c"))
         val st = h.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
-            sum(col("c") * col("c")).as("ss"))
-        val dev = col("n") * col("c") - col("s")
+            sum(col("c").cast("decimal(38,0)") * col("c")).as("ss"))
+        val dev = col("n").cast("decimal(38,0)") * col("c") - col("s")
         h.join(broadcast(st), Seq("event_type"))
-          .filter(dev * dev > lit(9L) * (col("n") * col("ss") - col("s") * col("s")))
+          .filter(dev * dev >
+            lit(9L) * (col("n") * col("ss") - col("s").cast("decimal(38,0)") * col("s")))
           .select(col("event_type"), col("hour"), col("c").as("n_events"),
             when(dev > 0, lit("high")).otherwise(lit("low")).as("tail"))
       },
@@ -268,13 +286,14 @@ object EventQueries {
              |    COUNT(*) AS c
              |  FROM events GROUP BY 1, 2),
              |st AS (
-             |  SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ss
+             |  SELECT event_type, COUNT(*) AS n, SUM(c) AS s,
+             |    SUM(CAST(c AS HUGEINT) * c) AS ss
              |  FROM h GROUP BY 1)
              |SELECT h.event_type, h.hour, h.c AS n_events,
-             |  CASE WHEN st.n * h.c - st.s > 0 THEN 'high' ELSE 'low' END AS tail
+             |  CASE WHEN CAST(st.n AS HUGEINT) * h.c - st.s > 0 THEN 'high' ELSE 'low' END AS tail
              |FROM h JOIN st USING (event_type)
-             |WHERE (st.n * h.c - st.s) * (st.n * h.c - st.s)
-             |      > 9 * (st.n * st.ss - st.s * st.s)""".stripMargin)),
+             |WHERE (CAST(st.n AS HUGEINT) * h.c - st.s) * (CAST(st.n AS HUGEINT) * h.c - st.s)
+             |      > 9 * (st.n * st.ss - CAST(st.s AS HUGEINT) * st.s)""".stripMargin)),
 
     // sliding-window aggregation (1 h window, 15 min slide): the
     // window() generator fans each event into its 4 containing windows
@@ -1014,7 +1033,9 @@ object EventQueries {
           .agg(count(lit(1)).as("c"))
         val mom = hourly.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
-            sum(col("c") * col("c")).as("ss"))
+            // c² in decimal from the start: a single 3e9-count hour
+            // already saturates a BIGINT square (rate_anomaly's rule)
+            sum(col("c").cast("decimal(38,0)") * col("c")).as("ss"))
         val wTrail = Window.partitionBy(col("event_type")).orderBy(col("hr"))
           .rowsBetween(-(W - 1).toLong, Window.currentRow)
         val wSeq = Window.partitionBy(col("event_type")).orderBy(col("hr"))
@@ -1043,7 +1064,8 @@ object EventQueries {
              |    COUNT(*) AS c
              |  FROM events GROUP BY 1, 2),
              |mom AS (
-             |  SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS ss
+             |  SELECT event_type, COUNT(*) AS n, SUM(c) AS s,
+             |    SUM(CAST(c AS HUGEINT) * c) AS ss
              |  FROM hourly GROUP BY 1),
              |tr AS (
              |  SELECT event_type, hr,

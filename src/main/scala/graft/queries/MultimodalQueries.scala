@@ -100,7 +100,8 @@ object MultimodalQueries {
     // Typed VIDEO container metadata over the video-typed media —
     // [[Multimodal.extractVideoFeatures]]: a REAL pure-JDK ISO-BMFF
     // box parse (mvhd duration/timescale, tkhd display dimensions,
-    // stsd codec fourcc, trak count) where the payload is a readable
+    // stsd codec fourcc, stsz true frame count, trak count) where the
+    // payload is a readable
     // MP4 (pinned against synthesized MP4 headers in MultimodalSpec —
     // both mvhd versions, 64-bit box sizes, audio-only containers,
     // truncated garbage), deterministic hash-derived stand-ins
@@ -119,7 +120,8 @@ object MultimodalQueries {
         .toDF()
         .select(col("doc_id"), col("byte_len"), col("fp"),
           col("duration_ms"), col("timescale"), col("width"), col("height"),
-          col("codec"), col("n_tracks"), col("decoded").cast("long").as("decoded")),
+          col("codec"), col("n_frames"), col("n_tracks"),
+          col("decoded").cast("long").as("decoded")),
       Some("""WITH m AS (
              |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
              |f AS (SELECT doc_id,
@@ -133,6 +135,7 @@ object MultimodalQueries {
              |  320 + h % 1600 AS width,
              |  240 + (h // 7) % 840 AS height,
              |  list_extract(['avc1', 'hev1', 'vp09', 'av01'], CAST(h % 4 + 1 AS INT)) AS codec,
+             |  24 * (1000 + h % 600000) // 1000 AS n_frames,
              |  1 + h % 2 AS n_tracks,
              |  CAST(0 AS BIGINT) AS decoded
              |FROM f""".stripMargin))

@@ -158,7 +158,10 @@ object EventStreams {
     * plan anyway. */
   def rateAnomalyStream(events: DataFrame, baseline: DataFrame,
       watermark: String = "2 hours"): DataFrame = {
-    val dev = col("n") * col("n_events") - col("s")
+    // decimal cross products — the batch rate_anomaly discipline: c²
+    // saturates a BIGINT at c ≈ 3e9 events/hour, exactly live-stream
+    // scale, so dev², n·SS and S² all run in DECIMAL(38,0)
+    val dev = col("n").cast("decimal(38,0)") * col("n_events") - col("s")
     events
       .withWatermark("ts", watermark)
       .join(broadcast(baseline), Seq("event_type"))
@@ -166,7 +169,9 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"),
         min(col("n")).as("n"), min(col("s")).as("s"), min(col("ss")).as("ss"))
       .select(col("window"), col("event_type"), col("n_events"),
-        when(dev * dev > lit(9L) * (col("n") * col("ss") - col("s") * col("s")), 1L)
+        when(dev * dev > lit(9L) *
+            (col("n") * col("ss").cast("decimal(38,0)") -
+              col("s").cast("decimal(38,0)") * col("s")), 1L)
           .otherwise(0L).as("is_spike"),
         when(dev > 0, lit("high")).otherwise(lit("low")).as("tail"))
   }
@@ -1039,11 +1044,10 @@ object EventStreams {
     * d0Day+15), current = the rest — same split as the batch anchor),
     * a fixed 48 longs per type, and each micro-batch emits the running
     * PSI in micro-nats with the batch form's EXACT integer arithmetic:
-    * add-one-smoothed cross products pn/qn as longs, ln of their
-    * double ratio rounded once to micro-nats, the Σ(pn−qn)·t term in
-    * BigInt (the JVM twin of the batch decimal(38,0) — the cross
-    * terms square per-type totals, rate_mosum's overflow rule), one
-    * final floor division. Every term of the sum is ≥ 0, so
+    * add-one-smoothed cross products pn/qn in BigInt (the JVM twin of
+    * the batch decimal(38,0) — a Long product wraps past ~3e9-count
+    * grids), ln of their double ratio rounded once to micro-nats, the
+    * Σ(pn−qn)·t term and the final floor division in BigInt too. Every term of the sum is ≥ 0, so
     * truncating and floor division agree — the same argument the
     * batch/DuckDB pair relies on; the final emission over the same
     * events therefore equals the batch rows bit for bit, and
@@ -1079,10 +1083,13 @@ object EventStreams {
           var sm = BigInt(0)
           i = 0
           while (i < B) {
-            val pn = (g(B + i) + 1L) * (n0 + B)
-            val qn = (g(i) + 1L) * (n1 + B)
+            // BigInt cross products — the JVM twin of the batch
+            // query's DECIMAL(38,0): a Long (count+1)·(total+24) wraps
+            // past ~3e9-count grids, silently
+            val pn = BigInt(g(B + i) + 1L) * (n0 + B)
+            val qn = BigInt(g(i) + 1L) * (n1 + B)
             val t = math.floor(math.log(pn.toDouble / qn.toDouble) * 1e6 + 0.5).toLong
-            sm += BigInt(pn - qn) * BigInt(t)
+            sm += (pn - qn) * BigInt(t)
             i += 1
           }
           val psi = (sm / (BigInt(n1 + B) * BigInt(n0 + B))).toLong

@@ -185,8 +185,15 @@ class MultimodalSpec extends SparkSuite {
     val entry = box(codec, new Array[Byte](70))
     fullBox("stsd", 0, java.nio.ByteBuffer.allocate(4).putInt(1).array() ++ entry)
   }
-  private def trak(w: Long, h: Long, codec: String): Array[Byte] =
-    box("trak", tkhd(w, h) ++ box("mdia", box("minf", box("stbl", stsd(codec)))))
+  private def stsz(nSamples: Int): Array[Byte] =
+    // sample_size(4, 0 = per-sample table follows) + sample_count(4)
+    fullBox("stsz", 0,
+      java.nio.ByteBuffer.allocate(8).putInt(0).putInt(nSamples).array())
+  private def trak(w: Long, h: Long, codec: String,
+      nSamples: Int = 0): Array[Byte] = {
+    val stbl = if (nSamples > 0) stsd(codec) ++ stsz(nSamples) else stsd(codec)
+    box("trak", tkhd(w, h) ++ box("mdia", box("minf", box("stbl", stbl))))
+  }
   private def mp4(mvhdBytes: Array[Byte], traks: Array[Byte]*): Array[Byte] =
     box("ftyp", "isom0000isom".getBytes("ISO-8859-1")) ++
       box("moov", mvhdBytes ++ traks.flatten)
@@ -197,7 +204,7 @@ class MultimodalSpec extends SparkSuite {
     // track + one 0x0 mp4a audio track — dims/codec must come from the
     // VIDEO track, n_tracks counts both
     val twoTrack = mp4(mvhd(600, 3000, version = 0),
-      trak(0, 0, "mp4a"), trak(640, 360, "avc1"))
+      trak(0, 0, "mp4a"), trak(640, 360, "avc1", nSamples = 120))
     // version-1 mvhd (64-bit times) + 64-bit moov box size
     val v1 = box("ftyp", "isom0000isom".getBytes("ISO-8859-1")) ++
       box64("moov", mvhd(90000, 90000L * 61, version = 1) ++ trak(1920, 1080, "hev1"))
@@ -215,7 +222,11 @@ class MultimodalSpec extends SparkSuite {
     val f = Multimodal.extractVideoFeatures(media).collect().map(v => v.doc_id -> v).toMap
     assert(f(1L).decoded && f(1L).duration_ms == 5000L && f(1L).timescale == 600L &&
       f(1L).width == 640L && f(1L).height == 360L && f(1L).codec == "avc1" &&
+      f(1L).n_frames == 120L && // true stsz sample count, not a policy
       f(1L).n_tracks == 2L, f(1L).toString)
+    // no stsz in the v1 container: n_frames falls back to the 1-fps
+    // duration policy (61 s -> 61)
+    assert(f(2L).n_frames == 61L, f(2L).toString)
     assert(f(2L).decoded && f(2L).duration_ms == 61000L && f(2L).timescale == 90000L &&
       f(2L).width == 1920L && f(2L).height == 1080L && f(2L).codec == "hev1", f(2L).toString)
     assert(f(3L).decoded && f(3L).duration_ms == 2000L && f(3L).width == 0L &&
@@ -230,9 +241,9 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.extractVideoFeatures(media).toDF()
       .except(Multimodal.extractVideoFeatures(media).toDF()).isEmpty)
     // the generic features pass surfaces the real parse too: true
-    // dims, n_frames = 1-fps policy over the true duration
+    // dims, n_frames = stsz count when present, 1-fps policy otherwise
     val g = Multimodal.extractFeatures(media).collect().map(v => v.doc_id -> v).toMap
-    assert(g(1L).width == 640L && g(1L).height == 360L && g(1L).n_frames == 5L)
+    assert(g(1L).width == 640L && g(1L).height == 360L && g(1L).n_frames == 120L)
     assert(g(2L).n_frames == 61L)
     // an IMAGE record carrying MP4 bytes stays off the video parser
     val cross = Multimodal.extractFeatures(
