@@ -29,6 +29,12 @@ object SimilarityQueries {
   private val NQueries = 8
   private val TopK = 5
 
+  /** `ann_binary` Hamming candidate-pool size: 4× the final k — the
+    * standard binary-quantization rerank multiplier (enough slack for
+    * sign-bit angle error at 64 dims without paying a corpus-wide
+    * cosine pass). */
+  private val HammingCand = 20
+
   /** Spark/DuckDB-identical 8-bit sign signature over dims 1..8. */
   private def sigCol = (0 until 8).map { i =>
     when(element_at(col("embedding"), i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
@@ -1174,6 +1180,117 @@ object SimilarityQueries {
            |    SELECT q_id, n_id,
            |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
            |    FROM scored) t
+           |  WHERE rank <= $TopK),
+           |truth AS (SELECT q_id, n_id FROM ($bruteTopKSql) tv),
+           |h AS (
+           |  SELECT t.q_id, COUNT(*) AS k_found
+           |  FROM truth t JOIN got g ON t.q_id = g.q_id AND t.n_id = g.n_id
+           |  GROUP BY 1),
+           |k AS (SELECT q_id, COUNT(*) AS k_true FROM truth GROUP BY 1)
+           |SELECT k.q_id, k.k_true, COALESCE(h.k_found, 0) AS k_found,
+           |  ${QueryDef.microPointsSql(
+              "CAST(COALESCE(h.k_found, 0) AS DOUBLE) / CAST(k.k_true AS DOUBLE)")} AS recall_micro
+           |FROM k LEFT JOIN h USING (q_id)""".stripMargin
+      }),
+
+    // BINARY (sign-bit) quantized ANN + exact rerank — the 1-bit/dim
+    // compression tier below SQ8: each vector collapses to its
+    // per-dim sign pattern, 64 dims → 8 BYTES (32× smaller than
+    // float32, 8× below SQ8), and candidate search is Hamming
+    // distance = popcount(xor) — pure integer ops, no float touches
+    // the scan. Sign codes approximate angle (Charikar 2002's SimHash
+    // bound: P[signs agree] = 1 − θ/π per random direction; raw axes
+    // stand in for random projections here, the `dedup_embedding`
+    // hyperplane-LSH argument), so top-[[HammingCand]] by Hamming is
+    // a candidate set, and the TRUE ranking comes from an exact-
+    // cosine rerank of ONLY those candidates — the standard two-tier
+    // serving layout (binary in RAM, float fetched per candidate).
+    // Reported per query: recall@[[TopK]] vs the SAME [[bruteTopK]]
+    // truth every ANN eval shares. Integer-exact end to end: bits
+    // from micro-point signs, codes as two 32-bit halves summed as
+    // distinct powers (BIGINT-safe by construction, no 1<<63 sign-bit
+    // edge on either engine), Hamming via bit_count(xor) both engines
+    // define identically; the rerank reuses the established cosine
+    // parity contract. 100 TB shape: the candidate stage scans ONLY
+    // (vec_id, lo, hi) — 24 bytes/row against the broadcast query
+    // codes, the narrowest corpus pass in the ANN family — and the
+    // float vectors are joined back for |queries|·[[HammingCand]]
+    // candidate rows, never corpus-wide.
+    QueryDef("ann_binary",
+      (s, dir) => {
+        val u = transform(col("embedding").cast("array<double>"),
+          x => QueryDef.microPoints(x))
+        val codes = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), u.as("u"))
+          .select(col("vec_id"),
+            expr("aggregate(sequence(1, 32), 0L, (acc, i) -> " +
+              "acc + IF(element_at(u, i) > 0, shiftleft(1L, i - 1), 0L))").as("lo"),
+            expr("aggregate(sequence(33, 64), 0L, (acc, i) -> " +
+              "acc + IF(element_at(u, i) > 0, shiftleft(1L, i - 33), 0L))").as("hi"))
+        val qc = codes.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("q_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+        val wHam = Window.partitionBy(col("q_id")).orderBy(col("hamming"), col("n_id"))
+        val cand = broadcast(qc).join(codes.as("c"), col("q_id") =!= col("c.vec_id"))
+          .select(col("q_id"), col("c.vec_id").as("n_id"),
+            expr("CAST(bit_count(qlo ^ lo) + bit_count(qhi ^ hi) AS BIGINT)")
+              .as("hamming"))
+          .withColumn("hrk", row_number().over(wHam))
+          .filter(col("hrk") <= HammingCand)
+        val e = vecs(s, dir)
+        val qv = broadcast(e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("qv_id"), col("embedding").as("qe"), col("nrm").as("qn")))
+        val wCos = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        val got = cand
+          .join(e.as("cv"), col("n_id") === col("cv.vec_id"))
+          .join(qv, col("q_id") === col("qv_id"))
+          .select(col("q_id"), col("n_id"),
+            cosineFast(col("qe"), col("cv.embedding"), col("qn"), col("cv.nrm")).as("cos"))
+          .withColumn("rank", row_number().over(wCos).cast("long"))
+          .filter(col("rank") <= TopK)
+          .select(col("q_id"), col("n_id"))
+        val truth = bruteTopK(s, dir).select(col("q_id"), col("n_id"))
+        val h = truth.join(got, Seq("q_id", "n_id"), "left_semi")
+          .groupBy(col("q_id")).agg(count(lit(1)).as("k_found"))
+        val k = truth.groupBy(col("q_id")).agg(count(lit(1)).as("k_true"))
+        k.join(h, Seq("q_id"), "left_outer")
+          .select(col("q_id"), col("k_true"),
+            coalesce(col("k_found"), lit(0L)).as("k_found"),
+            QueryDef.microPoints(
+              coalesce(col("k_found"), lit(0L)).cast("double") /
+                col("k_true").cast("double")).as("recall_micro"))
+      },
+      Some {
+        val mp = QueryDef.microPointsSql("CAST(x AS DOUBLE)")
+        s"""WITH uu AS (
+           |  SELECT vec_id, list_transform(embedding, x -> $mp) AS u
+           |  FROM embeddings),
+           |codes AS (
+           |  SELECT vec_id,
+           |    CAST(list_sum(list_transform(range(1, 33), i ->
+           |      CASE WHEN u[CAST(i AS INTEGER)] > 0
+           |        THEN (CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER)) ELSE 0 END)) AS BIGINT) AS lo,
+           |    CAST(list_sum(list_transform(range(33, 65), i ->
+           |      CASE WHEN u[CAST(i AS INTEGER)] > 0
+           |        THEN (CAST(1 AS BIGINT) << CAST(i - 33 AS INTEGER)) ELSE 0 END)) AS BIGINT) AS hi
+           |  FROM uu),
+           |cand AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)),
+           |          c.vec_id) AS hrk
+           |    FROM codes q JOIN codes c
+           |      ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id) t
+           |  WHERE hrk <= $HammingCand),
+           |got AS (
+           |  SELECT q_id, n_id FROM (
+           |    SELECT cand.q_id, cand.n_id,
+           |      row_number() OVER (PARTITION BY cand.q_id
+           |        ORDER BY ${graft.functions.TextFunctions.cosineSql("qe.embedding", "ce.embedding")} DESC,
+           |          cand.n_id) AS rank
+           |    FROM cand
+           |    JOIN embeddings qe ON qe.vec_id = cand.q_id
+           |    JOIN embeddings ce ON ce.vec_id = cand.n_id) t
            |  WHERE rank <= $TopK),
            |truth AS (SELECT q_id, n_id FROM ($bruteTopKSql) tv),
            |h AS (
