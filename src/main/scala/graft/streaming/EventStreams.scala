@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface of the engine — a deliberate extension:
@@ -674,6 +674,87 @@ object EventStreams {
             out.result().iterator
           }
       }
+  }
+
+  /** State-API-v2 processor behind [[sessionGapDistStream]]: the same
+    * per-user (ms, id, type) fold as [[sessionGapsStream]], expressed
+    * as a `StatefulProcessor` so the emitted rows carry a DECLARED
+    * event-time column — the property that lets a downstream stateful
+    * aggregation chain legally (the arbitrary-state API v1 cannot
+    * declare one, which is why the fMGWS twin needs its read-side
+    * rollup). State: ONE ValueState[LastEvent] per user. Eviction:
+    * an event-time timer at last+idleMs; because a fresh timer is
+    * registered per batch and stale ones still fire, the expiry
+    * handler re-checks the CURRENT state's horizon before clearing —
+    * an early-firing stale timer must not evict a user who has since
+    * spoken. */
+  private class GapDistProcessor(idleMs: Long)
+      extends StatefulProcessor[Long, Event, GapOut] {
+    @transient private var last: ValueState[LastEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastEvent]("last",
+        org.apache.spark.sql.Encoders.product[LastEvent], TTLConfig.NONE)
+
+    private def bucketOf(gapS: Long): Long =
+      if (gapS <= 0L) 0L else 63L - java.lang.Long.numberOfLeadingZeros(gapS)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[GapOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = Seq.newBuilder[GapOut]
+      var cur = if (last.exists()) Some(last.get()) else None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur.foreach { p =>
+          val g = math.max(0L, (t - p.ms) / 1000L)
+          out += GapOut(userId, e.ts, g, bucketOf(g))
+        }
+        if (cur.forall(p => p.ms < t || (p.ms == t && p.id < e.event_id)))
+          cur = Some(LastEvent(t, e.event_id, e.event_type))
+      }
+      cur.foreach { c =>
+        last.update(c)
+        getHandle.registerTimer(c.ms + idleMs)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[GapOut] = {
+      // stale-timer guard: clear only when the CURRENT state really is
+      // past its idle horizon at this expiry
+      if (last.exists() && last.get().ms + idleMs <= info.getExpiryTimeInMs())
+        last.clear()
+      Iterator.empty
+    }
+  }
+
+  /** The full `session_gap_dist` twin IN ONE STREAMING QUERY — gap
+    * emission AND the bucket histogram, no read-side fold: the
+    * [[GapDistProcessor]] runs under `transformWithState` with `ts`
+    * declared as the output's event-time column, which is exactly what
+    * Spark's multi-stateful-operator support requires to admit the
+    * downstream `groupBy(bucket)` aggregation (the fMGWS-based
+    * [[sessionGapsStream]] documents why v1 cannot do this). The agg
+    * state is the ≤ ~40-key bucket grid — bounded without a watermark,
+    * map-side combinable like the batch plan; `share_mille` stays a
+    * read-time projection over the final tiny frame (a SECOND global
+    * agg in-query is still unsupported, and the counts are
+    * associative anyway). Requires the RocksDB state store provider
+    * (a state-API-v2 constraint; StreamingSpec sets it for the
+    * query's lifetime). Same late-row divergence contract as the v1
+    * twin. */
+  def sessionGapDistStream(events: Dataset[Event],
+      idleMs: Long = 2L * 60 * 60 * 1000,
+      watermark: String = "2 hours"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new GapDistProcessor(idleMs), "ts", OutputMode.Append())
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("sum_gap_s"))
   }
 
   /** The `session_gap_dist` rollup over [[sessionGapsStream]] output —

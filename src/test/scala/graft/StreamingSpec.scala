@@ -659,6 +659,42 @@ class StreamingSpec extends SparkSuite {
       // pair, cross-batch pair included
       assert(spark.table("gapdist").count() == all.size - 4) // 4 users' first events
     } finally q.stop()
+
+    // the state-API-v2 form: the SAME fold under transformWithState
+    // with a declared event-time column, which admits the bucket
+    // aggregation IN-QUERY (the chaining fMGWS categorically cannot
+    // do). Needs the RocksDB state store; scoped to this query.
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms2 = MemoryStream[Event]
+      val q2 = EventStreams.sessionGapDistStream(ms2.toDS(),
+          idleMs = 48L * 3600 * 1000, watermark = "48 hours")
+        .writeStream.format("memory").queryName("gapdist_v2")
+        .outputMode("update").start()
+      try {
+        ms2.addData(batch1: _*)
+        q2.processAllAvailable()
+        ms2.addData(batch2: _*)
+        q2.processAllAvailable()
+        val rows = spark.table("gapdist_v2")
+          .select(col("bucket"), col("n_gaps"), col("sum_gap_s"))
+          .as[(Long, Long, Long)].collect()
+        // update mode re-emits; counts only grow → last version per bucket
+        val fin = rows.groupBy(_._1).values.map(_.maxBy(_._2)).toSeq
+        val tot = fin.map(_._2).sum
+        val got2 = fin.map { case (b, n, s) => (b, n, s, n * 1000L / tot) }.toSet
+        assert(got2 == expected,
+          s"transformWithState gap histogram $got2 diverged from batch $expected")
+      } finally q2.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("streaming MOSUM equals the batch rate_mosum over the same events (frozen moments)") {
