@@ -600,6 +600,71 @@ object EventStreams {
       }
   }
 
+  final case class TransitionEv(user_id: Long, ts: java.sql.Timestamp,
+      from_type: String, to_type: String)
+
+  /** State-API-v2 twin of [[transitionsStateful]]'s fold, emitting the
+    * pair WITH its event time so the output can feed further stateful
+    * operators (see [[GapDistProcessor]] for the v1-vs-v2 contrast). */
+  private class TransitionProcessor(idleMs: Long)
+      extends StatefulProcessor[Long, Event, TransitionEv] {
+    @transient private var last: ValueState[LastEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[LastEvent]("last",
+        org.apache.spark.sql.Encoders.product[LastEvent], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[TransitionEv] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = Seq.newBuilder[TransitionEv]
+      var cur = if (last.exists()) Some(last.get()) else None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur.foreach(p => out += TransitionEv(userId, e.ts, p.tpe, e.event_type))
+        if (cur.forall(p => p.ms < t || (p.ms == t && p.id < e.event_id)))
+          cur = Some(LastEvent(t, e.event_id, e.event_type))
+      }
+      cur.foreach { c =>
+        last.update(c)
+        getHandle.registerTimer(c.ms + idleMs)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[TransitionEv] = {
+      // stale-timer guard (the GapDistProcessor rule): a timer armed
+      // by an older batch must not evict a user who has since spoken
+      if (last.exists() && last.get().ms + idleMs <= info.getExpiryTimeInMs())
+        last.clear()
+      Iterator.empty
+    }
+  }
+
+  /** The LIVE Markov matrix in one query — `event_transitions`' final
+    * shape (from_type, to_type, n), not just the pair stream:
+    * [[transitionsStateful]]'s scaladoc promises "downstream
+    * groupBy(from, to).count()" as the consumer's step because the v1
+    * state API cannot chain it; this is that step done IN-QUERY via
+    * [[TransitionProcessor]] under `transformWithState` with `ts`
+    * declared as the output's event time. Agg state = the
+    * |types|²-key count grid — bounded by construction, map-side
+    * combinable, exactly the batch plan's shuffle shape. Requires the
+    * RocksDB state store (state-API-v2 constraint). Update-mode
+    * emission: the current matrix row versions per micro-batch. */
+  def transitionMatrixStream(events: Dataset[Event],
+      idleMs: Long = 2L * 60 * 60 * 1000,
+      watermark: String = "2 hours"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor(idleMs), "ts", OutputMode.Append())
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   final case class GapOut(user_id: Long, ts: java.sql.Timestamp,
       gap_s: Long, bucket: Long)
 

@@ -322,6 +322,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("ann_binary: no cartesian product; codes-only candidate join") {
+    // the candidate stage must join the broadcast query CODES against
+    // the narrow (vec_id, lo, hi) projection — a CartesianProduct (or
+    // the float embedding column reaching the non-equi join) means the
+    // 24-byte/row scan claim is broken
+    val p = plan(SparkEntry.queries("ann_binary")(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("multimodal_video: zero-Exchange per-partition container parse") {
     // same module rule as the audio pin: the ISO-BMFF metadata walk is
     // a pure map — an Exchange means the payload entered keyed work

@@ -565,22 +565,30 @@ class StreamingSpec extends SparkSuite {
   test("stateful transitions reproduce the batch lead() pairs across micro-batches") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
+    val batch1 = Seq(
+      // user 7: two events in batch 1, third arrives in batch 2 —
+      // the carried state must supply the (view → purchase) pair
+      Event(1, ts(0), 7, "click", 0.0), Event(2, ts(5), 7, "view", 0.0),
+      // user 8: one event only in batch 1
+      Event(3, ts(5), 8, "click", 0.0),
+      // user 9: same-timestamp tie — (ts, event_id) order decides
+      // the pair direction, exactly like the batch window's sort
+      Event(11, ts(8), 9, "view", 0.0), Event(10, ts(8), 9, "click", 0.0))
+    val batch2 = Seq(
+      Event(4, ts(10), 7, "purchase", 0.0),
+      Event(5, ts(12), 8, "view", 0.0))
+    // the batch twin's exact formulation over the same rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val expected = (batch1 ++ batch2).toDF()
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("user_id"), col("event_type"), col("to_type"))
+      .as[(Long, String, String)].collect().sorted.toSeq
     val ms = MemoryStream[Event]
     val q = EventStreams.transitionsStateful(ms.toDS())
       .writeStream.format("memory").queryName("trans").outputMode("append").start()
     try {
-      val batch1 = Seq(
-        // user 7: two events in batch 1, third arrives in batch 2 —
-        // the carried state must supply the (view → purchase) pair
-        Event(1, ts(0), 7, "click", 0.0), Event(2, ts(5), 7, "view", 0.0),
-        // user 8: one event only in batch 1
-        Event(3, ts(5), 8, "click", 0.0),
-        // user 9: same-timestamp tie — (ts, event_id) order decides
-        // the pair direction, exactly like the batch window's sort
-        Event(11, ts(8), 9, "view", 0.0), Event(10, ts(8), 9, "click", 0.0))
-      val batch2 = Seq(
-        Event(4, ts(10), 7, "purchase", 0.0),
-        Event(5, ts(12), 8, "view", 0.0))
       ms.addData(batch1: _*)
       q.processAllAvailable()
       ms.addData(batch2: _*)
@@ -588,19 +596,45 @@ class StreamingSpec extends SparkSuite {
       val got = spark.table("trans")
         .select(col("user_id"), col("from_type"), col("to_type"))
         .as[(Long, String, String)].collect().sorted.toSeq
-      // the batch twin's exact formulation over the same rows
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val expected = (batch1 ++ batch2).toDF()
-        .withColumn("to_type", lead(col("event_type"), 1).over(w))
-        .filter(col("to_type").isNotNull)
-        .select(col("user_id"), col("event_type"), col("to_type"))
-        .as[(Long, String, String)].collect().sorted.toSeq
       assert(got == expected,
         s"stream pairs $got diverged from batch lead() pairs $expected")
       assert(got.count(_._1 == 9L) == 1 &&
         got.contains((9L, "click", "view"))) // tie resolved by event_id
     } finally q.stop()
+
+    // the state-API-v2 form: the LIVE Markov matrix in one query —
+    // the groupBy(from, to).count() the v1 twin's doc delegates to the
+    // consumer chains in-query under transformWithState
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms2 = MemoryStream[Event]
+      val q2 = EventStreams.transitionMatrixStream(ms2.toDS())
+        .writeStream.format("memory").queryName("trans_matrix")
+        .outputMode("update").start()
+      try {
+        ms2.addData(batch1: _*)
+        q2.processAllAvailable()
+        ms2.addData(batch2: _*)
+        q2.processAllAvailable()
+        val rows = spark.table("trans_matrix")
+          .select(col("from_type"), col("to_type"), col("n"))
+          .as[(String, String, Long)].collect()
+        val fin = rows.groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3))
+          .map(r => ((r._1, r._2), r._3)).toMap
+        val matrixExpected = expected.groupBy(p => (p._2, p._3))
+          .map { case (k, v) => k -> v.size.toLong }
+        assert(fin == matrixExpected,
+          s"in-query matrix $fin diverged from batch pair counts $matrixExpected")
+      } finally q2.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("streaming gap histogram equals the batch session_gap_dist over the same events") {
