@@ -794,6 +794,59 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState gap histogram restarts from a RocksDB checkpoint exactly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def t(sec: Long): java.sql.Timestamp = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val dir = tmpDir("gapdist_restart")
+    val (src, out, chk) = (s"$dir/src", s"$dir/out", s"$dir/chk")
+    def writeFile(events: Event*): Unit =
+      events.toDF().withColumn("props", lit("{}"))
+        .repartition(1).write.mode("append").parquet(src)
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val ds = EventStreams.readEventStream(spark, src, nanosTs = Some(false))
+          .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+        val q = EventStreams.sessionGapDistStream(ds,
+            idleMs = 48L * 3600 * 1000, watermark = "48 hours")
+          .writeStream.outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out); ()
+          }
+          .option("checkpointLocation", chk)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // incarnation 1: two gaps (1 s and 4 s) + a dangling last event
+      writeFile(Event(1, t(0), 1, "click", 0.0), Event(2, t(1), 1, "click", 0.0),
+        Event(3, t(10), 2, "click", 0.0), Event(4, t(14), 2, "click", 0.0))
+      run()
+      // incarnation 2 must resume BOTH state layers from RocksDB: the
+      // per-user last events (user 2's 1024 s cross-incarnation gap)
+      // and the bucket count grid (bucket 0's count grows to 2)
+      writeFile(Event(5, t(2), 1, "click", 0.0), Event(6, t(1038), 2, "click", 0.0))
+      run()
+      val rows = spark.read.parquet(out)
+        .select(col("bucket"), col("n_gaps"), col("sum_gap_s"))
+        .as[(Long, Long, Long)].collect()
+      val fin = rows.groupBy(_._1).values.map(_.maxBy(_._2)).toSet
+      // gaps: 1 s (b0), 4 s (b2) from run 1; 1 s (b0), 1024 s (b10)
+      // from run 2 — the b0 count of 2 and the b10 row exist ONLY if
+      // both state layers survived the restart
+      assert(fin == Set((0L, 2L, 2L), (2L, 1L, 4L), (10L, 1L, 1024L)),
+        s"restarted histogram diverged: $fin")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful funnel reproduces the batch min-timestamp step semantics") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
