@@ -410,9 +410,12 @@ object ProfilingQueries {
     // SUM(double*double) is order-sensitive and irreproducible across
     // partitionings). The final mean/corr arithmetic converts the
     // exact integers to double ONCE in a fixed op shape — bit-identical
-    // cross-engine. Overflow headroom: Σy² < 2⁶³ holds to ~8·10⁸ rows
-    // per group at these magnitudes; past that the at-scale swap is
-    // DECIMAL(38,0)/HUGEINT sums (same shape, both engines exact).
+    // cross-engine (DECIMAL→double and HUGEINT→double both round the
+    // same integer to the same nearest double). The five sums run in
+    // DECIMAL(38,0)/HUGEINT: Σy² in BIGINT wraps silently past ~8·10⁸
+    // rows per group at these magnitudes — a 100 TB lineitem holds
+    // ~10¹² per flag — while each per-row product still fits a long
+    // (y² ≤ ~10¹⁰), so only the SUM carries the wide type.
     QueryDef("stats_moments",
       (s, dir) => {
         val x = floor(col("l_quantity") + lit(0.5)).cast("long")
@@ -422,10 +425,11 @@ object ProfilingQueries {
           .select(col("l_returnflag"), x.as("x"), y.as("y"))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
-            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-            sum(col("x") * col("x")).as("sxx"),
-            sum(col("x") * col("y")).as("sxy"),
-            sum(col("y") * col("y")).as("syy"))
+            sum(col("x").cast("decimal(38,0)")).as("sx"),
+            sum(col("y").cast("decimal(38,0)")).as("sy"),
+            sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+            sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+            sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
         g.select(col("l_returnflag"), col("n"),
           round(d(col("sx")) / d(col("n")), 6).as("mean_qty"),
           round(d(col("sy")) / d(col("n")), 6).as("mean_price"),
@@ -438,10 +442,10 @@ object ProfilingQueries {
       Some("""WITH m AS (
              |  SELECT l_returnflag,
              |    COUNT(*) AS n,
-             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
-             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
-             |    CAST(SUM(y * y) AS BIGINT) AS syy
+             |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             |    SUM(CAST(y AS HUGEINT) * y) AS syy
              |  FROM (
              |    SELECT l_returnflag,
              |      CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,

@@ -476,8 +476,12 @@ class PlanAuditSpec extends SparkSuite {
     val p = plan(SparkEntry.queries("stats_moments")(spark, dir))
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size == 1, p)
-    // integer sums: no double enters an aggregation buffer
-    assert(!p.toLowerCase.contains("sum(cast"), p)
+    // exact sums: no DOUBLE enters an aggregation buffer (the r13
+    // headroom swap made the buffers DECIMAL(38,0) — still exact;
+    // the failure smell is specifically a double-typed sum operand)
+    assert("sum\\(cast\\([^)]*as double\\)".r
+      .findFirstIn(p.toLowerCase).isEmpty, p)
+    assert(p.toLowerCase.contains("decimal(38,0)"), p)
   }
 
   test("quantile_sketch: sample aggregation is partial (map-side) before the one group exchange") {
