@@ -446,13 +446,18 @@ object SimilarityQueries {
     // corpus size (the RowMatrix.computeGramianMatrix shape, Spark
     // MLlib's own choice for this op). Arithmetic is the dim_stats
     // contract: components round ONCE to integer micro-points, so
-    // every product and sum is exact BIGINT math no partial-agg order
-    // can perturb. Overflow headroom: |u| ≤ 1e6·|x|; at |x| ≤ 1 the
-    // per-pair product is ≤ 1e12, so the BIGINT total holds to ~9e6
-    // rows per dim pair — past that, cents-scale the components or
-    // sum DECIMAL(38,0) (the stats_moments swap). Dimension count is
-    // taken from the data (min = max asserted, loud failure on
-    // ragged vectors, never a silent mis-accumulation).
+    // every product and sum is exact integer math no partial-agg
+    // order can perturb. Overflow discipline (r13): the per-partition
+    // Long fold flushes ADAPTIVELY — 2^62/maxU² rows per chunk, so no
+    // partition size can wrap a cell silently (at unit vectors that
+    // is ~4.6e6 rows/chunk); the partial merge runs in DECIMAL(38,0)
+    // (HUGEINT in the oracle), and a total past 2^63 RAISES on both
+    // engines (Spark raise_error ↔ DuckDB's CAST(HUGEINT AS BIGINT))
+    // — the remedy at that corpus mass is rescaling the micro unit.
+    // Components past |x| ≈ 3000 are rejected loudly (a single
+    // product would wrap). Dimension count is taken from the data
+    // (min = max asserted, loud failure on ragged vectors, never a
+    // silent mis-accumulation).
     QueryDef("embedding_gram",
       (s, dir) => gramTriangle(s, dir),
       Some(s"""$gramCteSql
@@ -1801,28 +1806,24 @@ object SimilarityQueries {
     val tri = d * (d + 1) / 2
     emb.as[Array[Double]]
       .mapPartitions { it =>
+        // ADAPTIVE CHUNKED fold: a Long triangle cell safely absorbs
+        // cap(maxU) = 2^62 / maxU² rows of maxU-bounded products; when
+        // a chunk reaches that, its partials flush and the accumulator
+        // resets — so the per-partition fold CANNOT wrap silently at
+        // any partition size (the old single-chunk fold wrapped past
+        // ~9e6 rows/partition at |x| ≤ 1 — exactly the corpus sizes
+        // the operator exists for; DuckDB's HUGEINT sum would error
+        // loudly while Spark returned wrong cells). Partial volume
+        // stays #chunks·D(D+1)/2 with chunks ≈ rows/4.6e6 at unit
+        // vectors — still corpus-size-independent per shuffled row.
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
         val acc = new Array[Long](tri)
         val u = new Array[Long](d)
-        var any = false
-        it.foreach { v =>
-          require(v.length == d, s"embedding_gram: vector of length ${v.length}, expected $d")
-          var i = 0
-          while (i < d) { u(i) = math.floor(v(i) * 1e6 + 0.5).toLong; i += 1 }
-          var idx = 0
-          i = 0
-          while (i < d) {
-            val ui = u(i)
-            var j = i
-            while (j < d) { acc(idx) += ui * u(j); idx += 1; j += 1 }
-            i += 1
-          }
-          any = true
-        }
-        if (!any) Iterator.empty
-        else {
-          // one labeled partial per triangle cell — row-major walk
-          // mirroring the accumulation loop above
-          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](tri)
+        var rows = 0L
+        var maxU = 1L
+        def cap(mu: Long): Long =
+          math.max(1L, (1L << 62) / math.max(1L, mu * mu))
+        def flush(): Unit = if (rows > 0) {
           var idx = 0
           var i = 0
           while (i < d) {
@@ -1833,12 +1834,49 @@ object SimilarityQueries {
             }
             i += 1
           }
-          out.iterator
+          java.util.Arrays.fill(acc, 0L)
+          rows = 0L; maxU = 1L
         }
+        it.foreach { v =>
+          require(v.length == d, s"embedding_gram: vector of length ${v.length}, expected $d")
+          var i = 0
+          var rowMax = 1L
+          while (i < d) {
+            u(i) = math.floor(v(i) * 1e6 + 0.5).toLong
+            val a = math.abs(u(i)); if (a > rowMax) rowMax = a
+            i += 1
+          }
+          // loud bound instead of a silent per-product wrap: components
+          // past |x| ≈ 3000 overflow a single ui·uj — no sane embedding
+          // space is there, so reject rather than mis-accumulate
+          require(rowMax <= 3000000000L,
+            s"embedding_gram: component magnitude $rowMax micro exceeds the exact-product bound")
+          if (rows + 1L > cap(math.max(maxU, rowMax))) flush()
+          if (rowMax > maxU) maxU = rowMax
+          var idx = 0
+          i = 0
+          while (i < d) {
+            val ui = u(i)
+            var j = i
+            while (j < d) { acc(idx) += ui * u(j); idx += 1; j += 1 }
+            i += 1
+          }
+          rows += 1L
+        }
+        flush()
+        out.iterator
       }
       .toDF("i", "j", "p")
+      // exact DECIMAL(38,0) merge of the partials, then the SAME
+      // loud-overflow semantics as the oracle's CAST(HUGEINT AS
+      // BIGINT): a gram cell past 2^63 raises instead of nulling —
+      // the caller's remedy is rescaling the micro unit
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("p")).as("gram_u2"))
+      .agg(sum(col("p").cast("decimal(38,0)")).as("g"))
+      .select(col("i"), col("j"),
+        expr("CASE WHEN g > 9223372036854775807 OR g < -9223372036854775808 " +
+          "THEN CAST(raise_error('embedding_gram: gram_u2 exceeds BIGINT - rescale the micro unit') AS BIGINT) " +
+          "ELSE CAST(g AS BIGINT) END").as("gram_u2"))
   }
 
   /** DuckDB twin of [[gramTriangle]] — CTE chain ending in

@@ -41,6 +41,47 @@ class GramSpec extends SparkSuite {
     for (i <- 1L to d.toLong) assert(got((i, i)) > 0L)
   }
 
+  test("chunked gram fold: partials merge exactly; totals past BIGINT raise loudly") {
+    import spark.implicits._
+    // components at x = 1000 → u = 1e9 micro → adaptive cap =
+    // 2^62 / 1e18 = 4 rows per chunk: 8 rows in ONE partition force
+    // multiple flushes, and the merged result must equal the exact
+    // BigInt fold (diagonal total 8e18 still inside BIGINT)
+    def write(dir: String, n: Int, x: Double): Unit =
+      spark.createDataset((1 to n).map(i => (i.toLong, Array(x, x))))
+        .toDF("vec_id", "embedding").repartition(1)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val ok = tmpDir("gram_chunk_ok")
+    write(ok, 8, 1000.0)
+    val got = SimilarityQueries.defs.find(_.name == "embedding_gram").get
+      .fn(spark, ok).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val cell = 8L * 1000000000L * 1000000000L // 8e18 < 2^63
+    assert(got == Map((1L, 1L) -> cell, (1L, 2L) -> cell, (2L, 2L) -> cell), got.toString)
+
+    // two more rows push the exact total to 1e19 > 2^63: the decimal
+    // merge must RAISE (matching DuckDB's CAST(HUGEINT AS BIGINT)
+    // error), never null or wrap
+    val over = tmpDir("gram_chunk_over")
+    write(over, 10, 1000.0)
+    val ex = intercept[Exception] {
+      SimilarityQueries.defs.find(_.name == "embedding_gram").get
+        .fn(spark, over).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("rescale the micro unit")), ex.toString)
+
+    // component past the exact-product bound (|x| > 3000): loud reject
+    val huge = tmpDir("gram_component_bound")
+    write(huge, 1, 5000.0)
+    val ex2 = intercept[Exception] {
+      SimilarityQueries.defs.find(_.name == "embedding_gram").get
+        .fn(spark, huge).collect()
+    }
+    assert(messages(ex2).exists(_.contains("exact-product bound")), ex2.toString)
+  }
+
   /** The query's exact power iteration, recomputed on the driver from
     * a brute-force gram matrix in BigInt — the integer renormalization
     * (floor-divide by the step max onto the 2^20 grid) included. */
