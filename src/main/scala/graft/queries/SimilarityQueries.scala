@@ -343,13 +343,14 @@ object SimilarityQueries {
     // (a dim whose variance ≈ 0 carries no information; a batch of
     // them means the encoder collapsed). The `stats_moments`
     // discipline on floats: each component is rounded ONCE to integer
-    // micro-points, so every sum is exact BIGINT arithmetic and
+    // micro-points, so every sum is exact integer arithmetic and
     // partial-agg order cannot perturb anything; mean and variance
     // come out of the integer sums by integer division (micro and
     // micro² units), and the dead flag is a pure integer comparison.
-    // Overflow headroom: Σv² in micro² stays under 2⁶³ to ~10⁸ rows
-    // per dim at unit-norm magnitudes; past that, DECIMAL(38,0) sums
-    // (same shape) — the stats_moments swap.
+    // All sums and cross terms run in DECIMAL(38,0)/HUGEINT (the r13
+    // headroom sweep): Σu² wrapped BIGINT past ~10⁸ rows/dim at
+    // unit-norm magnitudes, and n², n·ss, s² square corpus-scale
+    // totals — all far inside 10³⁸ for any terrestrial corpus.
     //
     // 100 TB shape: posexplode emits (dim, v) pairs that collapse
     // immediately into per-dim partial sums (64 keys — map-side
@@ -363,12 +364,15 @@ object SimilarityQueries {
           .select((col("pos") + 1).cast("long").as("dim"), col("col").as("v"))
           .select(col("dim"), mp.as("u"))
           .groupBy(col("dim"))
-          .agg(count(lit(1)).as("n"), sum(col("u")).as("s"),
-            sum(col("u") * col("u")).as("ss"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("u").cast("decimal(38,0)")).as("s"),
+            sum((col("u") * col("u")).cast("decimal(38,0)")).as("ss"))
           .select(col("dim"), col("n"),
             expr("s div n").as("mean_u"),
-            expr("(n * ss - s * s) div (n * n)").as("var_u2"),
-            when(expr("n * ss - s * s") < expr("n * n") * lit(100000000L), 1L)
+            expr("(CAST(n AS DECIMAL(38,0)) * ss - s * s) div (CAST(n AS DECIMAL(38,0)) * n)")
+              .as("var_u2"),
+            when(expr("CAST(n AS DECIMAL(38,0)) * ss - s * s") <
+                expr("CAST(n AS DECIMAL(38,0)) * n") * lit(100000000L), 1L)
               .otherwise(0L).as("is_dead"))
       },
       Some(s"""WITH ex AS (
@@ -377,12 +381,13 @@ object SimilarityQueries {
               |      u := ${QueryDef.microPointsSql("CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)")}))) AS e
               |  FROM embeddings),
               |agg AS (
-              |  SELECT e.dim AS dim, COUNT(*) AS n, SUM(e.u) AS s, SUM(e.u * e.u) AS ss
+              |  SELECT e.dim AS dim, COUNT(*) AS n, SUM(e.u) AS s,
+              |    SUM(CAST(e.u AS HUGEINT) * e.u) AS ss
               |  FROM ex GROUP BY 1)
               |SELECT CAST(dim AS BIGINT) AS dim, n,
               |  CAST(s // n AS BIGINT) AS mean_u,
-              |  CAST((n * ss - s * s) // (n * n) AS BIGINT) AS var_u2,
-              |  CAST(CASE WHEN n * ss - s * s < n * n * 100000000 THEN 1 ELSE 0 END AS BIGINT) AS is_dead
+              |  CAST((CAST(n AS HUGEINT) * ss - s * s) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_u2,
+              |  CAST(CASE WHEN CAST(n AS HUGEINT) * ss - s * s < CAST(n AS HUGEINT) * n * 100000000 THEN 1 ELSE 0 END AS BIGINT) AS is_dead
               |FROM agg""".stripMargin)),
 
     // EMBEDDING HEALTH AUDIT — the pre-flight every vector pipeline
@@ -1466,7 +1471,9 @@ object SimilarityQueries {
     // dims are dead weight a projection can drop. Parity architecture
     // (same as `embedding_dim_stats` + `source_divergence`): floats
     // quantize to integer micro-points FIRST so every per-(dim, label)
-    // moment (n, Σu, Σu²) is an exact order-insensitive BIGINT sum; the
+    // moment (n, Σu, Σu²) is an exact order-insensitive integer sum —
+    // in DECIMAL(38,0)/HUGEINT (the r13 headroom sweep: Σu² wrapped
+    // BIGINT past ~10⁸ rows/label at unit norms); the
     // one double reduction (Σ_label s²/n) folds over a label-sorted
     // collected list — |labels| entries, fixed order, op shape mirrored
     // in the oracle — so the result is bit-identical across engines.
@@ -1482,8 +1489,9 @@ object SimilarityQueries {
             (col("pos") + 1).cast("long").as("dim"), col("col").as("v"))
           .select(col("label"), col("dim"), mp.as("u"))
           .groupBy(col("dim"), col("label"))
-          .agg(count(lit(1)).as("n_l"), sum(col("u")).as("s_l"),
-            sum(col("u") * col("u")).as("ss_l"))
+          .agg(count(lit(1)).as("n_l"),
+            sum(col("u").cast("decimal(38,0)")).as("s_l"),
+            sum((col("u") * col("u")).cast("decimal(38,0)")).as("ss_l"))
         val term = (col("s_l").cast("double") * col("s_l").cast("double")) /
           col("n_l").cast("double")
         val d = g
@@ -1518,12 +1526,12 @@ object SimilarityQueries {
               |  FROM embeddings),
               |g AS (
               |  SELECT e.dim AS dim, CAST(label AS BIGINT) AS label,
-              |    COUNT(*) AS n_l, CAST(SUM(e.u) AS BIGINT) AS s_l,
-              |    CAST(SUM(e.u * e.u) AS BIGINT) AS ss_l
+              |    COUNT(*) AS n_l, SUM(e.u) AS s_l,
+              |    SUM(CAST(e.u AS HUGEINT) * e.u) AS ss_l
               |  FROM ex GROUP BY 1, 2),
               |d AS (
               |  SELECT dim, CAST(SUM(n_l) AS BIGINT) AS n, COUNT(*) AS n_labels,
-              |    CAST(SUM(s_l) AS BIGINT) AS s, CAST(SUM(ss_l) AS BIGINT) AS ss,
+              |    SUM(s_l) AS s, SUM(ss_l) AS ss,
               |    list_reduce(list_prepend(0.0, list(
               |      (CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE)) / CAST(n_l AS DOUBLE)
               |      ORDER BY label)), (a, b) -> a + b) AS t
