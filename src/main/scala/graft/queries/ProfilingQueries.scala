@@ -425,8 +425,12 @@ object ProfilingQueries {
           .select(col("l_returnflag"), x.as("x"), y.as("y"))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
-            sum(col("x").cast("decimal(38,0)")).as("sx"),
-            sum(col("y").cast("decimal(38,0)")).as("sy"),
+            // first moments stay BIGINT (Σy ≤ 10⁵·rows holds to ~9e13
+            // rows/group — an order past any per-flag cardinality);
+            // only the PRODUCT sums, which wrap at ~8e8 rows, widen —
+            // that keeps 2 of the 5 aggregation buffers on the codegen
+            // long-adder fast path
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
             sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
             sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
             sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
@@ -442,7 +446,7 @@ object ProfilingQueries {
       Some("""WITH m AS (
              |  SELECT l_returnflag,
              |    COUNT(*) AS n,
-             |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
              |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
              |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
              |    SUM(CAST(y AS HUGEINT) * y) AS syy
