@@ -55,11 +55,25 @@ import org.apache.spark.sql.SparkSession
   *    target/bench.json;
   *  - a GLOBAL wall-clock budget ([[DefaultBudgetSec]], env
   *    SPARK_GRAFT_BENCH_BUDGET_SEC) bounds the whole run: base rounds
-  *    stop early and the adaptive extension refuses to start a round
-  *    it cannot afford, the record ships with `degraded:true` + a
-  *    reason + the load fields instead of tripping the driver's kill
-  *    timer (BENCH_r12: rc 124, parsed:null — the harness kept buying
-  *    samples in a 3.8%-steal window until the driver shot it).
+  *    stop early and the adaptive extension turns GREEDY — the
+  *    cheapest bursty queries keep extending while they fit the
+  *    clock, only the expensive leftovers starve — and the record
+  *    ships with `degraded:true` + a reason + the load fields instead
+  *    of tripping the driver's kill timer (BENCH_r12: rc 124,
+  *    parsed:null — the harness kept buying samples in a 3.8%-steal
+  *    window until the driver shot it; BENCH_r13's all-or-nothing
+  *    cost check then refused extension wholesale for 60 bursty
+  *    queries, which is why the greed);
+  *  - both JSONs carry `board_drift` ([[boardDrift]]): the median
+  *    current/baseline ratio across the whole board — the one number
+  *    separating "this window is uniformly 1.3× loaded" from "one
+  *    query regressed 4×". The time gate divides by it (clamped ≥1),
+  *    so a noisy co-tenant window stops producing false per-query
+  *    firings while a real regression still fires drift-normalized;
+  *    when >20% of the board is still bursty at extension exit the
+  *    degraded reason says "window degraded" with the drift figure
+  *    instead of dumping 60 query names (the full list rides
+  *    target/bench.json as `still_bursty`).
   *
   * Shuffle-bytes regression gate: medians at 0.1–0.3 s are
   * noise-limited, but the BYTES a query shuffles are a property of the
@@ -254,6 +268,34 @@ object Bench {
       }
     }
 
+  /** Minimum current∩baseline overlap for [[boardDrift]] to be
+    * meaningful — a local subset run over a handful of queries must not
+    * publish a "board" drift. */
+  private[graft] val BoardDriftMinQueries = 20
+
+  /** Board-level drift of this run vs the committed record: the MEDIAN
+    * over all queries (present in both recordings with positive
+    * medians) of current_median / baseline_median. A uniformly loaded
+    * co-tenant window shows up here as e.g. 1.27 across the whole board
+    * (the r13 driver window, computed by the judge) while a real code
+    * regression moves ONE query's ratio and leaves the median alone —
+    * which is exactly why the time gate normalizes by this figure
+    * ([[timeRegressions]]'s drift parameter): a noisy window must not
+    * produce dozens of false per-query firings, and a genuine
+    * regression (4.2× against a 1.27× board) must still fire. −1 when
+    * fewer than [[BoardDriftMinQueries]] queries overlap (a subset
+    * run) — consumers treat that as unknown and gate un-normalized. */
+  private[graft] def boardDrift(current: Map[String, (Double, Double)],
+      baseline: Map[String, (Double, Double)]): Double = {
+    val ratios = current.toSeq.flatMap { case (q, (curM, _)) =>
+      baseline.get(q).collect {
+        case (baseM, _) if curM > 0 && baseM > 0 => curM / baseM
+      }
+    }.sorted
+    if (ratios.length < BoardDriftMinQueries) -1.0
+    else ratios(ratios.length / 2)
+  }
+
   /** Wall-time gate: queries whose current median exceeds the committed
     * record's by BOTH >25% relative AND more than a noise-aware band —
     * 3× the LARGER of the two recordings' MAD spreads, floored at
@@ -265,21 +307,32 @@ object Bench {
     * is the plan-property check at that scale). Queries absent from the
     * baseline are not findings — they enter the record when it is next
     * regenerated from target/time_current.tsv. Fires ONLY slower:
-    * faster is not a regression. */
+    * faster is not a regression.
+    *
+    * `drift` (see [[boardDrift]]) normalizes the whole gate by the
+    * board-level machine-day ratio: the effective baseline becomes
+    * baseM × max(1, drift), so a window where EVERYTHING runs 1.3×
+    * slower fires nothing, while a query 4× over its row still fires
+    * at 4/1.3 ≈ 3×. Clamped at 1 from below — a faster-than-baseline
+    * window must not make the gate MORE trigger-happy (normalization
+    * exists to subtract co-tenant slowdown, not to punish a calm run) —
+    * and a −1/unknown drift gates un-normalized. */
   private[graft] def timeRegressions(
       current: Map[String, (Double, Double)],
       baseline: Map[String, (Double, Double)],
       ratio: Double = 1.25, bandMult: Double = 3.0,
-      floorSec: Double = 0.3): Seq[String] =
+      floorSec: Double = 0.3, drift: Double = 1.0): Seq[String] = {
+    val d = math.max(1.0, drift)
     current.toSeq.sortBy(_._1).flatMap { case (q, (curM, curSp)) =>
       baseline.get(q) match {
         case Some((baseM, baseSp)) if curM > 0 && baseM > 0 &&
-            curM > baseM * ratio &&
-            curM - baseM > math.max(bandMult * math.max(baseSp, curSp), floorSec) =>
-          Some(f"$q: $baseM%.2f -> $curM%.2f s (+${100.0 * (curM - baseM) / baseM}%.0f%%, band ${math.max(bandMult * math.max(baseSp, curSp), floorSec)}%.2f)")
+            curM > baseM * d * ratio &&
+            curM - baseM * d > math.max(bandMult * math.max(baseSp, curSp), floorSec) =>
+          Some(f"$q: $baseM%.2f -> $curM%.2f s (+${100.0 * (curM - baseM) / baseM}%.0f%%, x${curM / (baseM * d)}%.2f drift-normalized, band ${math.max(bandMult * math.max(baseSp, curSp), floorSec)}%.2f)")
         case _ => None
       }
     }
+  }
 
   /** Per-query task-metric totals, accumulated from the async listener
     * bus. [[quiesce]] must be called after the action returns and
@@ -442,25 +495,44 @@ object Bench {
     }
     // targeted extension: re-time ONLY the burst-contaminated queries
     // (still interleaved across that subset), capped at MaxRounds total
-    // AND by the global clock — one extension round costs about the
-    // sum of the subset's medians; 1.5x headroom because a degraded
-    // window (the only time this loop runs long) inflates each sample
+    // AND by the global clock. GREEDY under budget pressure (the r13
+    // lesson): the old all-or-nothing subset-round cost check refused
+    // the round WHOLESALE when 60 queries were bursty — nobody got the
+    // extra samples the window most needed. Now the cheapest bursty
+    // queries extend first, as many as still fit the clock; only the
+    // expensive leftovers are starved, and they are named. 1.5x
+    // headroom per query because a degraded window (the only time
+    // budget pressure exists) inflates each sample.
     var bursty = names.filter(n =>
       burstContaminated(samples(n)) || medianPoisoned(samples(n)))
-    def extensionCost(qs: Seq[String]): Double =
-      1.5 * qs.map(n => stat(samples(n).filter(_ >= 0) match {
-        case e if e.isEmpty => Vector(0.0); case ts => ts })._1).sum
-    while (bursty.nonEmpty && rounds < MaxRounds && !degraded) {
-      if (!budgetAllows(elapsedSec, extensionCost(bursty), budgetSec)) {
+    def medianOf(n: String): Double =
+      stat(samples(n).filter(_ >= 0) match {
+        case e if e.isEmpty => Vector(0.0); case ts => ts })._1
+    // bursty-but-never-extended this run (budget): named in the
+    // degraded reason so a reader can see WHICH medians stayed weak
+    var starved = Seq.empty[String]
+    var extending = true
+    while (bursty.nonEmpty && rounds < MaxRounds && extending) {
+      val byCost = bursty.sortBy(n => (medianOf(n), n))
+      val cum = byCost.map(n => 1.5 * medianOf(n)).scanLeft(0.0)(_ + _).tail
+      val k = cum.lastIndexWhere(c => budgetAllows(elapsedSec, c, budgetSec)) + 1
+      val affordable = byCost.take(k)
+      starved = byCost.drop(k)
+      if (affordable.isEmpty) {
         degraded = true
-        degradedReason = s"extension stopped after $rounds rounds, " +
-          s"${bursty.size} queries still bursty: ${bursty.mkString(", ")}"
-        System.err.println(s"[bench] BUDGET: $degradedReason " +
+        System.err.println(s"[bench] BUDGET: extension stopped after $rounds rounds, " +
+          s"${bursty.size} queries still bursty " +
           f"(elapsed ${elapsedSec}%.0f s, budget ${budgetSec}%.0f s)")
+        extending = false
       } else {
-        System.err.println(
+        if (starved.nonEmpty) {
+          degraded = true
+          System.err.println(s"[bench] BUDGET: partial extension round -- " +
+            s"${affordable.size}/${bursty.size} cheapest bursty queries fit, " +
+            s"starved: ${starved.mkString(", ")}")
+        } else System.err.println(
           s"[bench] ${bursty.size} bursty queries after $rounds rounds -- extending: ${bursty.mkString(", ")}")
-        bursty.foreach(n => samples(n) = samples(n) :+ time(n))
+        affordable.foreach(n => samples(n) = samples(n) :+ time(n))
         rounds += 1
         // keep extending on EITHER signal: spikes still present beyond
         // the forgiven one (stillBursty), or the median itself still
@@ -469,6 +541,9 @@ object Bench {
         bursty = bursty.filter(n => stillBursty(samples(n)) || medianPoisoned(samples(n)))
       }
     }
+    if (degraded && degradedReason.isEmpty)
+      degradedReason = s"extension budget-limited, ${bursty.size} queries " +
+        s"still bursty after $rounds rounds: ${bursty.mkString(", ")}"
 
     val stats = names.map { n =>
       val ts = samples(n)
@@ -560,7 +635,25 @@ object Bench {
     val currentTimes = stats.collect {
       case (q, m, sp, _) if m >= 0 => q -> (m, sp)
     }.toMap
-    val timeRegs = timeRegressions(currentTimes, timeBaseline)
+    // board-level machine-day drift vs the committed record; −1 =
+    // unknown (subset run / no baseline). The time gate normalizes by
+    // it so a uniformly-loaded window cannot mass-fire per-query gates
+    // (r13: 1.27x board drift produced one false firing per ~13
+    // queries before normalization), while a genuine one-query
+    // regression still exceeds the normalized band.
+    val drift = boardDrift(currentTimes, timeBaseline)
+    // window-level degradation verdict: when >20% of the board is
+    // still bursty at extension exit, the signal is "this WINDOW is
+    // degraded", not "60 queries are individually suspect" — say so,
+    // with the drift figure, instead of a name dump (the full bursty
+    // list rides target/bench.json as `still_bursty`)
+    if (bursty.size * 5 > names.size) {
+      degraded = true
+      degradedReason = f"window degraded (board_drift=$drift%.2f): " +
+        s"${bursty.size}/${names.size} queries still bursty after " +
+        s"$rounds rounds; per-query extension futile, time gate drift-normalized"
+    }
+    val timeRegs = timeRegressions(currentTimes, timeBaseline, drift = drift)
     timeRegs.foreach(r => System.err.println(s"[bench] TIME REGRESSION $r"))
     // snapshot for regenerating the committed time baseline
     java.nio.file.Files.write(
@@ -608,7 +701,8 @@ object Bench {
         val (sb, sr, or) = shuffleStats(k)
         "\"" + k + f"""\":{"median":$m%.3f,"spread":$sp%.3f,"raw_spread":${rawSpread(ts)}%.3f,"shuffle_bytes":$sb,"shuffle_records":$sr,"out_rows":$or,"runs":$runs}"""
       }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"noise":$noise%.3f,"raw_noise":$rawNoise%.3f,"spread_stat":"mad2","degraded":$degraded,"degraded_reason":${jstr(degradedReason)},"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"load":$loadJson,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"queries":$perQuery,"sf":"$sfDir"}"""
+      val stillBurstyJson = bursty.map(jstr).mkString("[", ",", "]")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"noise":$noise%.3f,"raw_noise":$rawNoise%.3f,"spread_stat":"mad2","degraded":$degraded,"degraded_reason":${jstr(degradedReason)},"board_drift":$drift%.3f,"still_bursty":$stillBurstyJson,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"load":$loadJson,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"queries":$perQuery,"sf":"$sfDir"}"""
     }
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
@@ -620,7 +714,7 @@ object Bench {
       if (degradedReason.length > 120) degradedReason.take(117) + "..."
       else degradedReason
     val summary =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${names.size},"failed":$failedJson,"errors":$errJson,"queries":$top10,"noise":$noise%.2f,"raw_noise":$rawNoise%.2f,"spread_stat":"mad2","rounds":$rounds,"degraded":$degraded,"degraded_reason":${jstr(reasonShort)},"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"load":$loadJson,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${names.size},"failed":$failedJson,"errors":$errJson,"queries":$top10,"noise":$noise%.2f,"raw_noise":$rawNoise%.2f,"spread_stat":"mad2","rounds":$rounds,"degraded":$degraded,"degraded_reason":${jstr(reasonShort)},"board_drift":$drift%.2f,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"load":$loadJson,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"sf":"$sfDir"}"""
     // mirrored to disk so the summary survives even if a future harness
     // change re-decorates or truncates stdout
     java.nio.file.Files.write(

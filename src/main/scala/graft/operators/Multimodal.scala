@@ -236,9 +236,19 @@ object Multimodal {
   /** Magic-byte sniff for ISO-BMFF containers (MP4/MOV/3GP…): every
     * conforming file leads with an `ftyp` box, i.e. bytes 4-7 spell
     * "ftyp". Same rationale as [[looksLikeImage]]: non-video payloads
-    * skip the parser instead of paying a failed walk each. */
+    * skip the parser instead of paying a failed walk each. Unlike the
+    * PNG/JPEG magic, "ftyp" is pure ASCII and can occur in plain text,
+    * so bytes 0-3 must ALSO decode as a plausible ftyp box size
+    * (8 ≤ size ≤ payload length, and ≥ 16 in practice since the box
+    * carries major_brand + minor_version) — no natural-language prefix
+    * is a big-endian u32 in that range, so a text payload can no
+    * longer wander into [[parseMp4]] and risk a flaky decoded=true. */
   private def looksLikeVideo(b: Array[Byte]): Boolean =
-    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+    b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p' && {
+      val size = ((b(0) & 0xFFL) << 24) | ((b(1) & 0xFFL) << 16) |
+        ((b(2) & 0xFFL) << 8) | (b(3) & 0xFFL)
+      size >= 16L && size <= b.length.toLong
+    }
 
   /** What a successful [[parseMp4]] found. width/height/codec describe
     * the FIRST track whose tkhd carries nonzero display dimensions (the
@@ -309,6 +319,12 @@ object Multimodal {
               } else if (ver == 0 && body + 20 <= bodyEnd) {
                 timescale = u32(body.toInt + 12); duration = u32(body.toInt + 16)
               }
+              // ISO 14496-12 "duration unknown" sentinel: all-ones.
+              // v1's u64 all-ones already reads as -1 (rejected below);
+              // v0's 0xFFFFFFFF would otherwise pass as a real ~4.3e9-
+              // tick duration (common in fragmented MP4s whose true
+              // duration lives in mehd) — map it to the same reject
+              if (duration == 0xFFFFFFFFL) duration = -1L
             case "tkhd" if trak != null && body + 4 <= bodyEnd =>
               val ver = bytes(body.toInt) & 0xFF
               // offsets to the 16.16 fixed-point display size: v0 body
@@ -334,7 +350,14 @@ object Multimodal {
 
     try {
       walk(0L, bytes.length.toLong, 0, null)
-      if (timescale <= 0L || duration < 0L) None
+      // duration bound: the caller computes duration*1000/timescale in
+      // Long — a hostile/corrupt v1 mvhd advertising > Long.MaxValue/1000
+      // ticks (~9.2e15; 292 Myr even at a 1 GHz timescale) would wrap
+      // that multiply into a NEGATIVE duration_ms with decoded=true.
+      // No real container is there, so reject to the stub, loudly
+      // consistent with the repo's no-silent-overflow discipline.
+      if (timescale <= 0L || duration < 0L ||
+        duration > Long.MaxValue / 1000L) None
       else Some(Mp4Meta(timescale, duration, width, height,
         if (codec.nonEmpty) codec else firstCodec, nFrames, nTracks))
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -603,16 +603,44 @@ object EventStreams {
   final case class TransitionEv(user_id: Long, ts: java.sql.Timestamp,
       from_type: String, to_type: String)
 
+  /** Timer hygiene for the state-API-v2 processors. v2 timers are NOT
+    * the single-slot v1 `setTimeoutTimestamp`: every `registerTimer`
+    * call ADDS a pending timer, so a processor that re-arms each
+    * micro-batch hands an always-active user one pending timer per
+    * batch inside its idle window — correctness survives (the expiry
+    * handlers re-check the CURRENT state's horizon before evicting),
+    * but timer-store state grows with batch rate, not key count.
+    * Tracking the last armed expiry in a ValueState lets a re-arm
+    * DELETE the superseded timer and skip the no-op re-arm entirely,
+    * holding pending timers at ≤ 1 per key. */
+  private trait TimerHygiene { this: StatefulProcessor[_, _, _] =>
+    @transient private var armedMs: ValueState[Long] = _
+    protected def initArmed(): Unit =
+      armedMs = getHandle.getValueState[Long]("armedMs",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    protected def rearmTimer(expiryMs: Long): Unit = {
+      val prev = if (armedMs.exists()) Some(armedMs.get()) else None
+      if (!prev.contains(expiryMs)) {
+        prev.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(expiryMs)
+        armedMs.update(expiryMs)
+      }
+    }
+    protected def clearArmed(): Unit = armedMs.clear()
+  }
+
   /** State-API-v2 twin of [[transitionsStateful]]'s fold, emitting the
     * pair WITH its event time so the output can feed further stateful
     * operators (see [[GapDistProcessor]] for the v1-vs-v2 contrast). */
   private class TransitionProcessor(idleMs: Long)
-      extends StatefulProcessor[Long, Event, TransitionEv] {
+      extends StatefulProcessor[Long, Event, TransitionEv] with TimerHygiene {
     @transient private var last: ValueState[LastEvent] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       last = getHandle.getValueState[LastEvent]("last",
         org.apache.spark.sql.Encoders.product[LastEvent], TTLConfig.NONE)
+      initArmed()
+    }
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         tv: TimerValues): Iterator[TransitionEv] = {
@@ -627,7 +655,7 @@ object EventStreams {
       }
       cur.foreach { c =>
         last.update(c)
-        getHandle.registerTimer(c.ms + idleMs)
+        rearmTimer(c.ms + idleMs)
       }
       out.result().iterator
     }
@@ -636,8 +664,9 @@ object EventStreams {
         info: ExpiredTimerInfo): Iterator[TransitionEv] = {
       // stale-timer guard (the GapDistProcessor rule): a timer armed
       // by an older batch must not evict a user who has since spoken
-      if (last.exists() && last.get().ms + idleMs <= info.getExpiryTimeInMs())
-        last.clear()
+      if (last.exists() && last.get().ms + idleMs <= info.getExpiryTimeInMs()) {
+        last.clear(); clearArmed()
+      }
       Iterator.empty
     }
   }
@@ -752,14 +781,17 @@ object EventStreams {
     * registered per batch and stale ones still fire, the expiry
     * handler re-checks the CURRENT state's horizon before clearing —
     * an early-firing stale timer must not evict a user who has since
-    * spoken. */
+    * spoken (and [[TimerHygiene]] deletes the superseded timer on
+    * re-arm, so pending timers stay ≤ 1 per key). */
   private class GapDistProcessor(idleMs: Long)
-      extends StatefulProcessor[Long, Event, GapOut] {
+      extends StatefulProcessor[Long, Event, GapOut] with TimerHygiene {
     @transient private var last: ValueState[LastEvent] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       last = getHandle.getValueState[LastEvent]("last",
         org.apache.spark.sql.Encoders.product[LastEvent], TTLConfig.NONE)
+      initArmed()
+    }
 
     private def bucketOf(gapS: Long): Long =
       if (gapS <= 0L) 0L else 63L - java.lang.Long.numberOfLeadingZeros(gapS)
@@ -780,7 +812,7 @@ object EventStreams {
       }
       cur.foreach { c =>
         last.update(c)
-        getHandle.registerTimer(c.ms + idleMs)
+        rearmTimer(c.ms + idleMs)
       }
       out.result().iterator
     }
@@ -789,8 +821,9 @@ object EventStreams {
         info: ExpiredTimerInfo): Iterator[GapOut] = {
       // stale-timer guard: clear only when the CURRENT state really is
       // past its idle horizon at this expiry
-      if (last.exists() && last.get().ms + idleMs <= info.getExpiryTimeInMs())
-        last.clear()
+      if (last.exists() && last.get().ms + idleMs <= info.getExpiryTimeInMs()) {
+        last.clear(); clearArmed()
+      }
       Iterator.empty
     }
   }
@@ -896,6 +929,88 @@ object EventStreams {
             closed.result().iterator
           }
       }
+  }
+
+  /** State-API-v2 processor behind [[sessionizeStream]] — the SAME
+    * per-user session fold as [[sessionizeStateful]] (inline close on
+    * gap, min/max bound merge for late-but-in-watermark rows), with the
+    * v1 single-slot `setTimeoutTimestamp` replaced by an explicit
+    * event-time timer at `lastMs + gapMs` under [[TimerHygiene]] (the
+    * superseded timer is deleted on every re-arm). The expiry handler
+    * EMITS the open session — unlike the transition/gap processors,
+    * sessionize's timeout path carries payload, so this pins the v2
+    * semantics the others don't: timer-driven OUTPUT, not just
+    * eviction — and re-checks the CURRENT state's horizon first, so a
+    * stale timer cannot flush a session its user has since extended. */
+  private class SessionizeProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, SessionOut] with TimerHygiene {
+    @transient private var sess: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sess = getHandle.getValueState[SessionState]("sess",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+      initArmed()
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val closed = Seq.newBuilder[SessionOut]
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastMs > gapMs =>
+            closed += SessionOut(userId, s.startMs, s.lastMs, s.n, s.total)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case Some(s) =>
+            // min/max, not overwrite — the v1 late-row rule verbatim
+            cur = Some(SessionState(math.min(s.startMs, t),
+              math.max(s.lastMs, t), s.n + 1, s.total + e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        sess.update(s)
+        rearmTimer(s.lastMs + gapMs)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (sess.exists()) {
+        val s = sess.get()
+        if (s.lastMs + gapMs <= info.getExpiryTimeInMs()) {
+          sess.clear(); clearArmed()
+          return Iterator.single(SessionOut(userId, s.startMs, s.lastMs, s.n, s.total))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** State-API-v2 twin of [[sessionizeStateful]] — the flagship
+    * sessionization fold under `transformWithState` (RocksDB state
+    * store, explicit timers) instead of `flatMapGroupsWithState`.
+    * Row-for-row the same output as the v1 twin by construction: same
+    * inline gap-close, same min/max late-row merge, and the timeout
+    * emission rides a stale-guarded event-time timer instead of the v1
+    * timeout slot. StreamingSpec pins the v2 rows bit-equal to v1 over
+    * the same micro-batches and the RocksDB checkpoint-restart
+    * exactly-once contract. Scale posture is v1's: ONE SessionState +
+    * one pending timer per active user, hash-partitioned on user_id,
+    * watermark-bounded. */
+  def sessionizeStream(events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Per-user funnel state: min event-time (ms) per step, MaxValue =

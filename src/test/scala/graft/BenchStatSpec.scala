@@ -155,6 +155,39 @@ class BenchStatSpec extends AnyFunSuite {
     assert(Bench.timeRegressions(Map("slow_stable" -> (-1.0, 0.0)), base).isEmpty)
   }
 
+  test("board drift: median current/baseline ratio, unknown on thin overlap") {
+    // a uniformly 1.3x-loaded window: every query drifts together
+    val base = (1 to 30).map(i => s"q$i" -> (1.0, 0.1)).toMap
+    val loaded = (1 to 30).map(i => s"q$i" -> (1.3, 0.1)).toMap
+    assert(math.abs(Bench.boardDrift(loaded, base) - 1.3) < 1e-9)
+    // one real regression does not move the board median
+    val oneBad = loaded + ("q7" -> (5.0, 0.1))
+    assert(math.abs(Bench.boardDrift(oneBad, base) - 1.3) < 1e-9)
+    // a subset run (below BoardDriftMinQueries overlap) reports unknown
+    val few = (1 to 5).map(i => s"q$i" -> (2.0, 0.1)).toMap
+    assert(Bench.boardDrift(few, base) == -1.0)
+    // failed sentinels and baseline-absent queries never contribute
+    val withFailed = loaded + ("q1" -> (-1.0, 0.0)) + ("brand_new" -> (9.0, 0.1))
+    assert(math.abs(Bench.boardDrift(withFailed, base) - 1.3) < 1e-9)
+  }
+
+  test("time gate drift-normalization: a loaded window fires nothing, a real regression still fires") {
+    val base = Map("a" -> (8.0, 0.2), "b" -> (2.0, 0.1))
+    // the r13 shape: board drifts 1.27x — a +40% query is WITHIN the
+    // window's uniform slowdown band and must not fire...
+    assert(Bench.timeRegressions(Map("a" -> (11.2, 0.3)), base, drift = 1.27).isEmpty)
+    // ...but text_repetition's shape (4.2x against the same 1.27x
+    // board = 3.3x normalized) STILL fires — the whole point
+    val fired = Bench.timeRegressions(Map("a" -> (33.6, 0.4)), base, drift = 1.27)
+    assert(fired.size == 1 && fired.head.contains("drift-normalized"), fired)
+    // drift is clamped at 1 from below: a faster-than-baseline window
+    // must not tighten the gate (0.5 drift would halve the effective
+    // baseline and flag a perfectly flat query)
+    assert(Bench.timeRegressions(Map("a" -> (8.0, 0.2)), base, drift = 0.5).isEmpty)
+    // unknown drift (-1, subset run) gates un-normalized
+    assert(Bench.timeRegressions(Map("a" -> (12.0, 0.3)), base, drift = -1.0).nonEmpty)
+  }
+
   test("global wall-clock budget: r12's rc-124 shape stops extending instead of overrunning") {
     // BENCH_r12: the extension loop had per-query round caps but no
     // clock, so a degraded window ran it into the driver's kill timer

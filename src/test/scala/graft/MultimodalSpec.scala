@@ -233,6 +233,24 @@ class MultimodalSpec extends SparkSuite {
       f(3L).codec == "mp4a" && f(3L).n_tracks == 1L, f(3L).toString)
     // malformed and non-video payloads degrade to the stub, never throw
     assert(!f(4L).decoded && !f(5L).decoded)
+    // hostile-input guards (all → stub, decoded=false, never a wrapped
+    // or garbage duration on the real path):
+    val hostile = Seq(
+      // plain TEXT with ascii "ftyp" at offset 4 — bytes 0-3 don't
+      // decode as a plausible box size, so it never enters the walk
+      Multimodal.MediaRecord(11L, "video", "xxxxftyp looks like video".getBytes("UTF-8")),
+      // v0 all-ones duration = the ISO-14496-12 "unknown" sentinel
+      // (fragmented-MP4 shape) — must not pass as a real ~4.3e9 ticks
+      Multimodal.MediaRecord(12L, "video",
+        mp4(mvhd(600, 0xFFFFFFFFL, version = 0), trak(640, 360, "avc1"))),
+      // v1 duration past Long.MaxValue/1000 — duration_ms would wrap
+      Multimodal.MediaRecord(13L, "video",
+        mp4(mvhd(90000, Long.MaxValue / 1000L + 1L, version = 1), trak(640, 360, "avc1")))
+    ).toDS()
+    val hf = Multimodal.extractVideoFeatures(hostile).collect().map(v => v.doc_id -> v).toMap
+    assert(!hf(11L).decoded && !hf(12L).decoded && !hf(13L).decoded,
+      hf.values.map(_.toString).mkString("; "))
+    assert(hf.values.forall(_.duration_ms >= 0L), "no negative duration ever")
     // fp stays md5(payload) on the real path (same dedup contract)
     val md5 = java.security.MessageDigest.getInstance("MD5").digest(twoTrack)
       .map("%02x".format(_)).mkString

@@ -976,6 +976,111 @@ class StreamingSpec extends SparkSuite {
       s"each closed session exactly once: ${sessions.toSeq}")
   }
 
+  test("transformWithState sessionize: row-equal to the v1 twin on inline AND timer closes") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // inline close (user 7's 120-min gap), timer close (users 7 and 8
+    // once the flusher pushes the watermark past their idle horizons),
+    // and an open session that must NOT emit (the flusher user itself)
+    val batch1 = Seq(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "click", 2.0),
+      Event(3, ts(0), 8, "view", 4.0))
+    val batch2 = Seq(Event(4, ts(120), 7, "click", 8.0),
+      Event(5, ts(600), 9, "click", 16.0)) // flusher: watermark → 480 min
+    def collectRows(table: String): Set[(Long, Long, Long, Long, Double)] =
+      spark.table(table).as[EventStreams.SessionOut].collect()
+        .map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events, s.total_value)).toSet
+
+    val ms1 = MemoryStream[Event]
+    val q1 = EventStreams.sessionizeStateful(ms1.toDS())
+      .writeStream.format("memory").queryName("sess_v1").outputMode("append").start()
+    val v1 = try {
+      ms1.addData(batch1: _*); q1.processAllAvailable()
+      ms1.addData(batch2: _*); q1.processAllAvailable()
+      collectRows("sess_v1")
+    } finally q1.stop()
+    // the scenario exercises what it claims: one inline close (user
+    // 7's first session) and two timer closes (user 7's second, user 8)
+    assert(v1.size == 3 && v1.exists(_._1 == 8L) && v1.count(_._1 == 7L) == 2, v1)
+    assert(!v1.exists(_._1 == 9L), s"open session must not emit: $v1")
+
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms2 = MemoryStream[Event]
+      val q2 = EventStreams.sessionizeStream(ms2.toDS())
+        .writeStream.format("memory").queryName("sess_v2").outputMode("append").start()
+      val v2 = try {
+        ms2.addData(batch1: _*); q2.processAllAvailable()
+        ms2.addData(batch2: _*); q2.processAllAvailable()
+        collectRows("sess_v2")
+      } finally q2.stop()
+      assert(v2 == v1, s"v2 sessionize rows $v2 diverged from v1 $v1")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("transformWithState sessionize restarts from a RocksDB checkpoint exactly-once") {
+    import spark.implicits._
+    val dir = tmpDir("sess_v2_restart")
+    val (src, out, chk) = (s"$dir/src", s"$dir/out", s"$dir/chk")
+    def writeFile(events: Event*): Unit =
+      events.toDF().withColumn("props", lit("{}"))
+        .repartition(1).write.mode("append").parquet(src)
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val ds = EventStreams.readEventStream(spark, src, nanosTs = Some(false))
+          .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+        val q = EventStreams.sessionizeStream(ds)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", chk)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      writeFile(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "click", 2.0))
+      run() // incarnation 1: session open, nothing emitted
+      assert(spark.read.schema(implicitly[org.apache.spark.sql.Encoder[
+        EventStreams.SessionOut]].schema).parquet(out).isEmpty)
+      // incarnation 2: the 120-min-later event closes the first session
+      // inline — SessionState carried across the restart in RocksDB
+      writeFile(Event(3, ts(120), 7, "click", 4.0))
+      run()
+      val after2 = spark.read.parquet(out).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("total_value")))
+      assert(after2.toSeq == Seq((7L, 2L, 3.0)),
+        s"first session must close exactly once across restarts: ${after2.toSeq}")
+      // incarnation 3: nothing new — a restart must not replay batches
+      run()
+      assert(spark.read.parquet(out).count() == 1)
+      // incarnation 4: a flusher pushes the watermark past user 7's
+      // idle horizon (150 min < 480) — the armed TIMER survived the
+      // restart and flushes the second session exactly once
+      writeFile(Event(4, ts(600), 9, "view", 0.0))
+      run()
+      val finalRows = spark.read.parquet(out).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_ms"),
+          r.getAs[Long]("n_events")))
+      assert(finalRows.length == 2 &&
+        finalRows.count(r => r._1 == 7L && r._3 == 1L) == 1,
+        s"timer-closed second session exactly once: ${finalRows.toSeq}")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
