@@ -225,19 +225,31 @@ object DedupQueries {
     // iterations at sf0.1). Truncation makes supersteps O(1)-cost;
     // never unpersist a checkpointed table — its lineage is gone,
     // the ContextCleaner reclaims storage when references drop.
-    var labels = edges.select(col("doc_a").as("doc_id"))
-      .distinct().withColumn("label", col("doc_id")).localCheckpoint()
     // labels only ever DECREASE under min-propagation, so the
-    // fixpoint test is "label sum unchanged" — one cheap aggregate
-    // over the freshly checkpointed table, no join. Summed as
+    // fixpoint test is "label sum unchanged". The sum rides the SAME
+    // job that materializes each superstep's checkpoint
+    // (Dataset.observe → CollectMetricsExec accumulator on the
+    // pass-through) instead of a separate aggregate action — one
+    // driver action per superstep, not two (r14: the cluster-family
+    // bench rows' variance tracked the fixpoint's per-superstep job
+    // count, so every removed scheduling round-trip narrows the
+    // recording, and at cluster scale it halves the driver's
+    // job-submission latency on the critical path). Summed as
     // decimal(38,0): exact at any id magnitude × node count, immune
     // to long overflow.
     // SUM over an empty table is NULL — a corpus with zero verified
     // near-dup pairs must yield an empty cluster table, not an NPE
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
+    def checkpointWithSum(df: DataFrame, name: String): (DataFrame, java.math.BigDecimal) = {
+      val obs = df.observe(name, sum(col("label").cast("decimal(38,0)")).as("s"))
+      val cp = obs.localCheckpoint() // eager: materializes + truncates
+      val row = obs.queryExecution.observedMetrics.getOrElse(name,
+        throw new IllegalStateException(
+          s"propagateMinLabels: observed metric $name missing after checkpoint"))
+      (cp, Option(row.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var (labels, prevSum) = checkpointWithSum(
+      edges.select(col("doc_a").as("doc_id"))
+        .distinct().withColumn("label", col("doc_id")), "ls_init")
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -262,16 +274,16 @@ object DedupQueries {
       // frame is checkpointed BEFORE the self-join so both sides read
       // one materialization (and fresh aliases keep the join
       // unambiguous).
-      val next =
+      val (next, nextSum) =
         if (iter >= ShortcutAfter) {
           val p = propagated.localCheckpoint()
           val compress = p.select(col("doc_id").as("y_doc"), col("label").as("y_label"))
-          p.join(compress, col("label") === col("y_doc"), "left_outer")
-            .select(col("doc_id"),
-              least(col("label"), coalesce(col("y_label"), col("label"))).as("label"))
-            .localCheckpoint()
-        } else propagated.localCheckpoint() // eager: materializes + truncates
-      val nextSum = labelSum(next)
+          checkpointWithSum(
+            p.join(compress, col("label") === col("y_doc"), "left_outer")
+              .select(col("doc_id"),
+                least(col("label"), coalesce(col("y_label"), col("label"))).as("label")),
+            s"ls_$iter")
+        } else checkpointWithSum(propagated, s"ls_$iter")
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -2125,6 +2137,16 @@ object DedupQueries {
         any_value(col("nrm")).as("nrm"))
       .persist()
     val hotBound = math.max(64L * ((rows.max(1) + k - 1) / k), HotCellFloor)
+    // This first() is deliberately NOT folded in-plan (r13 verdict #7
+    // triage): the guard action is LOAD-BEARING as the persist
+    // materializer. Every consumer self-joins `assigned` — with a cold
+    // cache, the join's two map stages race and each computes the full
+    // corpus→cell assignment concurrently (measured as the duplicated
+    // scan the persist exists to prevent). One eager 1-row fetch both
+    // warms the cache and fails fast on a hot cell BEFORE the
+    // quadratic-in-cell join is even planned; an in-plan
+    // raise_error-on-broadcast form would defer the diagnosis to
+    // mid-join and still need an eager cache-warming action first.
     val maxCell = assigned.groupBy(col("c_id")).agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).first().getLong(0)
     if (maxCell > hotBound) {

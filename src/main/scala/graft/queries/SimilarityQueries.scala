@@ -1806,14 +1806,24 @@ object SimilarityQueries {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
       .select(col("embedding").cast("array<double>").as("e"))
-    val dims = emb.agg(min(size(col("e"))).as("lo"), max(size(col("e"))).as("hi"))
-      .first()
-    val d = dims.getInt(0)
-    require(d == dims.getInt(1) && d > 0,
-      s"embedding_gram: ragged embedding lengths [${dims.getInt(0)}, ${dims.getInt(1)}]")
-    val tri = d * (d + 1) / 2
     emb.as[Array[Double]]
       .mapPartitions { it =>
+        // The dimension D is discovered from the partition's FIRST
+        // vector — the old min/max(size) pre-check was a FULL extra
+        // corpus scan plus a driver round-trip before the real pass
+        // (the r13 verdict's first() finding). Raggedness stays loud:
+        // within a partition every row is required equal to the first
+        // (below), and ACROSS partitions each partial row carries its
+        // partition's D so the final aggregate's min(d)=max(d) guard
+        // raises in-plan — two partitions that are each internally
+        // consistent at different widths share at least cell (1,1),
+        // where the mismatch surfaces.
+        if (!it.hasNext) Iterator.empty
+        else {
+        val firstVec = it.next()
+        val d = firstVec.length
+        require(d > 0, "embedding_gram: zero-length embedding")
+        val tri = d * (d + 1) / 2
         // ADAPTIVE CHUNKED fold: a Long triangle cell safely absorbs
         // cap(maxU) = 2^62 / maxU² rows of maxU-bounded products; when
         // a chunk reaches that, its partials flush and the accumulator
@@ -1824,7 +1834,7 @@ object SimilarityQueries {
         // loudly while Spark returned wrong cells). Partial volume
         // stays #chunks·D(D+1)/2 with chunks ≈ rows/4.6e6 at unit
         // vectors — still corpus-size-independent per shuffled row.
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
         val acc = new Array[Long](tri)
         val u = new Array[Long](d)
         var rows = 0L
@@ -1837,7 +1847,7 @@ object SimilarityQueries {
           while (i < d) {
             var j = i
             while (j < d) {
-              out += (((i + 1).toLong, (j + 1).toLong, acc(idx)))
+              out += (((i + 1).toLong, (j + 1).toLong, acc(idx), d.toLong))
               idx += 1; j += 1
             }
             i += 1
@@ -1845,7 +1855,7 @@ object SimilarityQueries {
           java.util.Arrays.fill(acc, 0L)
           rows = 0L; maxU = 1L
         }
-        it.foreach { v =>
+        (Iterator.single(firstVec) ++ it).foreach { v =>
           require(v.length == d, s"embedding_gram: vector of length ${v.length}, expected $d")
           var i = 0
           var rowMax = 1L
@@ -1873,16 +1883,22 @@ object SimilarityQueries {
         }
         flush()
         out.iterator
+        }
       }
-      .toDF("i", "j", "p")
+      .toDF("i", "j", "p", "d")
       // exact DECIMAL(38,0) merge of the partials, then the SAME
       // loud-overflow semantics as the oracle's CAST(HUGEINT AS
       // BIGINT): a gram cell past 2^63 raises instead of nulling —
-      // the caller's remedy is rescaling the micro unit
+      // the caller's remedy is rescaling the micro unit. The
+      // min(d)=max(d) guard is the cross-partition raggedness check
+      // (see the mapPartitions note) — same loud-failure discipline.
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("p").cast("decimal(38,0)")).as("g"))
+      .agg(sum(col("p").cast("decimal(38,0)")).as("g"),
+        min(col("d")).as("d_lo"), max(col("d")).as("d_hi"))
       .select(col("i"), col("j"),
-        expr("CASE WHEN g > 9223372036854775807 OR g < -9223372036854775808 " +
+        expr("CASE WHEN d_lo <> d_hi " +
+          "THEN CAST(raise_error(concat('embedding_gram: ragged embedding lengths [', d_lo, ', ', d_hi, ']')) AS BIGINT) " +
+          "WHEN g > 9223372036854775807 OR g < -9223372036854775808 " +
           "THEN CAST(raise_error('embedding_gram: gram_u2 exceeds BIGINT - rescale the micro unit') AS BIGINT) " +
           "ELSE CAST(g AS BIGINT) END").as("gram_u2"))
   }

@@ -1104,6 +1104,17 @@ object TextQueries {
           transform(sequence(lit(1), size(sy) - 1),
             i => concat(element_at(sy, i), lit(" "), element_at(sy, i + 1))))
           .otherwise(array().cast("array<string>"))
+        // This per-round first() is deliberately NOT folded into a
+        // broadcast (r13 verdict #7 triage): it is the round's ONLY
+        // action, not an extra job — BPE training is sequentially
+        // dependent (round r's merge expression is BUILT from round
+        // r−1's argmax), so the fetch cannot be deferred without
+        // chaining all R argmaxes as lazy broadcast joins, which
+        // either recomputes each vocab level twice per round (both
+        // argmax and apply reference it) or persists every level —
+        // strictly more memory and executed work for the same R
+        // sequential stage barriers. The localCheckpoint cadence below
+        // already bounds the driver-side planning cost per round.
         val top = vocab.select(explode(pairs).as("pair"), col("freq"))
           .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
           .orderBy(col("n").desc, col("pair"))

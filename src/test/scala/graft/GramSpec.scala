@@ -80,6 +80,22 @@ class GramSpec extends SparkSuite {
         .fn(spark, huge).collect()
     }
     assert(messages(ex2).exists(_.contains("exact-product bound")), ex2.toString)
+
+    // RAGGED corpus: the dimension is discovered per-partition from the
+    // first row (no driver pre-scan), so raggedness must still fail
+    // LOUDLY at action time — intra-partition via the per-row require,
+    // cross-partition via the in-plan min(d)=max(d) guard. Either way:
+    // an exception naming the query, never silent wrong cells.
+    val ragged = tmpDir("gram_ragged")
+    spark.createDataset(Seq((1L, Array(1.0, 2.0)), (2L, Array(1.0, 2.0, 3.0))))
+      .toDF("vec_id", "embedding").repartition(2, col("vec_id"))
+      .write.mode("overwrite").parquet(s"$ragged/embeddings.parquet")
+    val ex3 = intercept[Exception] {
+      SimilarityQueries.defs.find(_.name == "embedding_gram").get
+        .fn(spark, ragged).collect()
+    }
+    assert(messages(ex3).exists(m => m.contains("embedding_gram") &&
+      (m.contains("ragged") || m.contains("length"))), ex3.toString)
   }
 
   /** The query's exact power iteration, recomputed on the driver from
