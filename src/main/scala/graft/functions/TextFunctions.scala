@@ -110,6 +110,14 @@ object TextFunctions {
   def dotFast(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.dotNative(a, b)
 
+  /** Per-document repetition counters from a token array (native
+    * codegen'd [[org.apache.spark.sql.graft.RepetitionStatsExpr]]):
+    * struct(n_bg, top_bg, n_tg, n_dist_tg) in one pass — the
+    * narrow-plan engine for `text_repetition`. See the expression's
+    * scaladoc for the measured alternatives it replaces. */
+  def repetitionStats(tokensArr: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.repetitionStatsNative(tokensArr)
+
   /** Unicode NFC canonicalization (native codegen'd
     * [[org.apache.spark.sql.graft.NfcNormalizeExpr]]) — run before any
     * text hashing: composed and decomposed accent sequences render

@@ -203,11 +203,106 @@ object PortableHashExpr {
   }
 }
 
+/** Native per-document repetition counters — the four integers behind
+  * `text_repetition`'s Gopher-style fractions, from ONE pass over the
+  * token array: struct(n_bg = bigram total, top_bg = max bigram
+  * multiplicity, n_tg = trigram total, n_dist_tg = distinct trigrams).
+  *
+  * Why an expression and not a plan: the answers are per-document, so
+  * the scalable shape is a NARROW projection — the gram strings never
+  * leave the mapper, nothing shuffles, nothing persists. And why ONE
+  * expression for all four: the r14 A/B measured the alternatives —
+  * the explode → groupBy(doc, gram) shuffle plan at 1.0-1.5 s
+  * (sf0.1, calm; and 4× noise-amplified in loaded windows — it fired
+  * the driver time gate in r12 AND r13), an `aggregate`-HOF-over-
+  * array_sort narrow form at ~6.9 s (a Catalyst lambda tree
+  * interpreted PER ELEMENT), and per-field expressions over
+  * materialized shingle arrays at ~6.8 s (the gram arrays are built,
+  * hashed and distinct'd repeatedly). A custom struct output cannot
+  * be decomposed by SimplifyExtractValueOps (it is not a literal
+  * CreateNamedStruct), so the optimizer provably evaluates it ONCE
+  * per row, codegen'd, with zero intermediate gram arrays.
+  *
+  * Gram identity matches the shingle/oracle convention: tokens joined
+  * by one space — injective because tokens ([a-z0-9]+) cannot contain
+  * spaces, so count equality with the oracle's list algebra holds. */
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = RepetitionStatsExpr.schema
+  override def prettyName: String = "graft_repetition_stats"
+
+  override protected def nullSafeEval(a: Any): Any =
+    RepetitionStatsExpr.stats(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.RepetitionStatsExpr.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
+object RepetitionStatsExpr {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_bg", LongType, nullable = false),
+    StructField("top_bg", LongType, nullable = false),
+    StructField("n_tg", LongType, nullable = false),
+    StructField("n_dist_tg", LongType, nullable = false)))
+
+  private val space = UTF8String.fromString(" ")
+
+  /** Static so generated code calls it without capturing `this`. The
+    * maps live only within this single call, so UTF8String keys
+    * pointing into the row buffer are safe. A null token (impossible
+    * from regexp_extract_all, but the expression stays total) is
+    * treated as the empty string. */
+  def stats(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    def tok(i: Int): UTF8String =
+      if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+    val nBg = math.max(0, n - 1)
+    val nTg = math.max(0, n - 2)
+    var topBg = 0
+    var distTg = 0L
+    if (nBg > 0) {
+      val bgCounts = new java.util.HashMap[UTF8String, Integer](nBg * 2)
+      var i = 0
+      while (i < nBg) {
+        val key = UTF8String.concat(tok(i), space, tok(i + 1))
+        val prev = bgCounts.get(key)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        bgCounts.put(key, Integer.valueOf(c))
+        if (c > topBg) topBg = c
+        i += 1
+      }
+    }
+    if (nTg > 0) {
+      val tgSeen = new java.util.HashSet[UTF8String](nTg * 2)
+      var i = 0
+      while (i < nTg) {
+        tgSeen.add(UTF8String.concat(tok(i), space, tok(i + 1), space, tok(i + 2)))
+        i += 1
+      }
+      distTg = tgSeen.size().toLong
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nBg.toLong, topBg.toLong, nTg.toLong, distTg))
+  }
+}
+
 object VectorExpressions {
   /** Column API for [[DotProductExpr]]. */
   def dotNative(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductExpr(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column API for [[RepetitionStatsExpr]]. */
+  def repetitionStatsNative(c: Column): Column =
+    ExpressionUtils.column(RepetitionStatsExpr(ExpressionUtils.expression(c)))
 
   /** Column API for [[NfcNormalizeExpr]]. */
   def nfcNative(c: Column): Column =

@@ -141,37 +141,42 @@ object CurationQueries {
     // codegen'd, map-side combinable, 1.2 s on the same corpus, and
     // the 100 TB plan is three doc_id-keyed exchanges of token-stream
     // size, not a per-row interpreter.
+    // NARROW per-doc rewrite (r14 triage of the twice-fired driver time
+    // gate): the old shape persisted the shingle frame and ran TWO
+    // explode → groupBy(doc_id, g) chains joined back — per-document
+    // answers computed through four doc_id-keyed shuffle stages plus a
+    // cache, which amplified co-tenant window noise ~4× vs the board
+    // (r12: 11.79 s, r13: 6.36 s driver firings; 1.0-1.5 s calm, the
+    // r14 interleaved A/B). The answers are per-document counters, so
+    // the scalable shape is one narrow projection over one scan: the
+    // codegen'd RepetitionStatsExpr computes all four counters in a
+    // single pass over the token array (no shingle arrays built, no
+    // gram string ever leaves the mapper, nothing persisted, nothing
+    // to evict). The custom struct is opaque to
+    // SimplifyExtractValueOps, so it is provably evaluated once per
+    // row; the fraction arithmetic reads its fields. Same values,
+    // same oracle — and at 100 TB the gram-string shuffle (~10× the
+    // text bytes) is gone entirely.
     QueryDef("text_repetition",
       (s, dir) => {
-        val t = tokens(col("text"))
-        // persisted: the tokenize+shingle pass feeds both gram branches
-        // (caller's clearCache sweep releases it, the Bench/Verify
-        // contract shared with DedupQueries)
+        // null text → zero counters (the oracle's CASE WHEN len(t)…
+        // ELSE [] path yields 0, and the old plan's left-join+coalesce
+        // did too — a NULL-in-NULL-out expression would diverge on the
+        // degenerate docs CurationPropsSpec generates)
         val docs = widened(s, Tables(s, dir, "documents"))
-          .select(col("doc_id"), shingles(t, 2).as("bg"), shingles(t, 3).as("tg"))
-          .persist()
-        val bgStats = docs.select(col("doc_id"), explode(col("bg")).as("g"))
-          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("n_bg"))
-        val tgStats = docs.select(col("doc_id"), explode(col("tg")).as("g"))
-          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_dist_tg"), sum(col("c")).as("n_tg"))
-        val nTg = coalesce(col("n_tg"), lit(0L))
-        val dup3 = round((nTg - coalesce(col("n_dist_tg"), lit(0L))).cast("double") /
+          .select(col("doc_id"), repetitionStats(
+            coalesce(tokens(col("text")), array().cast("array<string>"))).as("st"))
+        val nTg = col("st.n_tg")
+        val dup3 = round((nTg - col("st.n_dist_tg")).cast("double") /
           greatest(nTg, lit(1L)).cast("double"), 6)
-        val top2 = round(coalesce(col("top_cnt"), lit(0L)).cast("double") /
-          greatest(coalesce(col("n_bg"), lit(0L)), lit(1L)).cast("double"), 6)
-        docs.select(col("doc_id"))
-          .join(bgStats, Seq("doc_id"), "left_outer")
-          .join(tgStats, Seq("doc_id"), "left_outer")
-          .select(
-            col("doc_id"),
-            nTg.as("n_3grams"),
-            dup3.as("dup3_frac"),
-            top2.as("top2_frac"),
-            when(dup3 > 0.01 || top2 > 0.07, 1L).otherwise(0L).as("is_repetitive"))
+        val top2 = round(col("st.top_bg").cast("double") /
+          greatest(col("st.n_bg"), lit(1L)).cast("double"), 6)
+        docs.select(
+          col("doc_id"),
+          nTg.as("n_3grams"),
+          dup3.as("dup3_frac"),
+          top2.as("top2_frac"),
+          when(dup3 > 0.01 || top2 > 0.07, 1L).otherwise(0L).as("is_repetitive"))
       },
       Some(s"""$toksCte,
              |g AS (SELECT doc_id,

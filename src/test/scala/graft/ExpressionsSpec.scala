@@ -53,6 +53,44 @@ class ExpressionsSpec extends SparkSuite {
     assert(df.collect().length == 500)
   }
 
+  test("graft_repetition_stats equals a driver brute force and participates in codegen") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{repetitionStats, tokens}
+    // brute force over the token list: bigram/trigram totals, max
+    // bigram multiplicity, distinct trigram count
+    def brute(toks: Seq[String]): (Long, Long, Long, Long) = {
+      val bg = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val tg = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      (bg.size.toLong,
+        if (bg.isEmpty) 0L else bg.groupBy(identity).values.map(_.size).max.toLong,
+        tg.size.toLong, tg.distinct.size.toLong)
+    }
+    val texts = Seq(
+      "a b a b a b c",         // repeated bigrams, duplicate trigrams
+      "x",                     // below bigram threshold
+      "",                      // no tokens at all
+      "one two three",         // exactly one trigram
+      "t t t t t t t t")       // maximal repetition
+    val df = texts.toDF("text")
+      .select(col("text"), repetitionStats(tokens(col("text"))).as("st"))
+    val got = df.select(col("text"), col("st.n_bg"), col("st.top_bg"),
+        col("st.n_tg"), col("st.n_dist_tg"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    texts.foreach { t =>
+      val toks = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+      assert(got(t) == brute(toks), s"text '$t': ${got(t)} vs ${brute(toks)}")
+    }
+    // whole-stage codegen: over a real scan (a literal local relation
+    // constant-folds the whole projection away), the projection
+    // carrying the expression compiles — the `*(n)` marker
+    val dfScan = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(repetitionStats(tokens(col("text"))).as("st"))
+    val plan = dfScan.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().startsWith("*("), plan)
+    assert(dfScan.collect().nonEmpty)
+  }
+
   test("graft_dot accepts float and double arrays, per side, with identical folds") {
     import spark.implicits._
     import graft.functions.TextFunctions.dotFast
