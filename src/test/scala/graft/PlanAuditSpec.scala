@@ -315,6 +315,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("text_repetition: single-Exchange narrow plan (the widening repartition only)") {
+    // r14 shape: one codegen'd RepetitionStatsExpr pass per document —
+    // the ONLY exchange allowed is the shared narrow-scan widening
+    // repartition; a second Exchange means the gram strings leaked back
+    // into keyed work (the pre-r14 plan, whose explode→groupBy shuffle
+    // was the load-amplifier behind the r12/r13 driver-gate firings)
+    val p = plan(SparkEntry.queries("text_repetition")(spark, dir))
+    assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("graft_repetition_stats"), p)
+  }
+
   test("multimodal_audio: zero-Exchange per-partition decode") {
     // the module rule: payloads are only ever mapped, never shuffled —
     // an Exchange here means the binary column leaked into keyed work
