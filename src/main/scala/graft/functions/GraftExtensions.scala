@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.nfcFunction)
     ext.injectFunction(GraftExtensions.phashFunction)
+    ext.injectFunction(GraftExtensions.repStatsFunction)
     // whole-operator extension: lowers the custom AsOfJoinPlan node
     // (graft.plans.AsOf) during optimization; the table function is the
     // SQL surface constructing that node, so spark.sql(...) users get
@@ -80,6 +81,19 @@ object GraftExtensions {
   private[graft] val phashFunction =
     (FunctionIdentifier("graft_phash"), phashInfo, (children: Seq[Expression]) => buildPhash(children))
 
+  private val repStatsInfo = new ExpressionInfo(
+    classOf[RepetitionStatsExpr].getCanonicalName, "graft_repetition_stats")
+
+  private def buildRepStats(children: Seq[Expression]): Expression = {
+    require(children.size == 1,
+      s"graft_repetition_stats expects 1 argument, got ${children.size}")
+    RepetitionStatsExpr(children.head)
+  }
+
+  private[graft] val repStatsFunction =
+    (FunctionIdentifier("graft_repetition_stats"), repStatsInfo,
+      (children: Seq[Expression]) => buildRepStats(children))
+
   private val asofInfo = new ExpressionInfo(
     classOf[AsOfJoinPlan].getCanonicalName, "asof_join")
 
@@ -127,6 +141,8 @@ object GraftExtensions {
       .createOrReplaceTempFunction("graft_nfc", buildNfc, "built-in")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("graft_phash", buildPhash, "built-in")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("graft_repetition_stats", buildRepStats, "built-in")
     spark.sessionState.tableFunctionRegistry
       .createOrReplaceTempFunction("asof_join", buildAsOf, "built-in")
     // the SQL surface needs the lowering rule too (cluster deployments

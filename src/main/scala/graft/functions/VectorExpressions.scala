@@ -212,9 +212,10 @@ object PortableHashExpr {
   * the scalable shape is a NARROW projection — the gram strings never
   * leave the mapper, nothing shuffles, nothing persists. And why ONE
   * expression for all four: the r14 A/B measured the alternatives —
-  * the explode → groupBy(doc, gram) shuffle plan at 1.0-1.5 s
-  * (sf0.1, calm; and 4× noise-amplified in loaded windows — it fired
-  * the driver time gate in r12 AND r13), an `aggregate`-HOF-over-
+  * the persisted explode → groupBy(doc, gram) → join plan at
+  * 1.0-1.5 s (sf0.1, calm; and 4× noise-amplified in loaded windows
+  * via its cache + per-gram hash-agg tables — it fired the driver
+  * time gate in r12 AND r13), an `aggregate`-HOF-over-
   * array_sort narrow form at ~6.9 s (a Catalyst lambda tree
   * interpreted PER ELEMENT), and per-field expressions over
   * materialized shingle arrays at ~6.8 s (the gram arrays are built,

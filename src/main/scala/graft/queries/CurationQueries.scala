@@ -143,20 +143,22 @@ object CurationQueries {
     // size, not a per-row interpreter.
     // NARROW per-doc rewrite (r14 triage of the twice-fired driver time
     // gate): the old shape persisted the shingle frame and ran TWO
-    // explode → groupBy(doc_id, g) chains joined back — per-document
-    // answers computed through four doc_id-keyed shuffle stages plus a
-    // cache, which amplified co-tenant window noise ~4× vs the board
-    // (r12: 11.79 s, r13: 6.36 s driver firings; 1.0-1.5 s calm, the
-    // r14 interleaved A/B). The answers are per-document counters, so
-    // the scalable shape is one narrow projection over one scan: the
+    // explode → groupBy(doc_id, g) → join passes. Not a shuffle issue —
+    // those groupBys reused the widening repartition's hash(doc_id)
+    // clustering (subset of the group keys), so the old plan exchanged
+    // exactly the same 850,594 bytes this one does — but the cache
+    // (eviction → recompute both consumers) and the per-gram hash-agg
+    // tables amplified co-tenant window noise ~4× vs the board (r12:
+    // 11.79 s, r13: 6.36 s driver firings; 1.0-1.5 s calm, the r14
+    // interleaved A/B). The answers are per-document counters, so the
+    // scalable shape is one narrow projection over one scan: the
     // codegen'd RepetitionStatsExpr computes all four counters in a
     // single pass over the token array (no shingle arrays built, no
-    // gram string ever leaves the mapper, nothing persisted, nothing
-    // to evict). The custom struct is opaque to
+    // gram string ever materialized per position, nothing persisted,
+    // nothing to evict). The custom struct is opaque to
     // SimplifyExtractValueOps, so it is provably evaluated once per
     // row; the fraction arithmetic reads its fields. Same values,
-    // same oracle — and at 100 TB the gram-string shuffle (~10× the
-    // text bytes) is gone entirely.
+    // same oracle, 2.4× faster calm (0.50 s vs 1.2) and load-robust.
     QueryDef("text_repetition",
       (s, dir) => {
         // null text → zero counters (the oracle's CASE WHEN len(t)…

@@ -27,9 +27,10 @@ class ExtensionsWiringSpec extends graft.SparkSuite {
     new GraftExtensions().apply(ext)
 
     val fns = ext.registerFunctions(FunctionRegistry.builtin.clone())
-    Seq("graft_dot", "graft_nfc", "graft_phash").foreach { f =>
-      assert(fns.functionExists(FunctionIdentifier(f)), s"$f not injected")
-    }
+    Seq("graft_dot", "graft_nfc", "graft_phash", "graft_repetition_stats")
+      .foreach { f =>
+        assert(fns.functionExists(FunctionIdentifier(f)), s"$f not injected")
+      }
 
     val tfns = ext.registerTableFunctions(TableFunctionRegistry.builtin.clone())
     assert(tfns.functionExists(FunctionIdentifier("asof_join")), "asof_join not injected")

@@ -318,9 +318,10 @@ class PlanAuditSpec extends SparkSuite {
   test("text_repetition: single-Exchange narrow plan (the widening repartition only)") {
     // r14 shape: one codegen'd RepetitionStatsExpr pass per document —
     // the ONLY exchange allowed is the shared narrow-scan widening
-    // repartition; a second Exchange means the gram strings leaked back
-    // into keyed work (the pre-r14 plan, whose explode→groupBy shuffle
-    // was the load-amplifier behind the r12/r13 driver-gate firings)
+    // repartition, and the expression must be in the plan (its absence
+    // means a rewrite re-introduced materialized gram arrays or the
+    // persisted two-consumer shape whose cache + hash-agg passes were
+    // the r12/r13 load amplifier)
     val p = plan(SparkEntry.queries("text_repetition")(spark, dir))
     assert("(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size <= 1, p)
     assert(p.contains("graft_repetition_stats"), p)
