@@ -1098,6 +1098,88 @@ object EventStreams {
       }
   }
 
+  /** State-API-v2 processor behind [[funnelStream]] — the same
+    * conditional-min funnel fold as [[funnelStateful]] with the v1
+    * timeout slot replaced by a [[TimerHygiene]]-managed event-time
+    * timer. Like [[SessionizeProcessor]], the expiry handler EMITS
+    * (the funnel report is timeout-driven payload, not mere eviction)
+    * and re-checks the CURRENT state's idle horizon first, so a stale
+    * timer cannot report a funnel its user has since advanced. The v1
+    * path's "horizon already behind the watermark → report inline"
+    * special case disappears: v2 timers may be registered in the past
+    * and simply fire on the next micro-batch — same rows, one less
+    * code path. */
+  private class FunnelProcessor(idleMs: Long)
+      extends StatefulProcessor[Long, Event, FunnelOut] with TimerHygiene {
+    @transient private var st: ValueState[FunnelState] = _
+    private val Unseen = Long.MaxValue
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[FunnelState]("funnel",
+        org.apache.spark.sql.Encoders.product[FunnelState], TTLConfig.NONE)
+      initArmed()
+    }
+
+    private def report(userId: Long, s: FunnelState): FunnelOut = {
+      val step1 = s.clickMs != Unseen
+      val step2 = step1 && s.viewMs != Unseen && s.viewMs > s.clickMs
+      val step3 = step2 && s.purchaseMs != Unseen && s.purchaseMs > s.viewMs
+      val step = if (step3) 3 else if (step2) 2 else if (step1) 1 else 0
+      def opt(v: Long) = if (v == Unseen) None else Some(v)
+      FunnelOut(userId, step, opt(s.clickMs), opt(s.viewMs), opt(s.purchaseMs))
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[FunnelOut] = {
+      var s = if (st.exists()) st.get()
+        else FunnelState(Unseen, Unseen, Unseen, Long.MinValue)
+      rows.foreach { e =>
+        val t = e.ts.getTime
+        s = e.event_type match {
+          case "click" => s.copy(clickMs = math.min(s.clickMs, t))
+          case "view" => s.copy(viewMs = math.min(s.viewMs, t))
+          case _ => s.copy(purchaseMs = math.min(s.purchaseMs, t))
+        }
+        s = s.copy(lastMs = math.max(s.lastMs, t))
+      }
+      st.update(s)
+      rearmTimer(s.lastMs + idleMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[FunnelOut] = {
+      if (st.exists()) {
+        val s = st.get()
+        if (s.lastMs + idleMs <= info.getExpiryTimeInMs()) {
+          st.clear(); clearArmed()
+          return Iterator.single(report(userId, s))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** State-API-v2 twin of [[funnelStateful]] (`transformWithState`,
+    * RocksDB, explicit stale-guarded timers) — with [[sessionizeStream]]
+    * this closes the v2 ports of both timer-EMITTING stateful
+    * operators; StreamingSpec pins it row-equal to the v1 twin
+    * including the timer-driven report path. Scale posture is v1's:
+    * three min-timestamps + an idle clock + one pending timer per
+    * active user, hash-partitioned on user_id, watermark-bounded. */
+  def funnelStream(events: Dataset[Event],
+      idleMs: Long = 2L * 3600 * 1000,
+      watermark: String = "2 hours"): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "view" ||
+        e.event_type == "purchase")
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(idleMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   final case class HeavyUser(event_type: String, user_id: String, est: Long, n: Long)
   final case class HhState(entries: List[(String, Long)], n: Long)
 

@@ -1081,6 +1081,56 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("transformWithState funnel: row-equal to the v1 twin incl. timer-driven reports") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // user 1 reaches step 3 (click < view < purchase), user 2 only
+    // step 1 (its view PRECEDES its click — the conditional-min kill),
+    // user 3 steps 0 rows never exist (filtered types only), and the
+    // flusher user 9 stays open (no report)
+    val batch1 = Seq(
+      Event(1, ts(0), 1, "click", 0.0), Event(2, ts(10), 1, "view", 0.0),
+      Event(3, ts(5), 2, "view", 0.0), Event(4, ts(7), 2, "click", 0.0))
+    val batch2 = Seq(
+      Event(5, ts(20), 1, "purchase", 0.0),
+      Event(6, ts(600), 9, "click", 0.0)) // watermark -> 480 min
+    def rows(table: String): Set[(Long, Int, Option[Long], Option[Long], Option[Long])] =
+      spark.table(table).as[EventStreams.FunnelOut].collect()
+        .map(f => (f.user_id, f.step, f.click_ms, f.view_ms, f.purchase_ms)).toSet
+
+    val ms1 = MemoryStream[Event]
+    val q1 = EventStreams.funnelStateful(ms1.toDS())
+      .writeStream.format("memory").queryName("funnel_v1").outputMode("append").start()
+    val v1 = try {
+      ms1.addData(batch1: _*); q1.processAllAvailable()
+      ms1.addData(batch2: _*); q1.processAllAvailable()
+      rows("funnel_v1")
+    } finally q1.stop()
+    // scenario sanity: both reports arrived via the timer path
+    assert(v1.map(r => (r._1, r._2)) == Set((1L, 3), (2L, 1)), v1)
+
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms2 = MemoryStream[Event]
+      val q2 = EventStreams.funnelStream(ms2.toDS())
+        .writeStream.format("memory").queryName("funnel_v2").outputMode("append").start()
+      val v2 = try {
+        ms2.addData(batch1: _*); q2.processAllAvailable()
+        ms2.addData(batch2: _*); q2.processAllAvailable()
+        rows("funnel_v2")
+      } finally q2.stop()
+      assert(v2 == v1, s"v2 funnel rows $v2 diverged from v1 $v1")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
