@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.core.Pipeline
-import graft.sinks.{CsvSink, JsonlSink, OrcSink, ParquetSink, XmlSink}
-import graft.sources.{CsvSource, JsonlSource, LineSource, OrcSource, ParquetSource, XmlSource}
+import graft.sinks.{CsvSink, FixedWidthSink, JsonlSink, OrcSink, ParquetSink, XmlSink}
+import graft.sources.{CsvSource, FixedWidthSource, JsonlSource, LineSource, OrcSource, ParquetSource, XmlSource}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
@@ -109,6 +109,37 @@ object FileQueries {
       Some(s"""SELECT s_suppkey, s_name, s_nationkey,
               |  ${QueryDef.centsSql("s_acctbal")} AS acctbal_cents
               |FROM supplier""".stripMargin)),
+
+    // Fixed-width round-trip (engine extension — the mainframe/legacy
+    // export shape): customer → FixedWidthSink (space-padded fields,
+    // loud on overflow/trailing-space/NULL) → FixedWidthSource
+    // (substring/rtrim/cast, all codegen'd) — longs, ints, strings and
+    // IEEE doubles (via the shortest-round-trip string cast, then
+    // cents-rounded) must reproduce the parquet table exactly. Widths
+    // are sized to the TPC-H domains with headroom; an out-of-domain
+    // value fails the write loudly rather than shifting the record.
+    QueryDef("fixed_width_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+        val out = scratch(dir, "fw_rt")
+        val layout = Seq("c_custkey" -> 12, "c_name" -> 25,
+          "c_nationkey" -> 4, "c_acctbal" -> 24, "c_mktsegment" -> 12)
+        FixedWidthSink(out, layout).write(
+          s.read.parquet(s"$dir/customer.parquet")
+            .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+              col("c_acctbal"), col("c_mktsegment")))
+        FixedWidthSource(out, layout, types = Map(
+            "c_custkey" -> LongType, "c_nationkey" -> IntegerType,
+            "c_acctbal" -> DoubleType))
+          .load(s)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            QueryDef.cents(col("c_acctbal")).as("acctbal_cents"),
+            col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_custkey, c_name, c_nationkey,
+              |  ${QueryDef.centsSql("c_acctbal")} AS acctbal_cents,
+              |  c_mktsegment
+              |FROM customer""".stripMargin)),
 
     // Small-file compaction — the 100-TB housekeeping operator every
     // streaming/incremental ingest eventually needs: micro-batch sinks

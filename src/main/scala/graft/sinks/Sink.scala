@@ -178,6 +178,53 @@ final case class XmlSink(path: String, mode: SaveMode = SaveMode.Overwrite,
       .xml(path)
 }
 
+/** Fixed-width (columnar-text) out — the write side of
+  * [[graft.sources.FixedWidthSource]]: every field space-padded to its
+  * layout width, one record per line, written distributed through the
+  * text writer (engine extension; the legacy-interchange counterpart of
+  * [[CsvSink]]).
+  *
+  * The format is LOSSY at its edges, and this sink is loud about every
+  * edge instead of silently corrupting records — the CsvSource
+  * bad-input discipline applied to writes:
+  *  - a value LONGER than its width would shift every later field →
+  *    `raise_error` naming the field and value;
+  *  - a value with a TRAILING SPACE or an embedded newline/CR is
+  *    indistinguishable from padding / a record break after the trip →
+  *    `raise_error`;
+  *  - NULL has no representation distinct from the empty string (both
+  *    read back as a blank field) → `raise_error`; encode nulls
+  *    explicitly upstream if the layout has a convention for them.
+  * Doubles survive exactly: the string cast emits the shortest
+  * round-trip representation (same contract [[XmlSink]] relies on), and
+  * the source's cast parses it back to the identical bits.
+  * The guard chain is plain `when`/`rpad` column algebra — codegen'd,
+  * narrow, zero extra passes. */
+final case class FixedWidthSink(path: String, layout: Seq[(String, Int)])
+    extends Sink {
+  require(layout.nonEmpty && layout.forall(_._2 > 0),
+    s"fixed-width layout needs positive widths: $layout")
+
+  def write(df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val fields = layout.map { case (name, w) =>
+      val c = col(name).cast("string")
+      when(c.isNull, raise_error(lit(
+          s"fixed-width: NULL in field $name has no distinct encoding " +
+            "(blank = empty string); encode nulls upstream")))
+        .when(length(c) > w, raise_error(concat(
+          lit(s"fixed-width overflow: field $name exceeds width $w: "), c)))
+        .when(c =!= rtrim(c) || contains(c, lit("\n")) || contains(c, lit("\r")),
+          raise_error(concat(
+            lit(s"fixed-width: field $name has trailing space or embedded " +
+              "line break (not round-trippable): "), c)))
+        .otherwise(rpad(c, w, " "))
+    }
+    df.select(concat(fields: _*).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+  }
+}
+
 /** Keyed upsert — the reference's `DbLoader`
   * (`src/Laravel/Loaders/DbLoader.php:91-109`: per record, check
   * `whereFields` match, update-or-insert). JDBC `df.write` has no MERGE;

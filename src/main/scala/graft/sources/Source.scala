@@ -346,6 +346,44 @@ final case class XmlSource(
       .option("rowTag", rowTag).xml(path)
 }
 
+/** Fixed-width (columnar-text / mainframe export) scan — one record per
+  * line, each field at a fixed character offset, space-padded (engine
+  * extension: the reference's file extractors are CSV/line,
+  * `src/Extractors/File/`; fixed-width is the other legacy-export shape
+  * an ETL engine meets, and the one `LineExtractor` users hand-slice
+  * today). `layout` gives (field, width) in record order; `types` maps
+  * fields to target types, try_cast AFTER the rtrim: a blank field
+  * reads as NULL (the format cannot distinguish the two, see
+  * [[graft.sinks.FixedWidthSink]]) and a malformed typed field
+  * null-fills instead of aborting the job — the same bad-record
+  * tolerance [[CsvSource]]'s PERMISSIVE mode gives a 100 TB ingest
+  * (ANSI cast would kill the job on the first corrupt record).
+  *
+  * Scale shape: the scan is `spark.read.text` (splittable, distributed)
+  * and every field is substring/rtrim/cast — narrow, whole-stage
+  * codegen'd, zero shuffles; column pruning drops unused substrings at
+  * the optimizer level since each field is an independent projection. */
+final case class FixedWidthSource(
+    path: String,
+    layout: Seq[(String, Int)],
+    types: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
+    override val limit: Option[Long] = None,
+    override val offset: Long = 0L,
+    override val orderedBy: Seq[String] = Nil) extends Source {
+  require(layout.nonEmpty && layout.forall(_._2 > 0),
+    s"fixed-width layout needs positive widths: $layout")
+
+  protected def scan(spark: SparkSession): DataFrame = {
+    // running 1-based start offsets (substring is 1-based)
+    val starts = layout.scanLeft(1) { case (pos, (_, w)) => pos + w }
+    val fields = layout.zip(starts).map { case ((name, w), start) =>
+      val trimmed = rtrim(substring(col("value"), start, w))
+      types.get(name).fold(trimmed)(t => trimmed.try_cast(t)).as(name)
+    }
+    spark.read.text(path).select(fields: _*)
+  }
+}
+
 /** In-memory rows: the reference's `CallableExtractor` returning an array
   * (`src/Extractors/CallableExtractor.php:18-99`). For scale this is for
   * small dimension/config data only — it materializes on the driver. */

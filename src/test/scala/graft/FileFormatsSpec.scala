@@ -220,6 +220,52 @@ class FileFormatsSpec extends SparkSuite {
     assert(rows == 1000L)
   }
 
+  test("fixed-width: exact byte layout on disk, typed round-trip, blank-field NULL") {
+    import graft.sinks.FixedWidthSink
+    import graft.sources.FixedWidthSource
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val dir = tmpDir("fw_layout")
+    val layout = Seq("id" -> 6, "name" -> 8, "bal" -> 10)
+    val df = spark.createDataFrame(Seq(
+      (7L, "ann", 12.5), (42L, "bo b", -0.25))).toDF("id", "name", "bal")
+    FixedWidthSink(s"$dir/out", layout).write(df)
+    // raw lines: every record exactly 24 chars, fields at fixed offsets
+    val raw = spark.read.text(s"$dir/out").collect().map(_.getString(0)).sorted
+    assert(raw.forall(_.length == 24), raw.mkString("|"))
+    assert(raw(0) == "42    bo b    -0.25     ", s"[${raw(0)}]")
+    assert(raw(1) == "7     ann     12.5      ", s"[${raw(1)}]")
+    val back = FixedWidthSource(s"$dir/out", layout,
+        types = Map("id" -> LongType, "bal" -> DoubleType)).load(spark)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(back == Set((7L, "ann", 12.5), (42L, "bo b", -0.25)))
+    // a blank numeric field reads back as NULL (the format's documented
+    // NULL/empty ambiguity, resolved to NULL by the cast)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/blank.txt"), "9         " + "\n")
+    val b = FixedWidthSource(s"$dir/blank.txt", Seq("id" -> 6, "bal" -> 10),
+      types = Map("id" -> LongType, "bal" -> DoubleType)).load(spark).collect()
+    assert(b.head.getLong(0) == 9L && b.head.isNullAt(1))
+  }
+
+  test("fixed-width sink is loud on overflow, trailing space, and NULL") {
+    import graft.sinks.FixedWidthSink
+    val dir = tmpDir("fw_loud")
+    def attempt(rows: Seq[(java.lang.Long, String)]): Throwable =
+      intercept[Exception] {
+        FixedWidthSink(s"$dir/bad", Seq("id" -> 4, "name" -> 6))
+          .write(spark.createDataFrame(rows).toDF("id", "name"))
+      }
+    // value wider than the field would shift every later column
+    assert(attempt(Seq((1L: java.lang.Long, "sevenchars"))).getMessage
+      .contains("overflow"))
+    // trailing space is indistinguishable from padding after the trip
+    assert(attempt(Seq((1L: java.lang.Long, "ab "))).getMessage
+      .contains("trailing space"))
+    // NULL has no encoding distinct from the empty string
+    assert(attempt(Seq((1L: java.lang.Long, null: String))).getMessage
+      .contains("NULL"))
+  }
+
   test("JdbcUpsertSink SQL builder (no DB in env — pure check)") {
     import graft.sinks.JdbcUpsertSink
     val pg = JdbcUpsertSink.upsertSql("postgresql", "t", Seq("id", "a", "b"), Seq("id"))
