@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.core.Pipeline
-import graft.sinks.{CsvSink, FixedWidthSink, JsonlSink, OrcSink, ParquetSink, XmlSink}
-import graft.sources.{CsvSource, FixedWidthSource, JsonlSource, LineSource, OrcSource, ParquetSource, XmlSource}
+import graft.sinks.{AvroSink, CsvSink, FixedWidthSink, JsonlSink, OrcSink, ParquetSink, XmlSink}
+import graft.sources.{AvroSource, CsvSource, FixedWidthSource, JsonlSource, LineSource, OrcSource, ParquetSource, XmlSource}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
@@ -140,6 +140,28 @@ object FileQueries {
               |  ${QueryDef.centsSql("c_acctbal")} AS acctbal_cents,
               |  c_mktsegment
               |FROM customer""".stripMargin)),
+
+    // Avro round-trip (engine extension — the row-major interchange
+    // format of Kafka/ingest drops): part → AvroSink (container files,
+    // one per task, sync-marker splittable) → AvroSource with the
+    // SNIFFED writer schema (one driver-side header read — the explicit-
+    // schema path is unit-pinned in AvroSpec) — longs, ints, strings and
+    // IEEE doubles (cents-rounded for the oracle) must reproduce the
+    // parquet table exactly.
+    QueryDef("avro_roundtrip",
+      (s, dir) => {
+        val out = scratch(dir, "avro_rt")
+        AvroSink(out).write(s.read.parquet(s"$dir/part.parquet")
+          .select(col("p_partkey"), col("p_name"), col("p_brand"),
+            col("p_size"), col("p_retailprice")))
+        AvroSource(out).load(s)
+          .select(col("p_partkey"), col("p_name"), col("p_brand"),
+            col("p_size"),
+            QueryDef.cents(col("p_retailprice")).as("retailprice_cents"))
+      },
+      Some(s"""SELECT p_partkey, p_name, p_brand, p_size,
+              |  ${QueryDef.centsSql("p_retailprice")} AS retailprice_cents
+              |FROM part""".stripMargin)),
 
     // Small-file compaction — the 100-TB housekeeping operator every
     // streaming/incremental ingest eventually needs: micro-batch sinks

@@ -178,6 +178,51 @@ final case class XmlSink(path: String, mode: SaveMode = SaveMode.Overwrite,
       .xml(path)
 }
 
+/** Avro container-file out — the write side of
+  * [[graft.sources.AvroSource]], through the public Hadoop output
+  * format (`AvroKeyOutputFormat`; no DataSource connector on this
+  * classpath). One container file per task, splittable on sync markers
+  * for whoever reads it next; the record schema derives from the
+  * DataFrame's StructType ([[graft.sources.AvroConv]] — flat primitives,
+  * nullable as `[null, T]`). Schema objects are not serializable, so
+  * tasks re-parse the JSON form once per partition. Overwrite
+  * semantics match the other sinks (the Hadoop committer refuses an
+  * existing directory, so the sink clears it first). */
+final case class AvroSink(path: String, recordName: String = "graft_record")
+    extends Sink {
+  def write(df: DataFrame): Unit = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyOutputFormat}
+    import org.apache.hadoop.io.NullWritable
+    import org.apache.hadoop.mapreduce.Job
+
+    val spark = df.sparkSession
+    val schemaJson =
+      graft.sources.AvroConv.toAvroSchema(df.schema, recordName).toString
+    val nFields = df.schema.length
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(schemaJson))
+    val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new HPath(path), true)
+    df.rdd.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      rows.map { r =>
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < nFields) {
+          rec.put(i, graft.sources.AvroConv.toAvro(r.get(i)))
+          i += 1
+        }
+        (new AvroKey[GenericRecord](rec), NullWritable.get())
+      }
+    }.saveAsNewAPIHadoopFile(path,
+      classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+      classOf[AvroKeyOutputFormat[GenericRecord]], job.getConfiguration)
+  }
+}
+
 /** Fixed-width (columnar-text) out — the write side of
   * [[graft.sources.FixedWidthSource]]: every field space-padded to its
   * layout width, one record per line, written distributed through the

@@ -346,6 +346,154 @@ final case class XmlSource(
       .option("rowTag", rowTag).xml(path)
 }
 
+/** Avro ⇄ Catalyst conversion for [[AvroSource]] / [[graft.sinks.AvroSink]]
+  * — the flat-record subset (long/int/double/float/string/boolean/
+  * binary, each optionally nullable as the Avro `[null, T]` union).
+  * Avro is the ROW-MAJOR interchange format (Kafka payloads, legacy
+  * ingest drops); nested/columnar data arrives as parquet/orc, so
+  * records/arrays/maps are rejected loudly rather than half-supported.
+  * Schema objects are not serializable — tasks receive the JSON string
+  * and re-parse (one parse per task, not per record). */
+object AvroConv {
+  import org.apache.avro.Schema
+  import org.apache.spark.sql.types._
+
+  /** Avro writer schema → StructType, unwrapping `[null, T]` unions. */
+  def toStructType(s: Schema): StructType = {
+    require(s.getType == Schema.Type.RECORD, s"expected an Avro record, got ${s.getType}")
+    StructType(s.getFields.toArray(Array.empty[Schema.Field]).map { f =>
+      val (t, nullable) = unwrap(f.schema())
+      StructField(f.name(), primitive(t, f.name()), nullable)
+    })
+  }
+
+  private def unwrap(s: Schema): (Schema, Boolean) =
+    if (s.getType == Schema.Type.UNION) {
+      val branches = s.getTypes.toArray(Array.empty[Schema])
+      val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.length == 1 && branches.length == 2,
+        s"only [null, T] unions are supported, got $s")
+      (nonNull.head, true)
+    } else (s, false)
+
+  private def primitive(s: Schema, field: String): DataType = s.getType match {
+    case Schema.Type.LONG    => LongType
+    case Schema.Type.INT     => IntegerType
+    case Schema.Type.DOUBLE  => DoubleType
+    case Schema.Type.FLOAT   => FloatType
+    case Schema.Type.STRING  => StringType
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.BYTES   => BinaryType
+    case other => throw new IllegalArgumentException(
+      s"Avro field $field: unsupported type $other (flat primitives only; " +
+        "nested data belongs in parquet/orc)")
+  }
+
+  /** StructType → Avro record schema (nullable → `[null, T]` union). */
+  def toAvroSchema(st: StructType, name: String): Schema = {
+    val fields = new java.util.ArrayList[Schema.Field]()
+    st.fields.foreach { f =>
+      val base = f.dataType match {
+        case LongType    => Schema.create(Schema.Type.LONG)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+        case FloatType   => Schema.create(Schema.Type.FLOAT)
+        case StringType  => Schema.create(Schema.Type.STRING)
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case BinaryType  => Schema.create(Schema.Type.BYTES)
+        case other => throw new IllegalArgumentException(
+          s"AvroSink: unsupported type $other for field ${f.name} " +
+            "(flat primitives only; nested data belongs in parquet/orc)")
+      }
+      val s = if (f.nullable)
+        Schema.createUnion(Schema.create(Schema.Type.NULL), base) else base
+      fields.add(new Schema.Field(f.name, s,
+        null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null))
+    }
+    Schema.createRecord(name, null, "graft.avro", false, fields)
+  }
+
+  /** Catalyst value → Avro datum (binary wraps; the rest map 1:1). */
+  def toAvro(v: Any): AnyRef = v match {
+    case null             => null
+    case b: Array[Byte]   => java.nio.ByteBuffer.wrap(b)
+    case x                => x.asInstanceOf[AnyRef]
+  }
+
+  /** Avro datum → Catalyst value. Utf8 and ByteBuffer are COPIED out —
+    * the Avro record reader reuses its buffers, so handing the raw
+    * object to a Row that outlives the next() call would alias. */
+  def fromAvro(v: Any): Any = v match {
+    case null                          => null
+    case u: org.apache.avro.util.Utf8  => u.toString
+    case bb: java.nio.ByteBuffer =>
+      val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+    case x => x
+  }
+}
+
+/** Avro container-file scan (engine extension — the row-major
+  * interchange format of Kafka/ingest pipelines). Spark's classpath
+  * here carries avro-core/avro-mapred but no DataSource connector, so
+  * the scan goes through the public Hadoop input format
+  * (`AvroKeyInputFormat`): container files are SPLITTABLE on their sync
+  * markers, so a 100 TB directory still fans out block-parallel; each
+  * record converts to a Row inside the reading task (the Hadoop-RDD
+  * object-reuse contract — see [[AvroConv.fromAvro]]) and everything
+  * downstream of the `createDataFrame` is ordinary codegen'd Catalyst.
+  * Explicit `schema` follows the JsonlSource discipline; without it the
+  * writer schema is sniffed DRIVER-SIDE from one file header (a
+  * metadata-sized read, like CsvSource.preScan — never an inference
+  * pass over the data). */
+final case class AvroSource(
+    path: String,
+    schema: Option[StructType] = None,
+    override val limit: Option[Long] = None,
+    override val offset: Long = 0L,
+    override val orderedBy: Seq[String] = Nil) extends Source {
+
+  protected def scan(spark: SparkSession): DataFrame = {
+    import org.apache.avro.generic.GenericRecord
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.AvroKeyInputFormat
+    import org.apache.hadoop.io.NullWritable
+    val st = schema.getOrElse(AvroConv.toStructType(sniffWriterSchema(spark)))
+    val names = st.fieldNames
+    val rows = spark.sparkContext.newAPIHadoopFile(
+        path,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable],
+        spark.sparkContext.hadoopConfiguration)
+      .map { case (k, _) =>
+        val rec = k.datum()
+        Row.fromSeq(names.toIndexedSeq.map(n => AvroConv.fromAvro(rec.get(n))))
+      }
+    spark.createDataFrame(rows, st)
+  }
+
+  /** One driver-side header read of the first part file (CsvSource
+    * preScan discipline): the container header carries the writer
+    * schema; data blocks are never touched. */
+  private def sniffWriterSchema(spark: SparkSession): org.apache.avro.Schema = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val file = statuses.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile) else Array(st)
+    }.filter { st =>
+      val n = st.getPath.getName
+      st.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+    }.sortBy(_.getPath.getName).headOption.map(_.getPath)
+      .getOrElse(throw new IllegalArgumentException(
+        s"AvroSource($path): no data files to sniff a schema from — pass an explicit schema"))
+    val in = new org.apache.avro.mapred.FsInput(file, spark.sparkContext.hadoopConfiguration)
+    val rdr = org.apache.avro.file.DataFileReader.openReader(
+      in, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try rdr.getSchema finally rdr.close()
+  }
+}
+
 /** Fixed-width (columnar-text / mainframe export) scan — one record per
   * line, each field at a fixed character offset, space-padded (engine
   * extension: the reference's file extractors are CSV/line,

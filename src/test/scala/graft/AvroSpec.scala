@@ -1,0 +1,75 @@
+package graft
+
+import graft.sinks.AvroSink
+import graft.sources.{AvroConv, AvroSource}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Avro container round-trip edges the oracle gate's TPC-H data cannot
+  * reach: nullable fields carrying actual NULLs, binary and boolean and
+  * float columns, the explicit-schema path (the gate query uses the
+  * sniffed writer schema), the flat-primitives scope guard, and the
+  * empty-directory sniff error. */
+class AvroSpec extends SparkSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("score", DoubleType, nullable = true),
+    StructField("ratio", FloatType, nullable = true),
+    StructField("flag", BooleanType, nullable = true),
+    StructField("blob", BinaryType, nullable = true)))
+
+  private val rows = Seq(
+    Row(1L, "ann", 2.5, 0.5f, true, Array[Byte](1, 2, 3)),
+    Row(2L, null, null, null, null, null),
+    Row(3L, "bo\nb", -0.0, Float.NaN, false, Array.empty[Byte]))
+
+  test("all supported types + NULLs survive the container round-trip") {
+    val dir = tmpDir("avro_rt")
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(rows.asJava, schema)
+    AvroSink(s"$dir/out").write(df)
+    // explicit-schema read (the gate query covers the sniffed path)
+    val back = AvroSource(s"$dir/out", schema = Some(schema)).load(spark)
+    assert(back.schema == schema)
+    val got = back.collect().sortBy(_.getLong(0))
+    assert(got(0).getString(1) == "ann" && got(0).getDouble(2) == 2.5 &&
+      got(0).getFloat(3) == 0.5f && got(0).getBoolean(4) &&
+      got(0).getAs[Array[Byte]](5).toSeq == Seq[Byte](1, 2, 3))
+    assert((1 to 5).forall(got(1).isNullAt), s"row 2 must be all-NULL: ${got(1)}")
+    // -0.0 and NaN are bit-level round-trips, newline in a string survives
+    assert(got(2).getString(1) == "bo\nb")
+    assert(java.lang.Double.doubleToRawLongBits(got(2).getDouble(2)) ==
+      java.lang.Double.doubleToRawLongBits(-0.0))
+    assert(got(2).getFloat(3).isNaN)
+    assert(got(2).getAs[Array[Byte]](5).isEmpty)
+  }
+
+  test("sniffed writer schema matches the written StructType") {
+    val dir = tmpDir("avro_sniff")
+    import scala.jdk.CollectionConverters._
+    AvroSink(s"$dir/out").write(spark.createDataFrame(rows.asJava, schema))
+    val sniffed = AvroSource(s"$dir/out").load(spark)
+    // the sink writes every field through AvroConv; non-nullable id
+    // stays non-nullable in the round-tripped schema
+    assert(sniffed.schema.fieldNames.toSeq == schema.fieldNames.toSeq)
+    assert(sniffed.schema("id").dataType == LongType && !sniffed.schema("id").nullable)
+    assert(sniffed.count() == 3)
+  }
+
+  test("scope guards are loud: nested types rejected, empty dir named") {
+    import scala.jdk.CollectionConverters._
+    val nested = StructType(Seq(StructField("a",
+      ArrayType(LongType), nullable = true)))
+    val e1 = intercept[IllegalArgumentException] {
+      AvroConv.toAvroSchema(nested, "r")
+    }
+    assert(e1.getMessage.contains("flat primitives"))
+    val dir = tmpDir("avro_empty")
+    val e2 = intercept[IllegalArgumentException] {
+      AvroSource(dir).load(spark).count()
+    }
+    assert(e2.getMessage.contains("no data files"))
+  }
+}
