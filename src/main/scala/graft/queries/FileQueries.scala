@@ -163,6 +163,38 @@ object FileQueries {
               |  ${QueryDef.centsSql("p_retailprice")} AS retailprice_cents
               |FROM part""".stripMargin)),
 
+    // Compressed-text round-trip (engine extension): orders → CsvSink
+    // with gzip → CsvSource (Spark's text stack picks the codec from
+    // the extension; the driver-side preScan sees gzip magic, finds no
+    // BOM/prolog, and stays out of the way) — values must reproduce the
+    // parquet table exactly.
+    //
+    // THE 100-TB point is split behavior, pinned in FileFormatsSpec:
+    // gzip is NOT splittable — a .gz file is one read task, so the
+    // WRITER's file count sets the READER's parallelism ceiling (a
+    // single 1-TB .gz is a one-core day; the same bytes in 8 000 parts
+    // scan wide). Corpus drops that must both compress and re-scan
+    // wide either keep parts bounded (maxRecordsPerFile) or use a
+    // splittable container (parquet/orc/avro — zstd INSIDE the format's
+    // blocks, scan still block-parallel).
+    QueryDef("csv_gzip_roundtrip",
+      (s, dir) => {
+        val out = scratch(dir, "csv_gz")
+        CsvSink(out, compression = Some("gzip")).write(
+          s.read.parquet(s"$dir/orders.parquet")
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_orderstatus"), col("o_totalprice")))
+        CsvSource(out, multiLine = false).load(s)
+          .select(col("o_orderkey").cast("long").as("o_orderkey"),
+            col("o_custkey").cast("long").as("o_custkey"),
+            col("o_orderstatus"),
+            QueryDef.cents(col("o_totalprice").cast("double"))
+              .as("totalprice_cents"))
+      },
+      Some(s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+              |  ${QueryDef.centsSql("o_totalprice")} AS totalprice_cents
+              |FROM orders""".stripMargin)),
+
     // Small-file compaction — the 100-TB housekeeping operator every
     // streaming/incremental ingest eventually needs: micro-batch sinks
     // leave thousands of KB-sized files whose open/footer cost comes to

@@ -98,14 +98,23 @@ final case class CsvSink(
     writeBom: Boolean = false,
     writeSepLine: Boolean = false,
     singleFile: Boolean = false,
-    encoding: String = "UTF-8") extends Sink {
+    encoding: String = "UTF-8",
+    compression: Option[String] = None) extends Sink {
+
+  // the prolog/singleFile paths rewrite part files byte-wise; doing that
+  // through a codec would mean decompress-reassemble-recompress — refuse
+  // the combination rather than ship a slow surprise (compressed exports
+  // don't carry Excel prologs anyway)
+  require(compression.isEmpty || !(writeBom || writeSepLine || singleFile),
+    "CsvSink: compression cannot combine with BOM/sep=/singleFile prologs")
 
   def write(df: DataFrame): Unit = {
     val spark = df.sparkSession
     val dataPath = if (writeBom || writeSepLine || singleFile) path + "__data" else path
-    df.write.mode(SaveMode.Overwrite)
+    val w = df.write.mode(SaveMode.Overwrite)
       .option("header", header.toString).option("sep", sep)
       .option("encoding", encoding)
+    compression.fold(w)(c => w.option("compression", c))
       .csv(dataPath)
     if (dataPath != path) {
       val conf = spark.sparkContext.hadoopConfiguration

@@ -266,6 +266,30 @@ class FileFormatsSpec extends SparkSuite {
       .contains("NULL"))
   }
 
+  test("gzip CSV: .gz parts on disk, codec transparent on read, non-splittable bound") {
+    import graft.sinks.CsvSink
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("csv_gz")
+    val df = spark.range(0, 1000, 1, 4).toDF("id")
+      .withColumn("label", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("row-"), col("id")))
+    CsvSink(s"$dir/out", compression = Some("gzip")).write(df)
+    val parts = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName)
+    assert(parts.nonEmpty && parts.forall(_.endsWith(".csv.gz")), parts.mkString(","))
+    val back = CsvSource(s"$dir/out", multiLine = false).load(spark)
+    assert(back.count() == 1000)
+    assert(back.select(col("id").cast("long")).agg(
+      org.apache.spark.sql.functions.sum("id")).head.getLong(0) == 499500L)
+    // gzip cannot split: read tasks can never exceed the file count
+    assert(back.rdd.getNumPartitions <= parts.length,
+      s"${back.rdd.getNumPartitions} partitions from ${parts.length} gz files")
+    // prolog machinery cannot combine with a codec (byte-rewrite paths)
+    intercept[IllegalArgumentException] {
+      CsvSink(s"$dir/bad", writeBom = true, compression = Some("gzip"))
+    }
+  }
+
   test("JdbcUpsertSink SQL builder (no DB in env — pure check)") {
     import graft.sinks.JdbcUpsertSink
     val pg = JdbcUpsertSink.upsertSql("postgresql", "t", Seq("id", "a", "b"), Seq("id"))
