@@ -1007,47 +1007,53 @@ object CurationQueries {
     // character, on both engines); on real web data the splitter is the
     // document's own newlines and the reshape step disappears.
     //
-    // Scale shape (the whole point at 100 TB):
+    // Scale shape (the whole point at 100 TB): exactly TWO corpus
+    // scans and TWO shuffles, the floor for any corpus-stats-then-apply
+    // operator (the stats pass must finish before the apply pass can
+    // decide anything):
     //  - line frequency: corpus lines shuffle ONCE keyed by a 16-byte
     //    md5 fingerprint (never the line text — the engine's dedup
     //    fingerprint discipline), partial-aggregated map-side; the
     //    distinct-doc count is exact, not approximate.
     //  - the boilerplate SET (lines with ≥$BoilerMinDocs distinct docs)
     //    is the nav/banner tail — orders of magnitude smaller than the
-    //    corpus, so the left_anti join broadcasts it (AQE picks that up
+    //    corpus, so the marker join broadcasts it (AQE picks that up
     //    from the runtime size; no hint needed, and none wanted: a
     //    pathological corpus where half the lines are boilerplate must
     //    fall back to a shuffle join, not OOM the executors).
-    //  - reconstruction: one doc_id-keyed shuffle; line order rides a
-    //    (pos, line) struct sorted per doc, never a global sort. The
-    //    per-doc line-count frame joins on the same doc_id key.
+    //  - ONE doc_id-keyed shuffle folds the per-doc accounting AND the
+    //    reconstruction: total/kept counts and the ordered rebuild all
+    //    ride a single groupBy over marker-flagged lines (sorted
+    //    (pos, line) structs per doc, never a global sort) — no third
+    //    scan for totals, no join-back, and fully-boilerplate docs
+    //    stay in the frame with kept_lines=0 instead of needing an
+    //    outer join to reappear.
     // Output is gate-friendly accounting + an md5 of the rebuilt text
     // (md5 is bit-identical across engines; the cleaned text itself
     // would bloat the compare at higher SFs).
     QueryDef("boilerplate_lines",
       (s, dir) => {
-        val reshaped = widened(s, Tables(s, dir, "documents"))
+        val lines = widened(s, Tables(s, dir, "documents"))
           .select(col("doc_id"),
             regexp_replace(col("text"), BoilerReshapeRe, "$1\n").as("t"))
-        val lines = reshaped.select(col("doc_id"),
-          posexplode(split(col("t"), "\n", -1)).as(Seq("pos", "line")))
-        val rebuilt = boilerplateClean(lines, BoilerMinDocs)
+          .select(col("doc_id"),
+            posexplode(split(col("t"), "\n", -1)).as(Seq("pos", "line")))
+        boilerplateMark(lines, BoilerMinDocs)
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("kept_lines"),
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(lit(1L) - col("is_boiler")).as("kept_lines"),
             array_join(
               transform(
-                array_sort(collect_list(struct(col("pos"), col("line")))),
+                filter(
+                  array_sort(collect_list(
+                    struct(col("pos"), col("line"), col("is_boiler")))),
+                  x => x.getField("is_boiler") === 0L),
                 x => x.getField("line")),
               "\n").as("cleaned"))
-        reshaped
-          .select(col("doc_id"),
-            size(split(col("t"), "\n", -1)).cast("long").as("n_lines"))
-          .join(rebuilt, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"),
-            coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
-            (col("n_lines") - coalesce(col("kept_lines"), lit(0L)))
-              .as("removed_lines"),
-            md5(coalesce(col("cleaned"), lit(""))).as("cleaned_md5"))
+          .select(col("doc_id"), col("kept_lines"),
+            (col("n_lines") - col("kept_lines")).as("removed_lines"),
+            md5(col("cleaned")).as("cleaned_md5"))
       },
       Some(s"""WITH reshaped AS (
               |  SELECT doc_id,
@@ -1079,16 +1085,17 @@ object CurationQueries {
               |FROM tot t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id""".stripMargin))
   ) :+ rankNormalizeDef :+ budgetApportionDef
 
-  /** Core of `boilerplate_lines`, factored for BoilerplateSpec: given a
-    * (doc_id, pos, line) frame, drop every non-blank line that occurs
-    * in ≥ minDocs DISTINCT documents. The frequency pass and the
-    * anti-join are both keyed on the 16-byte md5 fingerprint of the
-    * line, never the line text — shuffle bytes stay bounded however
-    * long the boilerplate lines run (the corpus-dedup key discipline;
-    * a 128-bit collision is below hardware-error probability). Blank
-    * lines are never boilerplate (C4 counts content lines only) and
-    * pass through to reconstruction. */
-  private[graft] def boilerplateClean(
+  /** Core of `boilerplate_lines`: given a (doc_id, pos, line) frame,
+    * flag (`is_boiler` = 1) every non-blank line that occurs in
+    * ≥ minDocs DISTINCT documents. The frequency pass and the marker
+    * join are both keyed on the 16-byte md5 fingerprint of the line,
+    * never the line text — shuffle bytes stay bounded however long the
+    * boilerplate lines run (the corpus-dedup key discipline; a 128-bit
+    * collision is below hardware-error probability). Blank lines are
+    * never boilerplate (C4 counts content lines only). Returning a
+    * MARKER instead of a filtered frame lets the caller fold kept
+    * counts, totals and reconstruction into one aggregation. */
+  private[graft] def boilerplateMark(
       lines: org.apache.spark.sql.DataFrame,
       minDocs: Int): org.apache.spark.sql.DataFrame = {
     val boiler = lines
@@ -1096,12 +1103,21 @@ object CurationQueries {
       .groupBy(unhex(md5(col("line"))).as("fp"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs.toLong)
-      .select(col("fp"))
+      .select(col("fp"), lit(1L).as("is_boiler"))
     lines
       .withColumn("fp", unhex(md5(col("line"))))
-      .join(boiler, Seq("fp"), "left_anti")
+      .join(boiler, Seq("fp"), "left_outer")
+      .withColumn("is_boiler", coalesce(col("is_boiler"), lit(0L)))
       .drop("fp")
   }
+
+  /** `boilerplateMark` filtered to surviving lines — the drop-the-
+    * boilerplate view BoilerplateSpec pins rule semantics on. */
+  private[graft] def boilerplateClean(
+      lines: org.apache.spark.sql.DataFrame,
+      minDocs: Int): org.apache.spark.sql.DataFrame =
+    boilerplateMark(lines, minDocs)
+      .filter(col("is_boiler") === 0L).drop("is_boiler")
 
   /** `boilerplate_lines` reshape contract: a synthetic newline after
     * every [[BoilerWords]]-th word turns the single-line testdata into
