@@ -1285,17 +1285,69 @@ object EventStreams {
         (g: Int, rows: Iterator[(Long, Long)], state: GroupState[Array[Byte]]) =>
           val bm = state.getOption.map(_.clone())
             .getOrElse(new Array[Byte](bitsPerGroup / 8))
-          val out = rows.toSeq.sortBy(_._1).map { case (id, fp) =>
-            val pos = (0 until k).map(i =>
-              (graft.functions.TextFunctions.portableHashJvm(fp.toString, 131 + i)
-                % bitsPerGroup).toInt)
-            val dup = pos.forall(p => (bm(p >> 3) & (1 << (p & 7))) != 0)
-            pos.foreach(p => bm(p >> 3) = (bm(p >> 3) | (1 << (p & 7))).toByte)
-            BloomFlag(id, fp, dup)
-          }
+          val out = bloomFoldGroup(bm, rows, bitsPerGroup, k)
           state.update(bm)
           out.iterator
       }
+  }
+
+  /** One group's micro-batch Bloom fold, shared VERBATIM by the v1 and
+    * v2 twins so their bit positions, intra-batch ordering and flags
+    * cannot drift: rows fold in doc_id order (deterministic intra-batch
+    * dup flagging), each fingerprint probes k positions, duplicates =
+    * all probed bits already set. Mutates `bm` in place. */
+  private def bloomFoldGroup(bm: Array[Byte], rows: Iterator[(Long, Long)],
+      bitsPerGroup: Int, k: Int): Seq[BloomFlag] =
+    rows.toSeq.sortBy(_._1).map { case (id, fp) =>
+      val pos = (0 until k).map(i =>
+        (graft.functions.TextFunctions.portableHashJvm(fp.toString, 131 + i)
+          % bitsPerGroup).toInt)
+      val dup = pos.forall(p => (bm(p >> 3) & (1 << (p & 7))) != 0)
+      pos.foreach(p => bm(p >> 3) = (bm(p >> 3) | (1 << (p & 7))).toByte)
+      BloomFlag(id, fp, dup)
+    }
+
+  /** State-API-v2 processor behind [[bloomDedupStreamV2]] — the same
+    * per-group bitmap fold as the v1 twin ([[bloomFoldGroup]]); the
+    * state is the raw bitmap under the BINARY encoder, no timers
+    * (the filter never evicts — that is its contract). */
+  private class BloomDedupProcessor(bitsPerGroup: Int, k: Int)
+      extends StatefulProcessor[Int, (Long, Long), BloomFlag] {
+    @transient private var st: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Array[Byte]]("bloom",
+        org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(g: Int, rows: Iterator[(Long, Long)],
+        tv: TimerValues): Iterator[BloomFlag] = {
+      val bm = if (st.exists()) st.get().clone()
+        else new Array[Byte](bitsPerGroup / 8)
+      val out = bloomFoldGroup(bm, rows, bitsPerGroup, k)
+      st.update(bm)
+      out.iterator
+    }
+  }
+
+  /** State-API-v2 twin of [[bloomDedupStream]] (`transformWithState`,
+    * RocksDB) — the constant-memory streaming dedup on the forward
+    * state API: with sessionize/funnel/gap-dist/transitions this pins
+    * the TIMERLESS ValueState path (TimeMode.None — the filter's state
+    * is permanent by design, so there is no watermark, no TTL and no
+    * timer to manage). StreamingSpec pins it row-equal to the v1 twin
+    * and exactly-once across a RocksDB checkpoint restart. Scale
+    * posture is v1's: `groups` independent mini-Blooms, fixed
+    * `groups × bitsPerGroup` bits forever, no false negatives. */
+  def bloomDedupStreamV2(docs: Dataset[Doc], bitsPerGroup: Int = 8192,
+      groups: Int = 256, k: Int = 4): Dataset[BloomFlag] = {
+    import docs.sparkSession.implicits._
+    require(Integer.bitCount(bitsPerGroup) == 1 && bitsPerGroup >= 64,
+      s"bitsPerGroup must be a power of two >= 64: $bitsPerGroup")
+    docs
+      .map(d => (d.doc_id, graft.functions.TextFunctions.portableHashJvm(d.text, 31)))
+      .groupByKey { case (_, fp) => (fp % groups).toInt }
+      .transformWithState(new BloomDedupProcessor(bitsPerGroup, k),
+        TimeMode.None(), OutputMode.Update())
   }
 
   final case class CmEst(event_type: String, user_id: Long, cm_est: Long, n: Long)

@@ -1246,6 +1246,94 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState Bloom dedup matches the v1 twin row for row") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val batch1 = Seq(
+      EventStreams.Doc(1L, "alpha beta gamma"),
+      EventStreams.Doc(2L, "delta epsilon"),
+      EventStreams.Doc(3L, "zeta eta theta"),
+      EventStreams.Doc(4L, "alpha beta gamma"))
+    val batch2 = Seq(
+      EventStreams.Doc(5L, "delta epsilon"),
+      EventStreams.Doc(6L, "iota kappa lambda"))
+    def drive(name: String,
+        mk: org.apache.spark.sql.Dataset[EventStreams.Doc] =>
+          org.apache.spark.sql.Dataset[EventStreams.BloomFlag]): Set[(Long, Long, Boolean)] = {
+      val ms = MemoryStream[EventStreams.Doc]
+      val q = mk(ms.toDS()).writeStream.format("memory")
+        .queryName(name).outputMode("update").start()
+      try {
+        ms.addData(batch1: _*); q.processAllAvailable()
+        ms.addData(batch2: _*); q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      } finally q.stop()
+    }
+    val v1 = drive("bloom_v1",
+      EventStreams.bloomDedupStream(_, bitsPerGroup = 8192, groups = 8))
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val v2 = drive("bloom_v2",
+        EventStreams.bloomDedupStreamV2(_, bitsPerGroup = 8192, groups = 8))
+      assert(v2 == v1, s"v2 bloom rows $v2 diverged from v1 $v1")
+      // the scenario exercises both dup paths: intra-batch + cross-batch
+      assert(v1.exists(r => r._1 == 4L && r._3) && v1.exists(r => r._1 == 5L && r._3))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("transformWithState Bloom dedup restarts from a RocksDB checkpoint: state carried, no replay") {
+    import spark.implicits._
+    val dir = tmpDir("bloom_v2_restart")
+    val (src, out, chk) = (s"$dir/src", s"$dir/out", s"$dir/chk")
+    def writeFile(docs: EventStreams.Doc*): Unit =
+      docs.toDF().repartition(1).write.mode("append").parquet(src)
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(): Unit = {
+        val ds = spark.readStream
+          .schema(implicitly[org.apache.spark.sql.Encoder[EventStreams.Doc]].schema)
+          .parquet(src).as[EventStreams.Doc]
+        val q = EventStreams.bloomDedupStreamV2(ds, bitsPerGroup = 8192, groups = 4)
+          .writeStream.format("parquet").outputMode("append")
+          .option("path", out).option("checkpointLocation", chk)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      writeFile(EventStreams.Doc(1L, "first text"), EventStreams.Doc(2L, "second text"))
+      run() // incarnation 1: both unique against an empty filter
+      // incarnation 2: exact dup of doc 1 (bitmap carried in RocksDB) +
+      // a fresh unique
+      writeFile(EventStreams.Doc(3L, "first text"), EventStreams.Doc(4L, "third text"))
+      run()
+      val res = spark.read.parquet(out).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("dup_suspect")).toMap
+      assert(res.size == 4, s"each doc exactly once across restarts: $res")
+      assert(res(3L), "cross-restart duplicate must be flagged (bitmap carried)")
+      Seq(1L, 2L, 4L).foreach(id =>
+        assert(!res(id), s"unique doc $id falsely flagged at negligible fill"))
+      // incarnation 3: nothing new — a restart must not replay batches
+      run()
+      assert(spark.read.parquet(out).count() == 4)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming Count-Min sketch: running estimates equal the one-shot fold, never undercount") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
