@@ -1540,8 +1540,105 @@ object SimilarityQueries {
               |  ${QueryDef.microPointsSql(
                    "((t - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)) / (CAST(n_labels AS DOUBLE) - 1.0)) / ((CAST(ss AS DOUBLE) - t) / (CAST(n AS DOUBLE) - CAST(n_labels AS DOUBLE)))")} AS fisher_micro
               |FROM d WHERE n_labels > 1 AND n > n_labels
-              |  AND CAST(ss AS DOUBLE) > t""".stripMargin))
+              |  AND CAST(ss AS DOUBLE) > t""".stripMargin)),
+
+    // Matryoshka truncation audit (Kusupati 2022, MRL): can the store
+    // keep HALF (or a quarter of) the dims? For each truncation D the
+    // query reports, per ANN query vector, (a) recall@TopK of the
+    // D-dim brute search against the SHARED full-dim [[bruteTopK]]
+    // truth — the same truth frame every ANN eval here uses, so the
+    // numbers compose — and (b) the signed micro-point cosine shift
+    // summed over the truth pairs (how much the D-dim geometry moves
+    // the scores it must preserve, not just the ranking). Storage/
+    // serving decision in one frame: dims 32 and 16 of the 64.
+    //
+    // Scale shape: the corpus NEVER shuffles — per D, one broadcast-
+    // query brute pass (same WindowGroupLimit top-k as ann_bruteforce,
+    // on sliced vectors with per-vector re-normed norms), and the
+    // truth-pair score shift rides TWO broadcast joins of the tiny
+    // (|Q|·TopK)-row truth frame against the streamed corpus. Slicing
+    // is a zero-copy codegen'd array op; truncated norms are computed
+    // |V| times, never |V|² (the cosineFast discipline).
+    QueryDef("embedding_matryoshka",
+      (s, dir) => {
+        val truth = bruteTopK(s, dir).select(col("q_id"), col("n_id"), col("cos"))
+        val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        MatryoshkaDims.map { d =>
+          val ed = e.select(col("vec_id"), slice(col("embedding"), 1, d).as("emb"))
+            .withColumn("nrm", sqrt(dotFast(col("emb"), col("emb"))))
+          val q = ed.filter(col("vec_id") < NQueries)
+          val w = Window.partitionBy(col("q_id"))
+            .orderBy(col("cos_d").desc, col("n_id"))
+          val topd = broadcast(q.as("q"))
+            .join(ed.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+            .select(col("q.vec_id").as("q_id"), col("c.vec_id").as("n_id"),
+              cosineFast(col("q.emb"), col("c.emb"),
+                col("q.nrm"), col("c.nrm")).as("cos_d"))
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= TopK)
+            .select(col("q_id"), col("n_id"))
+          // truth-pair score shift: attach n-side then q-side truncated
+          // vectors by streaming the corpus past the broadcast tiny frame
+          val tN = ed.select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
+              col("nrm").as("n_nrm"))
+            .join(broadcast(truth), Seq("n_id"))
+          val shifted = ed.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+              col("nrm").as("q_nrm"))
+            .join(broadcast(tN), Seq("q_id"))
+            .select(col("q_id"), col("n_id"),
+              (QueryDef.microPoints(col("cos")) -
+                QueryDef.microPoints(cosineFast(col("q_emb"), col("n_emb"),
+                  col("q_nrm"), col("n_nrm")))).as("dl"))
+          val loss = shifted.groupBy(col("q_id"))
+            .agg(sum(col("dl")).as("cos_loss_micro"))
+          val hits = truth.select(col("q_id"), col("n_id"))
+            .join(topd, Seq("q_id", "n_id"), "left_semi")
+            .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+          // loss always carries every query (truth has TopK rows per q);
+          // hits can lose a query whose overlap is zero — rejoin, fill 0
+          loss.join(hits, Seq("q_id"), "left_outer")
+            .select(lit(d.toLong).as("dim"), col("q_id"),
+              coalesce(col("hits"), lit(0L)).as("hits"),
+              col("cos_loss_micro"))
+        }.reduce(_ unionByName _)
+      },
+      Some(MatryoshkaDims.map { d =>
+        def sliced(x: String) = s"$x[1:$d]"
+        val cosD = cosineSql(sliced("q.embedding"), sliced("c.embedding"))
+        s"""SELECT CAST($d AS BIGINT) AS dim, h.q_id, h.hits, l.cos_loss_micro
+           |FROM (
+           |  SELECT t.q_id, CAST(COUNT(p.n_id) AS BIGINT) AS hits
+           |  FROM ($bruteTopKSql) t
+           |  LEFT JOIN (
+           |    SELECT * FROM (
+           |      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+           |        row_number() OVER (PARTITION BY q.vec_id
+           |          ORDER BY $cosD DESC, c.vec_id) AS rk
+           |      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           |      WHERE q.vec_id < $NQueries) x
+           |    WHERE rk <= $TopK) p
+           |    ON p.q_id = t.q_id AND p.n_id = t.n_id
+           |  GROUP BY t.q_id) h
+           |JOIN (
+           |  SELECT t.q_id, CAST(SUM(
+           |      ${QueryDef.microPointsSql("t.cos")} -
+           |      ${QueryDef.microPointsSql(
+                    cosineSql(sliced("eq.embedding"), sliced("en.embedding")))}
+           |    ) AS BIGINT) AS cos_loss_micro
+           |  FROM ($bruteTopKSql) t
+           |  JOIN embeddings eq ON eq.vec_id = t.q_id
+           |  JOIN embeddings en ON en.vec_id = t.n_id
+           |  GROUP BY t.q_id) l ON l.q_id = h.q_id""".stripMargin
+      }.mkString("\nUNION ALL\n")))
   )
+
+  /** `embedding_matryoshka` truncation dims: 64 = the full width, a
+    * built-in tautology row (hits must equal [[TopK]], loss must be 0 —
+    * any drift means the sliced path's arithmetic diverged from
+    * [[bruteTopK]]'s, pinned in MatryoshkaSpec); 32/16 = the halve-it
+    * and quarter-it storage questions. Defs, not vals (defs-init-order
+    * contract). */
+  private def MatryoshkaDims = Seq(64, 32, 16)
 
 
   /** Triangle/wedge/transitivity stats over an UNDIRECTED distinct
