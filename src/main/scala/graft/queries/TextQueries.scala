@@ -347,6 +347,69 @@ object TextQueries {
              |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk FROM documents)
              |GROUP BY tk ORDER BY freq DESC, tk LIMIT 100""".stripMargin)),
 
+    // Impact-ordered inverted index build — the serving ARTIFACT of
+    // sparse retrieval, distinct from the retrieval queries that would
+    // consume it (`bm25_search` scores live; this materializes the
+    // index): per term with df ≥ 2, its document frequency, collection
+    // frequency, and postings CAPPED to the top-[[PostingsCap]] docs by
+    // (tf desc, doc_id) — impact-ordered truncation (Anh & Moffat
+    // 2006's static pruning shape: keep the docs a scorer would rank
+    // first, bound the artifact regardless of how hot the term is).
+    // Postings ship as a comma-joined string: an index row is a
+    // serialization boundary, and the string form is also what keeps
+    // the driver compare engine-neutral.
+    //
+    // Scale shape (plan-pinned in PlanAuditSpec): the (term, doc) tf
+    // aggregation never shuffles at all — rows arrive partitioned by
+    // doc_id, which co-locates every (term, doc) group, so tf is a
+    // local two-phase agg in BOTH legs; each leg then pays exactly one
+    // term-keyed exchange. df/cf pre-combine map-side (a stopword's
+    // counts merge in every map task, its doc list never assembles);
+    // the postings leg filters rank ≤ [[PostingsCap]] DIRECTLY on the
+    // row_number, which lowers to the WindowGroupLimit PARTIAL pre-trim
+    // — at most cap candidates per term leave each partition, so a hot
+    // term's million-doc postings never materialize anywhere. The
+    // df≥2-filtered df/cf side is vocabulary-sized and broadcasts into
+    // the final join; the corpus is scanned twice (the stats-then-apply
+    // floor — cheaper than persisting a corpus-token-sized tf frame).
+    QueryDef("inverted_index",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = ProfilingQueries.widened(s, Tables(s, dir, "documents"))
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        val dfcf = tf.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+          .filter(col("df") >= 2L)
+        val w = Window.partitionBy(col("term"))
+          .orderBy(col("tf").desc, col("doc_id"))
+        val postings = tf.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= PostingsCap)
+          .groupBy(col("term"))
+          .agg(array_join(
+            transform(
+              array_sort(collect_list(struct((-col("tf")).as("nt"), col("doc_id")))),
+              x => x.getField("doc_id").cast("string")),
+            ",").as("postings"))
+        dfcf.join(postings, Seq("term"))
+          .select(col("term"), col("df"), col("cf"), col("postings"))
+      },
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id,
+              |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              |  FROM documents),
+              |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+              |rk AS (
+              |  SELECT term, doc_id, tf, row_number() OVER (
+              |    PARTITION BY term ORDER BY tf DESC, doc_id) AS rk
+              |  FROM tf)
+              |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+              |  CAST(SUM(tf) AS BIGINT) AS cf,
+              |  string_agg(CASE WHEN rk <= $PostingsCap
+              |    THEN CAST(doc_id AS VARCHAR) END, ',' ORDER BY tf DESC, doc_id)
+              |    AS postings
+              |FROM rk GROUP BY term HAVING COUNT(*) >= 2""".stripMargin)),
+
     // Per-document unigram token ENTROPY — the information-density
     // quality signal: template/boilerplate/keyword-stuffed documents
     // have low H = −Σ (c/n)·ln(c/n) even when they pass length and
@@ -974,6 +1037,12 @@ object TextQueries {
 
   /** Corpus slices for `vocab_growth`. A def, not a val (the
     * oracle-string init-order gotcha). */
+  /** `inverted_index` postings cap: impact-ordered truncation keeps the
+    * top-8 docs per term by (tf desc, doc_id) — the artifact stays
+    * bounded however hot the term. Def, not val (defs-init-order
+    * contract). */
+  private def PostingsCap: Int = 8
+
   private def GrowthBuckets: Int = 10
 
   /** Keywords kept per document by `tfidf_keywords`. A def, not a val

@@ -281,6 +281,17 @@ class PlanAuditSpec extends SparkSuite {
     spark.catalog.clearCache() // knn_graph rides frozenCells' persist
   }
 
+  test("inverted_index: postings cap pre-trims, df/cf side broadcasts into the join") {
+    // SCALE.md's claims for the index build: the rank<=cap filter
+    // lowers to WindowGroupLimit (a hot term's postings never assemble
+    // beyond cap rows per partition) and the vocabulary-sized df/cf
+    // leg broadcasts — the postings leg streams, no term-keyed
+    // sort-merge join materializes
+    val p = plan(SparkEntry.queries("inverted_index")(spark, dir))
+    assert(p.contains("WindowGroupLimit"), s"no postings pre-trim\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df/cf side must broadcast\n$p")
+  }
+
   test("bitext_margin: both k-NN windows pre-trim; both probe sides broadcast") {
     // SCALE.md's claim for the mining shape: the anchor batch and the
     // best-candidate set ride broadcasts against the streamed sides,
