@@ -1165,7 +1165,87 @@ object EventQueries {
              |  r.p_id AS purchase_event_id, epoch_us(r.p_ts) AS purchase_us,
              |  epoch_us(r.p_ts) - epoch_us(c.ts) AS latency_us
              |FROM c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r
-             |  ON r.event_id = c.event_id""".stripMargin))
+             |  ON r.event_id = c.event_id""".stripMargin)),
+
+    // Point-in-time feature join — the feature-store correctness
+    // operator: each fact row (purchase) reads the dimension VERSION
+    // that was valid AT its event time, never a later one (training-
+    // serving skew / label leakage is exactly a PIT join done wrong).
+    // The dimension here is the SCD2 run-versioning of each user's
+    // non-purchase event stream (`scd2_history`'s flag→running-sum
+    // shape: version = run of equal event_type, valid from its first
+    // ts); the fact side is the purchases.
+    //
+    // Executed ON THE CUSTOM AS-OF PLAN, not a range join: PIT lookup
+    // IS an as-of join against version starts (versions tile time per
+    // user from their first event), so the union-tag-window lowering
+    // applies — ONE user-keyed exchange, zero join operators, no
+    // interval-overlap blowup. The plan node's contract is STRICTLY-
+    // before with (time, id) tie-break; PIT needs valid_from ≤ ts
+    // INCLUSIVE, obtained exactly by a Long.MinValue sentinel right id:
+    // at equal times the tie rule right_id < left_id is then always
+    // true, turning (vf < ts) OR (vf = ts AND rid < lid) into vf ≤ ts.
+    // Version starts are unique per user (strictly increasing run
+    // firsts), so the sentinel forfeits no ordering determinism.
+    QueryDef("pit_feature_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val versions = ev.filter(col("event_type") =!= "purchase")
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(byUser).isNull ||
+              lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("version", sum(col("chg")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("version"))
+          .agg(min(col("event_type")).as("tier"),
+            min(unix_micros(col("ts"))).as("valid_from_us"))
+          .select(col("user_id").as("d_user"), col("version"), col("tier"),
+            col("valid_from_us"), lit(Long.MinValue).as("d_rid"))
+        val facts = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            QueryDef.cents(col("value")).as("value_cents"))
+        graft.plans.AsOf.join(facts, versions,
+            leftKey = "user_id", rightKey = "d_user",
+            leftTime = "ts_us", rightTime = "valid_from_us",
+            leftId = "event_id", rightId = "d_rid")
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("version"), col("tier"), col("value_cents"))
+      },
+      Some(s"""WITH de AS (
+              |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+              |  FROM events WHERE event_type <> 'purchase'),
+              |flagged AS (
+              |  SELECT user_id, event_id, event_type, ts,
+              |    CASE WHEN lag(event_type) OVER w IS NULL
+              |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+              |  FROM de
+              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              |runs AS (
+              |  SELECT user_id, event_type, ts,
+              |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+              |  FROM flagged),
+              |v AS (
+              |  SELECT user_id, version, min(event_type) AS tier,
+              |    min(epoch_us(ts)) AS valid_from_us
+              |  FROM runs GROUP BY 1, 2),
+              |p AS (
+              |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+              |    ${QueryDef.centsSql("value")} AS value_cents
+              |  FROM events WHERE event_type = 'purchase'),
+              |rk AS (
+              |  SELECT p.event_id, v.version, v.tier,
+              |    row_number() OVER (PARTITION BY p.event_id
+              |      ORDER BY v.valid_from_us DESC) AS rn
+              |  FROM p JOIN v ON v.user_id = p.user_id
+              |    AND v.valid_from_us <= p.ts_us)
+              |SELECT p.event_id, p.user_id, p.ts_us, r.version, r.tier, p.value_cents
+              |FROM p LEFT JOIN (SELECT * FROM rk WHERE rn = 1) r
+              |  ON r.event_id = p.event_id""".stripMargin))
   ) :+ conversionLatencyDef
 
   /** THE 30-minute-gap sessionization contract — ONE definition

@@ -92,6 +92,37 @@ class AsOfPlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("pit_feature_join: inclusive PIT semantics via the sentinel id, no join in the plan") {
+    // the sentinel-right-id trick turns the node's strictly-before
+    // contract into valid_from <= ts INCLUSIVE — pin it on constructed
+    // versions where a fact lands EXACTLY on a version start, plus the
+    // pre-first-version NULL case
+    import spark.implicits._
+    val versions = Seq(
+      (7L, 1L, "bronze", 1000L), (7L, 2L, "gold", 2000L))
+      .toDF("d_user", "version", "tier", "valid_from_us")
+      .withColumn("d_rid", org.apache.spark.sql.functions.lit(Long.MinValue))
+    val facts = Seq(
+      (101L, 7L, 999L),   // before any version -> NULL tier
+      (102L, 7L, 1000L),  // exactly ON a version start -> inclusive match
+      (103L, 7L, 1999L),  // mid-interval -> bronze
+      (104L, 7L, 2000L))  // exactly on the upgrade instant -> gold
+      .toDF("event_id", "user_id", "ts_us")
+    val got = graft.plans.AsOf.join(facts, versions,
+        leftKey = "user_id", rightKey = "d_user",
+        leftTime = "ts_us", rightTime = "valid_from_us",
+        leftId = "event_id", rightId = "d_rid")
+      .select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(101L -> None, 102L -> Some("bronze"),
+      103L -> Some("bronze"), 104L -> Some("gold")), got)
+    // and the full query keeps the zero-join lowering
+    val opt = EventQueries.defs.find(_.name == "pit_feature_join").get
+      .fn(spark, dir).queryExecution.optimizedPlan
+    val joins = opt.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.isEmpty, s"PIT join reintroduced a join:\n${opt.treeString}")
+  }
+
   test("SQL surface: asof_join table function equals the custom-plan API path") {
     // spark.sql users get the operator too — same node, same lowering
     org.apache.spark.sql.graft.GraftExtensions.register(spark)
