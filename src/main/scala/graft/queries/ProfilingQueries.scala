@@ -89,6 +89,10 @@ object ProfilingQueries {
       df.repartition(col("doc_id"))
     else df
 
+  /** `k_anonymity` class-size threshold: classes below K members are
+    * re-identification risks. Def, not val (defs-init-order contract). */
+  private def KAnonThreshold = 4L
+
   /** Diagnosable oracle-contract guard: the shuffle_shards /
     * pack_sequences DuckDB oracles pin N=16 (valid below the 32 GiB
     * floor threshold). When sizing produces a different N the Spark
@@ -517,6 +521,75 @@ object ProfilingQueries {
              |  CAST(SUM(CASE WHEN CAST(floor(e.value * 1000000.0 + 0.5) AS BIGINT) > f.hi_mp THEN 1 ELSE 0 END) AS BIGINT) AS n_high
              |FROM events e JOIN f USING (event_type)
              |GROUP BY e.event_type""".stripMargin)),
+
+    // Winsorized (clamped) robust mean — what `outlier_fence` flags,
+    // this CORRECTS: values clamp to the exact per-type [p05, p95]
+    // (the percentile ↔ quantile_cont round-6 contract), and the
+    // winsorized mean is the exact integer micro-point sum div n — the
+    // robust location estimate a latency/revenue dashboard wants when
+    // a handful of stragglers would otherwise own the mean. Same scale
+    // shape as the fence: one exact-percentile pass (group-keyed agg),
+    // quantile frame broadcast back, one map-side-combinable rollup —
+    // the fact table is scanned, never shuffled, for the clamping pass.
+    QueryDef("winsorized_stats",
+      (s, dir) => {
+        val mp = QueryDef.microPoints _
+        val events = Tables.events(s, dir)
+        val q = events
+          .groupBy(col("event_type"))
+          .agg(
+            mp(round(expr("percentile(value, 0.05)"), 6)).as("p05_mp"),
+            mp(round(expr("percentile(value, 0.95)"), 6)).as("p95_mp"))
+        events
+          .select(col("event_type"), mp(col("value")).as("v_mp"))
+          .join(broadcast(q), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("p05_mp")).as("p05_mp"), // constant within the group
+            min(col("p95_mp")).as("p95_mp"),
+            sum(when(col("v_mp") < col("p05_mp"), 1L).otherwise(0L)).as("n_lo"),
+            sum(when(col("v_mp") > col("p95_mp"), 1L).otherwise(0L)).as("n_hi"),
+            sum(greatest(least(col("v_mp"), col("p95_mp")), col("p05_mp")))
+              .as("wsum_mp"))
+          .select(col("event_type"), col("n"), col("p05_mp"), col("p95_mp"),
+            col("n_lo"), col("n_hi"),
+            expr("wsum_mp div n").as("wmean_mp"))
+      },
+      Some("""WITH q AS (
+             |  SELECT event_type,
+             |    CAST(floor(round(quantile_cont(value, 0.05), 6) * 1000000.0 + 0.5) AS BIGINT) AS p05_mp,
+             |    CAST(floor(round(quantile_cont(value, 0.95), 6) * 1000000.0 + 0.5) AS BIGINT) AS p95_mp
+             |  FROM events GROUP BY event_type),
+             |c AS (
+             |  SELECT e.event_type, q.p05_mp, q.p95_mp,
+             |    CAST(floor(e.value * 1000000.0 + 0.5) AS BIGINT) AS v_mp
+             |  FROM events e JOIN q USING (event_type))
+             |SELECT event_type, COUNT(*) AS n,
+             |  min(p05_mp) AS p05_mp, min(p95_mp) AS p95_mp,
+             |  CAST(SUM(CASE WHEN v_mp < p05_mp THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+             |  CAST(SUM(CASE WHEN v_mp > p95_mp THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+             |  CAST(CAST(SUM(greatest(least(v_mp, p95_mp), p05_mp)) AS BIGINT)
+             |    // COUNT(*) AS BIGINT) AS wmean_mp
+             |FROM c GROUP BY event_type""".stripMargin)),
+
+    // k-anonymity audit over quasi-identifiers — the re-identification
+    // screen a dataset release runs BEFORE publishing: an equivalence
+    // class (here (lang, source, n_chars-century) — the attribute
+    // combination an adversary could link on) with fewer than K members
+    // singles its documents out. Reports every risky class with its
+    // size; the release step would suppress or generalize exactly these
+    // rows. One map-side-combinable group-by; K=4 keeps the audit
+    // non-degenerate at every testdata SF (307/278/100 risky classes).
+    QueryDef("k_anonymity",
+      (s, dir) => Tables(s, dir, "documents")
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 100").as("chars_c"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") < KAnonThreshold),
+      Some(s"""SELECT lang, source, n_chars // 100 AS chars_c, COUNT(*) AS n
+              |FROM documents GROUP BY 1, 2, 3
+              |HAVING COUNT(*) < $KAnonThreshold""".stripMargin)),
 
     // SHUFFLE-LOAD forecast — per-partition row counts for a
     // prospective shuffle key, BEFORE paying for the shuffle: hash the
