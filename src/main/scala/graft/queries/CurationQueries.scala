@@ -57,6 +57,13 @@ object CurationQueries {
     "q_stream_window" -> Seq("stream", "window"))
   private val BmTopK = 10
 
+  /** `epoch_repeat` per-language repeat factors in milli-epochs:
+    * upsampling (zh ×3.5, de ×2.25, fr ×1.5), identity (es), and
+    * fractional downsampling (en ×0.7) in one contract. Def, not val
+    * (defs-init-order contract). */
+  private def EpochMilliFactors: Seq[(String, Long)] = Seq(
+    "en" -> 700L, "es" -> 1000L, "fr" -> 1500L, "de" -> 2250L, "zh" -> 3500L)
+
   /** `retrieval_mrr` phrase-relevance regex, shared Spark/DuckDB
     * character for character: terms separated by ≥1 non-token chars,
     * bounded by non-token or string edge — token-space adjacency over
@@ -351,6 +358,45 @@ object CurationQueries {
            |  CAST(SUM(CASE WHEN $keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            |  CAST(SUM(CASE WHEN $keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
            |FROM documents GROUP BY lang""".stripMargin
+      }),
+
+    // Fractional-epoch upsampling — the data-mixing operator
+    // `mixture_sample` (keep-rate < 1) cannot express: training mixes
+    // specify REPEAT factors per source ("books ×3.2, web ×0.7",
+    // Llama/GPT-3-style epoch weighting), and a non-integer factor f
+    // means every doc appears floor(f) times plus one more with
+    // probability frac(f) — decided by the doc's content-hash coin, so
+    // the expansion is reproducible, stable under corpus growth, and
+    // engine-independent (milli-factor integer arithmetic, no floats).
+    // Output is the expansion MANIFEST (doc_id, lang, n_copies ≥ 1):
+    // the frame a shuffle/pack stage consumes; zero-copy docs drop out.
+    // Pure narrow expression at scan speed — the explode happens
+    // downstream in the consumer, not here, so the manifest is
+    // corpus-sized, not expansion-sized.
+    QueryDef("epoch_repeat",
+      (s, dir) => {
+        val f = EpochMilliFactors.foldRight(lit(1000L): org.apache.spark.sql.Column) {
+          case ((l, m), els) => when(col("lang") === l, lit(m)).otherwise(els)
+        }
+        val coin = pmod(portableHash(col("doc_id").cast("string"), 67), lit(1000L))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            // floor over an exact small-integer ratio (≤ 3.5), then the
+            // fractional-epoch coin — all integer-valued, no rounding edge
+            (floor(f / lit(1000.0)).cast("long") +
+              when(coin < f % lit(1000L), 1L).otherwise(0L)).as("n_copies"))
+          .filter(col("n_copies") >= 1L)
+      },
+      Some {
+        val f = "CASE lang " + EpochMilliFactors.map { case (l, m) =>
+          s"WHEN '$l' THEN $m" }.mkString(" ") + " ELSE 1000 END"
+        val coin = s"${portableHashSql("CAST(doc_id AS VARCHAR)", 67)} % 1000"
+        s"""SELECT doc_id, lang,
+           |  CAST(($f) // 1000 + CASE WHEN $coin < ($f) % 1000
+           |    THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+           |FROM documents
+           |WHERE ($f) // 1000 + CASE WHEN $coin < ($f) % 1000
+           |  THEN 1 ELSE 0 END >= 1""".stripMargin
       }),
 
     // TEMPERATURE-scaled mixture resampling (α = 1/2, the multilingual

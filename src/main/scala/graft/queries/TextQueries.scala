@@ -347,6 +347,48 @@ object TextQueries {
              |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk FROM documents)
              |GROUP BY tk ORDER BY freq DESC, tk LIMIT 100""".stripMargin)),
 
+    // Canonical text normalization — the cleaning pass that MUST run
+    // before any hash-based dedup or fingerprinting: NFC composition
+    // (decomposed accents render identically but hash differently —
+    // the NfcNormalizeExpr contract) then whitespace canonicalization
+    // (runs of space/tab/newline/CR collapse to one space, edges
+    // trimmed). Reports per doc: changed flag, normalized length, and
+    // the md5 a downstream dedup would key on. The synthetic corpus is
+    // ASCII-clean, so 1-in-5 docs get a deterministic noise tail
+    // (combining acute + tab — the gopher_rules augmentation idiom) to
+    // keep the operator non-degenerate at every SF; both engines inject
+    // the identical bytes. Pure narrow expressions at scan speed —
+    // NfcNormalizeExpr is codegen'd, the collapse is one regex.
+    QueryDef("text_normalize",
+      (s, dir) => {
+        // the accent is DECOMPOSED in this source file (e + U+0301) so
+        // the NFC leg does real work; the oracle injects the identical
+        // code points via chr(769)
+        val aug = when(pmod(col("doc_id"), lit(5L)) === 0L,
+          concat(col("text"), lit(" café\ttest"))).otherwise(col("text"))
+        val norm = trim(regexp_replace(nfcNormalize(aug), "[ \\t\\n\\r]+", " "))
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          (aug =!= norm).cast("long").as("changed"),
+          length(norm).cast("long").as("n_chars_norm"),
+          md5(norm).as("norm_md5"))
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0
+             |      THEN text || ' cafe' || chr(769) || chr(9) || 'test'
+             |      ELSE text END AS a
+             |  FROM documents),
+             |n AS (
+             |  SELECT doc_id, a,
+             |    trim(regexp_replace(nfc_normalize(a), '[ \t\n\r]+', ' ', 'g')) AS norm
+             |  FROM aug)
+             |SELECT doc_id,
+             |  CAST(a <> norm AS BIGINT) AS changed,
+             |  CAST(length(norm) AS BIGINT) AS n_chars_norm,
+             |  md5(norm) AS norm_md5
+             |FROM n""".stripMargin)),
+
     // Impact-ordered inverted index build — the serving ARTIFACT of
     // sparse retrieval, distinct from the retrieval queries that would
     // consume it (`bm25_search` scores live; this materializes the
