@@ -591,6 +591,81 @@ object ProfilingQueries {
               |FROM documents GROUP BY 1, 2, 3
               |HAVING COUNT(*) < $KAnonThreshold""".stripMargin)),
 
+    // Corpus datasheet — the release-note summary frame ("datasheets
+    // for datasets", Gebru 2018): one (section, key, v) row per fact a
+    // dataset card quotes — language mix, source mix, size statistics
+    // (count / char total / mean / min / max), exact length quartiles
+    // (the percentile ↔ quantile_cont round-6 contract, micro-points),
+    // and the exact-duplicate rate (md5-distinct vs total — the number
+    // the dedup stack will be asked about first). Everything exact
+    // BIGINT, uniform schema, ~20 rows.
+    //
+    // Scale posture: a handful of independent single-pass rollups
+    // unioned — each leg is a map-side-combinable agg or a tiny
+    // percentile frame; a datasheet runs once per release, so section
+    // legs deliberately stay separate scans rather than contorting into
+    // one pass (clarity is the artifact here).
+    QueryDef("corpus_datasheet",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        def rows(section: String, key: org.apache.spark.sql.Column,
+            v: org.apache.spark.sql.Column,
+            src: org.apache.spark.sql.DataFrame) =
+          src.select(lit(section).as("section"), key.cast("string").as("key"),
+            v.cast("long").as("v"))
+        val langMix = rows("lang_mix", col("lang"), col("n"),
+          docs.groupBy(col("lang")).agg(count(lit(1)).as("n")))
+        val srcMix = rows("source_mix", col("source"), col("n"),
+          docs.groupBy(col("source")).agg(count(lit(1)).as("n")))
+        val sizes = docs.agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .withColumn("mean_chars", expr("sum_chars div n_docs"))
+          .selectExpr("stack(5, 'n_docs', n_docs, 'sum_chars', sum_chars, " +
+            "'mean_chars', mean_chars, 'min_chars', min_chars, " +
+            "'max_chars', max_chars) AS (key, v)")
+          .select(lit("size").as("section"), col("key"), col("v").cast("long").as("v"))
+        val quarts = docs.agg(
+            QueryDef.microPoints(round(expr("percentile(n_chars, 0.25)"), 6)).as("p25"),
+            QueryDef.microPoints(round(expr("percentile(n_chars, 0.5)"), 6)).as("p50"),
+            QueryDef.microPoints(round(expr("percentile(n_chars, 0.75)"), 6)).as("p75"))
+          .selectExpr("stack(3, 'chars_p25_micro', p25, 'chars_p50_micro', p50, " +
+            "'chars_p75_micro', p75) AS (key, v)")
+          .select(lit("length_quartiles").as("section"), col("key"), col("v"))
+        val dups = docs.agg(count(lit(1)).as("n"),
+            countDistinct(md5(col("text"))).as("d"))
+          .selectExpr("stack(2, 'distinct_texts', d, 'exact_dup_docs', n - d) AS (key, v)")
+          .select(lit("duplication").as("section"), col("key"), col("v"))
+        Seq(langMix, srcMix, sizes, quarts, dups).reduce(_ unionByName _)
+      },
+      Some(s"""SELECT 'lang_mix' AS section, lang AS key, COUNT(*) AS v
+              |FROM documents GROUP BY lang
+              |UNION ALL
+              |SELECT 'source_mix', source, COUNT(*) FROM documents GROUP BY source
+              |UNION ALL
+              |SELECT 'size', k, v FROM (
+              |  SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+              |    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+              |  FROM documents) t,
+              |  LATERAL (VALUES ('n_docs', n_docs), ('sum_chars', sum_chars),
+              |    ('mean_chars', sum_chars // n_docs), ('min_chars', min_chars),
+              |    ('max_chars', max_chars)) AS u(k, v)
+              |UNION ALL
+              |SELECT 'length_quartiles', k, v FROM (
+              |  SELECT
+              |    ${QueryDef.microPointsSql("round(quantile_cont(CAST(n_chars AS DOUBLE), 0.25), 6)")} AS p25,
+              |    ${QueryDef.microPointsSql("round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6)")} AS p50,
+              |    ${QueryDef.microPointsSql("round(quantile_cont(CAST(n_chars AS DOUBLE), 0.75), 6)")} AS p75
+              |  FROM documents) q,
+              |  LATERAL (VALUES ('chars_p25_micro', p25), ('chars_p50_micro', p50),
+              |    ('chars_p75_micro', p75)) AS u(k, v)
+              |UNION ALL
+              |SELECT 'duplication', k, v FROM (
+              |  SELECT COUNT(*) AS n, COUNT(DISTINCT md5(text)) AS d FROM documents) t,
+              |  LATERAL (VALUES ('distinct_texts', d), ('exact_dup_docs', n - d)) AS u(k, v)""".stripMargin)),
+
     // SHUFFLE-LOAD forecast — per-partition row counts for a
     // prospective shuffle key, BEFORE paying for the shuffle: hash the
     // key with the engine-portable hash into P=32 buckets (one
