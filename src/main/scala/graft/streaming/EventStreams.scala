@@ -1220,6 +1220,61 @@ object EventStreams {
       }
   }
 
+  /** State-API-v2 processor behind [[heavyHittersStreamV2]] — the same
+    * Space-Saving reseed-and-offer fold as the v1 twin, with the
+    * summary held in a MAPSTATE (user → estimate entries) plus a
+    * ValueState row counter: the v2 port that pins the MapState
+    * primitive (clear / updateValue / iterator round-trips through
+    * RocksDB) — the ValueState-only ports can't reach it. Reseeding
+    * sorts the read-back entries first, exactly the v1 twin's sorted
+    * serialization, so tie-breaking in the weighted offer cannot
+    * depend on RocksDB iteration order. */
+  private class HeavyHittersProcessor(capacity: Int, perMille: Long)
+      extends StatefulProcessor[String, Event, HeavyUser] {
+    @transient private var entries: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    @transient private var nState: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      entries = getHandle.getMapState[String, Long]("ss",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      nState = getHandle.getValueState[Long]("n",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(tpe: String, rows: Iterator[Event],
+        tv: TimerValues): Iterator[HeavyUser] = {
+      val ss = new graft.operators.HeavyHitters.SpaceSaving(capacity)
+      val prev = entries.iterator().map(p => (p._1, p._2)).toList.sorted
+      prev.foreach { case (k, c) => ss.offerWeighted(k, c) }
+      var n = if (nState.exists()) nState.get() else 0L
+      rows.foreach { e => ss.offer(e.user_id.toString); n += 1 }
+      entries.clear()
+      ss.entries.foreach { case (k, c) => entries.updateValue(k, c) }
+      nState.update(n)
+      val total = n
+      ss.entries.collect {
+        case (u, est) if 1000L * est >= perMille * total =>
+          HeavyUser(tpe, u, est, total)
+      }.toList.sortBy(_.user_id).iterator
+    }
+  }
+
+  /** State-API-v2 twin of [[heavyHittersStream]] (`transformWithState`,
+    * RocksDB, MapState + ValueState, TimeMode.None — like the Bloom
+    * twin the sketch never evicts). StreamingSpec pins it row-equal to
+    * the v1 twin across batches and exactly-once across a RocksDB
+    * checkpoint restart. Scale posture is v1's: O(capacity) entries
+    * per event type, where exact per-user counting is unbounded. */
+  def heavyHittersStreamV2(events: Dataset[Event], capacity: Int = 64,
+      perMille: Long = 100): Dataset[HeavyUser] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .transformWithState(new HeavyHittersProcessor(capacity, perMille),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class DistinctEst(event_type: String, n_est: Long, sketch_size: Int)
 
   /** Streaming distinct-user cardinality per event type — the

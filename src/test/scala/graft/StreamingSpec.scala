@@ -1518,6 +1518,73 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState heavy hitters (MapState) matches the v1 twin and restarts exactly") {
+    import spark.implicits._
+    def mkBatch(idBase: Long, minuteBase: Int): Seq[Event] =
+      (0 until 25).map { i =>
+        val user = if (i < 13) 1L else if (i < 24) (2L + i % 5) else 9L
+        Event(idBase + i, ts(minuteBase + i / 10), user, "click", 0.0)
+      }
+    def drive(name: String,
+        mk: org.apache.spark.sql.Dataset[Event] =>
+          org.apache.spark.sql.Dataset[EventStreams.HeavyUser]): Set[(String, String, Long, Long)] = {
+      implicit val sql = spark.sqlContext
+      val ms = MemoryStream[Event]
+      val q = mk(ms.toDF().as[Event]).writeStream.format("memory")
+        .queryName(name).outputMode("update").start()
+      try {
+        ms.addData(mkBatch(0L, 0): _*); q.processAllAvailable()
+        ms.addData(mkBatch(100L, 30): _*); q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      } finally q.stop()
+    }
+    val v1 = drive("hh_v1",
+      EventStreams.heavyHittersStream(_, capacity = 4, perMille = 300))
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val v2 = drive("hh_v2",
+        EventStreams.heavyHittersStreamV2(_, capacity = 4, perMille = 300))
+      assert(v2 == v1, s"v2 heavy hitters $v2 diverged from v1 $v1")
+
+      // restart pin: MapState entries + the ValueState counter must
+      // both come back from the RocksDB checkpoint (a lost counter
+      // would halve thresholds; lost entries would drop the heavy user)
+      val dir = tmpDir("hh_v2_restart")
+      val (src, out, chk) = (s"$dir/src", s"$dir/out", s"$dir/chk")
+      def writeFile(events: Event*): Unit =
+        events.toDF().withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+          .repartition(1).write.mode("append").parquet(src)
+      def run(): Unit = {
+        val ds = EventStreams.readEventStream(spark, src, nanosTs = Some(false))
+          .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+        val q = EventStreams.heavyHittersStreamV2(ds, capacity = 4, perMille = 300)
+          .writeStream.format("parquet").outputMode("append")
+          .option("path", out).option("checkpointLocation", chk)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      writeFile(mkBatch(0L, 0): _*)
+      run() // incarnation 1: n = 25
+      writeFile(mkBatch(100L, 30): _*)
+      run() // incarnation 2: counter and summary carried -> n = 50 rows
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getAs[String]("user_id"), r.getAs[Long]("est"), r.getAs[Long]("n")))
+      assert(rows.exists(r => r._1 == "1" && r._3 == 50L && r._2 >= 26L),
+        s"heavy user must survive the MapState restart with the merged count: ${rows.toSeq}")
+      assert(!rows.exists(r => r._1 == "9" && r._3 == 50L),
+        s"light user surfaced after restart: ${rows.toSeq}")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("readEventStream on an empty/missing dir: waits for files instead of throwing") {
     import spark.implicits._
     // consumer-before-producer deployment order: the schema probe must
