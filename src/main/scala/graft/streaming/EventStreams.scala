@@ -600,6 +600,105 @@ object EventStreams {
       }
   }
 
+  /** State-API-v2 processor behind [[attributeForwardStreamV2]] — the
+    * same first-following-purchase fold as [[attributeForwardStateful]]
+    * with the pending-click queue in a LISTSTATE (clear / appendList /
+    * get round-trips through RocksDB — the v2 primitive the Value- and
+    * Map-state ports don't reach) and the v1 timeout slot replaced by
+    * a [[TimerHygiene]]-managed event-time timer. The expiry handler
+    * re-runs the same horizon sweep the inline path uses, so a stale
+    * timer can only ever expire clicks whose horizon the watermark has
+    * genuinely passed. */
+  private class ForwardAttributionProcessor(horizonMs: Long)
+      extends StatefulProcessor[Long, Event, ForwardAttributionOut]
+      with TimerHygiene {
+    @transient private var pending: org.apache.spark.sql.streaming.ListState[ClickState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState[ClickState]("pending",
+        org.apache.spark.sql.Encoders.product[ClickState], TTLConfig.NONE)
+      initArmed()
+    }
+
+    private def before(aMs: Long, aId: Long, bMs: Long, bId: Long): Boolean =
+      aMs < bMs || (aMs == bMs && aId < bId)
+
+    /** NULL-flush every pending click whose horizon the watermark has
+      * passed; returns the still-live remainder. */
+    private def sweep(userId: Long, p: Vector[ClickState], wm: Long,
+        out: scala.collection.mutable.Builder[ForwardAttributionOut, Seq[ForwardAttributionOut]]): Vector[ClickState] = {
+      val (expired, live) = p.partition(c => c.clickMs + horizonMs <= wm)
+      expired.sortBy(c => (c.clickMs, c.clickId)).foreach(c =>
+        out += ForwardAttributionOut(c.clickId, userId, c.clickMs, None, None, None))
+      live
+    }
+
+    /** Persist the live queue and keep exactly one timer at the
+      * earliest horizon (or none when the queue drained). */
+    private def store(live: Vector[ClickState]): Unit = {
+      pending.clear()
+      if (live.nonEmpty) {
+        pending.appendList(live.toArray)
+        rearmTimer(live.map(c => c.clickMs + horizonMs).min)
+      } else disarmTimer()
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[ForwardAttributionOut] = {
+      val out = Seq.newBuilder[ForwardAttributionOut]
+      var p = pending.get().toVector
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val t = e.ts.getTime
+        if (e.event_type == "click") p :+= ClickState(t, e.event_id)
+        else {
+          val (flushed, waiting) = p.partition(c =>
+            before(c.clickMs, c.clickId, t, e.event_id))
+          flushed.foreach { c =>
+            if (t - c.clickMs <= horizonMs)
+              out += ForwardAttributionOut(c.clickId, userId, c.clickMs,
+                Some(e.event_id), Some(t), Some(t - c.clickMs))
+            else
+              out += ForwardAttributionOut(c.clickId, userId, c.clickMs,
+                None, None, None)
+          }
+          p = waiting
+        }
+      }
+      store(sweep(userId, p, tv.getCurrentWatermarkInMs(), out))
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ForwardAttributionOut] = {
+      clearArmed() // this timer just fired; the slot is free
+      val out = Seq.newBuilder[ForwardAttributionOut]
+      val wm = math.max(info.getExpiryTimeInMs(), tv.getCurrentWatermarkInMs())
+      store(sweep(userId, pending.get().toVector, wm, out))
+      out.result().iterator
+    }
+  }
+
+  /** State-API-v2 twin of [[attributeForwardStateful]]
+    * (`transformWithState`, RocksDB, ListState + stale-guarded timers).
+    * With the Value-state ports (sessionize/funnel/gap/transitions),
+    * the Bloom bitmap, and the heavy-hitter MapState, this closes v2
+    * coverage of ALL THREE keyed-state primitives. StreamingSpec pins
+    * it row-equal to the v1 twin (conversion, tie, and horizon-NULL
+    * paths) and exactly-once across a RocksDB checkpoint restart.
+    * Scale posture is v1's: pending clicks per user bounded by the
+    * horizon, one pending timer per key. */
+  def attributeForwardStreamV2(events: Dataset[Event],
+      horizonMs: Long = 24L * 3600 * 1000,
+      watermark: String = "2 hours"): Dataset[ForwardAttributionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new ForwardAttributionProcessor(horizonMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   final case class TransitionEv(user_id: Long, ts: java.sql.Timestamp,
       from_type: String, to_type: String)
 
@@ -627,6 +726,13 @@ object EventStreams {
       }
     }
     protected def clearArmed(): Unit = armedMs.clear()
+    /** Inline full-clear: delete the pending timer too (clearArmed alone
+      * leaves it to fire as a guarded no-op — harmless but it would
+      * double-arm the key if a later re-arm lands first). */
+    protected def disarmTimer(): Unit = {
+      if (armedMs.exists()) getHandle.deleteTimer(armedMs.get())
+      armedMs.clear()
+    }
   }
 
   /** State-API-v2 twin of [[transitionsStateful]]'s fold, emitting the

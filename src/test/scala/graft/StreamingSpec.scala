@@ -287,6 +287,85 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState forward attribution (ListState) matches v1 and restarts exactly") {
+    import spark.implicits._
+    val batch1 = Seq(
+      Event(10, ts(0), 1, "click", 0.0), Event(11, ts(5), 1, "click", 0.0),
+      Event(12, ts(9), 1, "purchase", 5.0), Event(20, ts(9), 2, "purchase", 7.0))
+    val batch2 = Seq(
+      Event(21, ts(15), 2, "click", 0.0), Event(22, ts(22), 2, "purchase", 1.0),
+      Event(29, ts(40), 3, "purchase", 0.0), Event(30, ts(40), 3, "click", 0.0),
+      Event(31, ts(40), 3, "purchase", 2.0), Event(13, ts(20), 1, "click", 0.0))
+    val batch3 = Seq(Event(90, ts(120), 9, "purchase", 0.0))
+    def drive(name: String,
+        mk: org.apache.spark.sql.Dataset[Event] =>
+          org.apache.spark.sql.Dataset[EventStreams.ForwardAttributionOut]): Set[(Long, Option[Long], Option[Long])] = {
+      implicit val sql = spark.sqlContext
+      val ms = MemoryStream[Event]
+      val q = mk(ms.toDS()).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        Seq(batch1, batch2, batch3).foreach { b =>
+          ms.addData(b: _*); q.processAllAvailable()
+        }
+        spark.table(name).select("click_id", "purchase_id", "latency_ms")
+          .collect().map(r => (r.getLong(0),
+            Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+      } finally q.stop()
+    }
+    val v1 = drive("fattr_v1", EventStreams.attributeForwardStateful(_,
+      horizonMs = 10L * 60 * 1000, watermark = "10 minutes"))
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val v2 = drive("fattr_v2", EventStreams.attributeForwardStreamV2(_,
+        horizonMs = 10L * 60 * 1000, watermark = "10 minutes"))
+      assert(v2 == v1, s"v2 forward attribution $v2 diverged from v1 $v1")
+      // the scenario exercises conversion, tie and horizon-NULL paths
+      assert(v1.exists(r => r._1 == 30L && r._2 == Some(31L)) &&
+        v1.exists(r => r._1 == 13L && r._2.isEmpty), v1)
+
+      // restart pin: the ListState queue AND the armed timer must both
+      // come back from the RocksDB checkpoint (the v1 restart test's
+      // scenario, on the v2 operator)
+      val dir = tmpDir("fattr_v2_restart")
+      val (src, out, chk) = (s"$dir/src", s"$dir/out", s"$dir/chk")
+      def writeFile(events: Event*): Unit =
+        events.toDF().withColumn("props", lit("{}"))
+          .repartition(1).write.mode("append").parquet(src)
+      def run(): Unit = {
+        val ds = EventStreams.readEventStream(spark, src, nanosTs = Some(false))
+          .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+        val q = EventStreams.attributeForwardStreamV2(ds,
+            horizonMs = 30L * 60 * 1000, watermark = "10 minutes")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", chk)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      writeFile(
+        Event(1, ts(0), 1, "click", 0.0), Event(2, ts(5), 2, "click", 0.0),
+        Event(3, ts(10), 1, "purchase", 1.0))
+      run() // user 1 converts; user 2's click survives in ListState
+      writeFile(Event(50, ts(200), 9, "click", 0.0))
+      run() // watermark passes user 2's horizon -> exactly one NULL row
+      val after2 = spark.read.parquet(out).collect()
+        .map(r => (r.getAs[Long]("click_id"), Option(r.getAs[Any]("purchase_id"))))
+      assert(after2.sortBy(_._1).toSeq == Seq((1L, Some(3L)), (2L, None)),
+        after2.toSeq.toString)
+      run() // nothing new — no replay
+      assert(spark.read.parquet(out).count() == 2)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful forward attribution restart from checkpoint: rows exactly-once") {
     import spark.implicits._
     val dir = tmpDir("fattr_restart")
