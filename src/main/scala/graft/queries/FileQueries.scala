@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.core.Pipeline
-import graft.sinks.{AvroSink, CsvSink, FixedWidthSink, JsonlSink, OrcSink, ParquetSink, XmlSink}
-import graft.sources.{AvroSource, CsvSource, FixedWidthSource, JsonlSource, LineSource, OrcSource, ParquetSource, XmlSource}
+import graft.sinks.{ArrowSink, AvroSink, CsvSink, FixedWidthSink, JsonlSink, OrcSink, ParquetSink, XmlSink}
+import graft.sources.{ArrowSource, AvroSource, CsvSource, FixedWidthSource, JsonlSource, LineSource, OrcSource, ParquetSource, XmlSource}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
@@ -162,6 +162,28 @@ object FileQueries {
       Some(s"""SELECT p_partkey, p_name, p_brand, p_size,
               |  ${QueryDef.centsSql("p_retailprice")} AS retailprice_cents
               |FROM part""".stripMargin)),
+
+    // Arrow IPC round-trip (engine extension — "Feather V2", the
+    // pandas/polars/ML-tooling interchange format; no DataSource on
+    // this classpath, so the sink/source go through the public
+    // arrow-vector API): supplier → ArrowSink (one file per partition,
+    // 4096-row record batches through the FS channel) → ArrowSource
+    // with the SNIFFED footer schema (explicit-schema + NULL/NaN edges
+    // are unit-pinned in ArrowSpec) — longs, strings, ints and IEEE
+    // doubles must reproduce the parquet table exactly.
+    QueryDef("arrow_roundtrip",
+      (s, dir) => {
+        val out = scratch(dir, "arrow_rt")
+        ArrowSink(out).write(s.read.parquet(s"$dir/supplier.parquet")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            col("s_acctbal")))
+        ArrowSource(out).load(s)
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+            QueryDef.cents(col("s_acctbal")).as("acctbal_cents"))
+      },
+      Some(s"""SELECT s_suppkey, s_name, s_nationkey,
+              |  ${QueryDef.centsSql("s_acctbal")} AS acctbal_cents
+              |FROM supplier""".stripMargin)),
 
     // Compressed-text round-trip (engine extension): orders → CsvSink
     // with gzip → CsvSource (Spark's text stack picks the codec from

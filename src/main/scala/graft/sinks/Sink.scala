@@ -232,6 +232,73 @@ final case class AvroSink(path: String, recordName: String = "graft_record")
   }
 }
 
+/** Arrow IPC file out — the write side of [[graft.sources.ArrowSource]]
+  * ("Feather V2"): one .arrow file per non-empty partition, written in
+  * record batches of `batchRows` through the Hadoop FS channel, so the
+  * artifact lands wherever the cluster's storage is. Schema derives
+  * from the StructType ([[graft.sources.ArrowConv]] — flat primitives,
+  * nullable); allocator lifecycle is strictly per-partition
+  * (create → write → close in finally, so an executor can't leak
+  * direct memory across tasks). Overwrite semantics match the other
+  * sinks. */
+final case class ArrowSink(path: String, batchRows: Int = 4096) extends Sink {
+  require(batchRows > 0, s"batchRows must be positive: $batchRows")
+
+  def write(df: DataFrame): Unit = {
+    val spark = df.sparkSession
+    val st = df.schema
+    // Configuration is not serializable — ship its entries and rebuild
+    // per partition, so DFS credentials/settings reach the tasks
+    val confSer = spark.sparkContext.broadcast {
+      val c = spark.sparkContext.hadoopConfiguration
+      val it = c.iterator()
+      val m = scala.collection.mutable.Map.empty[String, String]
+      while (it.hasNext) { val e = it.next(); m += e.getKey -> e.getValue }
+      m.toMap
+    }
+    val out = path
+    val nBatch = batchRows
+    val fs0 = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs0.delete(new HPath(path), true)
+    fs0.mkdirs(new HPath(path))
+    df.rdd.foreachPartition { rows =>
+      if (rows.hasNext) {
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confSer.value.foreach { case (k, v) => conf.set(k, v) }
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val file = new HPath(out, f"part-$pid%05d.arrow")
+        val fs = file.getFileSystem(conf)
+        val alloc = new org.apache.arrow.memory.RootAllocator()
+        val root = org.apache.arrow.vector.VectorSchemaRoot.create(
+          graft.sources.ArrowConv.toArrowSchema(st), alloc)
+        val os = fs.create(file, true)
+        val writer = new org.apache.arrow.vector.ipc.ArrowFileWriter(
+          root, null, java.nio.channels.Channels.newChannel(os))
+        try {
+          writer.start()
+          val vecs = (0 until st.length).map(root.getVector)
+          var i = 0
+          rows.foreach { r =>
+            var c = 0
+            while (c < st.length) {
+              graft.sources.ArrowConv.set(vecs(c), i, r.get(c)); c += 1
+            }
+            i += 1
+            if (i == nBatch) {
+              root.setRowCount(i); writer.writeBatch()
+              root.allocateNew(); i = 0
+            }
+          }
+          if (i > 0) { root.setRowCount(i); writer.writeBatch() }
+          writer.end()
+        } finally {
+          writer.close(); os.close(); root.close(); alloc.close()
+        }
+      }
+    }
+  }
+}
+
 /** Fixed-width (columnar-text) out — the write side of
   * [[graft.sources.FixedWidthSource]]: every field space-padded to its
   * layout width, one record per line, written distributed through the
