@@ -1602,12 +1602,15 @@ object SimilarityQueries {
                   col("q_nrm"), col("n_nrm")))).as("dl"))
           val loss = shifted.groupBy(col("q_id"))
             .agg(sum(col("dl")).as("cos_loss_micro"))
+          // both sides are |Q|·TopK rows; the hint keeps the tiny semi
+          // join off the static SortMergeJoin path (plan-pinned)
           val hits = truth.select(col("q_id"), col("n_id"))
-            .join(topd, Seq("q_id", "n_id"), "left_semi")
+            .join(broadcast(topd), Seq("q_id", "n_id"), "left_semi")
             .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
           // loss always carries every query (truth has TopK rows per q);
           // hits can lose a query whose overlap is zero — rejoin, fill 0
-          loss.join(hits, Seq("q_id"), "left_outer")
+          // (|Q|-row frames both; hinted off the static SMJ path)
+          loss.join(broadcast(hits), Seq("q_id"), "left_outer")
             .select(lit(d.toLong).as("dim"), col("q_id"),
               coalesce(col("hits"), lit(0L)).as("hits"),
               col("cos_loss_micro"))

@@ -281,6 +281,30 @@ class PlanAuditSpec extends SparkSuite {
     spark.catalog.clearCache() // knn_graph rides frozenCells' persist
   }
 
+  test("boilerplate_lines: marker join broadcasts, exactly two corpus scans") {
+    // SCALE.md's claims for the stats-then-apply floor: the boilerplate
+    // SET broadcasts into the marker join (a corpus-sized shuffle join
+    // there would be the scale bug), and the plan reads documents
+    // exactly twice — freq pass + apply pass, no third scan for totals
+    val p = plan(SparkEntry.queries("boilerplate_lines")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"marker join must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    // formatted plans mention each node twice (tree + detail section);
+    // count the numbered detail headers, one per physical scan
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 2, s"expected exactly 2 document scans, got $scans\n$p")
+  }
+
+  test("embedding_matryoshka: corpus never joins heavy, per-dim top-k pre-trims") {
+    // every truncation's brute pass broadcasts the query side and
+    // pre-trims its rank window; the truth-pair shift passes broadcast
+    // the tiny truth frame — no sort-merge join, no cartesian anywhere
+    val p = plan(SparkEntry.queries("embedding_matryoshka")(spark, dir))
+    assert(p.contains("WindowGroupLimit"), s"no top-k pre-trim\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3, p)
+  }
+
   test("inverted_index: postings cap pre-trims, df/cf side broadcasts into the join") {
     // SCALE.md's claims for the index build: the rank<=cap filter
     // lowers to WindowGroupLimit (a hot term's postings never assemble
