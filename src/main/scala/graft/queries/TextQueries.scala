@@ -347,6 +347,77 @@ object TextQueries {
              |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk FROM documents)
              |GROUP BY tk ORDER BY freq DESC, tk LIMIT 100""".stripMargin)),
 
+    // Padding-waste audit: naive vs length-grouped batching — the
+    // training-cost question every fixed-batch pipeline prices: a batch
+    // pads to its longest member, so tokens-paid = Σ_batches |batch|·max
+    // while tokens-used = Σ lens; batching docs in ARRIVAL order pays
+    // for the length variance inside every batch, batching by LENGTH
+    // confines the variance to band boundaries. Reports both strategies
+    // on the same corpus (batch size [[PadBatch]]): batches, used,
+    // paid, waste, waste ppm — the measured saving of a sorted loader.
+    //
+    // Scale shape: global ranks ride the rank_global_bucketed two-pass
+    // (monotone bucket → tiny offsets frame → per-bucket row_number) —
+    // no all-corpus window funnel for either ordering; the per-batch
+    // rollup and the two-row report are map-side-combinable counters.
+    QueryDef("padding_waste",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val lens = ProfilingQueries.widened(s, Tables(s, dir, "documents"))
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("len"))
+        def strategyWaste(name: String, bucket: org.apache.spark.sql.Column,
+            s1: org.apache.spark.sql.Column, s2: org.apache.spark.sql.Column) = {
+          val b = lens.withColumn("bkt", bucket)
+          val wOff = Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val offsets = b.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+            .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+            .select(col("bkt"), col("off"))
+          val wIn = Window.partitionBy(col("bkt")).orderBy(s1, s2)
+          b.join(broadcast(offsets), Seq("bkt"))
+            .select(col("len"),
+              (col("off") + row_number().over(wIn)).cast("long").as("rnk"))
+            // integer div, NOT `/` (Column./ is double division)
+            .withColumn("batch", expr(s"(rnk - 1) div $PadBatch"))
+            .groupBy(col("batch"))
+            .agg(count(lit(1)).as("k"), max(col("len")).as("mx"),
+              sum(col("len")).as("used"))
+            .agg(count(lit(1)).as("n_batches"),
+              sum(col("used")).as("tokens_used"),
+              sum(col("k") * col("mx")).as("tokens_paid"))
+            .select(lit(name).as("strategy"), col("n_batches"),
+              col("tokens_used"), col("tokens_paid"),
+              (col("tokens_paid") - col("tokens_used")).as("waste"),
+              expr("((tokens_paid - tokens_used) * 1000000) div tokens_paid")
+                .as("waste_ppm"))
+        }
+        strategyWaste("arrival",
+            expr("doc_id div 4096"), col("doc_id"), col("doc_id"))
+          .unionByName(strategyWaste("length_grouped",
+            expr("len div 8"), col("len"), col("doc_id")))
+      },
+      Some {
+        def side(name: String, order: String) =
+          s"""SELECT '$name' AS strategy, COUNT(*) AS n_batches,
+             |  CAST(SUM(used) AS BIGINT) AS tokens_used,
+             |  CAST(SUM(paid) AS BIGINT) AS tokens_paid,
+             |  CAST(SUM(paid) - SUM(used) AS BIGINT) AS waste,
+             |  CAST(((SUM(paid) - SUM(used)) * 1000000) // SUM(paid) AS BIGINT) AS waste_ppm
+             |FROM (
+             |  SELECT batch, COUNT(*) * MAX(len) AS paid, SUM(len) AS used
+             |  FROM (
+             |    SELECT len, (row_number() OVER (ORDER BY $order) - 1) // $PadBatch AS batch
+             |    FROM lens) t
+             |  GROUP BY batch) g""".stripMargin
+        s"""WITH lens AS (
+           |  SELECT doc_id,
+           |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS len
+           |  FROM documents)
+           |${side("arrival", "doc_id")}
+           |UNION ALL
+           |${side("length_grouped", "len, doc_id")}""".stripMargin
+      }),
+
     // Canonical text normalization — the cleaning pass that MUST run
     // before any hash-based dedup or fingerprinting: NFC composition
     // (decomposed accents render identically but hash differently —
@@ -1079,6 +1150,10 @@ object TextQueries {
 
   /** Corpus slices for `vocab_growth`. A def, not a val (the
     * oracle-string init-order gotcha). */
+  /** `padding_waste` batch size — the fixed micro-batch a training
+    * loader pads to. Def, not val (defs-init-order contract). */
+  private def PadBatch: Int = 32
+
   /** `inverted_index` postings cap: impact-ordered truncation keeps the
     * top-8 docs per term by (tf desc, doc_id) — the artifact stays
     * bounded however hot the term. Def, not val (defs-init-order
