@@ -240,7 +240,12 @@ final case class AvroSink(path: String, recordName: String = "graft_record")
   * nullable); allocator lifecycle is strictly per-partition
   * (create → write → close in finally, so an executor can't leak
   * direct memory across tasks). Overwrite semantics match the other
-  * sinks. */
+  * sinks. Task RETRIES are safe (each attempt re-creates its own
+  * part file, overwrite=true — idempotent), but unlike the
+  * committer-backed sinks there is no attempt-staging: disable
+  * speculative execution for this sink at cluster scale, or two live
+  * attempts of one partition could interleave writes to the same
+  * file. */
 final case class ArrowSink(path: String, batchRows: Int = 4096) extends Sink {
   require(batchRows > 0, s"batchRows must be positive: $batchRows")
 
