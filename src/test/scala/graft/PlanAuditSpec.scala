@@ -738,7 +738,11 @@ class PlanAuditSpec extends SparkSuite {
         // serial cumulative over the ≤101 coarse score-bucket frame
         // (Mann-Whitney negBelow tier — per-score work is
         // bucket-partitioned)
-        "quality_auc")
+        "quality_auc",
+        // TWO serial offset windows, each over its |buckets| count
+        // frame (doc_id-band and len-band) — the rank_global_bucketed
+        // two-pass; per-row ranking is bucket-partitioned (r14)
+        "padding_waste")
       val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
         try {
           if (funnels(SparkEntry.queries(name)(spark, dir))) Some(name) else None
