@@ -64,6 +64,42 @@ object CurationQueries {
   private def EpochMilliFactors: Seq[(String, Long)] = Seq(
     "en" -> 700L, "es" -> 1000L, "fr" -> 1500L, "de" -> 2250L, "zh" -> 3500L)
 
+  /** The frozen linear-classifier logit over a document's `text`
+    * column, in integer micro-points — ONE definition serving
+    * `quality_classifier` AND `quality_ensemble`'s classifier voter
+    * (keep [[classifierLogitSql]] in lockstep term for term). */
+  private def classifierLogit: org.apache.spark.sql.Column = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val nChars = greatest(length(col("text")).cast("long"), lit(1L))
+    val f1 = QueryDef.microPoints(
+      least(nTok.cast("double") / lit(200.0), lit(1.0)))
+    val f2 = QueryDef.microPoints(
+      size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+        .cast("long").cast("double") / nChars.cast("double"))
+    val f3 = QueryDef.microPoints(
+      stopwordHits(t, stopwords.head._2).cast("double") /
+        greatest(nTok, lit(1L)).cast("double"))
+    val f4 = QueryDef.microPoints(
+      size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+        .cast("long").cast("double") / nChars.cast("double"))
+    f1 * lit(QcWTok) + f2 * lit(QcWPunct) +
+      f3 * lit(QcWStop) + f4 * lit(QcWDigit) + lit(QcBias)
+  }
+
+  /** DuckDB twin of [[classifierLogit]] — expects the toks CTE's
+    * (text, t) columns in scope. */
+  private def classifierLogitSql: String = {
+    val f1 = QueryDef.microPointsSql("least(CAST(len(t) AS DOUBLE) / 200.0, 1.0)")
+    val f2 = QueryDef.microPointsSql(
+      "CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)")
+    val f3 = QueryDef.microPointsSql(
+      s"CAST(${stopwordHitsSql("t", stopwords.head._2)} AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE)")
+    val f4 = QueryDef.microPointsSql(
+      "CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)")
+    s"$f1 * $QcWTok + $f2 * $QcWPunct + $f3 * $QcWStop + $f4 * $QcWDigit + $QcBias"
+  }
+
   /** `retrieval_mrr` phrase-relevance regex, shared Spark/DuckDB
     * character for character: terms separated by ≥1 non-token chars,
     * bounded by non-token or string edge — token-space adjacency over
@@ -179,44 +215,18 @@ object CurationQueries {
     // one would broadcast) so 100 TB runs at scan speed.
     QueryDef("quality_classifier",
       (s, dir) => {
-        val t = tokens(col("text"))
-        val nTok = size(t).cast("long")
-        val nChars = greatest(length(col("text")).cast("long"), lit(1L))
-        val f1 = QueryDef.microPoints(
-          least(nTok.cast("double") / lit(200.0), lit(1.0)))
-        val f2 = QueryDef.microPoints(
-          size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
-            .cast("long").cast("double") / nChars.cast("double"))
-        val f3 = QueryDef.microPoints(
-          stopwordHits(t, stopwords.head._2).cast("double") /
-            greatest(nTok, lit(1L)).cast("double"))
-        val f4 = QueryDef.microPoints(
-          size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
-            .cast("long").cast("double") / nChars.cast("double"))
-        val logit = f1 * lit(QcWTok) + f2 * lit(QcWPunct) +
-          f3 * lit(QcWStop) + f4 * lit(QcWDigit) + lit(QcBias)
+        val logit = classifierLogit
         Tables(s, dir, "documents")
           .select(col("doc_id"), col("lang"), logit.as("logit_u"),
             (logit > lit(QcKeepAt)).cast("long").as("keep"))
       },
-      Some {
-        val f1 = QueryDef.microPointsSql("least(CAST(len(t) AS DOUBLE) / 200.0, 1.0)")
-        val f2 = QueryDef.microPointsSql(
-          "CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)")
-        val f3 = QueryDef.microPointsSql(
-          s"CAST(${stopwordHitsSql("t", stopwords.head._2)} AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE)")
-        val f4 = QueryDef.microPointsSql(
-          "CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)")
-        s"""$toksCte,
+      Some(s"""$toksCte,
            |scored AS (
-           |  SELECT doc_id, lang,
-           |    $f1 * $QcWTok + $f2 * $QcWPunct
-           |      + $f3 * $QcWStop + $f4 * $QcWDigit + $QcBias AS logit_u
+           |  SELECT doc_id, lang, $classifierLogitSql AS logit_u
            |  FROM toks)
            |SELECT doc_id, lang, logit_u,
            |  CAST(CASE WHEN logit_u > $QcKeepAt THEN 1 ELSE 0 END AS BIGINT) AS keep
-           |FROM scored""".stripMargin
-      }),
+           |FROM scored""".stripMargin)),
 
     // intra-document repetition metrics (Gopher-style quality rules):
     // duplicate-trigram fraction + most-frequent-bigram share, composed
@@ -359,6 +369,100 @@ object CurationQueries {
            |  CAST(SUM(CASE WHEN $keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
            |FROM documents GROUP BY lang""".stripMargin
       }),
+
+    // Quality-filter ENSEMBLE agreement — the decision every curation
+    // pipeline running several filters must make explicit (FineWeb-
+    // style: independent heuristics vote, the release keeps majority
+    // or strict intersections): three voters — the Gopher rule battery
+    // (shared [[gopherFlags]] frame), the frozen linear classifier
+    // (shared [[classifierLogit]]), and NON-repetitiveness
+    // (text_repetition's flag, lockstep-duplicated thresholds) — then
+    // vote-count distribution, majority/strict keep counts, and
+    // pairwise agreement in exact ppm. Disagreement rates are the
+    // actionable output: a pair agreeing at ~50% is measuring
+    // different things; one at ~99% is redundant.
+    //
+    // Scale shape: three narrow one-scan voter frames joined on
+    // doc_id (kept as separate scans ON PURPOSE — fusing them would
+    // entangle the three filter definitions the ablation framework
+    // keeps independent), then two map-side-combinable rollups over
+    // the ≤4-value votes key / one summary row.
+    QueryDef("quality_ensemble",
+      (s, dir) => {
+        val g = gopherFlags(s, dir).select(col("doc_id"), col("keep").as("kg"))
+        val c = Tables(s, dir, "documents").select(col("doc_id"),
+          (classifierLogit > lit(QcKeepAt)).cast("long").as("kc"))
+        // text_repetition's flag, thresholds in lockstep with its
+        // QueryDef (dup3 > 0.01 || top2 > 0.07 → repetitive)
+        val st = repetitionStats(
+          coalesce(tokens(col("text")), array().cast("array<string>")))
+        val nTg = st.getField("n_tg")
+        val dup3 = round((nTg - st.getField("n_dist_tg")).cast("double") /
+          greatest(nTg, lit(1L)).cast("double"), 6)
+        val top2 = round(st.getField("top_bg").cast("double") /
+          greatest(st.getField("n_bg"), lit(1L)).cast("double"), 6)
+        val r = ProfilingQueries.widened(s, Tables(s, dir, "documents"))
+          .select(col("doc_id"),
+            when(dup3 > 0.01 || top2 > 0.07, 0L).otherwise(1L).as("kr"))
+        val j = g.join(c, Seq("doc_id")).join(r, Seq("doc_id"))
+          .withColumn("votes", col("kg") + col("kc") + col("kr"))
+        val byVotes = j.groupBy(col("votes")).agg(count(lit(1)).as("v"))
+          .select(concat(lit("votes_"), col("votes").cast("string")).as("metric"),
+            col("v"))
+        val summary = j.agg(
+            count(lit(1)).as("n"),
+            sum(when(col("kg") === col("kc"), 1L).otherwise(0L)).as("a_gc"),
+            sum(when(col("kg") === col("kr"), 1L).otherwise(0L)).as("a_gr"),
+            sum(when(col("kc") === col("kr"), 1L).otherwise(0L)).as("a_cr"),
+            sum(when(col("votes") >= 2L, 1L).otherwise(0L)).as("kmaj"),
+            sum(when(col("votes") === 3L, 1L).otherwise(0L)).as("kall"))
+          .selectExpr("stack(5, " +
+            "'agree_gopher_classifier_ppm', (a_gc * 1000000) div n, " +
+            "'agree_gopher_repetition_ppm', (a_gr * 1000000) div n, " +
+            "'agree_classifier_repetition_ppm', (a_cr * 1000000) div n, " +
+            "'keep_majority', kmaj, " +
+            "'keep_strict', kall) AS (metric, v)")
+        byVotes.unionByName(summary)
+      },
+      Some(s"""$gopherFlagsCteSql,
+              |tk AS (
+              |  SELECT doc_id, text,
+              |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              |  FROM documents),
+              |cls AS (
+              |  SELECT doc_id,
+              |    CAST(CASE WHEN $classifierLogitSql > $QcKeepAt
+              |      THEN 1 ELSE 0 END AS BIGINT) AS kc
+              |  FROM tk),
+              |gr AS (SELECT doc_id, ${gramsSql("t", 2)} AS bg,
+              |    ${gramsSql("t", 3)} AS tg FROM tk),
+              |rp AS (
+              |  SELECT doc_id, CAST(CASE WHEN
+              |    round(CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / CAST(greatest(len(tg), 1) AS DOUBLE), 6) > 0.01
+              |    OR round(CAST(coalesce(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))), 0) AS DOUBLE) / CAST(greatest(len(bg), 1) AS DOUBLE), 6) > 0.07
+              |    THEN 0 ELSE 1 END AS BIGINT) AS kr
+              |  FROM gr),
+              |j AS (
+              |  SELECT f.doc_id, f.keep AS kg, c.kc, r.kr,
+              |    f.keep + c.kc + r.kr AS votes
+              |  FROM flags f JOIN cls c USING (doc_id) JOIN rp r USING (doc_id))
+              |SELECT 'votes_' || CAST(votes AS VARCHAR) AS metric, COUNT(*) AS v
+              |FROM j GROUP BY votes
+              |UNION ALL
+              |SELECT k, CAST(v AS BIGINT) AS v FROM (
+              |  SELECT COUNT(*) AS n,
+              |    SUM(CASE WHEN kg = kc THEN 1 ELSE 0 END) AS a_gc,
+              |    SUM(CASE WHEN kg = kr THEN 1 ELSE 0 END) AS a_gr,
+              |    SUM(CASE WHEN kc = kr THEN 1 ELSE 0 END) AS a_cr,
+              |    SUM(CASE WHEN votes >= 2 THEN 1 ELSE 0 END) AS kmaj,
+              |    SUM(CASE WHEN votes = 3 THEN 1 ELSE 0 END) AS kall
+              |  FROM j) t,
+              |  LATERAL (VALUES
+              |    ('agree_gopher_classifier_ppm', (a_gc * 1000000) // n),
+              |    ('agree_gopher_repetition_ppm', (a_gr * 1000000) // n),
+              |    ('agree_classifier_repetition_ppm', (a_cr * 1000000) // n),
+              |    ('keep_majority', kmaj),
+              |    ('keep_strict', kall)) AS u(k, v)""".stripMargin)),
 
     // Fractional-epoch upsampling — the data-mixing operator
     // `mixture_sample` (keep-rate < 1) cannot express: training mixes
