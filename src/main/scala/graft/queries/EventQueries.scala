@@ -1182,11 +1182,17 @@ object EventQueries {
     // applies — ONE user-keyed exchange, zero join operators, no
     // interval-overlap blowup. The plan node's contract is STRICTLY-
     // before with (time, id) tie-break; PIT needs valid_from ≤ ts
-    // INCLUSIVE, obtained exactly by a Long.MinValue sentinel right id:
-    // at equal times the tie rule right_id < left_id is then always
-    // true, turning (vf < ts) OR (vf = ts AND rid < lid) into vf ≤ ts.
-    // Version starts are unique per user (strictly increasing run
-    // firsts), so the sentinel forfeits no ordering determinism.
+    // INCLUSIVE, obtained by a deeply-negative right id (d_rid =
+    // Long.MinValue + version): at equal times the tie rule
+    // right_id < left_id is then always true (event ids are ≥ 0),
+    // turning (vf < ts) OR (vf = ts AND rid < lid) into vf ≤ ts.
+    // Version starts CAN collide per user — two different-typed events
+    // at the same ts open adjacent runs with equal min(ts) — so the
+    // sentinel carries `version` to break that tie deterministically
+    // (higher version = later run wins, matching the oracle's
+    // `valid_from_us DESC, version DESC` rank), instead of a constant
+    // Long.MinValue that would leave equal-(time,id) rows unordered
+    // and the winner engine-dependent.
     QueryDef("pit_feature_join",
       (s, dir) => {
         val ev = Tables.events(s, dir)
@@ -1203,7 +1209,8 @@ object EventQueries {
           .agg(min(col("event_type")).as("tier"),
             min(unix_micros(col("ts"))).as("valid_from_us"))
           .select(col("user_id").as("d_user"), col("version"), col("tier"),
-            col("valid_from_us"), lit(Long.MinValue).as("d_rid"))
+            col("valid_from_us"),
+            (lit(Long.MinValue) + col("version")).as("d_rid"))
         val facts = ev.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("ts_us"),
@@ -1240,7 +1247,7 @@ object EventQueries {
               |rk AS (
               |  SELECT p.event_id, v.version, v.tier,
               |    row_number() OVER (PARTITION BY p.event_id
-              |      ORDER BY v.valid_from_us DESC) AS rn
+              |      ORDER BY v.valid_from_us DESC, v.version DESC) AS rn
               |  FROM p JOIN v ON v.user_id = p.user_id
               |    AND v.valid_from_us <= p.ts_us)
               |SELECT p.event_id, p.user_id, p.ts_us, r.version, r.tier, p.value_cents

@@ -297,7 +297,15 @@ final case class ArrowSink(path: String, batchRows: Int = 4096) extends Sink {
           if (i > 0) { root.setRowCount(i); writer.writeBatch() }
           writer.end()
         } finally {
-          writer.close(); os.close(); root.close(); alloc.close()
+          // Nested so a throw from an earlier close can't skip the
+          // later ones — alloc.close() MUST run or the executor leaks
+          // direct memory across tasks (the exact lifecycle this
+          // per-partition allocator exists to prevent).
+          try writer.close() finally {
+            try os.close() finally {
+              try root.close() finally alloc.close()
+            }
+          }
         }
       }
     }

@@ -457,7 +457,25 @@ final case class AvroSource(
     import org.apache.avro.mapred.AvroKey
     import org.apache.avro.mapreduce.AvroKeyInputFormat
     import org.apache.hadoop.io.NullWritable
-    val st = schema.getOrElse(AvroConv.toStructType(sniffWriterSchema(spark)))
+    // Explicit schemas are VALIDATED against the writer schema (one
+    // driver-side header read): GenericRecord.get(name) returns null
+    // for unknown fields, so a typo'd/mismatched field name would
+    // otherwise read as a silently all-NULL column instead of failing
+    // loudly like the other sources' scope guards.
+    val st = schema match {
+      case Some(explicit) =>
+        val writer = sniffWriterSchema(spark)
+        val missing = explicit.fieldNames.filter(n => writer.getField(n) == null)
+        if (missing.nonEmpty) {
+          val has = writer.getFields.toArray
+            .map(_.asInstanceOf[org.apache.avro.Schema.Field].name).mkString(", ")
+          throw new IllegalArgumentException(
+            s"AvroSource($path): field(s) ${missing.mkString(", ")} not in the " +
+              s"writer schema (has: $has)")
+        }
+        explicit
+      case None => AvroConv.toStructType(sniffWriterSchema(spark))
+    }
     val names = st.fieldNames
     val rows = spark.sparkContext.newAPIHadoopFile(
         path,
@@ -626,7 +644,11 @@ final case class ArrowSource(
   }
 
   /** Driver-side footer read of the first part file (the Avro sniff
-    * discipline) — the IPC footer carries the schema. */
+    * discipline) — the IPC footer carries the schema. The Hadoop stream
+    * is wrapped in a seekable channel so `ArrowFileReader` reads ONLY
+    * the footer (magic + footer block at the tail), never the data
+    * body: a multi-GiB part file costs a few KiB of driver IO, and
+    * lengths stay Long throughout (no 2 GiB array cap). */
   private def sniffSchema(spark: SparkSession): StructType = {
     val p = new HPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -639,15 +661,45 @@ final case class ArrowSource(
     }.sortBy(_.getPath.getName).headOption
       .getOrElse(throw new IllegalArgumentException(
         s"ArrowSource($path): no data files to sniff a schema from — pass an explicit schema"))
-    val in = fs.open(file.getPath)
-    val bytes = new Array[Byte](file.getLen.toInt)
-    try in.readFully(0, bytes) finally in.close()
+    val ch = new FsSeekableChannel(fs.open(file.getPath), file.getLen)
     val alloc = new org.apache.arrow.memory.RootAllocator()
     val rdr = new org.apache.arrow.vector.ipc.ArrowFileReader(
-      new org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel(bytes), alloc)
+      new org.apache.arrow.vector.ipc.SeekableReadChannel(ch), alloc)
     try ArrowConv.toStructType(rdr.getVectorSchemaRoot.getSchema)
-    finally { rdr.close(); alloc.close() }
+    finally { rdr.close(); alloc.close() } // rdr.close() closes ch → stream
   }
+}
+
+/** Read-only [[java.nio.channels.SeekableByteChannel]] over a Hadoop
+  * `FSDataInputStream`, for footer-seeking readers ([[ArrowSource]]'s
+  * schema sniff): positional `readFully` per read call, so the reader
+  * touches exactly the byte ranges it asks for. Single-threaded use
+  * (driver-side metadata reads) — not a shared channel. */
+private[sources] final class FsSeekableChannel(
+    in: org.apache.hadoop.fs.FSDataInputStream,
+    len: Long) extends java.nio.channels.SeekableByteChannel {
+  private var pos = 0L
+  private var opened = true
+  override def read(dst: java.nio.ByteBuffer): Int = {
+    if (pos >= len) return -1
+    val n = math.min(dst.remaining().toLong, len - pos).toInt
+    val buf = new Array[Byte](n)
+    in.readFully(pos, buf, 0, n)
+    dst.put(buf, 0, n)
+    pos += n
+    n
+  }
+  override def write(src: java.nio.ByteBuffer): Int =
+    throw new java.nio.channels.NonWritableChannelException
+  override def position(): Long = pos
+  override def position(newPosition: Long): java.nio.channels.SeekableByteChannel = {
+    require(newPosition >= 0, s"negative seek: $newPosition"); pos = newPosition; this
+  }
+  override def size(): Long = len
+  override def truncate(size: Long): java.nio.channels.SeekableByteChannel =
+    throw new java.nio.channels.NonWritableChannelException
+  override def isOpen: Boolean = opened
+  override def close(): Unit = { opened = false; in.close() }
 }
 
 /** Fixed-width (columnar-text / mainframe export) scan — one record per

@@ -101,7 +101,8 @@ class AsOfPlanSpec extends SparkSuite {
     val versions = Seq(
       (7L, 1L, "bronze", 1000L), (7L, 2L, "gold", 2000L))
       .toDF("d_user", "version", "tier", "valid_from_us")
-      .withColumn("d_rid", org.apache.spark.sql.functions.lit(Long.MinValue))
+      .withColumn("d_rid", org.apache.spark.sql.functions.lit(Long.MinValue)
+        + org.apache.spark.sql.functions.col("version"))
     val facts = Seq(
       (101L, 7L, 999L),   // before any version -> NULL tier
       (102L, 7L, 1000L),  // exactly ON a version start -> inclusive match
@@ -121,6 +122,36 @@ class AsOfPlanSpec extends SparkSuite {
       .fn(spark, dir).queryExecution.optimizedPlan
     val joins = opt.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
     assert(joins.isEmpty, s"PIT join reintroduced a join:\n${opt.treeString}")
+  }
+
+  test("pit_feature_join: colliding version starts break deterministically by version") {
+    // Two different-typed events at the SAME timestamp open adjacent
+    // SCD2 runs whose valid_from_us COLLIDE. A constant-sentinel d_rid
+    // would leave equal-(time, id) right rows unordered (engine picks
+    // nondeterministically, the exact cross-engine compare flake the
+    // r14 advice flagged); d_rid = Long.MinValue + version makes the
+    // higher version win, matching the oracle's
+    // `valid_from_us DESC, version DESC` rank.
+    import spark.implicits._
+    val versions = Seq(
+      (7L, 1L, "view", 1000L), (7L, 2L, "cart", 1000L), // collision at 1000
+      (7L, 3L, "view", 5000L))
+      .toDF("d_user", "version", "tier", "valid_from_us")
+      .withColumn("d_rid", org.apache.spark.sql.functions.lit(Long.MinValue)
+        + org.apache.spark.sql.functions.col("version"))
+    val facts = Seq(
+      (201L, 7L, 1000L),  // on the collision instant -> version 2 (cart)
+      (202L, 7L, 4999L),  // mid-interval after collision -> still cart
+      (203L, 7L, 6000L))  // after version 3 -> view
+      .toDF("event_id", "user_id", "ts_us")
+    val got = graft.plans.AsOf.join(facts, versions,
+        leftKey = "user_id", rightKey = "d_user",
+        leftTime = "ts_us", rightTime = "valid_from_us",
+        leftId = "event_id", rightId = "d_rid")
+      .select("event_id", "version", "tier").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got == Map(201L -> ((2L, "cart")), 202L -> ((2L, "cart")),
+      203L -> ((3L, "view"))), got)
   }
 
   test("SQL surface: asof_join table function equals the custom-plan API path") {

@@ -58,6 +58,27 @@ class AvroSpec extends SparkSuite {
     assert(sniffed.count() == 3)
   }
 
+  test("explicit schema naming a field absent from the writer schema fails loudly") {
+    // GenericRecord.get(name) returns null for unknown fields — without
+    // the guard a typo'd field reads as a silently all-NULL column.
+    val dir = tmpDir("avro_badfield")
+    import scala.jdk.CollectionConverters._
+    AvroSink(s"$dir/out").write(spark.createDataFrame(rows.asJava, schema))
+    val typoed = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("nmae", StringType, nullable = true))) // sic
+    val e = intercept[IllegalArgumentException] {
+      AvroSource(s"$dir/out", schema = Some(typoed)).load(spark).count()
+    }
+    assert(e.getMessage.contains("nmae") && e.getMessage.contains("writer schema"),
+      e.getMessage)
+    // and a correct SUBSET projection still reads fine
+    val subset = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true)))
+    assert(AvroSource(s"$dir/out", schema = Some(subset)).load(spark).count() == 3)
+  }
+
   test("scope guards are loud: nested types rejected, empty dir named") {
     import scala.jdk.CollectionConverters._
     val nested = StructType(Seq(StructField("a",
