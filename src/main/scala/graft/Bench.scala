@@ -296,6 +296,38 @@ object Bench {
     else ratios(ratios.length / 2)
   }
 
+  /** The sustained-CPU shingle/string-fold queries that drift TOGETHER
+    * on slow machine-days while the board median holds (the recurring
+    * r11/r13/r14 signature, each time settled environment by a
+    * same-window old-code A/B: these shapes saturate cores for seconds
+    * and lose 1.4-1.7× to co-tenant CPU that sub-second queries
+    * amortize). The board-median normalizer under-corrects for them
+    * when the drift is SELECTIVE (r14: board 0.87 while the trio read
+    * 1.4×), so the time gate also normalizes cohort members by the
+    * cohort's own median ratio ([[cohortDrift]]) — a machine-day that
+    * slows the whole cohort fires nothing, while a CODE regression in
+    * one member (cohort median held ≈1 by the others) still fires. */
+  private[graft] val ShingleCohort: Set[String] = Set(
+    "dedup_winnowing", "dedup_winnowing_spans", "source_overlap",
+    "dedup_ngram_jaccard", "text_repetition")
+
+  /** Median current/baseline ratio over the [[ShingleCohort]] members
+    * present in both recordings — the second, cohort-level drift
+    * normalizer. Requires ≥3 members so one regressed query cannot
+    * define (and thereby mask) its own normalizer; −1 = unknown. */
+  private[graft] def cohortDrift(current: Map[String, (Double, Double)],
+      baseline: Map[String, (Double, Double)],
+      cohort: Set[String] = ShingleCohort): Double = {
+    val ratios = current.toSeq.collect {
+      case (q, (curM, _)) if cohort(q) => (q, curM)
+    }.flatMap { case (q, curM) =>
+      baseline.get(q).collect {
+        case (baseM, _) if curM > 0 && baseM > 0 => curM / baseM
+      }
+    }.sorted
+    if (ratios.length < 3) -1.0 else ratios(ratios.length / 2)
+  }
+
   /** Wall-time gate: queries whose current median exceeds the committed
     * record's by BOTH >25% relative AND more than a noise-aware band —
     * 3× the LARGER of the two recordings' MAD spreads, floored at
@@ -316,19 +348,32 @@ object Bench {
     * at 4/1.3 ≈ 3×. Clamped at 1 from below — a faster-than-baseline
     * window must not make the gate MORE trigger-happy (normalization
     * exists to subtract co-tenant slowdown, not to punish a calm run) —
-    * and a −1/unknown drift gates un-normalized. */
+    * and a −1/unknown drift gates un-normalized.
+    *
+    * `cohortD` ([[cohortDrift]]) is the second normalizer, applied only
+    * to [[ShingleCohort]] members: the effective drift for a cohort
+    * query is max(board, cohort), so a machine-day that slows the
+    * whole sustained-CPU cohort 1.4× without moving the board median
+    * (the r14 selective-drift signature) no longer mass-fires the
+    * cohort, while a single regressed member still fires against the
+    * cohort median the other members hold at ≈1. */
   private[graft] def timeRegressions(
       current: Map[String, (Double, Double)],
       baseline: Map[String, (Double, Double)],
       ratio: Double = 1.25, bandMult: Double = 3.0,
-      floorSec: Double = 0.3, drift: Double = 1.0): Seq[String] = {
-    val d = math.max(1.0, drift)
+      floorSec: Double = 0.3, drift: Double = 1.0,
+      cohortD: Double = -1.0,
+      cohort: Set[String] = ShingleCohort): Seq[String] = {
+    val board = math.max(1.0, drift)
     current.toSeq.sortBy(_._1).flatMap { case (q, (curM, curSp)) =>
+      val d = if (cohort(q)) math.max(board, math.max(1.0, cohortD)) else board
       baseline.get(q) match {
         case Some((baseM, baseSp)) if curM > 0 && baseM > 0 &&
             curM > baseM * d * ratio &&
             curM - baseM * d > math.max(bandMult * math.max(baseSp, curSp), floorSec) =>
-          Some(f"$q: $baseM%.2f -> $curM%.2f s (+${100.0 * (curM - baseM) / baseM}%.0f%%, x${curM / (baseM * d)}%.2f drift-normalized, band ${math.max(bandMult * math.max(baseSp, curSp), floorSec)}%.2f)")
+          val via = if (cohort(q) && cohortD > board) "cohort-normalized"
+                    else "drift-normalized"
+          Some(f"$q: $baseM%.2f -> $curM%.2f s (+${100.0 * (curM - baseM) / baseM}%.0f%%, x${curM / (baseM * d)}%.2f $via, band ${math.max(bandMult * math.max(baseSp, curSp), floorSec)}%.2f)")
         case _ => None
       }
     }
@@ -642,6 +687,10 @@ object Bench {
     // queries before normalization), while a genuine one-query
     // regression still exceeds the normalized band.
     val drift = boardDrift(currentTimes, timeBaseline)
+    // cohort-level drift for the sustained-CPU shingle shapes (the
+    // selective machine-day signature the board median misses) — the
+    // gate normalizes cohort members by max(board, cohort)
+    val cdrift = cohortDrift(currentTimes, timeBaseline)
     // window-level degradation verdict: when >20% of the board is
     // still bursty at extension exit, the signal is "this WINDOW is
     // degraded", not "60 queries are individually suspect" — say so,
@@ -653,7 +702,8 @@ object Bench {
         s"${bursty.size}/${names.size} queries still bursty after " +
         s"$rounds rounds; per-query extension futile, time gate drift-normalized"
     }
-    val timeRegs = timeRegressions(currentTimes, timeBaseline, drift = drift)
+    val timeRegs = timeRegressions(currentTimes, timeBaseline, drift = drift,
+      cohortD = cdrift)
     timeRegs.foreach(r => System.err.println(s"[bench] TIME REGRESSION $r"))
     // snapshot for regenerating the committed time baseline
     java.nio.file.Files.write(
@@ -702,7 +752,7 @@ object Bench {
         "\"" + k + f"""\":{"median":$m%.3f,"spread":$sp%.3f,"raw_spread":${rawSpread(ts)}%.3f,"shuffle_bytes":$sb,"shuffle_records":$sr,"out_rows":$or,"runs":$runs}"""
       }.mkString("{", ",", "}")
       val stillBurstyJson = bursty.map(jstr).mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"noise":$noise%.3f,"raw_noise":$rawNoise%.3f,"spread_stat":"mad2","degraded":$degraded,"degraded_reason":${jstr(degradedReason)},"board_drift":$drift%.3f,"still_bursty":$stillBurstyJson,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"load":$loadJson,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"queries":$perQuery,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"noise":$noise%.3f,"raw_noise":$rawNoise%.3f,"spread_stat":"mad2","degraded":$degraded,"degraded_reason":${jstr(degradedReason)},"board_drift":$drift%.3f,"cohort_drift":$cdrift%.3f,"still_bursty":$stillBurstyJson,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"load":$loadJson,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"queries":$perQuery,"sf":"$sfDir"}"""
     }
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
@@ -714,7 +764,7 @@ object Bench {
       if (degradedReason.length > 120) degradedReason.take(117) + "..."
       else degradedReason
     val summary =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${names.size},"failed":$failedJson,"errors":$errJson,"queries":$top10,"noise":$noise%.2f,"raw_noise":$rawNoise%.2f,"spread_stat":"mad2","rounds":$rounds,"degraded":$degraded,"degraded_reason":${jstr(reasonShort)},"board_drift":$drift%.2f,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"load":$loadJson,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${names.size},"failed":$failedJson,"errors":$errJson,"queries":$top10,"noise":$noise%.2f,"raw_noise":$rawNoise%.2f,"spread_stat":"mad2","rounds":$rounds,"degraded":$degraded,"degraded_reason":${jstr(reasonShort)},"board_drift":$drift%.2f,"cohort_drift":$cdrift%.2f,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"load":$loadJson,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"sf":"$sfDir"}"""
     // mirrored to disk so the summary survives even if a future harness
     // change re-decorates or truncates stdout
     java.nio.file.Files.write(

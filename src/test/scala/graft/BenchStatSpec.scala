@@ -188,6 +188,54 @@ class BenchStatSpec extends AnyFunSuite {
     assert(Bench.timeRegressions(Map("a" -> (12.0, 0.3)), base, drift = -1.0).nonEmpty)
   }
 
+  test("cohort drift: shingle-cohort median, min-3 overlap, blind to non-members") {
+    val base = Map("dedup_winnowing" -> (1.76, 0.2),
+      "dedup_winnowing_spans" -> (2.73, 0.13), "source_overlap" -> (4.27, 0.11),
+      "other" -> (1.0, 0.1))
+    // the r14/r15 selective-drift shape: the whole cohort reads ~1.4x
+    val drifted = Map("dedup_winnowing" -> (2.46, 0.2),
+      "dedup_winnowing_spans" -> (3.82, 0.13), "source_overlap" -> (5.98, 0.11),
+      "other" -> (1.0, 0.1))
+    assert(math.abs(Bench.cohortDrift(drifted, base) - 1.4) < 0.01)
+    // non-members never contribute, even when wildly drifted
+    val noisyOther = drifted + ("other" -> (9.0, 0.1))
+    assert(math.abs(Bench.cohortDrift(noisyOther, base) - 1.4) < 0.01)
+    // fewer than 3 cohort members present -> unknown (one regressed
+    // query must not define its own normalizer)
+    assert(Bench.cohortDrift(
+      Map("dedup_winnowing" -> (2.46, 0.2)), base) == -1.0)
+  }
+
+  test("time gate cohort-normalization: whole-cohort drift quiet, single-member regression fires") {
+    val base = Map("dedup_winnowing" -> (1.76, 0.05),
+      "dedup_winnowing_spans" -> (2.73, 0.05), "source_overlap" -> (4.27, 0.05),
+      "plain" -> (2.0, 0.05))
+    // whole cohort at 1.4x, board flat (selective drift): with the
+    // cohort normalizer the trio is quiet...
+    val drifted = Map("dedup_winnowing" -> (2.46, 0.05),
+      "dedup_winnowing_spans" -> (3.82, 0.05), "source_overlap" -> (5.98, 0.05))
+    val cd = Bench.cohortDrift(drifted, base)
+    assert(Bench.timeRegressions(drifted, base, drift = 1.0, cohortD = cd).isEmpty)
+    // ...while the SAME 1.4x on a non-member still fires un-normalized
+    val plainSlow = drifted + ("plain" -> (2.9, 0.05))
+    val fired = Bench.timeRegressions(plainSlow, base, drift = 1.0,
+      cohortD = Bench.cohortDrift(plainSlow, base))
+    assert(fired.size == 1 && fired.head.startsWith("plain"), fired)
+    // a CODE regression in one member (3x) against a calm cohort
+    // median (the other two at 1.0) fires, cohort normalizer ~1
+    val oneBad = Map("dedup_winnowing" -> (5.3, 0.05),
+      "dedup_winnowing_spans" -> (2.73, 0.05), "source_overlap" -> (4.27, 0.05))
+    val firedBad = Bench.timeRegressions(oneBad, base, drift = 1.0,
+      cohortD = Bench.cohortDrift(oneBad, base))
+    assert(firedBad.size == 1 && firedBad.head.startsWith("dedup_winnowing:"),
+      firedBad)
+    // firing text says which normalizer applied when cohort > board
+    val mixed = Bench.timeRegressions(
+      Map("dedup_winnowing" -> (12.0, 0.05), "dedup_winnowing_spans" -> (4.1, 0.05),
+        "source_overlap" -> (6.4, 0.05)), base, drift = 1.0, cohortD = 1.5)
+    assert(mixed.size == 1 && mixed.head.contains("cohort-normalized"), mixed)
+  }
+
   test("global wall-clock budget: r12's rc-124 shape stops extending instead of overrunning") {
     // BENCH_r12: the extension loop had per-query round caps but no
     // clock, so a degraded window ran it into the driver's kill timer
