@@ -1673,8 +1673,11 @@ object DedupQueries {
           .filter(col("jaccard") >= 0.8)
           .select(col("doc_a"), col("doc_b"))
         val found = truth.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+        // both sides are 1-row aggregates; the explicit broadcast keeps
+        // the combine a BNLJ under any threshold (the r15 board-wide
+        // cartesian sweep's regime: autoBroadcastJoinThreshold = −1)
         truth.agg(count(lit(1)).as("n_true"))
-          .crossJoin(found.agg(count(lit(1)).as("n_found")))
+          .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
           .select(col("n_true"), col("n_found"),
             QueryDef.microPoints(col("n_found").cast("double") /
               col("n_true").cast("double")).as("recall_micro"))

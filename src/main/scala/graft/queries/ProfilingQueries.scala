@@ -942,7 +942,10 @@ object ProfilingQueries {
         val sk = ut.groupBy(col("event_type"))
           .agg(graft.operators.Aggregators.kmv(K, col("h")).as("sk"),
             countDistinct(col("user_id")).as("nd"))
-        val pairs = sk.as("a").join(sk.as("b"),
+        // |event-types|-row sketch frame, self-joined non-equi: the
+        // explicit broadcast keeps it a BNLJ under any threshold (r15
+        // board-wide cartesian sweep regime), never a cartesian
+        val pairs = sk.as("a").join(broadcast(sk.as("b")),
             col("a.event_type") < col("b.event_type"))
           .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
             col("a.nd").as("nda"), col("b.nd").as("ndb"),

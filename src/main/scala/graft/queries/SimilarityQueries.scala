@@ -1733,7 +1733,9 @@ object SimilarityQueries {
         col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
       .agg(count(lit(1)).as("n_triangles"))
     val ne = und.agg(count(lit(1)).as("n_edges"))
-    wedges.crossJoin(tri).crossJoin(ne)
+    // three 1-row aggregate frames; explicit broadcasts keep the
+    // combine BNLJ under any threshold (r15 cartesian sweep regime)
+    wedges.crossJoin(broadcast(tri)).crossJoin(broadcast(ne))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         expr("(3 * n_triangles * 1000000) div n_wedges").as("closure_ppm"))

@@ -819,6 +819,116 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("no driver query plans a CartesianProduct (board-wide sweep, broadcast threshold off)") {
+    // The per-query cartesian pins above cover the queries someone
+    // THOUGHT about; this sweep covers the query nobody did — a new
+    // entry with an accidental unkeyed/non-equi join would slip the
+    // board otherwise (the r14 verdict's ask). autoBroadcastJoinThreshold
+    // is −1 for the sweep: at 100 TB nothing is auto-broadcastable, so
+    // a plan that only avoids CartesianProductExec because sf0.001
+    // sides happen to fit the 10 MB threshold is ALREADY the bug. The
+    // repo's deliberate cross joins all carry explicit broadcast()
+    // hints on bounded |k|-row frames, which survive threshold −1 as
+    // BroadcastNestedLoopJoin — allowed by this sweep, and each such
+    // site is pinned individually above. AQE off: CartesianProductExec
+    // is a static-planning choice; the AQE-on executed subset below
+    // audits the adaptive final plans.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    def cartesian(df: DataFrame): Boolean =
+      df.queryExecution.executedPlan.exists {
+        case _: CartesianProductExec => true
+        case _ => false
+      }
+    val keep = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // positive control: a non-broadcast cross join MUST trip the
+      // detector, or the sweep below is vacuous
+      val a = spark.read.parquet(s"$dir/orders.parquet")
+      val b = spark.read.parquet(s"$dir/customer.parquet")
+      assert(cartesian(a.crossJoin(b)), "detector failed its positive control")
+      // and an explicitly-broadcast cross join must NOT (the repo's
+      // sanctioned small-frame pattern plans BNLJ, not cartesian)
+      assert(!cartesian(a.crossJoin(broadcast(b.limit(3)))),
+        "broadcast-hinted cross join wrongly flagged")
+
+      val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+        try {
+          if (cartesian(SparkEntry.queries(name)(spark, dir))) Some(name) else None
+        } finally spark.catalog.clearCache()
+      }
+      assert(offenders.isEmpty,
+        s"CartesianProductExec planned by: ${offenders.mkString(", ")}")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE-on executed subset: runtime re-planning introduces no CartesianProduct") {
+    // The static sweep audits the pre-adaptive physical plan; this one
+    // executes the join-heaviest shapes under AQE and walks the FINAL
+    // adaptive plan (AdaptiveSparkPlanExec / materialized stages), so a
+    // cartesian introduced by a runtime join-strategy demotion (e.g. an
+    // empty-relation or skew re-plan) cannot hide. Broadcast threshold
+    // stays −1 — same 100 TB regime as the static pass.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    def deep(p: SparkPlan): Seq[SparkPlan] = {
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+        case s: QueryStageExec => deep(s.plan)
+        case _ => Seq.empty
+      }
+      (p +: p.children.flatMap(deep)) ++ nested
+    }
+    def cartesianAfterExec(df: DataFrame): Boolean = {
+      df.queryExecution.toRdd.foreach(_ => ())
+      deep(df.queryExecution.executedPlan).exists(_.isInstanceOf[CartesianProductExec])
+    }
+    val keep = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // positive control THROUGH the adaptive plan
+      val a = spark.read.parquet(s"$dir/orders.parquet")
+      val b = spark.read.parquet(s"$dir/customer.parquet")
+      val control = a.crossJoin(b).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      assert(cartesianAfterExec(control), "detector failed its positive control")
+
+      // join-heaviest production shapes: multi-join TPC-H, the dedup
+      // candidate joins, as-of/range shapes, semi/anti, skew salting
+      val subset = Seq(
+        "join_inner", "join_chained", "join_semi_anti", "join_left_default",
+        "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q21",
+        "dedup_minhash_lsh", "dedup_setsim_prefix", "dedup_semantic",
+        "ann_bruteforce", "hybrid_search", "asof_attribution",
+        "range_join_bucketed", "skew_salted_join", "merge_upsert",
+        "cross_apply", "decontaminate").filter(SparkEntry.queries.contains)
+      val offenders = subset.sorted.flatMap { name =>
+        try {
+          if (cartesianAfterExec(SparkEntry.queries(name)(spark, dir))) Some(name)
+          else None
+        } finally spark.catalog.clearCache()
+      }
+      assert(offenders.isEmpty,
+        s"AQE-final-plan CartesianProduct in: ${offenders.mkString(", ")}")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("CBO: ANALYZE column statistics drive the optimizer's cardinality estimates") {
     // At cluster scale, join ordering and build-side choice run off
     // catalog statistics (spark.sql.cbo.*) — pin that ANALYZE'd column
