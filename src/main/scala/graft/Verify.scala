@@ -22,7 +22,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce folds into the final
+      // stage and serializes everything after the last shuffle onto
+      // one core — at sf1 that ran dedup_edit_distance's levenshtein
+      // verify single-threaded for 18+ min. repartition inserts one
+      // tiny exchange of the RESULT rows (verify outputs are bounded),
+      // keeping the compute stage at full parallelism.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
