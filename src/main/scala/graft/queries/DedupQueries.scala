@@ -50,11 +50,15 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  /** Oracle-side shingle view (word 3-grams, distinct per doc). */
+  /** Oracle-side shingle view (word 3-grams, distinct per doc) —
+    * UNCAPPED; for oracles whose Spark side runs raw shingles
+    * (`hybrid_search`, `ngram_novelty`). Capped dedup queries use
+    * [[shCappedCte]]. */
   private[queries] val shCte =
     """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
       |sh AS (SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 1))]) AS s FROM toks),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
 
   /** Document-frequency cap floor: a shingle is "hot" only when its df
     * exceeds BOTH maxDfFrac·n_docs and this absolute floor. The floor
@@ -62,6 +66,34 @@ object DedupQueries {
     * shingle df is 25 at sf0.1 — pinned in TextDedupSpec) while the
     * fractional term takes over at real corpus sizes. */
   val MinDfFloor = 100L
+
+  /** The driver dedup queries' df-cap fraction — ONE constant feeding
+    * both the Spark side ([[shingleSet]] calls) and the oracle twin
+    * ([[shCappedCte]]), so the two sides cannot de-synchronize. */
+  private[graft] val DriverMaxDfFrac = 0.001
+
+  /** Capped oracle-side shingle view — the DuckDB twin of
+    * [[shingleSet]] with `maxDfFrac = DriverMaxDfFrac`: same raw
+    * 3-gram set, then the [[dfCap]] rule term-for-term (threshold =
+    * greatest(ceil(n_docs · frac), [[MinDfFloor]]), hot = df > thr,
+    * anti-join; the ceil runs on the same IEEE double product both
+    * sides). `sh`/`sizes` keep their names so every downstream CTE is
+    * shared verbatim with the uncapped view. Until r15 the capped
+    * oracles used the RAW view on the argument that the floor makes
+    * the cap inert at oracle scale — true at the driver SFs (max df
+    * 25 at sf0.1, pinned in TextDedupSpec) but FALSE one decade up:
+    * the sf1 rehearsal corpus (50 k docs, 10× dfs) pushed generic
+    * shingles over the floor and the engines diverged on every
+    * cap-downstream query. The cap now lives in the oracle SQL, so
+    * the "same bucketed algorithm" contract holds at EVERY scale
+    * instead of resting on a small-corpus premise. */
+  private[queries] val shCappedCte =
+    s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 1))]) AS s FROM toks),
+       |thr AS (SELECT greatest(CAST(ceil(count(DISTINCT doc_id) * $DriverMaxDfFrac) AS BIGINT), $MinDfFloor) AS thr FROM sh0),
+       |hot AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh0 GROUP BY 1) d, thr WHERE d.df > thr.thr),
+       |sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (s)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
 
   /** Drop shingles whose document frequency exceeds
     * max(ceil(maxDfFrac · n_docs), [[MinDfFloor]]) from a (doc_id, s)
@@ -188,7 +220,7 @@ object DedupQueries {
     * graph that defeats BOTH within the cap THROWS rather than
     * returning wrong labels. */
   private[queries] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
+    val sh = shingleSet(s, dir, maxDfFrac = Some(DriverMaxDfFrac))
     val pairs = jaccardPairs(sh, Some(lshCandidates(sh)))
       .filter(col("jaccard") >= 0.8)
       .select(col("doc_a"), col("doc_b"))
@@ -425,7 +457,7 @@ object DedupQueries {
     * `dedup_clusters` and `dedup_cluster_stats` so the closure
     * definition cannot de-synchronize between them. */
   private val clustersCteSql =
-    s"""$shCte,
+    s"""$shCappedCte,
        |$candCteSql,
        |$interCteSql,
        |$pairsCteSql,
@@ -539,7 +571,7 @@ object DedupQueries {
     // scan. Output is at most |sources|² counter rows.
     QueryDef("source_overlap",
       (s, dir) => {
-        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
+        val sh = shingleSet(s, dir, maxDfFrac = Some(DriverMaxDfFrac))
         val pairs = jaccardPairs(sh, Some(lshCandidates(sh)))
           .filter(col("jaccard") >= 0.8)
           .select(col("doc_a"), col("doc_b"))
@@ -552,7 +584,7 @@ object DedupQueries {
           .groupBy(col("src_a"), col("src_b"))
           .agg(count(lit(1)).as("n_pairs"))
       },
-      Some(s"""$shCte,
+      Some(s"""$shCappedCte,
               |$candCteSql,
               |$interCteSql,
               |$pairsCteSql
@@ -571,11 +603,11 @@ object DedupQueries {
     // truth is pinned in TextDedupSpec against [[allPairsJaccard]].
     QueryDef("dedup_ngram_jaccard",
       (s, dir) => {
-        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
+        val sh = shingleSet(s, dir, maxDfFrac = Some(DriverMaxDfFrac))
         jaccardPairs(sh, Some(lshCandidates(sh)))
           .filter(col("jaccard") >= 0.8)
       },
-      Some(s"""$shCte,
+      Some(s"""$shCappedCte,
               |$candCteSql,
               |$interCteSql
               |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
@@ -588,7 +620,7 @@ object DedupQueries {
       (s, dir) => {
         // persisted: consumed by the signature build AND both sides of
         // the candidate-verification join
-        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
+        val sh = shingleSet(s, dir, maxDfFrac = Some(DriverMaxDfFrac))
         val dupped = jaccardPairs(sh, Some(lshCandidates(sh)))
           .filter(col("jaccard") >= 0.8)
           .select(col("doc_b").as("doc_id")).distinct()
@@ -596,7 +628,7 @@ object DedupQueries {
           .join(dupped, Seq("doc_id"), "left_anti")
       },
       Some {
-        s"""$shCte,
+        s"""$shCappedCte,
            |$candCteSql,
            |$interCteSql,
            |$pairsCteSql
@@ -689,7 +721,7 @@ object DedupQueries {
               .as("canonical_doc_id"),
             count(lit(1)).as("n_members"))
       },
-      Some(s"""$shCte,
+      Some(s"""$shCappedCte,
               |$candCteSql,
               |$interCteSql,
               |$pairsCteSql,
@@ -743,7 +775,7 @@ object DedupQueries {
           .select(col("doc_id"), col("lang"))
           .join(losers, Seq("doc_id"), "left_anti")
       },
-      Some(s"""$shCte,
+      Some(s"""$shCappedCte,
               |$candCteSql,
               |$interCteSql,
               |$pairsCteSql,
@@ -789,7 +821,7 @@ object DedupQueries {
         // the split it audits
         val splits = Tables(s, dir, "documents").select(
           col("doc_id"), ProfilingQueries.splitCol.as("split"))
-        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
+        val sh = shingleSet(s, dir, maxDfFrac = Some(DriverMaxDfFrac))
         val pairs = jaccardPairs(sh, Some(lshCandidates(sh)))
           .filter(col("jaccard") >= 0.8)
           .select(col("doc_a"), col("doc_b"))
@@ -805,7 +837,7 @@ object DedupQueries {
             col("n_train_partners"))
       },
       Some {
-        s"""$shCte,
+        s"""$shCappedCte,
            |$candCteSql,
            |$interCteSql,
            |$pairsCteSql,
@@ -844,7 +876,7 @@ object DedupQueries {
           .select(col("doc_id"),
             (col("doc_id") * 10 >= (col("mx") + 1) * 9).as("is_batch"))
         val batch = flags.filter(col("is_batch")).select(col("doc_id"))
-        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
+        val sh = shingleSet(s, dir, maxDfFrac = Some(DriverMaxDfFrac))
         val cand = lshCandidatesProbe(sh, batch)
         val verified = jaccardPairs(sh, Some(cand))
           .filter(col("jaccard") >= 0.8)
@@ -861,7 +893,7 @@ object DedupQueries {
       Some {
         val isBatch = (id: String) =>
           s"$id * 10 >= 9 * ((SELECT m FROM mx) + 1)"
-        s"""$shCte,
+        s"""$shCappedCte,
            |mx AS (SELECT max(doc_id) AS m FROM documents),
            |${candProbeCteSql(isBatch("x.doc_id"))},
            |$interCteSql,
@@ -1424,11 +1456,11 @@ object DedupQueries {
     // candidate reduction.
     QueryDef("dedup_setsim_prefix",
       (s, dir) => {
-        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
+        val sh = shingleSet(s, dir, maxDfFrac = Some(DriverMaxDfFrac))
         jaccardPairs(sh, Some(prefixCandidates(sh, SetSimTau)))
           .filter(col("jaccard") >= SetSimTau)
       },
-      Some(s"""$shCte,
+      Some(s"""$shCappedCte,
               |inter AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
               |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -1476,7 +1508,7 @@ object DedupQueries {
     // sets", which the prefix-bound argument covers unchanged.
     QueryDef("dedup_containment",
       (s, dir) => {
-        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
+        val sh = shingleSet(s, dir, maxDfFrac = Some(DriverMaxDfFrac))
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val contain = round(col("inter").cast("double") /
           least(col("sa.n"), col("sb.n")).cast("double"), 6)
@@ -1491,7 +1523,7 @@ object DedupQueries {
             contain.as("containment"))
           .filter(col("containment") >= ContainTau)
       },
-      Some(s"""$shCte,
+      Some(s"""$shCappedCte,
               |inter AS (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
               |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -1612,7 +1644,7 @@ object DedupQueries {
   private[graft] def editDistanceDef: QueryDef =
     QueryDef("dedup_edit_distance",
       (s, dir) => {
-        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
+        val sh = shingleSet(s, dir, maxDfFrac = Some(DriverMaxDfFrac))
         val norm = Tables(s, dir, "documents")
           .select(col("doc_id"),
             regexp_replace(lower(nfcNormalize(col("text"))), "\\s+", " ").as("nt"))
@@ -1627,7 +1659,7 @@ object DedupQueries {
           .withColumn("is_dup",
             when(col("sim_ppm") >= EditSimPpm, 1L).otherwise(0L))
       },
-      Some(s"""$shCte,
+      Some(s"""$shCappedCte,
               |$candCteSql,
               |nt AS (
               |  SELECT doc_id,
@@ -1659,7 +1691,7 @@ object DedupQueries {
   private[graft] def lshEvalDef: QueryDef =
     QueryDef("dedup_lsh_eval",
       (s, dir) => {
-        val sh = shingleSet(s, dir, maxDfFrac = Some(0.001))
+        val sh = shingleSet(s, dir, maxDfFrac = Some(DriverMaxDfFrac))
         // persisted: the truth pair list (tiny — verified pairs only)
         // feeds BOTH the semi-join probe and the n_true count; without
         // the persist the prefix-join leg — the query's dominant cost —
@@ -1682,7 +1714,7 @@ object DedupQueries {
             QueryDef.microPoints(col("n_found").cast("double") /
               col("n_true").cast("double")).as("recall_micro"))
       },
-      Some(s"""$shCte,
+      Some(s"""$shCappedCte,
               |$candCteSql,
               |$interCteSql,
               |$pairsCteSql,
