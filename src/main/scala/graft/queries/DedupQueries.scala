@@ -118,8 +118,10 @@ object DedupQueries {
 
   /** Spark-side distinct (doc_id, shingle) pairs, hot shingles dropped
     * via [[dfCap]] when `maxDfFrac` is set (the driver dedup queries
-    * pass 0.001; their DuckDB oracles carry no cap because the floor
-    * makes it a no-op at oracle scale — TextDedupSpec pins that).
+    * pass [[DriverMaxDfFrac]]; since r15 their DuckDB oracles mirror
+    * the cap term-for-term via [[shCappedCte]] — the old "floor makes
+    * the cap inert at oracle scale" premise broke at sf1 — and
+    * TextDedupSpec pins the two sides' equivalence).
     *
     * Scan-width guard: tokenize+shingle+explode is the CPU-heavy stage,
     * and a small corpus parquet arrives as ONE input split (128 MB

@@ -367,6 +367,13 @@ object AvroConv {
     })
   }
 
+  /** Spark type of one writer-schema field ([[unwrap]] + [[primitive]]),
+    * for [[AvroSource]]'s explicit-schema guard: comparing against this
+    * uses the exact same mapping the schema-less read path applies, so
+    * guard and reader can never disagree. Throws (loudly, naming the
+    * field) on types outside the flat-primitive scope. */
+  def fieldType(f: Schema.Field): DataType = primitive(unwrap(f.schema())._1, f.name())
+
   private def unwrap(s: Schema): (Schema, Boolean) =
     if (s.getType == Schema.Type.UNION) {
       val branches = s.getTypes.toArray(Array.empty[Schema])
@@ -461,7 +468,11 @@ final case class AvroSource(
     // driver-side header read): GenericRecord.get(name) returns null
     // for unknown fields, so a typo'd/mismatched field name would
     // otherwise read as a silently all-NULL column instead of failing
-    // loudly like the other sources' scope guards.
+    // loudly like the other sources' scope guards. Types are checked
+    // too, via the same AvroConv mapping the schema-less path uses —
+    // a name that matches but a type that doesn't (StringType over a
+    // long column) would otherwise pass the name guard and misread or
+    // fail deep inside a task instead of here.
     val st = schema match {
       case Some(explicit) =>
         val writer = sniffWriterSchema(spark)
@@ -473,6 +484,13 @@ final case class AvroSource(
             s"AvroSource($path): field(s) ${missing.mkString(", ")} not in the " +
               s"writer schema (has: $has)")
         }
+        val mistyped = explicit.fields.flatMap { f =>
+          val wt = AvroConv.fieldType(writer.getField(f.name)) // throws on non-primitive, also loud
+          if (wt == f.dataType) None else Some(s"${f.name}: ${f.dataType.simpleString} vs writer ${wt.simpleString}")
+        }
+        if (mistyped.nonEmpty) throw new IllegalArgumentException(
+          s"AvroSource($path): explicit type(s) disagree with the writer " +
+            s"schema — ${mistyped.mkString("; ")}")
         explicit
       case None => AvroConv.toStructType(sniffWriterSchema(spark))
     }
@@ -661,12 +679,19 @@ final case class ArrowSource(
     }.sortBy(_.getPath.getName).headOption
       .getOrElse(throw new IllegalArgumentException(
         s"ArrowSource($path): no data files to sniff a schema from — pass an explicit schema"))
+    // The channel (and its Hadoop stream) must not leak if allocator
+    // or reader CONSTRUCTION throws before the reader owns it — hence
+    // the outer try closing ch on any path the reader didn't close it.
     val ch = new FsSeekableChannel(fs.open(file.getPath), file.getLen)
-    val alloc = new org.apache.arrow.memory.RootAllocator()
-    val rdr = new org.apache.arrow.vector.ipc.ArrowFileReader(
-      new org.apache.arrow.vector.ipc.SeekableReadChannel(ch), alloc)
-    try ArrowConv.toStructType(rdr.getVectorSchemaRoot.getSchema)
-    finally { rdr.close(); alloc.close() } // rdr.close() closes ch → stream
+    try {
+      val alloc = new org.apache.arrow.memory.RootAllocator()
+      try {
+        val rdr = new org.apache.arrow.vector.ipc.ArrowFileReader(
+          new org.apache.arrow.vector.ipc.SeekableReadChannel(ch), alloc)
+        try ArrowConv.toStructType(rdr.getVectorSchemaRoot.getSchema)
+        finally rdr.close() // closes ch → stream
+      } finally alloc.close()
+    } finally if (ch.isOpen) ch.close()
   }
 }
 
@@ -675,12 +700,15 @@ final case class ArrowSource(
   * schema sniff): positional `readFully` per read call, so the reader
   * touches exactly the byte ranges it asks for. Single-threaded use
   * (driver-side metadata reads) — not a shared channel. */
-private[sources] final class FsSeekableChannel(
+private[graft] final class FsSeekableChannel(
     in: org.apache.hadoop.fs.FSDataInputStream,
     len: Long) extends java.nio.channels.SeekableByteChannel {
   private var pos = 0L
   private var opened = true
+  private def ensureOpen(): Unit =
+    if (!opened) throw new java.nio.channels.ClosedChannelException
   override def read(dst: java.nio.ByteBuffer): Int = {
+    ensureOpen()
     if (pos >= len) return -1
     val n = math.min(dst.remaining().toLong, len - pos).toInt
     val buf = new Array[Byte](n)
@@ -691,8 +719,9 @@ private[sources] final class FsSeekableChannel(
   }
   override def write(src: java.nio.ByteBuffer): Int =
     throw new java.nio.channels.NonWritableChannelException
-  override def position(): Long = pos
+  override def position(): Long = { ensureOpen(); pos }
   override def position(newPosition: Long): java.nio.channels.SeekableByteChannel = {
+    ensureOpen()
     require(newPosition >= 0, s"negative seek: $newPosition"); pos = newPosition; this
   }
   override def size(): Long = len

@@ -71,4 +71,25 @@ class ArrowSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("no data files"))
   }
+
+  test("FsSeekableChannel honors the channel contract after close()") {
+    // r15 ADVICE: read()/position() kept serving data after close(),
+    // and the channel leaked if reader construction threw before the
+    // try/finally. The closed-channel half is pinned here; the leak
+    // half is structural (ch closed in the outer finally of
+    // sniffSchema whenever the reader didn't take ownership).
+    val dir = tmpDir("arrow_chan")
+    val f = new java.io.File(dir, "x.bin")
+    java.nio.file.Files.write(f.toPath, Array.fill(16)(7.toByte))
+    val hp = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ch = new graft.sources.FsSeekableChannel(fs.open(hp), 16L)
+    val buf = java.nio.ByteBuffer.allocate(8)
+    assert(ch.read(buf) == 8 && ch.position() == 8L && ch.isOpen)
+    ch.close()
+    assert(!ch.isOpen)
+    intercept[java.nio.channels.ClosedChannelException] { ch.read(buf) }
+    intercept[java.nio.channels.ClosedChannelException] { ch.position() }
+    intercept[java.nio.channels.ClosedChannelException] { ch.position(0L) }
+  }
 }

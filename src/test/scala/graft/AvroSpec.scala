@@ -77,6 +77,16 @@ class AvroSpec extends SparkSuite {
       StructField("id", LongType, nullable = false),
       StructField("name", StringType, nullable = true)))
     assert(AvroSource(s"$dir/out", schema = Some(subset)).load(spark).count() == 3)
+    // a matching NAME with a mismatched TYPE fails just as loudly
+    // (StringType over the writer's long would otherwise pass the
+    // name guard and misread deep inside a task) — r15 ADVICE
+    val mistyped = StructType(Seq(
+      StructField("id", StringType, nullable = false)))
+    val e2 = intercept[IllegalArgumentException] {
+      AvroSource(s"$dir/out", schema = Some(mistyped)).load(spark).count()
+    }
+    assert(e2.getMessage.contains("id") && e2.getMessage.contains("disagree"),
+      e2.getMessage)
   }
 
   test("scope guards are loud: nested types rejected, empty dir named") {

@@ -214,26 +214,73 @@ class BenchStatSpec extends AnyFunSuite {
     // cohort normalizer the trio is quiet...
     val drifted = Map("dedup_winnowing" -> (2.46, 0.05),
       "dedup_winnowing_spans" -> (3.82, 0.05), "source_overlap" -> (5.98, 0.05))
-    val cd = Bench.cohortDrift(drifted, base)
-    assert(Bench.timeRegressions(drifted, base, drift = 1.0, cohortD = cd).isEmpty)
+    def shingleOnly(cur: Map[String, (Double, Double)]) =
+      Seq(Bench.ShingleCohort -> Bench.cohortDrift(cur, base))
+    assert(Bench.timeRegressions(drifted, base, drift = 1.0,
+      cohorts = shingleOnly(drifted)).isEmpty)
     // ...while the SAME 1.4x on a non-member still fires un-normalized
     val plainSlow = drifted + ("plain" -> (2.9, 0.05))
     val fired = Bench.timeRegressions(plainSlow, base, drift = 1.0,
-      cohortD = Bench.cohortDrift(plainSlow, base))
+      cohorts = shingleOnly(plainSlow))
     assert(fired.size == 1 && fired.head.startsWith("plain"), fired)
     // a CODE regression in one member (3x) against a calm cohort
     // median (the other two at 1.0) fires, cohort normalizer ~1
     val oneBad = Map("dedup_winnowing" -> (5.3, 0.05),
       "dedup_winnowing_spans" -> (2.73, 0.05), "source_overlap" -> (4.27, 0.05))
     val firedBad = Bench.timeRegressions(oneBad, base, drift = 1.0,
-      cohortD = Bench.cohortDrift(oneBad, base))
+      cohorts = shingleOnly(oneBad))
     assert(firedBad.size == 1 && firedBad.head.startsWith("dedup_winnowing:"),
       firedBad)
     // firing text says which normalizer applied when cohort > board
     val mixed = Bench.timeRegressions(
       Map("dedup_winnowing" -> (12.0, 0.05), "dedup_winnowing_spans" -> (4.1, 0.05),
-        "source_overlap" -> (6.4, 0.05)), base, drift = 1.0, cohortD = 1.5)
+        "source_overlap" -> (6.4, 0.05)), base, drift = 1.0,
+      cohorts = Seq(Bench.ShingleCohort -> 1.5))
     assert(mixed.size == 1 && mixed.head.contains("cohort-normalized"), mixed)
+  }
+
+  test("second cohort (minhash family): independent normalizers, disjoint membership") {
+    // the r15->r16 signature: the minhash/semantic family drifts 1.4x
+    // while the shingle cohort AND the board stay flat -- only the
+    // second cohort's normalizer must absorb it, and a lone regressed
+    // member must still fire against its own cohort's calm median.
+    val base = Map(
+      "dedup_minhash_lsh" -> (3.62, 0.07), "dedup_semantic" -> (1.30, 0.01),
+      "dedup_semantic_k" -> (1.09, 0.12), "retrieval_mrr" -> (1.83, 0.02),
+      "dedup_winnowing" -> (1.76, 0.05), "dedup_winnowing_spans" -> (2.73, 0.05),
+      "source_overlap" -> (4.27, 0.05))
+    val familyDrift = Map(
+      "dedup_minhash_lsh" -> (5.13, 0.07), "dedup_semantic" -> (1.74, 0.01),
+      "dedup_semantic_k" -> (1.53, 0.12), "retrieval_mrr" -> (2.56, 0.02),
+      "dedup_winnowing" -> (1.76, 0.05), "dedup_winnowing_spans" -> (2.73, 0.05),
+      "source_overlap" -> (4.27, 0.05))
+    val cd1 = Bench.cohortDrift(familyDrift, base)
+    val cd2 = Bench.cohortDrift(familyDrift, base, Bench.MinhashCohort)
+    // the shingle cohort reads calm, the minhash cohort reads the drift
+    assert(math.abs(cd1 - 1.0) < 0.01, s"shingle cohort drift $cd1")
+    assert(cd2 > 1.35 && cd2 < 1.45, s"minhash cohort drift $cd2")
+    val cohorts = Seq(Bench.ShingleCohort -> cd1, Bench.MinhashCohort -> cd2)
+    assert(Bench.timeRegressions(familyDrift, base, drift = 1.0,
+      cohorts = cohorts).isEmpty)
+    // one member regressed 3x against a calm family still fires
+    val oneBad = base + ("dedup_minhash_lsh" -> (11.0, 0.07))
+    val firedBad = Bench.timeRegressions(oneBad, base, drift = 1.0,
+      cohorts = Seq(Bench.ShingleCohort -> Bench.cohortDrift(oneBad, base),
+        Bench.MinhashCohort -> Bench.cohortDrift(oneBad, base, Bench.MinhashCohort)))
+    assert(firedBad.size == 1 && firedBad.head.startsWith("dedup_minhash_lsh:"),
+      firedBad)
+    // memberships are disjoint (first-match-wins must never be load-bearing)
+    assert(Bench.ShingleCohort.intersect(Bench.MinhashCohort).isEmpty)
+    // text_repetition left the shingle cohort r16 (no longer co-drifts)
+    assert(!Bench.ShingleCohort.contains("text_repetition"))
+  }
+
+  test("cohort-drift warning: fires above the bound, silent below, unknown drift never warns") {
+    assert(Bench.cohortDriftWarnings(Seq("shingle" -> 1.52, "minhash" -> 1.42)).isEmpty)
+    val w = Bench.cohortDriftWarnings(Seq("shingle" -> 1.75, "minhash" -> 1.42))
+    assert(w.size == 1 && w.head.contains("shingle") && w.head.contains("A/B"), w)
+    // -1 = unknown (subset run): not a warning
+    assert(Bench.cohortDriftWarnings(Seq("shingle" -> -1.0, "minhash" -> -1.0)).isEmpty)
   }
 
   test("global wall-clock budget: r12's rc-124 shape stops extending instead of overrunning") {
