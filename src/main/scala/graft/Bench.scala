@@ -296,44 +296,64 @@ object Bench {
     else ratios(ratios.length / 2)
   }
 
-  /** The sustained-CPU shingle/string-fold queries that drift TOGETHER
-    * on slow machine-days while the board median holds (the recurring
-    * r11/r13/r14 signature, each time settled environment by a
-    * same-window old-code A/B: these shapes saturate cores for seconds
-    * and lose 1.4-1.7× to co-tenant CPU that sub-second queries
-    * amortize). The board-median normalizer under-corrects for them
-    * when the drift is SELECTIVE (r14: board 0.87 while the trio read
-    * 1.4×), so the time gate also normalizes cohort members by the
-    * cohort's own median ratio ([[cohortDrift]]) — a machine-day that
-    * slows the whole cohort fires nothing, while a CODE regression in
-    * one member (cohort median held ≈1 by the others) still fires.
-    * `text_repetition` left r16: since its r14 codegen rewrite it no
-    * longer co-drifts (1.00× in the r15 calm-window read while the
-    * rest sat at 1.44-1.80×) — keeping it would let the drifted
-    * members' median normalize away a REAL regression in it. */
-  private[graft] val ShingleCohort: Set[String] = Set(
-    "dedup_winnowing", "dedup_winnowing_spans", "source_overlap",
-    "dedup_ngram_jaccard")
+  /** Floor parameters of [[sustainedCpuClass]]. A query is a
+    * sustained-CPU shape when its COMMITTED wall median is at least
+    * [[SustainedWallFloorSec]] AND its committed metrics-round
+    * CPU/wall ratio is at least [[SustainedCoreFloor]] effective
+    * cores: long enough that co-tenant CPU theft cannot amortize
+    * across it, parallel enough that every stolen core is felt.
+    * Sub-second queries are excluded wholesale (their medians are
+    * noise-limited; the shuffle-bytes gate owns them), and a long but
+    * LOW-parallelism query (an ordered drain, a single-partition
+    * stage, the sequentially-dependent BPE argmax loop at 1.4-1.5
+    * effective cores) is excluded because steal barely moves it —
+    * including it would let a non-co-drifting member mask real
+    * regressions (the text_repetition lesson, r16). The r17 committed
+    * metrics split bimodally: every A/B-settled drifter reads 6.4-16
+    * effective cores, the serial/probe shapes ≤ 3.7 — the floor sits
+    * in the gap's lower half so borderline family members
+    * (dedup_semantic_k, 6.4) classify with their family. */
+  private[graft] val SustainedWallFloorSec = 1.0
+  private[graft] val SustainedCoreFloor = 6.0
 
-  /** Second sustained-CPU cohort: the minhash/semantic/retrieval
-    * family. BENCH_r15 fired dedup_minhash_lsh +42% and dedup_semantic
-    * +34% with code byte-unchanged, and the judge's full 226-row diff
-    * read the whole family at 1.35-1.46× (semantic_k 1.35, mrr 1.46,
-    * cluster_stats 1.36) in a window whose board median sat at 0.986 —
-    * the same selective machine-day signature the ShingleCohort
-    * carries, confirmed environment by the r16 same-window worktree
-    * A/B (COVERAGE.md triage log). Same min-3 rule applies. */
-  private[graft] val MinhashCohort: Set[String] = Set(
-    "dedup_minhash_lsh", "dedup_semantic", "dedup_semantic_k",
-    "retrieval_mrr", "dedup_cluster_stats")
+  /** The sustained-CPU drift class, derived ONCE per run from the
+    * COMMITTED records (never from the current window — a regression
+    * must not be able to reclassify itself out of its gate): the
+    * queries whose committed shape — wall median ≥ the floor, CPU/wall
+    * ≥ the core floor — saturates cores for seconds. These are the
+    * shapes that drift TOGETHER 1.2-1.8× on slow machine-days while
+    * the board median holds: five consecutive same-window worktree
+    * A/Bs (r11 ngram_jaccard, r14 winnowing trio, r15 shingle cohort,
+    * r16 minhash family, r17 dedup_lsh_eval — COVERAGE.md triage log)
+    * settled that signature as ENVIRONMENT, each time on a query the
+    * then-current hand-maintained cohort list missed. This replaces
+    * those hand lists (ShingleCohort r15, MinhashCohort r16) with the
+    * measured property they were approximating: the time gate
+    * normalizes class members by the class's own median ratio
+    * ([[cohortDrift]]), so a machine-day that slows the whole class
+    * fires nothing, while a CODE regression in one member (class
+    * median held ≈1 by the others) still fires. The min-3 rule,
+    * the ≥board clamp, and the >[[CohortDriftWarnBound]] warning all
+    * still apply. */
+  private[graft] def sustainedCpuClass(
+      time: Map[String, (Double, Double)],
+      cpu: Map[String, (Double, Double)],
+      wallFloorSec: Double = SustainedWallFloorSec,
+      coreFloor: Double = SustainedCoreFloor): Set[String] =
+    time.collect { case (q, (wallMedian, _))
+        if wallMedian >= wallFloorSec &&
+          cpu.get(q).exists { case (cpuSec, wallSec) =>
+            wallSec > 0 && cpuSec / wallSec >= coreFloor } => q
+    }.toSet
 
-  /** Median current/baseline ratio over the [[ShingleCohort]] members
-    * present in both recordings — the second, cohort-level drift
-    * normalizer. Requires ≥3 members so one regressed query cannot
-    * define (and thereby mask) its own normalizer; −1 = unknown. */
+  /** Median current/baseline ratio over the cohort members present in
+    * both recordings — the second, cohort-level drift normalizer (the
+    * cohort being [[sustainedCpuClass]] in production). Requires ≥3
+    * members so one regressed query cannot define (and thereby mask)
+    * its own normalizer; −1 = unknown. */
   private[graft] def cohortDrift(current: Map[String, (Double, Double)],
       baseline: Map[String, (Double, Double)],
-      cohort: Set[String] = ShingleCohort): Double = {
+      cohort: Set[String]): Double = {
     val ratios = current.toSeq.collect {
       case (q, (curM, _)) if cohort(q) => (q, curM)
     }.flatMap { case (q, curM) =>
@@ -428,6 +448,7 @@ object Bench {
     private val shufBytes = new AtomicLong
     private val shufRecords = new AtomicLong
     private val outRows = new AtomicLong
+    private val cpuNs = new AtomicLong
     private val jobsStarted = new AtomicLong
     private val jobsEnded = new AtomicLong
     override def onJobStart(js: SparkListenerJobStart): Unit = { jobsStarted.incrementAndGet(); () }
@@ -438,10 +459,14 @@ object Bench {
         shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         shufRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
         outRows.addAndGet(m.outputMetrics.recordsWritten)
+        // task-summed executor CPU: with the same-window wall time this
+        // yields the effective-cores ratio [[sustainedCpuClass]] keys on
+        cpuNs.addAndGet(m.executorCpuTime)
         ()
       }
     }
-    def snapshot(): (Long, Long, Long) = (shufBytes.get, shufRecords.get, outRows.get)
+    def snapshot(): (Long, Long, Long, Long) =
+      (shufBytes.get, shufRecords.get, outRows.get, cpuNs.get)
     def quiesce(timeoutMs: Long = 5000): Unit = {
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       var stable = false
@@ -541,6 +566,9 @@ object Bench {
     val metrics = new QueryMetrics
     spark.sparkContext.addSparkListener(metrics)
     val shuffleStats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
+    // per-query (cpu_sec, wall_sec) from the same metrics round — the
+    // effective-cores shape datum behind [[sustainedCpuClass]]
+    val cpuStats = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     names.foreach { n =>
       metrics.quiesce()
       val before = metrics.snapshot()
@@ -550,6 +578,8 @@ object Bench {
       shuffleStats(n) =
         if (t < 0) (-1L, -1L, -1L)
         else (after._1 - before._1, after._2 - before._2, after._3 - before._3)
+      cpuStats(n) =
+        if (t < 0) (-1.0, -1.0) else ((after._4 - before._4) / 1e9, t)
     }
 
     // measured rounds, interleaved: samples(q) accumulates one time per
@@ -725,13 +755,22 @@ object Bench {
     // queries before normalization), while a genuine one-query
     // regression still exceeds the normalized band.
     val drift = boardDrift(currentTimes, timeBaseline)
-    // cohort-level drifts for the sustained-CPU families (the
-    // selective machine-day signature the board median misses) — the
-    // gate normalizes each cohort's members by max(board, cohort)
-    val cdrift = cohortDrift(currentTimes, timeBaseline)
-    val cdrift2 = cohortDrift(currentTimes, timeBaseline, MinhashCohort)
-    cohortDriftWarnings(Seq("shingle" -> cdrift, "minhash" -> cdrift2))
-      .foreach(w => System.err.println(s"[bench] $w"))
+    // the sustained-CPU drift class, derived from COMMITTED records
+    // (wall medians from time_baseline, effective cores from
+    // cpu_baseline) — the selective machine-day signature the board
+    // median misses; the gate normalizes members by max(board, class)
+    val cpuBaseline: Map[String, (Double, Double)] =
+      baselineRows(repoRoot.resolve("bench").resolve("cpu_baseline.tsv"), "cpu-class")
+        .flatMap {
+          case Array(q, c, w, _*) =>
+            scala.util.Try(q -> (c.toDouble, w.toDouble)).toOption
+              .filter(_._2._1 >= 0)
+          case _ => None
+        }.toMap
+    val cpuClass = sustainedCpuClass(timeBaseline, cpuBaseline)
+    val cdrift = cohortDrift(currentTimes, timeBaseline, cpuClass)
+    val cohortWarnings = cohortDriftWarnings(Seq("sustained-cpu" -> cdrift))
+    cohortWarnings.foreach(w => System.err.println(s"[bench] $w"))
     // window-level degradation verdict: when >20% of the board is
     // still bursty at extension exit, the signal is "this WINDOW is
     // degraded", not "60 queries are individually suspect" — say so,
@@ -744,13 +783,20 @@ object Bench {
         s"$rounds rounds; per-query extension futile, time gate drift-normalized"
     }
     val timeRegs = timeRegressions(currentTimes, timeBaseline, drift = drift,
-      cohorts = Seq(ShingleCohort -> cdrift, MinhashCohort -> cdrift2))
+      cohorts = Seq(cpuClass -> cdrift))
     timeRegs.foreach(r => System.err.println(s"[bench] TIME REGRESSION $r"))
     // snapshot for regenerating the committed time baseline
     java.nio.file.Files.write(
       java.nio.file.Paths.get("target", "time_current.tsv"),
       (s"# sf=$sfName\n" + names.filter(n => currentTimes.contains(n))
         .map { n => val (m, sp) = currentTimes(n); f"$n\t$m%.3f\t$sp%.3f" }
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    // snapshot for regenerating the committed cpu-shape baseline
+    // (failed queries excluded, same rule as the other snapshots)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target", "cpu_current.tsv"),
+      (s"# sf=$sfName\n" + names.filter(n => cpuStats.get(n).exists(_._1 >= 0))
+        .map { n => val (c, w) = cpuStats(n); f"$n\t$c%.3f\t$w%.3f" }
         .mkString("\n") + "\n").getBytes("UTF-8"))
 
     // environment evidence: loadavg at both ends, hypervisor steal
@@ -790,10 +836,15 @@ object Bench {
       val perQuery = stats.map { case (k, m, sp, ts) =>
         val runs = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
         val (sb, sr, or) = shuffleStats(k)
-        "\"" + k + f"""\":{"median":$m%.3f,"spread":$sp%.3f,"raw_spread":${rawSpread(ts)}%.3f,"shuffle_bytes":$sb,"shuffle_records":$sr,"out_rows":$or,"runs":$runs}"""
+        val cpuSec = cpuStats.get(k).map(_._1).getOrElse(-1.0)
+        "\"" + k + f"""\":{"median":$m%.3f,"spread":$sp%.3f,"raw_spread":${rawSpread(ts)}%.3f,"shuffle_bytes":$sb,"shuffle_records":$sr,"out_rows":$or,"cpu_sec":$cpuSec%.3f,"runs":$runs}"""
       }.mkString("{", ",", "}")
       val stillBurstyJson = bursty.map(jstr).mkString("[", ",", "]")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"noise":$noise%.3f,"raw_noise":$rawNoise%.3f,"spread_stat":"mad2","degraded":$degraded,"degraded_reason":${jstr(degradedReason)},"board_drift":$drift%.3f,"cohort_drift":$cdrift%.3f,"cohort2_drift":$cdrift2%.3f,"still_bursty":$stillBurstyJson,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"load":$loadJson,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"queries":$perQuery,"sf":"$sfDir"}"""
+      // cohort warnings ride the persisted record, not just stderr
+      // (ADVICE r16): the worktree-A/B demand has to live in the file
+      // later rounds actually read
+      val warnJson = cohortWarnings.map(jstr).mkString("[", ",", "]")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","rounds":$rounds,"noise":$noise%.3f,"raw_noise":$rawNoise%.3f,"spread_stat":"mad2","degraded":$degraded,"degraded_reason":${jstr(degradedReason)},"board_drift":$drift%.3f,"cohort_drift":$cdrift%.3f,"cpu_class_size":${cpuClass.size},"cohort_warnings":$warnJson,"still_bursty":$stillBurstyJson,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"load":$loadJson,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"queries":$perQuery,"sf":"$sfDir"}"""
     }
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
@@ -805,7 +856,7 @@ object Bench {
       if (degradedReason.length > 120) degradedReason.take(117) + "..."
       else degradedReason
     val summary =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${names.size},"failed":$failedJson,"errors":$errJson,"queries":$top10,"noise":$noise%.2f,"raw_noise":$rawNoise%.2f,"spread_stat":"mad2","rounds":$rounds,"degraded":$degraded,"degraded_reason":${jstr(reasonShort)},"board_drift":$drift%.2f,"cohort_drift":$cdrift%.2f,"cohort2_drift":$cdrift2%.2f,"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"load":$loadJson,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","n_queries":${names.size},"failed":$failedJson,"errors":$errJson,"queries":$top10,"noise":$noise%.2f,"raw_noise":$rawNoise%.2f,"spread_stat":"mad2","rounds":$rounds,"degraded":$degraded,"degraded_reason":${jstr(reasonShort)},"board_drift":$drift%.2f,"cohort_drift":$cdrift%.2f,"cpu_class_size":${cpuClass.size},"budget_sec":$budgetSec%.0f,"elapsed_sec":$elapsedSec%.1f,"load":$loadJson,"shuffle_regressions":$regJson,"time_regressions":$timeRegJson,"sf":"$sfDir"}"""
     // mirrored to disk so the summary survives even if a future harness
     // change re-decorates or truncates stdout
     java.nio.file.Files.write(

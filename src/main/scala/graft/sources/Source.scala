@@ -374,6 +374,13 @@ object AvroConv {
     * field) on types outside the flat-primitive scope. */
   def fieldType(f: Schema.Field): DataType = primitive(unwrap(f.schema())._1, f.name())
 
+  /** Whether one writer-schema field is nullable (a `[null, T]` union),
+    * for the same guard: an explicit `nullable = false` over a nullable
+    * writer column would pass a type-only check and then fail deep
+    * inside a task on the first null (exactly the failure mode the
+    * guard exists to front-load). */
+  def fieldNullable(f: Schema.Field): Boolean = unwrap(f.schema())._2
+
   private def unwrap(s: Schema): (Schema, Boolean) =
     if (s.getType == Schema.Type.UNION) {
       val branches = s.getTypes.toArray(Array.empty[Schema])
@@ -485,8 +492,16 @@ final case class AvroSource(
               s"writer schema (has: $has)")
         }
         val mistyped = explicit.fields.flatMap { f =>
-          val wt = AvroConv.fieldType(writer.getField(f.name)) // throws on non-primitive, also loud
-          if (wt == f.dataType) None else Some(s"${f.name}: ${f.dataType.simpleString} vs writer ${wt.simpleString}")
+          val wf = writer.getField(f.name)
+          val wt = AvroConv.fieldType(wf) // throws on non-primitive, also loud
+          if (wt != f.dataType)
+            Some(s"${f.name}: ${f.dataType.simpleString} vs writer ${wt.simpleString}")
+          // nullability half of the guard (ADVICE r16): a [null, T]
+          // writer column under an explicit nullable=false would pass
+          // the type check and NPE mid-task on the first null row
+          else if (AvroConv.fieldNullable(wf) && !f.nullable)
+            Some(s"${f.name}: declared non-nullable but the writer schema is [null, ${wt.simpleString}]")
+          else None
         }
         if (mistyped.nonEmpty) throw new IllegalArgumentException(
           s"AvroSource($path): explicit type(s) disagree with the writer " +

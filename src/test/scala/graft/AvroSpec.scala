@@ -87,6 +87,17 @@ class AvroSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("id") && e2.getMessage.contains("disagree"),
       e2.getMessage)
+    // a matching name AND type but explicit nullable=false over the
+    // writer's [null, string] union fails up front too — nulls would
+    // otherwise reach the non-nullable column mid-task (r16 ADVICE:
+    // the type-only guard missed exactly this)
+    val nonNullable = StructType(Seq(
+      StructField("name", StringType, nullable = false)))
+    val e3 = intercept[IllegalArgumentException] {
+      AvroSource(s"$dir/out", schema = Some(nonNullable)).load(spark).count()
+    }
+    assert(e3.getMessage.contains("name") &&
+      e3.getMessage.contains("non-nullable"), e3.getMessage)
   }
 
   test("scope guards are loud: nested types rejected, empty dir named") {

@@ -188,7 +188,10 @@ class BenchStatSpec extends AnyFunSuite {
     assert(Bench.timeRegressions(Map("a" -> (12.0, 0.3)), base, drift = -1.0).nonEmpty)
   }
 
-  test("cohort drift: shingle-cohort median, min-3 overlap, blind to non-members") {
+  val shingleTrio = Set("dedup_winnowing", "dedup_winnowing_spans",
+    "source_overlap", "dedup_ngram_jaccard")
+
+  test("cohort drift: cohort median, min-3 overlap, blind to non-members") {
     val base = Map("dedup_winnowing" -> (1.76, 0.2),
       "dedup_winnowing_spans" -> (2.73, 0.13), "source_overlap" -> (4.27, 0.11),
       "other" -> (1.0, 0.1))
@@ -196,14 +199,14 @@ class BenchStatSpec extends AnyFunSuite {
     val drifted = Map("dedup_winnowing" -> (2.46, 0.2),
       "dedup_winnowing_spans" -> (3.82, 0.13), "source_overlap" -> (5.98, 0.11),
       "other" -> (1.0, 0.1))
-    assert(math.abs(Bench.cohortDrift(drifted, base) - 1.4) < 0.01)
+    assert(math.abs(Bench.cohortDrift(drifted, base, shingleTrio) - 1.4) < 0.01)
     // non-members never contribute, even when wildly drifted
     val noisyOther = drifted + ("other" -> (9.0, 0.1))
-    assert(math.abs(Bench.cohortDrift(noisyOther, base) - 1.4) < 0.01)
+    assert(math.abs(Bench.cohortDrift(noisyOther, base, shingleTrio) - 1.4) < 0.01)
     // fewer than 3 cohort members present -> unknown (one regressed
     // query must not define its own normalizer)
     assert(Bench.cohortDrift(
-      Map("dedup_winnowing" -> (2.46, 0.2)), base) == -1.0)
+      Map("dedup_winnowing" -> (2.46, 0.2)), base, shingleTrio) == -1.0)
   }
 
   test("time gate cohort-normalization: whole-cohort drift quiet, single-member regression fires") {
@@ -215,7 +218,7 @@ class BenchStatSpec extends AnyFunSuite {
     val drifted = Map("dedup_winnowing" -> (2.46, 0.05),
       "dedup_winnowing_spans" -> (3.82, 0.05), "source_overlap" -> (5.98, 0.05))
     def shingleOnly(cur: Map[String, (Double, Double)]) =
-      Seq(Bench.ShingleCohort -> Bench.cohortDrift(cur, base))
+      Seq(shingleTrio -> Bench.cohortDrift(cur, base, shingleTrio))
     assert(Bench.timeRegressions(drifted, base, drift = 1.0,
       cohorts = shingleOnly(drifted)).isEmpty)
     // ...while the SAME 1.4x on a non-member still fires un-normalized
@@ -235,44 +238,67 @@ class BenchStatSpec extends AnyFunSuite {
     val mixed = Bench.timeRegressions(
       Map("dedup_winnowing" -> (12.0, 0.05), "dedup_winnowing_spans" -> (4.1, 0.05),
         "source_overlap" -> (6.4, 0.05)), base, drift = 1.0,
-      cohorts = Seq(Bench.ShingleCohort -> 1.5))
+      cohorts = Seq(shingleTrio -> 1.5))
     assert(mixed.size == 1 && mixed.head.contains("cohort-normalized"), mixed)
   }
 
-  test("second cohort (minhash family): independent normalizers, disjoint membership") {
-    // the r15->r16 signature: the minhash/semantic family drifts 1.4x
-    // while the shingle cohort AND the board stay flat -- only the
-    // second cohort's normalizer must absorb it, and a lone regressed
-    // member must still fire against its own cohort's calm median.
-    val base = Map(
-      "dedup_minhash_lsh" -> (3.62, 0.07), "dedup_semantic" -> (1.30, 0.01),
-      "dedup_semantic_k" -> (1.09, 0.12), "retrieval_mrr" -> (1.83, 0.02),
-      "dedup_winnowing" -> (1.76, 0.05), "dedup_winnowing_spans" -> (2.73, 0.05),
-      "source_overlap" -> (4.27, 0.05))
-    val familyDrift = Map(
-      "dedup_minhash_lsh" -> (5.13, 0.07), "dedup_semantic" -> (1.74, 0.01),
-      "dedup_semantic_k" -> (1.53, 0.12), "retrieval_mrr" -> (2.56, 0.02),
-      "dedup_winnowing" -> (1.76, 0.05), "dedup_winnowing_spans" -> (2.73, 0.05),
-      "source_overlap" -> (4.27, 0.05))
-    val cd1 = Bench.cohortDrift(familyDrift, base)
-    val cd2 = Bench.cohortDrift(familyDrift, base, Bench.MinhashCohort)
-    // the shingle cohort reads calm, the minhash cohort reads the drift
-    assert(math.abs(cd1 - 1.0) < 0.01, s"shingle cohort drift $cd1")
-    assert(cd2 > 1.35 && cd2 < 1.45, s"minhash cohort drift $cd2")
-    val cohorts = Seq(Bench.ShingleCohort -> cd1, Bench.MinhashCohort -> cd2)
-    assert(Bench.timeRegressions(familyDrift, base, drift = 1.0,
-      cohorts = cohorts).isEmpty)
-    // one member regressed 3x against a calm family still fires
-    val oneBad = base + ("dedup_minhash_lsh" -> (11.0, 0.07))
-    val firedBad = Bench.timeRegressions(oneBad, base, drift = 1.0,
-      cohorts = Seq(Bench.ShingleCohort -> Bench.cohortDrift(oneBad, base),
-        Bench.MinhashCohort -> Bench.cohortDrift(oneBad, base, Bench.MinhashCohort)))
-    assert(firedBad.size == 1 && firedBad.head.startsWith("dedup_minhash_lsh:"),
-      firedBad)
-    // memberships are disjoint (first-match-wins must never be load-bearing)
-    assert(Bench.ShingleCohort.intersect(Bench.MinhashCohort).isEmpty)
-    // text_repetition left the shingle cohort r16 (no longer co-drifts)
-    assert(!Bench.ShingleCohort.contains("text_repetition"))
+  test("sustained-CPU class: derived from committed shape, floors enforced") {
+    // the class replaces the r15/r16 hand cohorts: membership = wall
+    // median >= 1 s AND effective cores >= 8, both from COMMITTED
+    // records (a regression can't reclassify itself out of its gate)
+    val time = Map(
+      "lsh_like" -> (7.4, 0.1),     // long + parallel -> member
+      "repetition_like" -> (0.41, 0.05), // fast codegen pass -> wall floor excludes
+      "drain_like" -> (6.0, 0.2),   // long but 1-2 effective cores -> excluded
+      "agg_like" -> (0.3, 0.02),    // sub-second -> excluded
+      "no_cpu_row" -> (5.0, 0.1))   // absent from cpu baseline -> excluded
+    val cpu = Map(
+      "lsh_like" -> (180.0, 8.0),       // 22.5 effective cores
+      "repetition_like" -> (12.0, 0.5), // 24 cores but sub-second wall
+      "drain_like" -> (9.0, 6.0),       // 1.5 cores
+      "agg_like" -> (6.0, 0.3))
+    assert(Bench.sustainedCpuClass(time, cpu) === Set("lsh_like"))
+    // degenerate cpu rows (wall 0, failed sentinel) never qualify
+    assert(Bench.sustainedCpuClass(
+      Map("z" -> (5.0, 0.1)), Map("z" -> (10.0, 0.0))).isEmpty)
+    assert(Bench.sustainedCpuClass(
+      Map("z" -> (5.0, 0.1)), Map("z" -> (-1.0, -1.0))).isEmpty)
+  }
+
+  test("sustained-CPU class on the COMMITTED baselines: known drifters in, known calm out") {
+    // loads the real bench/*.tsv records — the data-driven derivation
+    // the r16 verdict asked for: every query the five environment A/Bs
+    // flagged lands in the class by its own measured shape, the known
+    // non-co-drifters stay out
+    def load(p: String): Map[String, (Double, Double)] =
+      scala.io.Source.fromFile(p, "UTF-8").getLines()
+        .filterNot(_.startsWith("#")).map(_.split('\t'))
+        .collect { case a if a.length >= 3 =>
+          a(0) -> (a(1).toDouble, a(2).toDouble) }.toMap
+    val time = load("bench/time_baseline.tsv")
+    val cpu = load("bench/cpu_baseline.tsv")
+    val cls = Bench.sustainedCpuClass(time, cpu)
+    // the five A/B-settled drift firings (r11-r17 triage log)
+    for (q <- Seq("dedup_lsh_eval", "dedup_minhash_lsh", "dedup_semantic",
+        "dedup_winnowing", "dedup_winnowing_spans", "source_overlap",
+        "dedup_ngram_jaccard"))
+      assert(cls.contains(q), s"$q must be in the sustained-CPU class, got: $cls")
+    // known non-co-drifters / sub-second shapes stay out
+    for (q <- Seq("text_repetition", "q1_agg", "join_inner", "limit_offset"))
+      assert(!cls.contains(q), s"$q must NOT be in the sustained-CPU class")
+    // the class is big enough for a robust median, small enough to be
+    // selective (not the whole board)
+    assert(cls.size >= 10 && cls.size * 2 < time.size,
+      s"class size ${cls.size} of ${time.size}")
+    // a lone 3x regression inside the derived class still fires when
+    // the rest of the class holds the median at ~1 (synthetic check on
+    // the real membership)
+    val calm = time.map { case (q, (m, _)) => q -> (m, 0.05) }
+    val bad = calm + ("dedup_lsh_eval" -> (calm("dedup_lsh_eval")._1 * 3, 0.05))
+    val cd = Bench.cohortDrift(bad, calm, cls)
+    val fired = Bench.timeRegressions(bad, calm, drift = 1.0,
+      cohorts = Seq(cls -> cd))
+    assert(fired.size == 1 && fired.head.startsWith("dedup_lsh_eval:"), fired)
   }
 
   test("cohort-drift warning: fires above the bound, silent below, unknown drift never warns") {

@@ -55,11 +55,20 @@ def main():
             keep.append((q, f"only {len(xs)} pooled samples (<9)"))
             continue
         med = statistics.median(xs)
+        if med <= 0:
+            # sub-millisecond samples serialize as 0.000; a zero median
+            # is unusable as a gate row (and would divide by zero below)
+            keep.append((q, "pooled median 0"))
+            continue
         sp = mad2(xs, med)
         cm, csp = committed[q]
         ratio = med / cm
         tight = sp / med <= 0.25
-        consistent = ratio <= 1.15
+        # two-sided: >1.15x would LOOSEN the gate; <1/1.15 would commit
+        # an unrepresentatively fast window as the row, and since
+        # boardDrift is clamped >=1 a too-low baseline can never be
+        # normalized away -- it fires falsely on every later calm run
+        consistent = 1 / 1.15 <= ratio <= 1.15
         verdict = "REPLACE" if (tight and consistent) else "keep"
         detail = (f"{q}: committed {cm:.2f}+/-{csp:.2f} ({100*csp/cm:.0f}%) -> "
                   f"pooled n={len(xs)} {med:.3f}+/-{sp:.3f} ({100*sp/med:.0f}%) "
@@ -72,7 +81,8 @@ def main():
             if not tight:
                 why.append(f"pooled spread {100*sp/med:.0f}% > 25%")
             if not consistent:
-                why.append(f"pooled median {ratio:.2f}x committed > 1.15x")
+                side = "> 1.15x" if ratio > 1 else "< 1/1.15 (too-fast window; clamp can't fix a low row)"
+                why.append(f"pooled median {ratio:.2f}x committed {side}")
             keep.append((q, "; ".join(why)))
 
     print(f"\n# {len(replace)} of {len(flagged)} flagged rows qualify for replacement")
