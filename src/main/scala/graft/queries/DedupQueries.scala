@@ -1071,6 +1071,54 @@ object DedupQueries {
       },
       Some(semanticOracleSql(GrowthProbeTargetRows))),
 
+    // TRAINED SemDeDup — the route the hot-cell guard's message
+    // recommends ("use the trained path (semanticDrops/KMeans) or
+    // raise k"), oracle-gated end-to-end: real Lloyd's iterations
+    // (graft.operators.KMeans, deterministic first-k init, fixed
+    // iteration count) with the DuckDB oracle recomputing BOTH
+    // unrolled supersteps — assignment argmin in the same float
+    // arithmetic ([[d2Sql]] mirrors KMeans.assign's zip_with fold
+    // bit-for-bit), per-(cell,dim) double means cast to float32 (the
+    // cast is the cross-engine contract: it absorbs the engines'
+    // differing partial-sum orders, same discipline as
+    // TextFunctions.cosine's round-to-6), empty cells inheriting their
+    // previous centroid. In front of training sits the QUANTIZED
+    // PRE-COLLAPSE ([[quantizedReps]]): vectors equal after per-dim
+    // round-to-1e-5 collapse to their lowest-vec_id representative
+    // BEFORE any clustering. That step, not k, is what bounds the
+    // adversarial hot-cell corpus (gen_scale --skew's 45%-one-point
+    // ball): k-means cannot split an atomic point mass — every member
+    // is nearest the same centroid at every k, so the within-cell
+    // self-join stays quadratic in the ball no matter how the guard's
+    // "raise k" is answered — but the collapse reduces the ball to ONE
+    // representative (members sit within half a 1e-5 grid step of each
+    // other), after which cells are balanced and the |cell|² prune is
+    // bounded. At 100 TB the same plan holds: collapse is one
+    // hash-shuffle on the quantized key, training cost is
+    // iters × |reps| × k with broadcast centroids (sample reps for
+    // training if |reps| is petabyte-scale), and no stage is quadratic
+    // in any single key's heat. Reference scope: fab2s/yaetl has no
+    // semantic dedup; this extends the §2.8 LLM-pipeline surface.
+    QueryDef("dedup_semantic_trained",
+      (s, dir) => {
+        val reps = quantizedReps(s, dir)
+        val cents = graft.operators.KMeans.train(reps, TrainedK, TrainedIters)
+        val assigned = graft.operators.KMeans.assign(reps, cents)
+          .withColumn("nrm", sqrt(dotFast(col("embedding"), col("embedding"))))
+          .persist()
+        val drops = assigned.as("a").join(assigned.as("b"),
+            col("a.c_id") === col("b.c_id") && col("a.vec_id") > col("b.vec_id"))
+          .filter(cosineFast(col("a.embedding"), col("b.embedding"),
+            col("a.nrm"), col("b.nrm")) >= 0.4)
+          .select(col("a.vec_id").as("vec_id"))
+          .distinct()
+        assigned
+          .join(drops, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("c_id"))
+          .withColumn("kept", lit(1L))
+      },
+      Some(trainedOracleSql)),
+
     // INCREMENTAL SemDeDup — the semantic twin of `dedup_incremental`,
     // the production idiom: an arriving BATCH (the top-10% vec_id
     // range, the same arrival-order stand-in) is semantically deduped
@@ -2055,6 +2103,101 @@ object DedupQueries {
        |SELECT c.vec_id, c.c_id, CAST(1 AS BIGINT) AS kept
        |FROM cells c
        |WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.vec_id = c.vec_id)""".stripMargin
+
+  /** k and Lloyd iteration count for `dedup_semantic_trained` — both
+    * FIXED so the DuckDB oracle can unroll the supersteps literally.
+    * k=8 matches `dedup_semantic`'s coarse tier; 2 iterations is
+    * enough to move every centroid off its init (pinned in
+    * SemDedupSpec) while keeping the oracle's unrolled CTE chain
+    * readable. */
+  private[graft] def TrainedK: Int = 8
+  private[graft] def TrainedIters: Int = 2
+
+  /** Quantized pre-collapse for the trained path: vectors identical
+    * after per-dim round(double, 5) collapse to their lowest-vec_id
+    * representative. Near-identical vectors (within half a 1e-5 grid
+    * step per dim — cosine ≈ 1 ≫ τ for unit-scale embeddings, so the
+    * collapsed members are semantic duplicates by any τ ≤ 0.999) stop
+    * existing before clustering, which is what bounds the within-cell
+    * self-join on corpora whose duplication is concentrated in one
+    * atomic ball. One hash-shuffle on the quantized key; grouping is
+    * exact (no float comparison — the rounded doubles are the key). */
+  private[graft] def quantizedReps(s: SparkSession, dir: String): DataFrame =
+    quantizedRepsOf(Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")))
+
+  /** Frame form of [[quantizedReps]], for planted-corpus tests. */
+  private[graft] def quantizedRepsOf(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("qkey",
+        expr("transform(embedding, v -> round(CAST(v AS double), 5))"))
+      .groupBy(col("qkey"))
+      .agg(min_by(struct(col("vec_id"), col("embedding")), col("vec_id")).as("r"))
+      .select(col("r.vec_id").as("vec_id"), col("r.embedding").as("embedding"))
+
+  /** DuckDB twin of [[graft.operators.KMeans.assign]]'s squared-L2:
+    * per-dim (a−b)·(a−b) in FLOAT then cast to double (the exact
+    * zip_with arithmetic), strict left-fold sum — bit-identical on
+    * both engines, so the argmin ordering can never disagree. */
+  private def d2Sql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), " +
+      s"i -> CAST(($a[i] - $b[i]) * ($a[i] - $b[i]) AS DOUBLE)), (acc, v) -> acc + v)"
+
+  /** One unrolled Lloyd superstep pair for [[trainedOracleSql]]:
+    * assignment CTE (argmin over `cents` by [[d2Sql]], c_id tiebreak —
+    * the min_by struct order) + new-centroid CTE (per-(cell,dim)
+    * double avg cast to float32, list reassembled in dim order, empty
+    * cells inheriting via left join — KMeans.train's coalesce). */
+  private def lloydStepSql(assignCte: String, centsCte: String,
+      prevCents: String): String =
+    s"""$assignCte AS (
+       |  SELECT vec_id, embedding, c_id FROM (
+       |    SELECT r.vec_id, r.embedding, c.c_id,
+       |      row_number() OVER (PARTITION BY r.vec_id
+       |        ORDER BY ${d2Sql("r.embedding", "c.c_emb")}, c.c_id) AS rk
+       |    FROM reps r CROSS JOIN $prevCents c) WHERE rk = 1),
+       |${centsCte}_m AS (
+       |  SELECT c_id, list(CAST(m AS FLOAT) ORDER BY pos) AS c_emb FROM (
+       |    SELECT c_id, pos, avg(v) AS m FROM (
+       |      SELECT c_id, generate_subscripts(embedding, 1) AS pos,
+       |        unnest(embedding) AS v FROM $assignCte)
+       |    GROUP BY c_id, pos) GROUP BY c_id),
+       |$centsCte AS (
+       |  SELECT p.c_id, coalesce(n.c_emb, p.c_emb) AS c_emb
+       |  FROM $prevCents p LEFT JOIN ${centsCte}_m n USING (c_id))""".stripMargin
+
+  /** The `dedup_semantic_trained` oracle: quantized pre-collapse,
+    * first-k init, [[TrainedIters]] unrolled Lloyd supersteps, final
+    * assignment with the trained centroids, within-cell cosine prune —
+    * every float boundary pinned to the Spark arithmetic ([[d2Sql]],
+    * the double-avg→float32 centroid cast, [[cosineSql]]'s fold). */
+  private def trainedOracleSql: String =
+    s"""WITH reps AS (
+       |  SELECT vec_id, embedding FROM (
+       |    SELECT vec_id, embedding,
+       |      row_number() OVER (
+       |        PARTITION BY list_transform(embedding, v -> round(CAST(v AS DOUBLE), 5))
+       |        ORDER BY vec_id) AS rk
+       |    FROM embeddings) WHERE rk = 1),
+       |c0 AS (
+       |  SELECT vec_id AS c_id, embedding AS c_emb
+       |  FROM reps ORDER BY vec_id LIMIT $TrainedK),
+       |${lloydStepSql("a1", "c1", "c0")},
+       |${lloydStepSql("a2", "c2", "c1")},
+       |af AS (
+       |  SELECT vec_id, embedding, c_id FROM (
+       |    SELECT r.vec_id, r.embedding, c.c_id,
+       |      row_number() OVER (PARTITION BY r.vec_id
+       |        ORDER BY ${d2Sql("r.embedding", "c.c_emb")}, c.c_id) AS rk
+       |    FROM reps r CROSS JOIN c2 c) WHERE rk = 1),
+       |drops AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM af a JOIN af b
+       |    ON a.c_id = b.c_id AND a.vec_id > b.vec_id
+       |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4)
+       |SELECT f.vec_id, f.c_id, CAST(1 AS BIGINT) AS kept
+       |FROM af f
+       |WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.vec_id = f.vec_id)""".stripMargin
 
   /** DuckDB twin of [[frozenCells]]: the p/cents/assign/cells CTE
     * prefix (k recomputed with the SAME [[cellCountRows]] arithmetic)

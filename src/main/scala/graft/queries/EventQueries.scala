@@ -742,12 +742,28 @@ object EventQueries {
     // per-touch share = cents div n_touches (floor; the ≤ n_touches-1
     // remainder cents are deliberately unassigned rather than
     // arbitrarily parked on one touch — documented, deterministic, and
-    // sums are auditable against cents div/mod). Plan shape: one
-    // equi-join on user_id with the time window as a residual predicate
-    // (both sides shuffle-partitioned by user — at 100 TB the join
-    // never fans out beyond a user's own events), a window count per
-    // purchase, then re-aggregation by click. Three user/entity-keyed
-    // shuffles, no global anything.
+    // sums are auditable against cents div/mod).
+    //
+    // Plan shape (r17 two-phase rewrite): the naive formulation — the
+    // user-keyed purchase×click join with the window as a residual,
+    // then a per-purchase window count — materializes every
+    // (purchase, in-window click) PAIR, so one hot user makes a single
+    // task's intermediate quadratic in that user's event count (the
+    // r16 skew-sf1 finding: a 270 k-event user needed a 24 GiB heap to
+    // hash-match; at 100 TB the hottest key is unbounded and "turn up
+    // the heap" stops being a knob). The rewrite never forms pairs.
+    // Both aggregates are RANGE SUMS over per-user time-ordered
+    // streams, so each is two prefix-sum lookups:
+    //   n_touch(p)  = |clicks lex-< (p_us, p_id)| − |clicks t < p_us−W|
+    //   credit(c)   = G(p_us ≤ c_us+W) − G(lex-≤ (c_us, c_id)),
+    //                 G = running Σ p_cents div n_touch over purchases
+    // Each lookup is a union of the stream with probe rows and ONE
+    // running-frame window (rowsBetween unboundedPreceding → −1) per
+    // distinct sort order — windows stream their partition through a
+    // spillable sort with O(1) aggregation state, so per-task memory
+    // is bounded by the sorter's page budget, not by key heat. Four
+    // user-keyed event-sized shuffles + two id-keyed probe joins, all
+    // linear; measured vs the pair plan in SCALE.md (r17).
     QueryDef("attribution_linear",
       (s, dir) => {
         import QueryDef.cents
@@ -758,18 +774,67 @@ object EventQueries {
         val c = ev.filter(col("event_type") === "click")
           .select(col("event_id").as("c_id"), col("user_id"),
             unix_micros(col("ts")).as("c_us"))
-        val joined = p.join(c, Seq("user_id"))
-          .filter((col("c_us") < col("p_us") ||
-            (col("c_us") === col("p_us") && col("c_id") < col("p_id"))) &&
-            col("c_us") >= col("p_us") - lit(AttrWindowUs))
-        joined
-          .withColumn("n_touch", count(lit(1)).over(Window.partitionBy(col("p_id"))))
-          .withColumn("share", expr("p_cents div n_touch"))
+        val runBefore = Window.partitionBy(col("user_id"))
+          .orderBy(col("t"), col("tie"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // phase 1 — n_touch per purchase from ONE merged stream + ONE
+        // window pass: clicks carry isc=1 at (c_us, tie 1, c_id); the
+        // `le` probe sits at (p_us, tie 1, p_id) so same-instant clicks
+        // interleave by id (a click counts iff c_id < p_id — the lex
+        // tie-break); the `lt` probe sits AT p_us−W with tie 0, before
+        // same-instant clicks, so boundary clicks stay in-window. Both
+        // probe readings come back via conditional agg on p_id — the
+        // stream is windowed once, not once per probe kind.
+        val s1 = c.select(col("user_id"), col("c_us").as("t"),
+            lit(1).as("tie"), col("c_id").as("id"), lit(1L).as("isc"),
+            lit(null).cast("long").as("p_id"), lit("").as("kind"))
+          .unionByName(p.select(col("user_id"), col("p_us").as("t"),
+            lit(1).as("tie"), col("p_id").as("id"), lit(0L).as("isc"),
+            col("p_id"), lit("le").as("kind")))
+          .unionByName(p.select(col("user_id"),
+            (col("p_us") - lit(AttrWindowUs)).as("t"), lit(0).as("tie"),
+            col("p_id").as("id"), lit(0L).as("isc"), col("p_id"),
+            lit("lt").as("kind")))
+          .withColumn("n", coalesce(sum(col("isc")).over(runBefore), lit(0L)))
+        val touches = s1.filter(col("p_id").isNotNull)
+          .groupBy(col("p_id"))
+          .agg(max(when(col("kind") === "le", col("n"))).as("n_le"),
+            max(when(col("kind") === "lt", col("n"))).as("n_lt"))
+        // a purchase inside some click's range always has ≥1 touch (that
+        // click), so the n_touch>0 filter drops only never-credited rows
+        val g = p.join(touches, Seq("p_id"))
+          .withColumn("n_touch", col("n_le") - col("n_lt"))
+          .filter(col("n_touch") > 0)
+          .select(col("user_id"), col("p_us"), col("p_id"),
+            expr("p_cents div n_touch").as("g"))
+        // phase 2 — per-click credit, same one-stream-one-window shape:
+        // purchases carry (g, isp=1) at (p_us, tie 0, p_id); the `lo`
+        // probe reads the running (Σg, count) at the click's lex
+        // position (tie 0, interleaves by id), the `hi` probe after ALL
+        // purchases at c_us+W (tie 1 — p_us ≤ c_us+W inclusive, any id)
+        val s2 = g.select(col("user_id"), col("p_us").as("t"),
+            lit(0).as("tie"), col("p_id").as("id"), col("g"),
+            lit(1L).as("isp"), lit(null).cast("long").as("c_id"),
+            lit("").as("kind"))
+          .unionByName(c.select(col("user_id"), col("c_us").as("t"),
+            lit(0).as("tie"), col("c_id").as("id"), lit(0L).as("g"),
+            lit(0L).as("isp"), col("c_id"), lit("lo").as("kind")))
+          .unionByName(c.select(col("user_id"),
+            (col("c_us") + lit(AttrWindowUs)).as("t"), lit(1).as("tie"),
+            col("c_id").as("id"), lit(0L).as("g"), lit(0L).as("isp"),
+            col("c_id"), lit("hi").as("kind")))
+          .withColumn("gs", coalesce(sum(col("g")).over(runBefore), lit(0L)))
+          .withColumn("np", coalesce(sum(col("isp")).over(runBefore), lit(0L)))
+        s2.filter(col("c_id").isNotNull)
           .groupBy(col("c_id"))
-          .agg(countDistinct(col("p_id")).as("n_conversions"),
-            sum(col("share")).as("attributed_cents"))
+          .agg(max(when(col("kind") === "hi", col("gs"))).as("g_hi"),
+            max(when(col("kind") === "lo", col("gs"))).as("g_lo"),
+            max(when(col("kind") === "hi", col("np"))).as("n_hi"),
+            max(when(col("kind") === "lo", col("np"))).as("n_lo"))
+          .withColumn("n_conversions", col("n_hi") - col("n_lo"))
+          .filter(col("n_conversions") > 0)
           .select(col("c_id").as("click_event_id"), col("n_conversions"),
-            col("attributed_cents"))
+            (col("g_hi") - col("g_lo")).as("attributed_cents"))
       },
       Some(s"""WITH p AS (
               |  SELECT event_id AS p_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,

@@ -123,6 +123,76 @@ class AttributionSpec extends SparkSuite {
     assert(out == Map(1L -> (1L, 499L), 2L -> (1L, 499L)))
   }
 
+  test("two-phase prefix-sum plan equals the pair brute force, boundaries included") {
+    // the r17 rewrite computes both aggregates as range sums over
+    // per-user ordered streams (no pair materialization) — this pins
+    // it cell-by-cell against a literal pair loop on a corpus built to
+    // sit ON every boundary the lex/window rules define:
+    //   - click at exactly p_us − W        -> in-window (inclusive)
+    //   - click 1 us before that           -> out
+    //   - click at p_us with c_id < p_id   -> counts (lex tie-break)
+    //   - click at p_us with c_id > p_id   -> does not count
+    //   - purchase at exactly c_us + W     -> credits the click
+    //   - a hot user with many interleaved purchases sharing clicks
+    import spark.implicits._
+    val d = tmpDir("attr2p")
+    val W = 7L * 24 * 3600000000L
+    val base = 1723600000000000L
+    val hour = 3600000000L
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String, Double)]()
+    var id = 0L
+    def add(us: Long, user: Long, tpe: String, v: Double, fixedId: Long = -1L): Long = {
+      val e = if (fixedId >= 0) fixedId else { id += 1; id + 100L }
+      rows += ((e, us, user, tpe, v))
+      e
+    }
+    // user 1: boundary battery around one purchase (id 50) at base+2W
+    add(base + W, 1L, "click", 0.0)           // exactly p_us − W: in
+    add(base + W - 1, 1L, "click", 0.0)       // 1 us out
+    add(base + 2 * W, 1L, "click", 0.0, 10L)  // same instant, lower id: in
+    add(base + 2 * W, 1L, "click", 0.0, 90L)  // same instant, higher id: out
+    add(base + 2 * W, 1L, "purchase", 10.0, 50L)
+    // and a later purchase exactly W after the id-90 click
+    add(base + 3 * W, 1L, "purchase", 5.0)
+    // user 2: hot user — 120 interleaved clicks/purchases inside one window
+    (0 until 120).foreach { i =>
+      if (i % 3 == 2) add(base + i * hour, 2L, "purchase", 1.0 + i)
+      else add(base + i * hour, 2L, "click", 0.0)
+    }
+    // user 3: purchase with no touches (alone), click with no purchase
+    add(base, 3L, "purchase", 9.0)
+    add(base + 10 * W, 3L, "click", 0.0)
+    rows.toSeq.toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    // literal pair brute force in Scala
+    val ev = rows.toSeq
+    val ps = ev.filter(_._4 == "purchase")
+    val cs = ev.filter(_._4 == "click")
+    def touches(p: (Long, Long, Long, String, Double)) = cs.filter { c =>
+      c._3 == p._3 && c._2 >= p._2 - W &&
+        (c._2 < p._2 || (c._2 == p._2 && c._1 < p._1))
+    }
+    val expect = cs.flatMap { c =>
+      val infl = ps.filter(p => touches(p).exists(_._1 == c._1))
+      if (infl.isEmpty) None
+      else Some(c._1 -> (infl.size.toLong, infl.map { p =>
+        val cents = math.floor(p._5 * 100.0 + 0.5).toLong // QueryDef.cents
+        cents / touches(p).size
+      }.sum))
+    }.toMap
+    val out = EventQueries.defs.find(_.name == "attribution_linear").get
+      .fn(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === expect)
+    // the tie-break boundary rows landed as designed: the lower-id
+    // same-instant click is credited by purchase 50, the higher-id one
+    // only by the later purchase
+    assert(out(10L)._1 >= 1L && out(90L)._1 === 1L)
+  }
+
   test("asof_nearest equals a driver-scale brute force; ties go backward") {
     val ev = Tables.events(spark, dir)
     def side(t: String): Array[(Long, Long, Long)] = ev

@@ -156,6 +156,67 @@ class SemDedupSpec extends SparkSuite {
       s"trained path re-finds only $frozenRecall of the frozen drops")
   }
 
+  test("quantized pre-collapse: the atomic hot ball becomes one representative") {
+    // gen_scale --skew's adversarial shape: a 45%-of-corpus ball of
+    // near-identical vectors (per-row 1e-6-scale dim-0 perturbation).
+    // k-means cannot split an atomic point mass at ANY k (every member
+    // is nearest the same centroid), so the within-cell prune would be
+    // quadratic in the ball — the pre-collapse is what bounds it: all
+    // members round to the same 1e-5 grid point and collapse to the
+    // lowest-id representative BEFORE clustering.
+    import spark.implicits._
+    val dims = 8
+    val ball = (0L until 900L).map { i =>
+      val e = Array.tabulate(dims)(d => 0.5f + d * 0.01f)
+      e(0) = e(0) + (i % 7).toFloat * 1e-7f // sub-half-grid perturbation
+      (i, e)
+    }
+    val spread = (900L until 1000L).map { i =>
+      // 101 prime > the 100-element range, so no two spread vectors
+      // coincide on the lattice (i ≡ j mod 101 ⇒ i = j here)
+      (i, Array.tabulate(dims)(d => (((i * 31 + d * 7) % 101) / 101.0f) - 0.5f))
+    }
+    val emb = (ball ++ spread).toDF("vec_id", "embedding")
+    val reps = graft.queries.DedupQueries.quantizedRepsOf(emb).collect()
+    val repIds = reps.map(_.getLong(0)).toSet
+    // the ball contributes exactly ONE representative: its lowest id
+    assert(repIds.contains(0L))
+    assert(repIds.count(_ < 900L) === 1,
+      s"ball must collapse to one rep, got ${repIds.count(_ < 900L)}")
+    // the spread vectors are all far apart on the grid — all survive
+    assert(repIds.count(_ >= 900L) === 100)
+    // collapse guarantee: every collapsed member is a semantic
+    // duplicate of its representative by any usable tau
+    val rep0 = ball.head._2
+    ball.tail.foreach { case (_, e) => assert(cos(rep0, e) >= 0.999) }
+  }
+
+  test("dedup_semantic_trained: kept set = reps minus brute-force drops under the trained cells") {
+    // end-to-end pin of the new driver query's machinery on the real
+    // corpus: quantized reps -> KMeans(k=8, iters=2) -> within-cell
+    // prune, checked against an independent brute-force pass over the
+    // same assignment (the exactness convention of this suite)
+    val reps = graft.queries.DedupQueries.quantizedReps(spark, dir)
+    val cents = graft.operators.KMeans.train(reps, 8, 2)
+    val assigned = graft.operators.KMeans.assign(reps, cents)
+    val (all, expectDropped) = bruteDrops(assigned)
+    val kept = SparkEntry.queries("dedup_semantic_trained")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === (all -- expectDropped))
+    assert(expectDropped.nonEmpty)
+    // centroids moved off their init (TrainedIters is load-bearing):
+    // the init is the first k reps verbatim; after 2 Lloyd steps at
+    // least one centroid must differ from its seed vector
+    val init = reps.orderBy(col("vec_id")).limit(8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    val trained = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    assert(init.keySet === trained.keySet)
+    assert(init.exists { case (id, e) => trained(id) != e },
+      "2 Lloyd iterations left every centroid exactly at its init")
+    spark.catalog.clearCache()
+  }
+
   test("cell-count sizing: floor 8, bounded cells, capped") {
     import graft.queries.DedupQueries.{cellCount, CellTargetBytes, cellCountRows, CellTargetRows}
     // all testdata SFs sit on the floor — the exactness tests above and
