@@ -197,17 +197,21 @@ case class RewriteAsOfJoin(spark: SparkSession) extends Rule[LogicalPlan] {
         when(col(I).isNotNull, lit(0)).otherwise(
           when(col(S) === lit(lSide), lit(leftNullRank))
             .otherwise(lit(-leftNullRank)))
+      // BOTH directions run the streaming (UNBOUNDED PRECEDING,
+      // CURRENT ROW) frame: Spark's unbounded-following frame
+      // recomputes its aggregate per row — O(|partition|²), unbounded
+      // on a hot key (the r17 skew-sweep finding, SCALE.md) — so the
+      // forward direction REVERSES every sort component (asc_nulls_last
+      // ⇄ desc_nulls_first, asc ⇄ desc) instead: under the exactly
+      // reversed total order, (CURRENT ROW, UNBOUNDED FOLLOWING) and
+      // (UNBOUNDED PRECEDING, CURRENT ROW) contain the same rows, and
+      // `first` becomes `last`.
       val ordering =
-        if (forward) Seq(col(T).asc_nulls_last, nullRank.asc, col(I).asc, col(S).asc)
+        if (forward) Seq(col(T).desc_nulls_first, nullRank.desc, col(I).desc, col(S).desc)
         else Seq(col(T).asc_nulls_first, nullRank.asc, col(I).asc, col(S).asc)
       val base = Window.partitionBy(col(K)).orderBy(ordering: _*)
-      val (w, pick) =
-        if (forward)
-          (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
-            first(col(R), ignoreNulls = true))
-        else
-          (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
-            last(col(R), ignoreNulls = true))
+      val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pick = last(col(R), ignoreNulls = true)
       val rewritten = lTagged.union(rTagged)
         .withColumn(LR, pick.over(w))
         .filter(col(S) === lSide)

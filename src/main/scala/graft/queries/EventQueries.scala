@@ -905,16 +905,26 @@ object EventQueries {
     // agreeing on the same neighbor.
     QueryDef("asof_forward",
       (s, dir) => {
-        val byUser = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
-          .rowsBetween(1L, Window.unboundedFollowing)
+        // forward neighbor via the REVERSED sort: "first non-null in
+        // the (1 FOLLOWING, UNBOUNDED FOLLOWING) suffix" under asc
+        // (ts, id) ≡ "last non-null in the (UNBOUNDED PRECEDING, −1)
+        // prefix" under desc — identical rows, but Spark's unbounded-
+        // PRECEDING frame streams in O(n) while the unbounded-FOLLOWING
+        // frame RECOMPUTES its aggregate per row, O(|partition|²): at
+        // the skewed-sf1 hot user (108 886 click/purchase events in
+        // ONE partition) that is ~5.9e9 frame evaluations ≈ 20 min on
+        // one core, and unbounded at 100 TB (r17 skew-sweep finding,
+        // SCALE.md)
+        val byUserDesc = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
         Tables.events(s, dir)
           .filter(col("event_type").isin("click", "purchase"))
           .withColumn("next_p",
-            first(
+            last(
               when(col("event_type") === "purchase",
                 struct(unix_micros(col("ts")).as("p_us"), col("event_id").as("p_id"))),
-              ignoreNulls = true).over(byUser))
+              ignoreNulls = true).over(byUserDesc))
           .filter(col("event_type") === "click")
           .select(col("event_id").as("click_event_id"), col("user_id"),
             unix_micros(col("ts")).as("click_us"),
@@ -966,14 +976,22 @@ object EventQueries {
         val ord = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))
         val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        // the forward neighbor reads from the REVERSED sort's streaming
+        // prefix frame instead of (CURRENT ROW, UNBOUNDED FOLLOWING):
+        // same rows, O(n) instead of the following-frame's per-row
+        // recompute, O(n²) on the skewed hot-user partition (see
+        // asof_forward's note; both windows share one Exchange — only
+        // a second in-partition sort is added)
+        val fwdDesc = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val withN = Tables.events(s, dir)
           .filter(col("event_type").isin("click", "purchase"))
           .withColumn("cs",
             when(col("event_type") === "click",
               struct(unix_micros(col("ts")).as("c_us"), col("event_id").as("c_id"))))
           .withColumn("b", last(col("cs"), ignoreNulls = true).over(back))
-          .withColumn("f", first(col("cs"), ignoreNulls = true).over(fwd))
+          .withColumn("f", last(col("cs"), ignoreNulls = true).over(fwdDesc))
           .filter(col("event_type") === "purchase")
           .withColumn("p_us", unix_micros(col("ts")))
         // forward wins only with a strictly smaller distance (tie →
@@ -1378,14 +1396,16 @@ object EventQueries {
   private[graft] def conversionLatencyDef: QueryDef =
     QueryDef("conversion_latency",
       (s, dir) => {
-        val byUser = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
-          .rowsBetween(1L, Window.unboundedFollowing)
+        // reversed-sort streaming frame, not (1 FOLLOWING, UNBOUNDED
+        // FOLLOWING) — see asof_forward's O(n) vs O(n²) note
+        val byUserDesc = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
         Tables.events(s, dir)
           .filter(col("event_type").isin("click", "purchase"))
           .withColumn("next_us",
-            first(when(col("event_type") === "purchase", unix_micros(col("ts"))),
-              ignoreNulls = true).over(byUser))
+            last(when(col("event_type") === "purchase", unix_micros(col("ts"))),
+              ignoreNulls = true).over(byUserDesc))
           .filter(col("event_type") === "click" && col("next_us").isNotNull)
           .select(
             expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("dow"),
