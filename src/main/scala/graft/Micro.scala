@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.graft.ScanExpressions._
+
+/** Micro-benchmark + equivalence harness for the r17 expression-level
+  * optimizations: times named sub-pipelines of the hot text/dedup paths
+  * (old interpreted chain vs native scan expression) through the noop
+  * sink, and counts value MISMATCHES between the two forms over the
+  * real corpus (must print 0 — the native expressions are only
+  * shippable as drop-in replacements if they are value-identical on
+  * every row they will ever see, plus the property tests' adversarial
+  * inputs). Usage: runMain graft.Micro [sfDir] [reps] [filter]
+  */
+object Micro {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val only = args.lift(2).getOrElse("")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def docs = graft.queries.ProfilingQueries.widened(
+      spark, Tables(spark, sfDir, "documents"))
+
+    // the OLD interpreted forms, inlined here so they survive the
+    // TextFunctions rewiring (this tool must keep A/B-ing old vs new)
+    def oldTokens(text: org.apache.spark.sql.Column) =
+      regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    def oldShingles(toks: org.apache.spark.sql.Column, n: Int) =
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+
+    val pipelines: Seq[(String, () => DataFrame)] = Seq(
+      "scan" -> (() => docs),
+      "tok_old" -> (() => docs.select(col("doc_id"), oldTokens(col("text")).as("t"))),
+      "tok_new" -> (() => docs.select(col("doc_id"), asciiTokens(lower(col("text"))).as("t"))),
+      "shing_old" -> (() => docs.select(col("doc_id"),
+        explode(oldShingles(oldTokens(col("text")), 3)).as("s"))),
+      "shing_new" -> (() => docs.select(col("doc_id"),
+        explode(shinglesNative(asciiTokens(lower(col("text"))), 3)).as("s"))),
+      "shingdist_old" -> (() => docs.select(col("doc_id"),
+        explode(oldShingles(oldTokens(col("text")), 3)).as("s")).distinct()),
+      "shingdist_new" -> (() => docs.select(col("doc_id"),
+        explode(shinglesNative(asciiTokens(lower(col("text"))), 3)).as("s")).distinct()),
+      "phash" -> (() => docs.select(col("doc_id"),
+        explode(shinglesNative(asciiTokens(lower(col("text"))), 3)).as("s"))
+        .distinct()
+        .select(col("doc_id"), portableHash(col("s"), 0).as("h0"),
+          portableHash(col("s"), 1).as("h1")))
+    )
+
+    val checks: Seq[(String, () => Long)] = Seq(
+      "tokens_mismatch" -> (() => docs
+        .select(oldTokens(col("text")).as("o"),
+          asciiTokens(lower(col("text"))).as("n"))
+        .filter(not(col("o") <=> col("n"))).count()),
+      "shingles_mismatch" -> (() => docs
+        .select(oldShingles(oldTokens(col("text")), 3).as("o"),
+          shinglesNative(oldTokens(col("text")), 3).as("n"))
+        .filter(not(col("o") <=> col("n"))).count()),
+      "bigrams_mismatch" -> (() => docs
+        .select(oldShingles(oldTokens(col("text")), 2).as("o"),
+          shinglesNative(oldTokens(col("text")), 2).as("n"))
+        .filter(not(col("o") <=> col("n"))).count()),
+      // BPE frames: syms strings, old transform-pairs vs SymPairsExpr
+      "sympairs_mismatch" -> (() => {
+        val sy = split(col("syms"), " ")
+        val oldPairs = when(size(sy) >= 2,
+          transform(sequence(lit(1), size(sy) - 1),
+            i => concat(element_at(sy, i), lit(" "), element_at(sy, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        docs.select(trim(regexp_replace(
+            concat_ws(" ", oldTokens(col("text"))), "(.)", "$1 ")).as("syms"))
+          .select(oldPairs.as("o"), symPairs(col("syms")).as("n"))
+          .filter(not(col("o") <=> col("n"))).count()
+      })
+    )
+
+    val doChecks = only.isEmpty || only == "checks"
+    if (doChecks) checks.foreach { case (name, f) =>
+      println(f"[micro] CHECK $name = ${f()}")
+    }
+
+    pipelines.filter(p => only.isEmpty || p._1.contains(only))
+      .foreach { case (name, f) =>
+        val times = (0 to reps).map { r =>
+          val t0 = System.nanoTime()
+          f().write.format("noop").mode("overwrite").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          t
+        }.drop(1) // warmup
+        println(f"[micro] $name%-16s median ${times.sorted.apply(times.size / 2)}%7.3f s  runs ${times.map(t => f"$t%.3f").mkString(" ")}")
+      }
+    spark.stop()
+  }
+}

@@ -18,10 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lower-cased alphanumeric tokens. The regex is the cross-engine
-    * contract — DuckDB side: `regexp_extract_all(lower(text), '[a-z0-9]+')`. */
+  /** Lower-cased alphanumeric tokens. The cross-engine contract is the
+    * regex form — DuckDB side:
+    * `regexp_extract_all(lower(text), '[a-z0-9]+')` — and the Spark
+    * side evaluates it with the native byte scanner
+    * [[org.apache.spark.sql.graft.AsciiTokensExpr]]: the token class is
+    * pure ASCII and UTF-8 multi-byte code points never contain ASCII
+    * bytes, so maximal [a-z0-9] byte runs ARE the regex matches
+    * (value-identity property-pinned in ScanExpressionsSpec and
+    * corpus-verified against the regex form). `lower` stays the
+    * built-in so Unicode case mapping is unchanged. */
   def tokens(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    org.apache.spark.sql.graft.ScanExpressions.asciiTokens(lower(text))
 
   /** BPE-ish sub-word segmentation regex: words, digits, or single
     * punctuation marks — the standard pre-tokenizer shape. */
@@ -59,12 +67,19 @@ object TextFunctions {
 
   /** Word n-gram shingles over a token array: positions i..i+n-1 joined
     * by a single space; empty when the doc has fewer than n tokens.
-    * DuckDB: `[array_to_string(t[i:i+n-1], ' ') for i in range(1, greatest(len(t)-(n-2), 1))]`. */
+    * DuckDB: `[array_to_string(t[i:i+n-1], ' ') for i in range(1, greatest(len(t)-(n-2), 1))]`.
+    *
+    * Spark side is the native one-pass
+    * [[org.apache.spark.sql.graft.ShinglesExpr]] (r17: the interpreted
+    * `transform(sequence, i -> concat_ws(' ', slice(t,i,n)))` lambda
+    * chain measured 10× slower over the corpus — Catalyst HOFs evaluate
+    * per element, never codegen). The coalesce preserves the old
+    * when/otherwise null contract: a NULL token array yields an EMPTY
+    * shingle array, not NULL. */
   def shingles(toks: Column, n: Int = 3): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    coalesce(
+      org.apache.spark.sql.graft.ScanExpressions.shinglesNative(toks, n),
+      array().cast("array<string>"))
 
   /** Strict left-fold sum of a double array — matches DuckDB's
     * `list_reduce(l, (a,b) -> a+b)` bit-for-bit (same order, same type),

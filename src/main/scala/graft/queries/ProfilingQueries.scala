@@ -83,7 +83,7 @@ object ProfilingQueries {
     * definition so a tuning change cannot silently leave one module
     * single-cored again. A 100 TB corpus already scans wider than the
     * core count, so this is a no-op at scale. */
-  private[queries] def widened(s: org.apache.spark.sql.SparkSession,
+  private[graft] def widened(s: org.apache.spark.sql.SparkSession,
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
       df.repartition(col("doc_id"))

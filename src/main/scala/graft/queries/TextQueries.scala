@@ -592,15 +592,21 @@ object TextQueries {
     // Oracle: the serial global-window formulation, independently.
     QueryDef("vocab_top_p",
       (s, dir) => {
-        val ts = tokens(col("text"))
-        val grams = when(size(ts) >= 2,
-          transform(sequence(lit(1), size(ts) - 1),
-            i => concat(element_at(ts, i), lit(" "), element_at(ts, i + 1))))
-          .otherwise(array().cast("array<string>"))
-        val vocab = Tables(s, dir, "documents")
-          .select(explode(grams).as("tk"))
+        // r17: bigrams via the native shingle scanner (identical
+        // strings — concat over non-null tokens ≡ concat_ws); the scan
+        // is WIDENED (the narrow single-split corpus scan serialized
+        // the tokenize+gram chain on one core — measured 18 s of a
+        // 27 s run in one single-task job), and the vocab cache is
+        // EAGERLY materialized like shingleSet: nucleusCut consumes it
+        // from 4 concurrent subtrees, and an unmaterialized persist
+        // let AQE race them into recomputing the corpus-sized gram
+        // chain per subtree (measured: two concurrent 17 s jobs).
+        val vocab = graft.queries.ProfilingQueries
+          .widened(s, Tables(s, dir, "documents"))
+          .select(explode(shingles(tokens(col("text")), 2)).as("tk"))
           .groupBy(col("tk")).agg(count(lit(1)).as("freq"))
           .persist()
+        vocab.count()
         nucleusCut(vocab, pNum = 19L, pDen = 20L)
       },
       Some("""WITH tl AS (
@@ -1060,11 +1066,18 @@ object TextQueries {
     // query's lifetime (Verify/Bench clearCache() it between queries).
     QueryDef("ngram_novelty",
       (s, dir) => {
-        val sh = Tables(s, dir, "documents")
+        // r17: widened scan (the narrow single-split read serialized
+        // tokenize+shingle+hash on one core) + EAGER materialization —
+        // the lazy persist let the df count and the join probe race
+        // into recomputing the chain concurrently (measured: two
+        // parallel ~6 s single-stage jobs for one 4 s query).
+        val sh = graft.queries.ProfilingQueries
+          .widened(s, Tables(s, dir, "documents"))
           .select(col("doc_id"),
             explode(array_distinct(shingles(tokens(col("text"))))).as("sng"))
           .select(col("doc_id"), portableHash(col("sng"), 0).as("h"))
           .persist()
+        sh.count()
         val dfs = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
         sh.join(dfs, Seq("h"))
           .groupBy(col("doc_id"))
@@ -1273,7 +1286,6 @@ object TextQueries {
       dir: String, applyLast: Boolean,
       onRound: (Int, Int) => Unit = (_, _) => ())
       : (Seq[(Long, String, Long)], org.apache.spark.sql.DataFrame) = {
-    val sy = split(col("syms"), " ")
     var vocab = ProfilingQueries.widened(s, Tables(s, dir, "documents"))
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
@@ -1286,10 +1298,11 @@ object TextQueries {
     try {
       var prevN = Long.MaxValue
       for (r <- 1 to BpeMergeRounds) {
-        val pairs = when(size(sy) >= 2,
-          transform(sequence(lit(1), size(sy) - 1),
-            i => concat(element_at(sy, i), lit(" "), element_at(sy, i + 1))))
-          .otherwise(array().cast("array<string>"))
+        // adjacent symbol pairs as zero-copy byte spans of `syms` (r17:
+        // replaces split + per-element transform/concat lambdas — the
+        // interpreted HOF ran per symbol per round; value-identity
+        // pinned in ScanExpressionsSpec)
+        val pairs = org.apache.spark.sql.graft.ScanExpressions.symPairs(col("syms"))
         // This per-round first() is deliberately NOT folded into a
         // broadcast (r13 verdict #7 triage): it is the round's ONLY
         // action, not an extra job — BPE training is sequentially
@@ -1410,16 +1423,12 @@ object TextQueries {
     * that case wrong). The DuckDB twin is the same fold via
     * list_reduce. */
   private[graft] def bpeApplyMerge(syms: org.apache.spark.sql.Column,
-      a: String, b: String): org.apache.spark.sql.Column = {
-    val sy = split(syms, " ")
-    aggregate(
-      slice(sy, lit(2), greatest(size(sy) - 1, lit(0))),
-      element_at(sy, 1),
-      (acc, x) => when(
-        regexp_extract(acc, "[^ ]+$", 0) === lit(a) && x === lit(b),
-        concat(regexp_replace(acc, "[^ ]+$", ""), lit(a + b)))
-        .otherwise(concat(acc, lit(" "), x)))
-  }
+      a: String, b: String): org.apache.spark.sql.Column =
+    // native one-pass byte walk (r17) — replaces the `aggregate` fold
+    // whose lambda ran two java.util.regex operations per symbol.
+    // Identical greedy leftmost-non-overlapping semantics (the odd-run
+    // and compounding cases stay pinned in TextDedupSpec).
+    org.apache.spark.sql.graft.ScanExpressions.bpeMerge(syms, a, b)
 
   /** bpe_merges round count. 50 is training scale for this corpus:
     * compounded merges (a pair containing an earlier round's merged
