@@ -57,8 +57,50 @@ object Micro {
         explode(shinglesNative(asciiTokens(lower(col("text"))), 3)).as("s"))
         .distinct()
         .select(col("doc_id"), portableHash(col("s"), 0).as("h0"),
-          portableHash(col("s"), 1).as("h1")))
+          portableHash(col("s"), 1).as("h1"))),
+      // staged dedup pipeline (each stage includes everything below it)
+      "dd_shingleset" -> (() => graft.queries.DedupQueries.shingleSet(
+        spark, sfDir, Some(graft.queries.DedupQueries.DriverMaxDfFrac))),
+      "dd_bands" -> (() => graft.queries.DedupQueries.minhashBands(
+        graft.queries.DedupQueries.shingleSet(
+          spark, sfDir, Some(graft.queries.DedupQueries.DriverMaxDfFrac)))),
+      "dd_lshcand" -> (() => graft.queries.DedupQueries.lshCandidates(
+        graft.queries.DedupQueries.shingleSet(
+          spark, sfDir, Some(graft.queries.DedupQueries.DriverMaxDfFrac)))),
+      "dd_verify" -> (() => {
+        val sh = graft.queries.DedupQueries.shingleSet(
+          spark, sfDir, Some(graft.queries.DedupQueries.DriverMaxDfFrac))
+        graft.queries.DedupQueries.jaccardPairs(sh,
+          Some(graft.queries.DedupQueries.lshCandidates(sh)))
+          .filter(col("jaccard") >= 0.8)
+      }),
+      "dd_prefixcand" -> (() => {
+        val sh = graft.queries.DedupQueries.shingleSet(
+          spark, sfDir, Some(graft.queries.DedupQueries.DriverMaxDfFrac))
+        graft.queries.DedupQueries.prefixCandidates(sh,
+          graft.queries.DedupQueries.SetSimTau)
+      })
     )
+
+    // BPE training attribution: total + per-round walls (the supersteps
+    // are invisible to Explain — training runs at query construction)
+    if (only.isEmpty || only == "bpe") {
+      var last = System.nanoTime()
+      val roundSec = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val t0 = System.nanoTime()
+      graft.queries.TextQueries.bpeTrain(spark, sfDir, applyLast = false,
+        onRound = (_, _) => {
+          val now = System.nanoTime()
+          roundSec += (now - last) / 1e9
+          last = now
+        })
+      val tot = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val rs = roundSec.toSeq.sorted
+      println(f"[micro] bpe_train total $tot%.3f s, ${roundSec.size} rounds, " +
+        f"round median ${rs(rs.size / 2)}%.3f s, max ${rs.last}%.3f s, " +
+        f"first5 ${roundSec.take(5).map(t => f"$t%.3f").mkString(" ")}")
+    }
 
     val checks: Seq[(String, () => Long)] = Seq(
       "tokens_mismatch" -> (() => docs

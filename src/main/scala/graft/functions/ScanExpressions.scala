@@ -280,6 +280,197 @@ object BpeMergeExpr {
   }
 }
 
+case class GramHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, s"gram width must be >= 1, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.BinaryType, containsNull = true)
+  override def prettyName: String = "graft_gram_hashes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    GramHashesExpr.grams(v.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.GramHashesExpr.grams($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashesExpr =
+    copy(child = newChild)
+}
+
+/** Per-window MD5 digests for the exact-substring / winnowing gram
+  * streams — the byte-scan twin of
+  * `transform(sequence(1, length-k+1), i -> md5(substr(text, i, k)))`.
+  * Emits the 16-byte BINARY digest instead of the 32-char hex string:
+  * hex ↔ binary is a bijection, so every equality, grouping and join
+  * downstream is unchanged — while the exploded stream (the dominant
+  * shuffle of the substring family) carries half the bytes. Windows
+  * are CHAR windows (substr semantics), honored via one char→byte
+  * offset walk per row. */
+object GramHashesExpr {
+  private val Empty = new GenericArrayData(Array.empty[Any])
+  private[graft] val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Byte offsets of each char start, plus the end offset — the
+    * substr() char arithmetic over a UTF-8 buffer. */
+  private[graft] def charOffsets(b: Array[Byte]): Array[Int] = {
+    // worst case 1 byte per char
+    val tmp = new Array[Int](b.length + 1)
+    var nChars = 0
+    var i = 0
+    while (i < b.length) {
+      tmp(nChars) = i
+      i += UTF8String.numBytesForFirstByte(b(i))
+      nChars += 1
+    }
+    tmp(nChars) = b.length
+    java.util.Arrays.copyOf(tmp, nChars + 1)
+  }
+
+  def grams(s: UTF8String, k: Int): ArrayData = {
+    val b = s.getBytes
+    val off = charOffsets(b)
+    val nChars = off.length - 1
+    if (nChars < k) return Empty
+    val md = mdLocal.get()
+    val out = new Array[Any](nChars - k + 1)
+    var i = 0
+    while (i <= nChars - k) {
+      md.reset()
+      md.update(b, off(i), off(i + k) - off(i))
+      out(i) = md.digest()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class WinnowSelectExpr(child: Expression, k: Int, w: Int, withPos: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1 && w >= 1, s"winnowing needs k,w >= 1, got k=$k w=$w")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    if (withPos)
+      ArrayType(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.BinaryType, nullable = false),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType, nullable = false))),
+        containsNull = false)
+    else ArrayType(org.apache.spark.sql.types.BinaryType, containsNull = false)
+  override def prettyName: String = "graft_winnow_select"
+
+  override protected def nullSafeEval(v: Any): Any =
+    WinnowSelectExpr.select(v.asInstanceOf[UTF8String], k, w, withPos)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.WinnowSelectExpr.select($c, $k, $w, $withPos)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelectExpr =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprint selection (Schleimer et al. 2003) in one
+  * linear pass — the fused twin of the md5-gram transform + the
+  * O(n·w) interpreted `array_min(slice(gr, j+1, w))` window chain.
+  *
+  * Selection semantics are EXACTLY the old chain's:
+  *  - `withPos = false`: per window of w grams, the minimum md5 VALUE.
+  *    Hex strings order like their binary digests (hex encoding is
+  *    order-preserving per byte), so unsigned byte comparison on the
+  *    16-byte digest reproduces `array_min` over hex strings.
+  *  - `withPos = true`: the old chain array_min's `md5hex ||
+  *    lpad(pos, 10, '0')` — digest order first, LEFTMOST occurrence on
+  *    digest ties (zero-padded positions compare numerically).
+  * Output is the DISTINCT selections (the old `array_distinct`),
+  * first-seen order. A monotone deque gives O(n) amortized where the
+  * interpreted chain re-scanned w grams per window. */
+object WinnowSelectExpr {
+  private val Empty = new GenericArrayData(Array.empty[Any])
+
+  /** unsigned bytewise compare — the order md5 hex strings sort in */
+  @inline private def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  def select(s: UTF8String, k: Int, w: Int, withPos: Boolean): ArrayData = {
+    val b = s.getBytes
+    val off = GramHashesExpr.charOffsets(b)
+    val nChars = off.length - 1
+    if (nChars < k) return Empty
+    val nGrams = nChars - k + 1
+    if (nGrams < w) return Empty
+    val md = GramHashesExpr.mdLocal.get()
+    val grams = new Array[Array[Byte]](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      md.update(b, off(i), off(i + k) - off(i))
+      grams(i) = md.digest()
+      i += 1
+    }
+    // monotone deque of gram indices: increasing by (digest, index).
+    // Strictly-smaller evicts; on EQUAL digests the earlier index wins
+    // (leftmost tie-break), so equal incoming digests do NOT evict.
+    val deque = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0 // exclusive
+    val selected = new java.util.LinkedHashSet[AnyRef]
+    val outPos = new java.util.ArrayList[AnyRef]
+    var lastSel = -1
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && cmp(grams(deque(tail - 1)), grams(i)) > 0) tail -= 1
+      deque(tail) = i
+      tail += 1
+      while (deque(head) < i - w + 1) head += 1
+      if (i >= w - 1) {
+        val sel = deque(head)
+        if (withPos) {
+          if (sel != lastSel) {
+            // distinct (h, pos) selections in first-seen order; the
+            // same gram re-selected by later windows is the only
+            // duplicate source, and sel is non-decreasing
+            outPos.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](grams(sel), (sel + 1).toLong)))
+            lastSel = sel
+          }
+        } else {
+          selected.add(UTF8String.fromBytes(grams(sel)): AnyRef)
+        }
+      }
+      i += 1
+    }
+    if (withPos) new GenericArrayData(outPos.toArray)
+    else {
+      // distinct digest VALUES (array_distinct over the min values);
+      // stored as UTF8String keys in the set for equality, emitted as
+      // byte arrays
+      val vals = selected.toArray
+      val arr = new Array[Any](vals.length)
+      var j = 0
+      while (j < vals.length) {
+        arr(j) = vals(j).asInstanceOf[UTF8String].getBytes
+        j += 1
+      }
+      new GenericArrayData(arr)
+    }
+  }
+}
+
 object ScanExpressions {
   /** Column API for [[AsciiTokensExpr]] — caller lowers first. */
   def asciiTokens(c: Column): Column =
@@ -296,4 +487,13 @@ object ScanExpressions {
   /** Column API for [[BpeMergeExpr]]. */
   def bpeMerge(c: Column, a: String, b: String): Column =
     ExpressionUtils.column(BpeMergeExpr(ExpressionUtils.expression(c), a, b))
+
+  /** Column API for [[GramHashesExpr]]. */
+  def gramHashes(c: Column, k: Int): Column =
+    ExpressionUtils.column(GramHashesExpr(ExpressionUtils.expression(c), k))
+
+  /** Column API for [[WinnowSelectExpr]]. */
+  def winnowSelect(c: Column, k: Int, w: Int, withPos: Boolean): Column =
+    ExpressionUtils.column(
+      WinnowSelectExpr(ExpressionUtils.expression(c), k, w, withPos))
 }

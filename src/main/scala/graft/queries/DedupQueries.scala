@@ -221,7 +221,7 @@ object DedupQueries {
     * propagated through labels — O(log diameter) rounds), and only a
     * graph that defeats BOTH within the cap THROWS rather than
     * returning wrong labels. */
-  private[queries] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleSet(s, dir, maxDfFrac = Some(DriverMaxDfFrac))
     val pairs = jaccardPairs(sh, Some(lshCandidates(sh)))
       .filter(col("jaccard") >= 0.8)
@@ -348,7 +348,7 @@ object DedupQueries {
     * re-runs the 16-min signature aggregation over the full shingle set
     * — measured ~1 s per re-run at sf0.1. Released by the caller's
     * clearCache sweep like every other shared intermediate here. */
-  private[queries] def lshCandidates(sh: DataFrame): DataFrame = {
+  private[graft] def lshCandidates(sh: DataFrame): DataFrame = {
     // eager like shingleSet: the self-join consumes bands on BOTH sides
     // concurrently; an unmaterialized cache re-runs the 16-min
     // signature aggregation (and its exchange) per side
@@ -363,7 +363,7 @@ object DedupQueries {
   /** Per-doc MinHash band buckets (doc_id, band, sig) — the LSH index
     * frame both the full self-join ([[lshCandidates]]) and the
     * incremental probe join ([[lshCandidatesProbe]]) bucket on. */
-  private[queries] def minhashBands(sh: DataFrame): DataFrame = {
+  private[graft] def minhashBands(sh: DataFrame): DataFrame = {
     val hashed = sh
       .withColumn("h0", portableHash(col("s"), 0))
       .withColumn("h1", portableHash(col("s"), 1))
@@ -1882,20 +1882,15 @@ object DedupQueries {
     * `sequence(1, 0)` DESCENDS (the recorded bpe gotcha), so a doc
     * shorter than K (or with fewer than W grams) must short-circuit to
     * an empty array, not an inverted range. */
-  private[graft] def winnowingFingerprints(docs: DataFrame): DataFrame = {
-    val grams = docs.select(col("doc_id"),
-      transform(
-        when(length(col("text")) >= WinnowK,
-          sequence(lit(1), length(col("text")) - WinnowK + 1))
-          .otherwise(array().cast("array<int>")),
-        i => md5(col("text").substr(i, lit(WinnowK)))).as("gr"))
-    grams.select(col("doc_id"),
-      explode(array_distinct(transform(
-        when(size(col("gr")) >= WinnowW,
-          sequence(lit(0), size(col("gr")) - WinnowW))
-          .otherwise(array().cast("array<int>")),
-        j => array_min(slice(col("gr"), j + lit(1), lit(WinnowW)))))).as("h"))
-  }
+  private[graft] def winnowingFingerprints(docs: DataFrame): DataFrame =
+    // r17: fused native winnowing (WinnowSelectExpr) — one O(n) pass
+    // with a monotone deque replaces the interpreted md5-gram
+    // transform plus the O(n·w) array_min(slice) window chain. Same
+    // selection by construction (hex strings order like their binary
+    // digests), same distinct; `h` rides binary (see gramPositions).
+    docs.select(col("doc_id"),
+      explode(org.apache.spark.sql.graft.ScanExpressions
+        .winnowSelect(col("text"), WinnowK, WinnowW, withPos = false)).as("h"))
 
   /** Full winnowing duplicate-span audit over a (doc_id, text) frame:
     * per-doc fingerprint count, cross-doc-shared fingerprint count, and
@@ -1934,24 +1929,16 @@ object DedupQueries {
     * on both engines (binary collation both sides). Both `sequence`
     * calls carry the same short-doc guards as the non-positional
     * form. */
-  private[graft] def winnowingFingerprintsPos(docs: DataFrame): DataFrame = {
-    val grams = docs.select(col("doc_id"),
-      transform(
-        when(length(col("text")) >= WinnowK,
-          sequence(lit(1), length(col("text")) - WinnowK + 1))
-          .otherwise(array().cast("array<int>")),
-        i => concat(md5(col("text").substr(i, lit(WinnowK))),
-          lpad(i.cast("string"), 10, "0"))).as("gr"))
-    grams.select(col("doc_id"),
-      explode(array_distinct(transform(
-        when(size(col("gr")) >= WinnowW,
-          sequence(lit(0), size(col("gr")) - WinnowW))
-          .otherwise(array().cast("array<int>")),
-        j => array_min(slice(col("gr"), j + lit(1), lit(WinnowW)))))).as("hp"))
-      .select(col("doc_id"),
-        substring(col("hp"), 1, 32).as("h"),
-        substring(col("hp"), 33, 10).cast("long").as("pos"))
-  }
+  private[graft] def winnowingFingerprintsPos(docs: DataFrame): DataFrame =
+    // r17: fused native winnowing with the positional tie-break — the
+    // old chain minimized `md5hex || lpad(pos, 10, '0')`, i.e. digest
+    // order first, LEFTMOST gram on digest ties; WinnowSelectExpr's
+    // (digest, index) comparator is that order exactly, without ever
+    // materializing the concatenated sort keys.
+    docs.select(col("doc_id"),
+      explode(org.apache.spark.sql.graft.ScanExpressions
+        .winnowSelect(col("text"), WinnowK, WinnowW, withPos = true)).as("hp"))
+      .select(col("doc_id"), col("hp.h").as("h"), col("hp.pos").as("pos"))
 
   /** Winnowing span localization over a (doc_id, text) frame: matched
     * fingerprints per doc pair, rolled up into character spans on the
@@ -2015,13 +2002,14 @@ object DedupQueries {
     * hashing so the audit and the cleaner can never disagree on what
     * counts as duplicated text. */
   private[graft] def gramPositions(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        transform(
-          when(length(col("text")) >= SubstrK,
-            sequence(lit(1), length(col("text")) - SubstrK + 1))
-            .otherwise(array().cast("array<int>")),
-          i => md5(col("text").substr(i, lit(SubstrK)))).as("gr"))
-      .select(col("doc_id"), posexplode(col("gr")))
+    // r17: native one-pass gram hashing (GramHashesExpr) replaces the
+    // interpreted per-window md5(substr) lambda, and `h` rides as the
+    // 16-byte BINARY digest instead of the 32-char hex string — a
+    // bijection, so every downstream equality/group/join is unchanged
+    // while the exploded stream (this family's dominant shuffle)
+    // carries half the bytes (guide §2.3 "narrower types").
+    docs.select(col("doc_id"), posexplode(
+        org.apache.spark.sql.graft.ScanExpressions.gramHashes(col("text"), SubstrK)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("h"))
 
   private[graft] def substringSpans(docs: DataFrame): DataFrame = {

@@ -112,6 +112,75 @@ class ScanExpressionsSpec extends SparkSuite {
     }
   }
 
+  test("gramHashes equals md5(substr) windows (hex form) on unicode and short texts") {
+    import spark.implicits._
+    for (k <- Seq(3, 24)) {
+      val oldGrams = transform(
+        when(length(col("t")) >= k, sequence(lit(1), length(col("t")) - k + 1))
+          .otherwise(array().cast("array<int>")),
+        i => md5(col("t").substr(i, lit(k))))
+      val rows = texts.toDF("t")
+        .select(oldGrams.as("o"),
+          transform(gramHashes(col("t"), k), h => lower(hex(h))).as("n"))
+        .collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        if (t == null) assert(r.isNullAt(1))
+        else assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"k=$k '$t': old=${r.getSeq[String](0)} new=${r.getSeq[String](1)}")
+      }
+    }
+  }
+
+  test("winnowSelect equals the md5-gram array_min window chain, both variants") {
+    import spark.implicits._
+    // corpus-like and crafted: repeated regions (equal digests inside a
+    // window — the tie-break surface), multi-byte chars, short docs
+    val docs = Seq(
+      "", "short", "x" * 40, ("ab" * 30) + "tail piece here",
+      "the quick brown fox jumps over the lazy dog and then some more text",
+      ("samesamesame" * 6) + " unique suffix 123456", "é" * 50,
+      "abcdefghijklmnopqrstuvwxyz0123456789" * 3)
+    for ((k, w) <- Seq((5, 4), (24, 8))) {
+      val oldGrams = transform(
+        when(length(col("t")) >= k, sequence(lit(1), length(col("t")) - k + 1))
+          .otherwise(array().cast("array<int>")),
+        i => md5(col("t").substr(i, lit(k))))
+      // value-only variant
+      val oldSel = array_distinct(transform(
+        when(size(col("gr")) >= w, sequence(lit(0), size(col("gr")) - w))
+          .otherwise(array().cast("array<int>")),
+        j => array_min(slice(col("gr"), j + lit(1), lit(w)))))
+      val r1 = docs.toDF("t").select(col("t"), oldGrams.as("gr"))
+        .select(sort_array(oldSel).as("o"),
+          sort_array(transform(winnowSelect(col("t"), k, w, withPos = false),
+            h => lower(hex(h)))).as("n"))
+        .collect()
+      r1.zip(docs).foreach { case (r, t) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"k=$k w=$w values '$t': old=${r.getSeq[String](0)} new=${r.getSeq[String](1)}")
+      }
+      // positional variant: old chain minimizes md5hex || lpad(pos)
+      val oldGramsPos = transform(
+        when(length(col("t")) >= k, sequence(lit(1), length(col("t")) - k + 1))
+          .otherwise(array().cast("array<int>")),
+        i => concat(md5(col("t").substr(i, lit(k))), lpad(i.cast("string"), 10, "0")))
+      val oldSelPos = array_distinct(transform(
+        when(size(col("gr")) >= w, sequence(lit(0), size(col("gr")) - w))
+          .otherwise(array().cast("array<int>")),
+        j => array_min(slice(col("gr"), j + lit(1), lit(w)))))
+      val r2 = docs.toDF("t").select(col("t"), oldGramsPos.as("gr"))
+        .select(sort_array(oldSelPos).as("o"),
+          sort_array(transform(winnowSelect(col("t"), k, w, withPos = true),
+            p => concat(lower(hex(p.getField("h"))),
+              lpad(p.getField("pos").cast("string"), 10, "0")))).as("n"))
+        .collect()
+      r2.zip(docs).foreach { case (r, t) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"k=$k w=$w pos '$t': old=${r.getSeq[String](0)} new=${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("scan expressions participate in whole-stage codegen") {
     val df = spark.read.parquet(sf("documents"))
       .select(explode(graft.functions.TextFunctions.shingles(
