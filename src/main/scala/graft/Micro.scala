@@ -79,12 +79,34 @@ object Micro {
           spark, sfDir, Some(graft.queries.DedupQueries.DriverMaxDfFrac))
         graft.queries.DedupQueries.prefixCandidates(sh,
           graft.queries.DedupQueries.SetSimTau)
+      }),
+      // VARIANT: df-cap without persisting the raw shingle frame — the
+      // tokenize chain is cheap post-r17, so re-evaluating it 3x may
+      // beat one columnar cache write + two cache reads
+      "dd_shingleset_nocache" -> (() => {
+        import graft.queries.DedupQueries.{DriverMaxDfFrac, MinDfFloor}
+        val sh = docs
+          .select(col("doc_id"), explode(shinglesNative(
+            asciiTokens(lower(col("text"))), 3)).as("s"))
+          .distinct()
+        val thr = sh.agg(countDistinct(col("doc_id")).as("nd"))
+          .select(greatest(ceil(col("nd") * DriverMaxDfFrac), lit(MinDfFloor))
+            .cast("long").as("thr"))
+        val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(thr))
+          .filter(col("df") > col("thr"))
+          .select(col("s"))
+        val capped = sh.join(hot, Seq("s"), "left_anti").persist()
+        capped.count()
+        capped
       })
     )
 
     // BPE training attribution: total + per-round walls (the supersteps
-    // are invisible to Explain — training runs at query construction)
-    if (only.isEmpty || only == "bpe") {
+    // are invisible to Explain — training runs at query construction).
+    // Variants probe the per-round FIXED cost: AQE's per-stage driver
+    // re-planning, and the 32-reduce-partition shuffle of a tiny agg.
+    def bpeOnce(tag: String): Unit = {
       var last = System.nanoTime()
       val roundSec = scala.collection.mutable.ArrayBuffer.empty[Double]
       val t0 = System.nanoTime()
@@ -97,9 +119,21 @@ object Micro {
       val tot = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       val rs = roundSec.toSeq.sorted
-      println(f"[micro] bpe_train total $tot%.3f s, ${roundSec.size} rounds, " +
+      println(f"[micro] bpe_train[$tag] total $tot%.3f s, ${roundSec.size} rounds, " +
         f"round median ${rs(rs.size / 2)}%.3f s, max ${rs.last}%.3f s, " +
         f"first5 ${roundSec.take(5).map(t => f"$t%.3f").mkString(" ")}")
+    }
+    if (only.isEmpty || only == "bpe") {
+      bpeOnce("warm") // first run absorbs JVM/codegen warmup
+      bpeOnce("base")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      bpeOnce("noaqe")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      bpeOnce("noaqe_p4")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      bpeOnce("aqe_p4")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     }
 
     val checks: Seq[(String, () => Long)] = Seq(

@@ -103,9 +103,9 @@ object DedupQueries {
     * quadratic. Cost: one map-side-combinable count per shingle plus an
     * anti join against the HOT set — tiny by construction (it holds
     * only the over-threshold shingles), so AQE broadcasts it. `sh` is
-    * consumed twice here (df count + anti-join probe); callers that
-    * haven't persisted their input pay one recompute of the tokenize
-    * chain — [[shingleSet]] persists internally for that reason. */
+    * consumed three times here (doc count + df count + anti-join
+    * probe); with the r17 native scan chain those recomputes are
+    * cheaper than a corpus-sized cache — see [[shingleSet]]. */
   def dfCap(sh: DataFrame, maxDfFrac: Double, floor: Long = MinDfFloor): DataFrame = {
     val thr = sh.agg(countDistinct(col("doc_id")).as("nd"))
       .select(greatest(ceil(col("nd") * maxDfFrac), lit(floor)).cast("long").as("thr"))
@@ -130,10 +130,11 @@ object DedupQueries {
     * keyed repartition widens narrow scans; a 100 TB corpus already
     * scans wider than the core count, so no shuffle is added at scale.
     *
-    * When the cap is on, the RAW shingle set is persisted here (it
-    * feeds the df count and the anti-join probe); the caller's
-    * clearCache sweep (Bench/Verify contract, see object scaladoc)
-    * releases it. */
+    * When the cap is on, the CAPPED shingle set is persisted here (it
+    * feeds every downstream subtree); the caller's clearCache sweep
+    * (Bench/Verify contract, see object scaladoc) releases it. The raw
+    * set is recomputed per dfCap leg — see the branch comment below
+    * for the measured r17 trade that removed its persist. */
   private[graft] def shingleSet(s: SparkSession, dir: String,
       maxDfFrac: Option[Double] = None): DataFrame = {
     val wide = ProfilingQueries.widened(s, Tables(s, dir, "documents"))
@@ -143,24 +144,36 @@ object DedupQueries {
     maxDfFrac match {
       case None => sh
       case Some(f) =>
-        // EAGERLY MATERIALIZED, not just persist(): the raw and capped
-        // shingle frames feed 3-5 concurrent subtrees (df count,
-        // anti-join probe, sizes, both verify sides, signature build),
-        // and under AQE those stages materialize in parallel — a
-        // not-yet-populated cache lets each stage recompute the
-        // tokenize/explode/distinct chain including its exchange
+        // The CAPPED frame is EAGERLY MATERIALIZED, not just
+        // persist()ed: it feeds 3-5 concurrent subtrees (sizes, both
+        // verify sides, signature build), and under AQE those stages
+        // materialize in parallel — a not-yet-populated cache lets each
+        // stage recompute the whole chain including its exchange
         // (measured: the same query shuffled 5 MB or 26 MB at sf0.1
-        // depending on who won the race). count() forces each cache
+        // depending on who won the race). count() forces the cache
         // once, making both the work and the shuffle-bytes gate
         // deterministic. Callers get an already-cached frame and must
-        // NOT re-persist it. (Tried and rejected: a window-form df cap
-        // — count over partition-by-shingle — consumes raw once and
-        // saves a barrier, but sorting the full shingle set by the
-        // shingle STRING costs ~2× the whole hash-agg+anti-join path:
-        // 6.7 s vs 2.6 s for dedup_minhash_lsh at sf0.1.)
-        val raw = sh.persist()
-        raw.count()
-        val capped = dfCap(raw, f).persist()
+        // NOT re-persist it.
+        //
+        // The RAW frame is deliberately NOT persisted (r17; it was
+        // until then): dfCap consumes it three times (doc count, hot
+        // set, anti-join probe), and with the r15-era interpreted
+        // shingle chain the recompute was worth one corpus-sized cache.
+        // Post-r17 the chain is ~10× cheaper (native scan expressions),
+        // and the measured trade flipped — cached 1.95 s vs recomputed
+        // 1.11 s at sf0.1 (the columnar cache write of the full
+        // (doc_id, shingle-string) set costs more than two extra
+        // chain+distinct evaluations). The scale argument points the
+        // same way (guide §5: cache only when recompute beats the
+        // memory pressure): at 100 TB the raw shingle set is
+        // corpus-sized — persisting it spills, evicts, and competes
+        // with the join/agg execution memory of the SAME query, while
+        // re-evaluating a codegen'd scan chain is embarrassingly
+        // parallel. (Still rejected: the window-form df cap — count
+        // over partition-by-shingle — consumes raw once but sorts the
+        // full shingle set by the shingle STRING, ~2× the whole
+        // hash-agg+anti-join path: 6.7 s vs 2.6 s at sf0.1.)
+        val capped = dfCap(sh, f).persist()
         capped.count()
         capped
     }

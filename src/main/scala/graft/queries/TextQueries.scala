@@ -1292,6 +1292,21 @@ object TextQueries {
       .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("syms"),
         col("freq"))
       .persist()
+    // r17: the round loop's pair-count aggregates are VOCAB-sized, not
+    // corpus-sized, yet each round's shuffle inherited the session's
+    // corpus-scale width — 32 near-empty reduce tasks dominated every
+    // round's wall (measured 0.192 s → 0.110 s per round at sf0.1 with
+    // width 4; ×50 rounds ≈ 4 s per BPE query). Width scales with the
+    // materialized vocab row count so a 100 TB corpus (vocab ~1e7)
+    // still shuffles wide; the session default is restored in the
+    // finally below. The count() doubles as the eager cache
+    // materialization (round 1's argmax previously did it implicitly).
+    val nVocab = vocab.count()
+    val roundParts = math.min(
+      math.max(4L, nVocab / 250000L),
+      s.sparkContext.defaultParallelism.toLong * 4L)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", roundParts.toString)
     var parent: org.apache.spark.sql.DataFrame = null
     val merges = Seq.newBuilder[(Long, String, Long)]
     var ok = false
@@ -1356,6 +1371,9 @@ object TextQueries {
       }
       ok = true
     } finally {
+      // restore the session's corpus-scale shuffle width before any
+      // caller-side plan (bpe_encode's corpus join) is built or run
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
       if (!ok || !applyLast) {
         if (parent != null) parent.unpersist()
         vocab.unpersist()
