@@ -85,8 +85,15 @@ object ProfilingQueries {
     * core count, so this is a no-op at scale. */
   private[graft] def widened(s: org.apache.spark.sql.SparkSession,
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    widenedByCol(s, df, col("doc_id"))
+
+  /** [[widened]] with a caller-chosen key, for frames without a
+    * doc_id (events etc.). */
+  private[graft] def widenedByCol(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
     if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-      df.repartition(col("doc_id"))
+      df.repartition(key)
     else df
 
   /** `k_anonymity` class-size threshold: classes below K members are

@@ -1914,15 +1914,26 @@ object SimilarityQueries {
         .groupBy(col("g.i"))
         .agg(sum(col("g.gram_u2").cast("decimal(38,0)") * col("vv.v")).as("p"))
       // eager localCheckpoint EVERY step, the propagateMinLabels
-      // superstep contract: v appears TWICE per step (matvec + its own
-      // max), so an unbroken lineage doubles per iteration — 2^PcaIters
-      // copies of the gram subtree OOMed the driver just RENDERING the
-      // plan string, and even a 5-step cadence (2^4 copies) blew
-      // Catalyst planning time and task binaries up ~10× (measured:
-      // 9 s → 87 s at sf0.1). Per-step truncation keeps every plan one
-      // step deep; the caller keeps the per-step job small by feeding
-      // a checkpointed gram (leaf scan, not the corpus lineage).
-      v = p.crossJoin(broadcast(p.agg(max(abs(col("p"))).as("m"))))
+      // superstep contract: un-truncated, the lineage deepens per
+      // iteration — 2^PcaIters copies of the gram subtree OOMed the
+      // driver just RENDERING the plan string, and even a 5-step
+      // cadence (2^4 copies) blew Catalyst planning time and task
+      // binaries up ~10× (measured: 9 s → 87 s at sf0.1). Per-step
+      // truncation keeps every plan one step deep; the caller keeps
+      // the per-step job small by feeding a checkpointed gram (leaf
+      // scan, not the corpus lineage).
+      //
+      // r17: the step max rides an UNPARTITIONED WINDOW over p (a ≤D
+      // = 64-row frame — the documented shrink-then-serial shape)
+      // instead of crossJoin(broadcast(p.agg(max))): the broadcast
+      // form built a separate subquery JOB per step just to ship one
+      // number, and evaluated p twice; the window folds max and
+      // renormalize into the checkpoint's own job — one job per
+      // superstep instead of two, same exact arithmetic.
+      val wAll = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      v = p.withColumn("m", max(abs(col("p"))).over(wAll))
         .select(col("i"),
           when(col("m") === 0, lit(0L)).otherwise(expr(
             s"CAST((p * $PcaVScale + ${2 * PcaVScale} * m) div m - ${2 * PcaVScale} AS BIGINT)"))
