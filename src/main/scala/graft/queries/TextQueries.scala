@@ -1292,21 +1292,37 @@ object TextQueries {
       .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("syms"),
         col("freq"))
       .persist()
-    // r17: the round loop's pair-count aggregates are VOCAB-sized, not
-    // corpus-sized, yet each round's shuffle inherited the session's
-    // corpus-scale width — 32 near-empty reduce tasks dominated every
-    // round's wall (measured 0.192 s → 0.110 s per round at sf0.1 with
-    // width 4; ×50 rounds ≈ 4 s per BPE query). Width scales with the
-    // materialized vocab row count so a 100 TB corpus (vocab ~1e7)
-    // still shuffles wide; the session default is restored in the
-    // finally below. The count() doubles as the eager cache
-    // materialization (round 1's argmax previously did it implicitly).
-    val nVocab = vocab.count()
+    // r17: the round loop's per-job width follows the VOCAB, not the
+    // corpus. Every round's pair-count aggregate inherited the
+    // session's corpus-scale shuffle width (32 near-empty reduce tasks
+    // per tiny agg: measured 0.192 s → 0.110 s per round at sf0.1 with
+    // width 4; ×50 rounds ≈ 4 s per BPE query), and the cached vocab
+    // itself carried the corpus build's 32 partitions, so each round's
+    // map stage ALSO launched 32 near-empty tasks. Both widths now
+    // scale with the materialized vocab row count (floor 4, one
+    // partition per ~250k vocab rows — a 100 TB corpus' ~1e7-word
+    // vocab still spreads over ~40 tasks); the session default is
+    // restored in the finally below, before bpe_encode's corpus-sized
+    // join plans. The count() doubles as the eager materialization of
+    // the build cache; the loop then iterates on a re-persisted
+    // coalesced copy (coalesce is narrow — one cache pass, no shuffle).
+    val built = vocab
+    val nVocab = built.count()
     val roundParts = math.min(
       math.max(4L, nVocab / 250000L),
-      s.sparkContext.defaultParallelism.toLong * 4L)
+      s.sparkContext.defaultParallelism.toLong * 4L).toInt
+    vocab = built.coalesce(roundParts).persist()
+    vocab.count()
+    built.unpersist()
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", roundParts.toString)
+    // AQE off for the loop only (restored in the finally): each round
+    // is a tiny 2-stage agg over the vocab cache with NO join and an
+    // explicitly sized width — AQE has nothing to decide, but its
+    // per-stage materialize-and-replan round-trips cost a measured
+    // 0.030 s per round (0.106 → 0.076 s/round at sf0.1, ×50 rounds).
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     var parent: org.apache.spark.sql.DataFrame = null
     val merges = Seq.newBuilder[(Long, String, Long)]
     var ok = false
@@ -1371,9 +1387,10 @@ object TextQueries {
       }
       ok = true
     } finally {
-      // restore the session's corpus-scale shuffle width before any
-      // caller-side plan (bpe_encode's corpus join) is built or run
+      // restore the session's corpus-scale shuffle width and AQE before
+      // any caller-side plan (bpe_encode's corpus join) is built or run
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
       if (!ok || !applyLast) {
         if (parent != null) parent.unpersist()
         vocab.unpersist()
