@@ -191,7 +191,7 @@ object DedupQueries {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val base = cand match {
       case Some(c) =>
-        c.join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+        verifyWidened(sh, c).join(sh.as("a"), col("doc_a") === col("a.doc_id"))
           .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
       case None =>
         sh.as("a").join(sh.as("b"),
@@ -204,6 +204,24 @@ object DedupQueries {
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("inter"), col("sa.n"), col("sb.n")).as("jaccard"))
+  }
+
+  /** Spread a candidate-pair frame to the verification join's true
+    * width before the per-pair shingle explode (r18). The candidate
+    * list is BYTE-tiny (two longs per row) but each row fans out into
+    * |A| probe rows inside the verify stage, so AQE's byte-based
+    * partition coalescing funnels the stage onto 1-2 tasks (measured:
+    * 4.3 cpu-s of verify serialized onto 2 tasks = 2.8 s of the
+    * setsim wall at sf0.1). The explicit width (REPARTITION_BY_NUM —
+    * exempt from coalescing) is derived from the shingle cache's own
+    * partition count, i.e. the corpus's scan width, so it grows with
+    * the data instead of pinning a local-mode constant; the exchange
+    * is keyed on doc_a — the verify join's own key — so at scale it
+    * REPLACES the join's exchange rather than adding one. */
+  private def verifyWidened(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val w = math.max(sh.sparkSession.sparkContext.defaultParallelism,
+      sh.rdd.getNumPartitions)
+    cand.repartition(w, col("doc_a"))
   }
 
   /** Cluster labels (doc_id → cluster_id) of the verified near-dup
@@ -1575,7 +1593,7 @@ object DedupQueries {
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val contain = round(col("inter").cast("double") /
           least(col("sa.n"), col("sb.n")).cast("double"), 6)
-        prefixCandidates(sh, ContainTau)
+        verifyWidened(sh, prefixCandidates(sh, ContainTau))
           .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
           .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
@@ -1764,10 +1782,18 @@ object DedupQueries {
           .filter(col("jaccard") >= SetSimTau)
           .select(col("doc_a"), col("doc_b"))
           .persist()
-        val lsh = jaccardPairs(sh, Some(lshCandidates(sh)))
-          .filter(col("jaccard") >= 0.8)
-          .select(col("doc_a"), col("doc_b"))
-        val found = truth.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+        // the LSH leg needs NO re-verification (r18): found counts
+        // truth ∩ {LSH candidates with J ≥ 0.8}, and every truth pair
+        // already HAS J ≥ 0.8 (the same deterministic exact Jaccard the
+        // LSH leg would recompute), so truth ⋉ lshCandidates is the
+        // identical set — the second jaccardPairs chain (two more
+        // shingle-cache joins + pair agg + two sizes joins) did only
+        // redundant work. Both sides orient doc_a < doc_b. The recall
+        // semantics are unchanged: discovery is still the LSH bucket
+        // join; verification of a discovered TRUE pair is a no-op by
+        // definition, and discovered false pairs die in the semi join
+        // exactly as they died in the old J-filter.
+        val found = truth.join(lshCandidates(sh), Seq("doc_a", "doc_b"), "left_semi")
         // both sides are 1-row aggregates; the explicit broadcast keeps
         // the combine a BNLJ under any threshold (the r15 board-wide
         // cartesian sweep's regime: autoBroadcastJoinThreshold = −1)

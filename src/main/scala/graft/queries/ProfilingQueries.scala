@@ -88,12 +88,23 @@ object ProfilingQueries {
     widenedByCol(s, df, col("doc_id"))
 
   /** [[widened]] with a caller-chosen key, for frames without a
-    * doc_id (events etc.). */
+    * doc_id (events etc.).
+    *
+    * The partition count is EXPLICIT (r18): a bare `repartition(key)`
+    * plans a REPARTITION_BY_COL exchange, which AQE's partition
+    * coalescing is allowed to fold back down by output BYTES — and a
+    * small corpus's shingle/token stream is tiny in bytes while huge
+    * in downstream CPU, so the guard's exchange was measured collapsing
+    * to ONE task at bench SFs (dfCap's recompute legs: 1.8 s
+    * single-task stages). REPARTITION_BY_NUM is exempt from coalescing,
+    * and the pinned width is the cluster's own parallelism, not a
+    * constant — at 100 TB the guard never fires at all (the scan is
+    * already wider than the core count). */
   private[graft] def widenedByCol(s: org.apache.spark.sql.SparkSession,
       df: org.apache.spark.sql.DataFrame,
       key: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
     if (df.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-      df.repartition(key)
+      df.repartition(s.sparkContext.defaultParallelism, key)
     else df
 
   /** `k_anonymity` class-size threshold: classes below K members are
