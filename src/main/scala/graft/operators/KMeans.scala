@@ -45,6 +45,12 @@ object KMeans {
     var cents = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
       .localCheckpoint() // eager: k rows, pins the init snapshot
+    // AQE stays ON in the loop — the bpeTrain AQE-off precedent was
+    // tried in r18 and REJECTED here: unlike BPE's vocab-sized rounds,
+    // each Lloyd iteration mixes a CORPUS-sized exchange (the assign
+    // argmin) with k-row ones, so no single conf width suits the loop,
+    // and with AQE off the k-row aggregations ran shuffle.partitions
+    // wide (measured slower at sf0.1 than AQE's extra per-stage jobs).
     for (_ <- 0 until iters) {
       val assigned = assign(e, cents)
       val means = assigned

@@ -189,21 +189,42 @@ object DedupQueries {
     * branch dominates runtime otherwise. */
   private[graft] def jaccardPairs(sh: DataFrame, cand: Option[DataFrame]): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val base = cand match {
+    cand match {
       case Some(c) =>
+        // the two sh joins are deliberately LEFT to the planner
+        // (broadcast at bench SFs, SMJ at scale): a SHUFFLE_HASH hint
+        // was tried in r18 and REJECTED — it forces the cand×|A|
+        // explode output through the b-join's exchange (measured
+        // 2.6 MB → 232 MB shuffled at sf0.1), the exact §2.3 explode-
+        // before-shuffle disease the broadcast shape avoids by partial-
+        // aggregating the explode in-stage.
+        //
+        // the b join is LEFT OUTER (r18) so |A| rides the same
+        // aggregate as the intersection: the a join emits exactly A's
+        // shingle rows per pair, so count(*) = n_a and count(b.s) =
+        // |A∩B| — one sizes join (n_b) instead of two, one fewer
+        // aggregation pass over the shingle set feeding it. Same
+        // numbers by construction.
         verifyWidened(sh, c).join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-          .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+          .join(sh.as("b"),
+            col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"),
+            "left_outer")
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_a"), count(col("b.s")).as("inter"))
+          .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            jaccard(col("inter"), col("n_a"), col("sb.n")).as("jaccard"))
       case None =>
         sh.as("a").join(sh.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
           .withColumn("doc_a", col("a.doc_id"))
           .withColumn("doc_b", col("b.doc_id"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+          .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            jaccard(col("inter"), col("sa.n"), col("sb.n")).as("jaccard"))
     }
-    base.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("inter"), col("sa.n"), col("sb.n")).as("jaccard"))
   }
 
   /** Spread a candidate-pair frame to the verification join's true
@@ -1132,11 +1153,23 @@ object DedupQueries {
     // semantic dedup; this extends the §2.8 LLM-pipeline surface.
     QueryDef("dedup_semantic_trained",
       (s, dir) => {
-        val reps = quantizedReps(s, dir)
+        // reps is consumed TrainedIters+2 times (init take-k, one
+        // assign per Lloyd iteration, the final assignment) — eagerly
+        // persisted (r18) so the quantize-collapse aggregation runs
+        // once, not once per consumer (measured 4 evaluations of the
+        // chain per run at sf0.1). Released by the caller's clearCache
+        // sweep; at scale this is the standard cache-the-training-set
+        // shape for iterative ML (guide §5: reused AND expensive).
+        val reps = quantizedReps(s, dir).persist()
+        reps.count()
         val cents = graft.operators.KMeans.train(reps, TrainedK, TrainedIters)
+        // eager count: the persist has THREE consumers (both self-join
+        // sides + the anti-join left) that otherwise race to populate
+        // the cache under AQE (the shingleSet contract)
         val assigned = graft.operators.KMeans.assign(reps, cents)
           .withColumn("nrm", sqrt(dotFast(col("embedding"), col("embedding"))))
           .persist()
+        assigned.count()
         val drops = assigned.as("a").join(assigned.as("b"),
             col("a.c_id") === col("b.c_id") && col("a.vec_id") > col("b.vec_id"))
           .filter(cosineFast(col("a.embedding"), col("b.embedding"),
@@ -1592,15 +1625,20 @@ object DedupQueries {
         val sh = shingleSet(s, dir, maxDfFrac = Some(DriverMaxDfFrac))
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val contain = round(col("inter").cast("double") /
-          least(col("sa.n"), col("sb.n")).cast("double"), 6)
+          least(col("n_a"), col("sb.n")).cast("double"), 6)
+        // left-outer b join: count(*) = |A|, count(b.s) = |A∩B| — the
+        // same n_a-rides-the-aggregate fold as [[jaccardPairs]] (r18),
+        // one sizes join instead of two
         verifyWidened(sh, prefixCandidates(sh, ContainTau))
           .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-          .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-          .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sh.as("b"),
+            col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"),
+            "left_outer")
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_a"), count(col("b.s")).as("inter"))
           .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
           .select(col("doc_a"), col("doc_b"),
-            col("sa.n").as("n_a"), col("sb.n").as("n_b"),
+            col("n_a"), col("sb.n").as("n_b"),
             contain.as("containment"))
           .filter(col("containment") >= ContainTau)
       },
@@ -1773,32 +1811,34 @@ object DedupQueries {
     QueryDef("dedup_lsh_eval",
       (s, dir) => {
         val sh = shingleSet(s, dir, maxDfFrac = Some(DriverMaxDfFrac))
-        // persisted: the truth pair list (tiny — verified pairs only)
-        // feeds BOTH the semi-join probe and the n_true count; without
-        // the persist the prefix-join leg — the query's dominant cost —
-        // evaluates twice. Released by the caller's clearCache sweep
-        // like every shared intermediate here.
         val truth = jaccardPairs(sh, Some(prefixCandidates(sh, SetSimTau)))
           .filter(col("jaccard") >= SetSimTau)
           .select(col("doc_a"), col("doc_b"))
-          .persist()
         // the LSH leg needs NO re-verification (r18): found counts
         // truth ∩ {LSH candidates with J ≥ 0.8}, and every truth pair
         // already HAS J ≥ 0.8 (the same deterministic exact Jaccard the
-        // LSH leg would recompute), so truth ⋉ lshCandidates is the
-        // identical set — the second jaccardPairs chain (two more
-        // shingle-cache joins + pair agg + two sizes joins) did only
-        // redundant work. Both sides orient doc_a < doc_b. The recall
-        // semantics are unchanged: discovery is still the LSH bucket
-        // join; verification of a discovered TRUE pair is a no-op by
-        // definition, and discovered false pairs die in the semi join
-        // exactly as they died in the old J-filter.
-        val found = truth.join(lshCandidates(sh), Seq("doc_a", "doc_b"), "left_semi")
-        // both sides are 1-row aggregates; the explicit broadcast keeps
-        // the combine a BNLJ under any threshold (the r15 board-wide
-        // cartesian sweep's regime: autoBroadcastJoinThreshold = −1)
-        truth.agg(count(lit(1)).as("n_true"))
-          .crossJoin(broadcast(found.agg(count(lit(1)).as("n_found"))))
+        // LSH leg would recompute), so probing the candidate list
+        // directly is the identical set — the second jaccardPairs chain
+        // (two more shingle-cache joins + pair agg + sizes joins) did
+        // only redundant work. Both sides orient doc_a < doc_b. The
+        // recall semantics are unchanged: discovery is still the LSH
+        // bucket join; verification of a discovered TRUE pair is a
+        // no-op by definition, and discovered false pairs die in the
+        // join exactly as they died in the old J-filter.
+        //
+        // n_true and n_found ride ONE left-outer probe + aggregate
+        // (count(*) vs count(hit)) instead of [persist truth; semi-join;
+        // two 1-row aggs; broadcast crossJoin]: the old shape's lazy
+        // persist made the broadcast-build job and the main job RACE to
+        // materialize the cache (measured: ~2 s of near-zero-CPU tasks
+        // blocked on the cache lock at sf0.1), and the candidate list
+        // is distinct so the outer join adds at most one match per
+        // truth row — the two counts are the same numbers by
+        // construction, in one job.
+        truth
+          .join(lshCandidates(sh).withColumn("hit", lit(1)),
+            Seq("doc_a", "doc_b"), "left_outer")
+          .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
           .select(col("n_true"), col("n_found"),
             QueryDef.microPoints(col("n_found").cast("double") /
               col("n_true").cast("double")).as("recall_micro"))

@@ -729,13 +729,23 @@ object TpchQueries {
     // (nation, year) exchange (PlanAuditSpec pins both properties).
     QueryDef("tpch_q9",
       (s, dir) => {
-        val ps = Tables(s, dir, "lineitem")
-          .select(col("l_partkey").as("ps_partkey"),
-            col("l_suppkey").as("ps_suppkey"))
-          .distinct()
         val p = Tables(s, dir, "part")
           .filter(col("p_name").like("%red%"))
           .select(col("p_partkey"), col("p_retailprice"))
+        // the catalog is semi-joined to the filtered part keys BEFORE
+        // its distinct (r18, guide §3.2): the final plan keeps only
+        // catalog rows whose partkey joins `p` anyway (l ⋈ p is inner
+        // on the same key), so the pre-filter is lossless — and it cuts
+        // the distinct's shuffle by the %red% selectivity (~95% of the
+        // full-lineitem pair stream at sf0.1, the query's largest
+        // exchange) instead of deduplicating pairs that are then
+        // discarded.
+        val ps = Tables(s, dir, "lineitem")
+          .select(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .join(p.select(col("p_partkey")),
+            col("ps_partkey") === col("p_partkey"), "left_semi")
+          .distinct()
         val sup = Tables(s, dir, "supplier")
           .select(col("s_suppkey"), col("s_nationkey"))
         val nat = Tables(s, dir, "nation")
