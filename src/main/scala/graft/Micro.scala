@@ -124,16 +124,14 @@ object Micro {
         f"first5 ${roundSec.take(5).map(t => f"$t%.3f").mkString(" ")}")
     }
     if (only.isEmpty || only == "bpe") {
+      // NOTE (r18, advisor's ask): bpeTrain now SELF-TUNES the round
+      // loop — it overrides shuffle.partitions and disables AQE inside
+      // the loop and restores the session values after — so the old
+      // noaqe/noaqe_p4/aqe_p4 conf variants no longer measured what
+      // their names claimed (they only affected the pre-loop vocab
+      // build). Dropped; base vs warm remains the useful signal.
       bpeOnce("warm") // first run absorbs JVM/codegen warmup
       bpeOnce("base")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      bpeOnce("noaqe")
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      bpeOnce("noaqe_p4")
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      bpeOnce("aqe_p4")
-      spark.conf.set("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     }
 
     val checks: Seq[(String, () => Long)] = Seq(

@@ -1892,7 +1892,7 @@ object SimilarityQueries {
 
   /** Mirror the gram UPPER triangle into the full (i, j) matrix —
     * shared by `embedding_pca_top` and `embedding_abtt`. */
-  private def gramFull(tri: DataFrame): DataFrame =
+  private[graft] def gramFull(tri: DataFrame): DataFrame =
     tri.unionByName(
       tri.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("gram_u2")))
@@ -1905,7 +1905,7 @@ object SimilarityQueries {
     * and `embedding_abtt` — a corrected-embedding query whose v drifted
     * from the reported PC would silently subtract the wrong direction.
     * Keep [[pcaVCteSql]] in lockstep term-for-term. */
-  private[queries] def pcaVector(gfull: DataFrame): DataFrame = {
+  private[graft] def pcaVector(gfull: DataFrame): DataFrame = {
     var v = gfull.select(col("i")).distinct()
       .select(col("i"), lit(PcaVScale).as("v"))
     for (_ <- 1 to PcaIters) {
@@ -1988,7 +1988,7 @@ object SimilarityQueries {
     * and `embedding_pca_top` (see embedding_gram's QueryDef comment
     * for the shuffle-volume argument: #partitions · D(D+1)/2 counter
     * rows, independent of corpus size). */
-  private def gramTriangle(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def gramTriangle(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
       .select(col("embedding").cast("array<double>").as("e"))

@@ -1314,6 +1314,13 @@ object TextQueries {
     vocab = built.coalesce(roundParts).persist()
     vocab.count()
     built.unpersist()
+    // SERIAL-EXECUTION CONTRACT (r18, advisor's ask): the save/restore
+    // of session conf below is only safe because Bench/Verify execute
+    // queries strictly sequentially on one SparkSession — a second
+    // concurrent bpeTrain (or any concurrent query on this session)
+    // would race the restore and silently reshape other queries'
+    // shuffles. Callers composing these defs concurrently must scope
+    // the loop in their own s.newSession().
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", roundParts.toString)
     // AQE off for the loop only (restored in the finally): each round

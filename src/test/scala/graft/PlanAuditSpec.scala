@@ -1068,6 +1068,30 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("pca superstep's unpartitioned window rides a bounded (≤D-row) frame") {
+    // The two board funnel sweeps audit FINAL query plans, but the r17
+    // pca fold's unpartitioned max-window lives inside CONSTRUCTION-time
+    // supersteps (each step is checkpointed before the query's own plan
+    // exists), so it can never appear there — the allow-list argument
+    // "the frame is ≤D rows by construction" lived in comments only
+    // (r17 verdict, what's-wrong #4). Pin it executably: every step's
+    // window input is the per-dim grouped frame p = gfull.groupBy(g.i),
+    // whose cardinality is bounded by |distinct i| — the embedding
+    // dimension count, NOT the corpus — and the returned v (same
+    // cardinality) must be a checkpoint leaf, i.e. the supersteps
+    // really did run shrink-then-serial on a bounded frame.
+    val tri = queries.SimilarityQueries.gramTriangle(spark, dir).localCheckpoint()
+    val gfull = queries.SimilarityQueries.gramFull(tri)
+    val dims = gfull.select(col("i")).distinct().count()
+    assert(dims <= 64, s"gram dim domain is $dims — the ≤D window-frame bound broke")
+    val v = queries.SimilarityQueries.pcaVector(gfull)
+    assert(v.count() <= dims, "superstep output exceeds the dim-bounded frame")
+    // a checkpoint leaf: no corpus scan survives in the superstep result
+    val vPlan = plan(v)
+    assert(!vPlan.contains("Scan parquet"), vPlan)
+    spark.catalog.clearCache()
+  }
+
   test("embedding_class_sep: moment aggs are partial before their exchanges; vectors never shuffle") {
     // both groupBys (per (dim,label), then per dim) must combine
     // map-side so each exchange carries bounded moment rows — and the
